@@ -1,0 +1,62 @@
+"""Table loading for the driver corpus (TESTDATA.md).
+
+Parquet scans are the engine's primary source: self-describing schema,
+column pruning and predicate pushdown reach the file reader via
+Catalyst (``.explain`` shows PushedFilters / ReadSchema), and at
+cluster scale files split into tasks by ``spark.sql.files.maxPartitionBytes``.
+
+The reference instead decoded its entire input **in the driver** and
+``sc.parallelize``-d it (reference main.py:31) — the anti-pattern this
+module replaces (SURVEY.md §2A S7).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_mrdf_spark.session import apply_engine_conf
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one corpus table as a DataFrame (distributed parquet scan).
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark's reader
+    rejects; read it as long (legacy conf) and convert to a microsecond
+    timestamp with exact integer division (matching DuckDB's nanos→us
+    truncation bit-for-bit — no double arithmetic on int64 nanos).
+    """
+    apply_engine_conf(spark)
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Load the whole corpus; also registers each as a temp view so both
+    the DataFrame API and ``spark.sql`` can reach them."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

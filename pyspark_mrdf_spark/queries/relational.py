@@ -1,0 +1,487 @@
+"""Relational operator family, demonstrated on the driver corpus.
+
+Covers SURVEY.md §2B rows: scans/projection/filter, joins
+(inner/left/semi/anti/broadcast), aggregations (sum/avg/min/max/
+count-distinct, rollup), windows (rank/row_number/frames, top-k-per-key
+— the reference's G1/O2 pattern, mrdf.py:166-170 / nndescent.py:184-189),
+sorts/limits, relational set ops, scalar string/date/math/JSON
+functions, and deterministic sampling.
+
+Determinism contract with the DuckDB oracle: every floating aggregate
+runs through exact DECIMAL intermediates and is cast to double only at
+the end — Spark's partial-aggregation order can never perturb the
+result, and both engines convert the same exact decimal to the same
+double. No ROUND on decimals (exact .xx5 ties would expose
+rounding-mode differences); doubles cast to decimal are never ties
+(x.xx5 has no exact binary representation).
+
+Scale notes (100 TB): filters/projections push to the parquet scan;
+small dims (region/nation/supplier/part at TPC-H ratios) broadcast —
+Spark's AQE picks broadcast automatically under the threshold, and the
+flagship query marks them explicitly; the big fact-fact join
+(orders⋈lineitem) hash-shuffles on the join key, which bucketing
+co-locates in a real deployment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_mrdf_spark.io import load_table
+from pyspark_mrdf_spark.queries import register
+
+DEC = "decimal(18,2)"
+
+
+def _dec(c):
+    return F.col(c).cast(DEC)
+
+
+def _t(spark, sf_dir, *names):
+    """Load only the tables a query needs (column pruning starts with
+    not scanning tables at all)."""
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+# ---------------------------------------------------------------------------
+# Aggregation family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+    description="TPC-H Q1-style pricing summary: filter + groupBy + decimal-exact sums/avgs",
+    tags=("agg", "filter"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    charge = disc_price * (F.lit(1) + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q02_minmax_part",
+    oracle="""
+SELECT p_type,
+       MIN(p_retailprice) AS min_price,
+       MAX(p_retailprice) AS max_price,
+       COUNT(DISTINCT p_brand) AS n_brands,
+       COUNT(*) AS n_parts
+FROM part
+GROUP BY p_type
+""",
+    description="min/max/count-distinct aggregation",
+    tags=("agg",),
+)
+def q02_minmax_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_type").agg(
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+        F.countDistinct("p_brand").alias("n_brands"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+
+
+@register(
+    "q03_rollup_lineitem",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    description="ROLLUP hierarchical aggregation (Catalyst expand)",
+    tags=("agg", "rollup"),
+)
+def q03_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q05_local_supplier_volume",
+    oracle="""
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""",
+    description="TPC-H Q5-style 6-way join: broadcast dims, shuffle fact-fact join",
+    tags=("join", "agg", "broadcast"),
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "orders", "supplier", "customer", "nation", "region")
+    # Dims are tiny at TPC-H ratios (region 5 rows, nation 25, supplier
+    # 1e-5 of lineitem) — broadcast them so the only shuffle is the
+    # orders⋈lineitem fact join on orderkey.
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        t["lineitem"]
+        .join(t["orders"].filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        ), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["customer"]),
+              (F.col("o_custkey") == F.col("c_custkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q06_left_join_orders",
+    oracle="""
+SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_name
+""",
+    description="left outer join preserving customers with zero orders",
+    tags=("join",),
+)
+def q06_left_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast(DEC))
+            .cast("double")
+            .alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "q07_semi_join_urgent",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+""",
+    description="left-semi join (IN-subquery semantics)",
+    tags=("join", "semi"),
+)
+def q07_semi_join_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t["customer"]
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "q08_anti_join_parts",
+    oracle="""
+SELECT p_partkey, p_name FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+""",
+    description="left-anti join: parts never ordered",
+    tags=("join", "anti"),
+)
+def q08_anti_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "part", "lineitem")
+    return (
+        t["part"]
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+    )
+
+
+@register(
+    "q09_order_priority_check",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+    description="TPC-H Q4-style EXISTS via left-semi join",
+    tags=("join", "semi", "agg"),
+)
+def q09_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    late = t["lineitem"]
+    return (
+        o.join(
+            late,
+            (F.col("l_orderkey") == F.col("o_orderkey")) & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window / top-k family (reference G1/O2: top-k-by-key — mrdf.py:166-170)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q10_top_lineitems_per_order",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice, rk FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_extendedprice DESC, l_linenumber) AS rk
+  FROM lineitem) WHERE rk <= 2
+""",
+    description="top-k per key via row_number window (reference's G1/O2 merge pattern, mrdf.py:166-170)",
+    tags=("window", "topk"),
+)
+def q10_top_lineitems_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(F.col("l_extendedprice").desc(), F.col("l_linenumber"))
+    return (
+        li.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "rk")
+    )
+
+
+@register(
+    "q11_customer_rank_in_nation",
+    oracle="""
+SELECT c_custkey, c_nationkey, c_acctbal,
+       RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_rank,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (
+            PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_bal
+FROM customer
+""",
+    description="rank + running-sum window frame",
+    tags=("window",),
+)
+def q11_customer_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    wr = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    ws = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.rank().over(wr).alias("bal_rank"),
+        F.sum(_dec("c_acctbal")).over(ws).cast("double").alias("running_bal"),
+    )
+
+
+@register(
+    "q12_top10_revenue_orders",
+    oracle="""
+SELECT o_orderkey, o_orderdate,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""",
+    description="global sort + limit (TPC-H Q3 shape); unique tiebreak for determinism",
+    tags=("sort", "limit", "join", "agg"),
+)
+def q12_top10_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "orders", "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        t["orders"]
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (relational; reference E1-E3 are the array forms)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_setops_customers",
+    oracle="""
+SELECT c_custkey, 'both' AS tag FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O')
+UNION ALL
+SELECT c_custkey, 'only_building' AS tag FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O')
+""",
+    description="INTERSECT / EXCEPT / UNION ALL relational set ops",
+    tags=("setop",),
+)
+def q13_setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    building = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    open_orders = (
+        t["orders"].filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("c_custkey"))
+    )
+    both = building.intersect(open_orders).withColumn("tag", F.lit("both"))
+    only = building.exceptAll(open_orders.distinct()).distinct().withColumn("tag", F.lit("only_building"))
+    return both.unionByName(only)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function family: string / date / math / JSON
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q14_string_funcs",
+    oracle="""
+SELECT p_partkey,
+       LOWER(p_name) AS lname,
+       UPPER(p_brand) AS ubrand,
+       SUBSTRING(p_type, 1, 3) AS type3,
+       LENGTH(p_name) AS name_len,
+       REPLACE(p_name, ' ', '_') AS snake,
+       CONCAT(p_brand, ':', p_type) AS brand_type
+FROM part WHERE p_name LIKE '%widget%'
+""",
+    description="string scalar functions + LIKE pushdown filter",
+    tags=("scalar", "string"),
+)
+def q14_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.upper("p_brand").alias("ubrand"),
+        F.substring("p_type", 1, 3).alias("type3"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+        F.concat_ws("", F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+@register(
+    "q15_date_funcs",
+    oracle="""
+SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+       CAST(MONTH(o_orderdate) AS INT) AS o_month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY 1, 2
+""",
+    description="date part extraction + aggregation",
+    tags=("scalar", "date", "agg"),
+)
+def q15_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.month("o_orderdate").cast("int").alias("o_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "q16_math_funcs",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ABS(l_discount - 0.05) AS disc_dev,
+       CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_bucket,
+       CAST(SQRT(l_quantity) AS DOUBLE) AS qty_sqrt,
+       CAST(POWER(1 + l_tax, 2) AS DOUBLE) AS tax_sq,
+       CAST(l_quantity AS BIGINT) % 7 AS qty_mod7
+FROM lineitem WHERE l_orderkey % 100 = 0
+""",
+    description="math scalar functions over a deterministic modulo sample",
+    tags=("scalar", "math"),
+)
+def q16_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 100 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor(F.col("l_quantity") / 10).cast("bigint").alias("qty_bucket"),
+        F.sqrt("l_quantity").cast("double").alias("qty_sqrt"),
+        F.pow(F.lit(1) + F.col("l_tax"), 2).cast("double").alias("tax_sq"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+    )
+
+
+@register(
+    "q17_deterministic_sample",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderkey % 10 = 3
+""",
+    description="deterministic 10% sample via key modulo (seeded-sampling capability, reference A1 utilities.py:15-30, made reproducible across engines)",
+    tags=("sampling",),
+)
+def q17_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % 10 == 3).select("o_orderkey", "o_custkey", "o_totalprice")
