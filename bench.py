@@ -1,0 +1,66 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-query timing includes plan build + execution to a count/collect
+action (results are not shipped to the driver beyond tiny summaries).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from pyspark_mrdf_spark.session import get_spark
+    from pyspark_mrdf_spark.queries import load_all
+
+    spark = get_spark(app_name="pyspark-mrdf-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = load_all()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in sorted(specs):
+        spec = specs[name]
+        t0 = time.time()
+        try:
+            df = spec.builder(spark, sf_dir)
+            # Force full execution without shipping rows to the driver.
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+        except Exception as exc:  # noqa: BLE001
+            print(f"[bench] {name} failed: {exc}", file=sys.stderr)
+            dt = float("nan")
+        timings[name] = round(dt, 3)
+        if dt == dt:
+            total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "engine_headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
