@@ -1,1 +1,124 @@
-"""Event-stream queries (filled in with windowed/JSON operators)."""
+"""Event-stream query family over the ``events`` table.
+
+Batch queries shaped for Structured Streaming: tumbling event-time
+windows (``date_trunc``), JSON property extraction
+(``get_json_object``), and sequence analytics (lag). The same
+transformations run under ``readStream`` with a watermark — see
+``pyspark_mrdf_spark.streaming``.
+
+Float discipline: ``value`` is double; aggregates go through
+DECIMAL(18,6) so Spark's partial-agg order can't perturb results
+(see relational.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_mrdf_spark.io import load_table
+from pyspark_mrdf_spark.queries import register
+
+DEC6 = "decimal(18,6)"
+
+
+@register(
+    "q20_json_props",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS INT) AS DECIMAL(18,6))) AS DOUBLE) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events
+GROUP BY event_type
+""",
+    description="JSON property extraction (get_json_object on events.props) + aggregation",
+    tags=("json", "agg", "events"),
+)
+def q20_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k.cast(DEC6)).cast("double").alias("sum_k"),
+        F.max(k).cast("int").alias("max_k"),
+    )
+
+
+@register(
+    "q21_hourly_windows",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+    description="tumbling event-time window aggregation (streaming-ready shape)",
+    tags=("window-agg", "events", "streaming"),
+)
+def q21_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC6)).cast("double").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "q22_event_gaps",
+    oracle="""
+SELECT event_id, user_id, ts,
+       date_diff('microsecond',
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 ts) AS gap_us
+FROM events
+""",
+    description="per-user inter-event gap via lag window (sessionization building block)",
+    tags=("window", "events"),
+)
+def q22_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev)).alias("gap_us"),
+    )
+
+
+@register(
+    "q23_user_activity",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_types,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+FROM events
+GROUP BY user_id
+""",
+    description="per-user activity summary: conditional aggregation + min/max timestamps",
+    tags=("agg", "events"),
+)
+def q23_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchases"),
+    )

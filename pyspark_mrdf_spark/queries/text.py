@@ -1,1 +1,165 @@
-"""Text-analysis queries (filled in with text operators)."""
+"""Text-analysis query family over the ``documents`` table
+(north-star: language-ID, quality scoring, token counting,
+fingerprinting — SURVEY.md §2B "Text analysis").
+
+All expressions are JVM-side built-ins (split/size/filter/transform/
+md5) — zero Python in the hot path; at 100 TB this family is
+embarrassingly parallel per-document map work with one shuffle only
+where a groupBy appears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_mrdf_spark.functions import text as T
+from pyspark_mrdf_spark.io import load_table
+from pyspark_mrdf_spark.queries import register
+
+_SW_SQL = "['the','a','of','and','to','in','is','for','on','with']"
+
+
+@register(
+    "q30_token_stats",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS ttr
+FROM documents
+""",
+    description="token counting + type-token ratio per document",
+    tags=("text",),
+)
+def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.n_tokens("text").alias("n_tokens"),
+        T.n_distinct_tokens("text").alias("n_distinct"),
+        (T.n_distinct_tokens("text").cast("double") / T.n_tokens("text")).alias("ttr"),
+    )
+
+
+@register(
+    "q31_word_freq",
+    oracle="""
+SELECT word, COUNT(*) AS freq
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word
+ORDER BY freq DESC, word
+LIMIT 20
+""",
+    description="global word frequency: explode + groupBy + top-20 (map-side partial agg)",
+    tags=("text", "agg", "sort"),
+)
+def q31_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(T.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(20)
+    )
+
+
+@register(
+    "q32_quality_score",
+    oracle=f"""
+SELECT doc_id, lang,
+       CAST(len(list_filter(string_split(text, ' '),
+                 t -> list_contains({_SW_SQL}, t))) AS DOUBLE)
+         / len(string_split(text, ' ')) AS stopword_ratio,
+       CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+         / len(string_split(text, ' ')) AS avg_token_len,
+       len(string_split(text, ' ')) >= 20 AND
+       len(list_filter(string_split(text, ' '),
+                 t -> list_contains({_SW_SQL}, t))) > 0 AS quality_pass
+FROM documents
+""",
+    description="document quality scoring: stopword ratio + avg token length + pass flag",
+    tags=("text",),
+)
+def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    nt = T.n_tokens("text")
+    hits = T.stopword_hits("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        (hits.cast("double") / nt).alias("stopword_ratio"),
+        ((F.length("text") - nt + 1).cast("double") / nt).alias("avg_token_len"),
+        ((nt >= 20) & (hits > 0)).alias("quality_pass"),
+    )
+
+
+@register(
+    "q33_langid_heuristic",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                t -> list_contains({_SW_SQL}, t))) AS DOUBLE)
+                / len(string_split(text, ' ')) > 0.05
+            THEN 1 ELSE 0 END) AS n_pred_en
+FROM documents
+GROUP BY lang
+""",
+    description="language-ID stopword heuristic vs labeled lang column",
+    tags=("text", "agg"),
+)
+def q33_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ratio = T.stopword_hits("text").cast("double") / T.n_tokens("text")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(ratio > 0.05, 1).otherwise(0)).alias("n_pred_en"),
+    )
+
+
+@register(
+    "q34_fingerprint_stats",
+    oracle="""
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dups
+FROM documents
+GROUP BY source
+""",
+    description="md5 content fingerprinting: exact-duplicate counts per source",
+    tags=("text", "dedup", "agg"),
+)
+def q34_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(T.fingerprint("text")).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(T.fingerprint("text"))).alias("n_exact_dups"),
+    )
+
+
+@register(
+    "q35_bpeish_tokens",
+    oracle=r"""
+SELECT doc_id,
+       len(string_split_regex(trim(regexp_replace(text, '([0-9]+|[^a-zA-Z0-9 ]+)', ' \1 ', 'g')), '\s+')) AS n_subtokens
+FROM documents WHERE doc_id % 5 = 0
+""",
+    description="BPE-ish regex sub-word tokenization (digit/punct boundaries)",
+    tags=("text",),
+)
+def q35_bpeish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id",
+        F.size(
+            F.split(
+                F.trim(F.regexp_replace(F.col("text"), r"([0-9]+|[^a-zA-Z0-9 ]+)", r" $1 ")),
+                r"\s+",
+            )
+        ).alias("n_subtokens"),
+    )
