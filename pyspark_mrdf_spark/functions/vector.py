@@ -1,0 +1,97 @@
+"""Vector math kernels.
+
+Two tiers, per SURVEY.md §4.2:
+ - **Column expressions** (JVM-side, codegen): dot/cosine/L2 via
+   ``zip_with`` + ``aggregate`` — for one-off pairs or small arrays.
+ - **NumPy block kernels** (Arrow-batched pandas UDFs): pairwise
+   distance matrices for kNN — the vectorized recovery of the
+   reference's per-row ``np.linalg.norm(u1-u2)``
+   (reference utilities.py:11-13, called from knn.py:17,
+   nndescent.py:165, mrdf.py:139).
+
+All distance math is float64 regardless of the float32 storage type so
+orderings are stable and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Column-expression tier (whole-stage codegen; no Python)
+# ---------------------------------------------------------------------------
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    """Dot product of two float arrays, computed in double, sequential
+    left-to-right accumulation (matches a scalar SQL loop exactly)."""
+    prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_sq(a: str | Column, b: str | Column) -> Column:
+    """Squared Euclidean distance (double)."""
+    diffs = F.zip_with(
+        _c(a), _c(b), lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2(a: str | Column, b: str | Column) -> Column:
+    """Euclidean distance (double) — the reference's σ (utilities.py:11-13)."""
+    return F.sqrt(l2_sq(a, b))
+
+
+def norm(a: str | Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    """Cosine similarity in double."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# ---------------------------------------------------------------------------
+# NumPy block tier (used inside mapInPandas / applyInPandas kernels)
+# ---------------------------------------------------------------------------
+
+
+def pairwise_l2_sq(q: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Exact pairwise squared L2 between query block q (m×d) and
+    corpus x (n×d) → (m, n), float64.
+
+    Uses the explicit (q - x)² form, NOT the ||q||²+||x||²-2qx trick:
+    the expanded form loses precision catastrophically for near-equal
+    vectors and its result can go slightly negative — orderings must be
+    trustworthy because recall checks compare against a SQL oracle.
+    Memory is bounded by chunking over queries.
+    """
+    q = np.asarray(q, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    out = np.empty((q.shape[0], x.shape[0]), dtype=np.float64)
+    # chunk so the (chunk, n, d) intermediate stays ~256 MB
+    chunk = max(1, int(256e6 / (x.shape[0] * x.shape[1] * 8)))
+    for i in range(0, q.shape[0], chunk):
+        d = q[i : i + chunk, None, :] - x[None, :, :]
+        out[i : i + chunk] = np.einsum("ijk,ijk->ij", d, d)
+    return out
+
+
+def topk_ids(dist_row: np.ndarray, ids: np.ndarray, k: int, exclude: int | None = None) -> list[tuple[int, float]]:
+    """Top-k (id, dist) by ascending (dist, id); optional self-exclusion."""
+    order = np.lexsort((ids, dist_row))
+    out = []
+    for j in order:
+        if exclude is not None and ids[j] == exclude:
+            continue
+        out.append((int(ids[j]), float(dist_row[j])))
+        if len(out) == k:
+            break
+    return out

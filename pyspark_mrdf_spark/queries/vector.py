@@ -1,1 +1,138 @@
-"""Vector similarity queries (filled in with knn/ANN operators)."""
+"""Vector similarity query family over the ``embeddings`` table
+(north-star "similarity search"; reference W3 brute-force knn.py:4-26).
+
+Oracle-checked outputs are id/rank-only: distance VALUES are float and
+engine summation order may differ in the last ulp, but the induced
+ORDERING is stable for non-degenerate data, and ranks/ids are exact.
+The one float output (q52 norms) goes through exact DECIMAL unnest
+summation on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_mrdf_spark.functions.vector import cosine
+from pyspark_mrdf_spark.io import load_table
+from pyspark_mrdf_spark.operators.similarity import ann_ivf, knn_exact
+from pyspark_mrdf_spark.queries import register
+
+K = 10
+
+
+@register(
+    "q50_knn_exact",
+    oracle=f"""
+SELECT src, dst, rnk FROM (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_distance(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rnk
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+WHERE rnk <= {K}
+""",
+    description="exact brute-force k-NN graph (reference W3, knn.py:4-26): vectorized block scan vs SQL cross-join oracle",
+    tags=("vector", "knn"),
+)
+def q50_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_exact(emb, K).select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))
+
+
+@register(
+    "q51_ann_ivf",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_vec
+  FROM embeddings ORDER BY vec_id LIMIT 8),
+assigned AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id AS cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cent_vec), c.cent_id) AS arnk
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE arnk = 1),
+probes AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id AS cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cent_vec), c.cent_id) AS prnk
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE prnk <= 2)
+SELECT src, dst, rnk FROM (
+  SELECT p.q_id AS src, a.vec_id AS dst,
+         ROW_NUMBER() OVER (PARTITION BY p.q_id
+           ORDER BY list_distance(CAST(p.q_vec AS DOUBLE[]),
+                                  CAST(a.embedding AS DOUBLE[])), a.vec_id) AS rnk
+  FROM probes p JOIN assigned a USING (cluster)
+  WHERE p.q_id <> a.vec_id)
+WHERE rnk <= {K}
+""",
+    description="IVF approximate nearest neighbor: deterministic coarse centroids + probe-2 refine (scale path for similarity search)",
+    tags=("vector", "ann"),
+)
+def q51_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ivf(emb, K, n_centroids=8, n_probe=2).select(
+        "src", "dst", F.col("rnk").cast("bigint").alias("rnk")
+    )
+
+
+@register(
+    "q52_vector_norms",
+    oracle="""
+SELECT vec_id, label, CAST(SUM(xi * xi) AS BIGINT) AS norm_sq_e12
+FROM (SELECT vec_id, label,
+             CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT) AS xi
+      FROM (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings))
+GROUP BY vec_id, label
+""",
+    description="array explode + exact fixed-point norm (int64 — immune to float summation order): array→relational bridge",
+    tags=("vector", "agg"),
+)
+def q52_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.explode("embedding").alias("x")
+    xi = F.round(F.col("x").cast("double") * 1000000, 0).cast("bigint")
+    return (
+        emb.select("vec_id", "label", x)
+        .groupBy("vec_id", "label")
+        .agg(F.sum(xi * xi).alias("norm_sq_e12"))
+    )
+
+
+@register(
+    "q53_cosine_topk_same_label",
+    oracle="""
+SELECT src, dst, rnk FROM (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+           list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+           / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+              * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) DESC,
+           b.vec_id) AS rnk
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id <> b.vec_id)
+WHERE rnk <= 5
+""",
+    description="cosine top-5 within label partition: JVM-side zip_with/aggregate dot product (no UDF)",
+    tags=("vector", "cosine"),
+)
+def q53_cosine_topk_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("va"), F.col("label").alias("la")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"), F.col("label").alias("lb")
+    )
+    pairs = a.join(b, (F.col("la") == F.col("lb")) & (F.col("src") != F.col("dst")))
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
+    return (
+        pairs.withColumn("cos", cosine("va", "vb"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))
+    )
