@@ -1,0 +1,274 @@
+"""MRDF — Multiway Random Division Forest (Kim & Park, KDD 2023) —
+approximate k-NN graph construction, Spark-DataFrame-native.
+
+Re-expresses reference mrdf.py:13-72 with the architecture fixes from
+SURVEY.md §3.1/§4.1. Per outer iteration:
+
+ 1. **Random division** (reference centroid_sampling_2 /
+    tree_path_extension, mrdf.py:75-146): every vector carries a
+    ``path`` string; while any path holds ≥ α vectors, sample ρ
+    centroids per oversized path (seeded window-rank sample — the
+    partial+final aggregation the reference hand-rolled), broadcast
+    the tiny centroid table, and extend each vector's path with the
+    index of its nearest centroid (vectorized argmin in mapInPandas).
+ 2. **Local graph construction** (reference local_graph_construction,
+    mrdf.py:148-153 — which collected EVERY subset to the driver and
+    looped; the documented "hangs on a cluster" cause, README.md:77):
+    here ``groupBy(path).applyInPandas`` runs the NN-Descent kernel
+    once per ≤α subset, executor-local, in parallel.
+ 3. **Graph merge** (reference graph_update, mrdf.py:155-179):
+    union previous graph + per-subset graphs, keep k best per node —
+    a window top-k on the edge table, not a driver round-trip.
+ 4. **Convergence**: changed-edge ratio ≤ τ, computed with one
+    anti-join aggregate (reference join + per-row set diff,
+    mrdf.py:162-179). ``localCheckpoint`` truncates lineage where the
+    reference did ``sc.parallelize(rdd.collect())`` (mrdf.py:159).
+
+Driver boundary crossings per iteration: one small centroid collect
+per division round + one scalar count — vs the reference's ≥6 full
+dataset round-trips.
+
+Determinism: all randomness is derived from (seed, iteration,
+division round, path) — same seed ⇒ identical graph, which the
+reference could not guarantee (unseeded executor randomness,
+utilities.py:27).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pyspark_mrdf_spark.algorithms.nndescent import nn_descent
+from pyspark_mrdf_spark.functions.vector import pairwise_l2_sq
+
+EDGE_SCHEMA = StructType(
+    [
+        StructField("src", LongType(), False),
+        StructField("dst", LongType(), False),
+        StructField("dist_sq", DoubleType(), False),
+    ]
+)
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rho: int = 15,
+    alpha: int = 150_000,
+    tau: float = 0.01,
+    seed: int = 42,
+    max_iter: int = 0,
+    nnd_sample_rate: float = 1.0,
+    nnd_precision: float = 0.001,
+    refine_rounds: int = 1,
+) -> DataFrame:
+    """Approximate k-NN graph: edge DataFrame (src, dst, dist_sq),
+    ≤ k edges per src. Signature mirrors reference mrdf.py:13
+    (k, rho, alpha, tau, seed, max_iter) on DataFrame footing."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    base = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+    )
+    # Working width: local graphs, merge, and refinement all run at
+    # k_work ≥ k; truncation to k happens once at the end. Keeping the
+    # wider frontier is what lets union-of-trees + refinement recover
+    # edges that any single random division splits (see nndescent
+    # k_build note).
+    k_work = max(k, 20)
+
+    g: DataFrame | None = None
+    iteration = 0
+    while True:
+        iteration += 1
+        data = base.withColumn("path", F.lit(""))
+
+        # ---- division: split every ≥α subset into ρ children --------
+        division = 0
+        while True:
+            division += 1
+            big = (
+                data.groupBy("path")
+                .count()
+                .filter(F.col("count") >= alpha)
+                .select("path")
+            )
+            big_paths = [r["path"] for r in big.collect()]
+            if not big_paths:
+                break
+            # seeded ρ-sample per oversized path (reference
+            # centroid_sampling_2, mrdf.py:75-121, as a window-rank
+            # aggregate; Catalyst does the partial/final combine)
+            rand_seed = seed + 1_000_003 * iteration + 1_009 * division
+            w = Window.partitionBy("path").orderBy(F.rand(rand_seed), "id")
+            cent_rows = (
+                data.join(F.broadcast(big), "path")
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= rho)
+                .select("path", "rn", "vec")
+                .collect()
+            )
+            cmap: dict[str, np.ndarray] = {}
+            for p in big_paths:
+                rows = sorted((r for r in cent_rows if r["path"] == p), key=lambda r: r["rn"])
+                cmap[p] = np.array([r["vec"] for r in rows], dtype=np.float64)
+            bc = sc.broadcast(cmap)
+
+            def _extend(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                cm = bc.value
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    paths = pdf["path"].to_numpy()
+                    out_paths = paths.copy()
+                    for p, cents in cm.items():
+                        mask = paths == p
+                        if not mask.any():
+                            continue
+                        vecs = np.stack(pdf.loc[mask, "vec"].to_numpy()).astype(np.float64)
+                        # nearest-centroid argmin (reference
+                        # tree_path_extension map fn, mrdf.py:130-146),
+                        # vectorized over the whole Arrow batch
+                        d2 = pairwise_l2_sq(vecs, cents)
+                        child = d2.argmin(axis=1)
+                        out_paths[mask] = np.array([f"{p},{c}" for c in child])
+                    pdf = pdf.copy()
+                    pdf["path"] = out_paths
+                    yield pdf
+
+            data = data.mapInPandas(_extend, data.schema).localCheckpoint(eager=True)
+
+        # ---- local NN-Descent per ≤α subset -------------------------
+        def _local(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            path = key[0]
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            rng = np.random.default_rng(
+                (seed, iteration, zlib.crc32(path.encode("utf8")))
+            )
+            edges = nn_descent(
+                ids,
+                mat,
+                k_work,
+                sample_rate=nnd_sample_rate,
+                precision=nnd_precision,
+                rng=rng,
+            )
+            return pd.DataFrame(edges, columns=["src", "dst", "dist_sq"])
+
+        g_prime = data.groupBy("path").applyInPandas(_local, EDGE_SCHEMA)
+
+        # ---- merge: keep k best per node (reference graph_update_map
+        # top-k merge, mrdf.py:166-170, as a window) -------------------
+        if g is None:
+            g_new = g_prime
+        else:
+            unioned = g.unionByName(g_prime).dropDuplicates(["src", "dst"])
+            wk = Window.partitionBy("src").orderBy("dist_sq", "dst")
+            g_new = (
+                unioned.withColumn("rn", F.row_number().over(wk))
+                .filter(F.col("rn") <= k_work)
+                .drop("rn")
+            )
+        g_new = g_new.localCheckpoint(eager=True)
+
+        # ---- convergence: changed-edge ratio ≤ τ (reference
+        # mrdf.py:161-179, as one anti-join count) --------------------
+        if g is not None:
+            total = g_new.count()
+            changed = g_new.join(g, ["src", "dst"], "left_anti").count()
+            ratio = changed / max(total, 1)
+        else:
+            ratio = 1.0
+        g = g_new
+        if ratio <= tau or (max_iter and iteration >= max_iter):
+            break
+
+    # ---- global graph refinement: NN-Descent's neighbor-of-neighbor
+    # step at graph scale, as pure DataFrame ops (no driver traffic).
+    # Candidates = 2-hop pairs of the merged graph; distances via the
+    # JVM-side l2 expression; merge keeps k best. One shuffle-bounded
+    # round substantially recovers edges that random division split
+    # across subsets — the step the reference only ran locally.
+    for _ in range(refine_rounds):
+        g = _refine(base, g, k_work)
+        g = g.localCheckpoint(eager=True)
+
+    wk = Window.partitionBy("src").orderBy("dist_sq", "dst")
+    return (
+        g.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _refine(base: DataFrame, g: DataFrame, k: int) -> DataFrame:
+    from pyspark_mrdf_spark.functions.vector import l2_sq
+
+    hop2 = (
+        g.select(F.col("src").alias("a"), F.col("dst").alias("mid"))
+        .join(
+            g.select(F.col("src").alias("mid"), F.col("dst").alias("b")).unionByName(
+                g.select(F.col("dst").alias("mid"), F.col("src").alias("b"))
+            ),
+            "mid",
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+        # skip pairs already in the graph — their distances are known
+        .join(
+            g.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+            ["a", "b"],
+            "left_anti",
+        )
+    )
+    vecs = base.select("id", "vec")
+    scored = (
+        hop2.join(vecs.select(F.col("id").alias("a"), F.col("vec").alias("va")), "a")
+        .join(vecs.select(F.col("id").alias("b"), F.col("vec").alias("vb")), "b")
+        .select(
+            F.col("a").alias("src"),
+            F.col("b").alias("dst"),
+            l2_sq("va", "vb").alias("dist_sq"),
+        )
+    )
+    unioned = g.unionByName(scored).dropDuplicates(["src", "dst"])
+    wk = Window.partitionBy("src").orderBy("dist_sq", "dst")
+    return (
+        unioned.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def format_adjacency(g: DataFrame) -> DataFrame:
+    """Adjacency-list output contract of the reference
+    (format_g, mrdf.py:199-203): (id, [neighbor ids ascending by
+    distance]) sorted by id."""
+    return (
+        g.withColumn("nb", F.struct("dist_sq", "dst"))
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            F.transform(F.array_sort(F.collect_list("nb")), lambda s: s["dst"]).alias(
+                "neighbors"
+            )
+        )
+        .orderBy("id")
+    )

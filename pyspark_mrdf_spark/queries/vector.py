@@ -136,3 +136,37 @@ def q53_cosine_topk_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+@register(
+    "q55_mrdf_knn_graph",
+    oracle=None,  # randomized iterative algorithm — driver records rows-only
+    description="MRDF approximate k-NN graph (reference W1, mrdf.py:13-72): random division forest + per-subset NN-Descent + top-k merge + graph refinement",
+    tags=("vector", "mrdf", "ann"),
+)
+def q55_mrdf_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.algorithms.mrdf import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_graph(
+        emb, K, rho=4, alpha=300, tau=0.01, seed=42, max_iter=3, refine_rounds=1
+    )
+
+
+@register(
+    "q56_mrdf_recall",
+    oracle=None,  # scalar quality metric of a randomized algorithm
+    description="recall of MRDF vs exact kNN (reference W4, getrecall.py:25-35): one-row DataFrame with the recall scalar",
+    tags=("vector", "mrdf", "recall"),
+)
+def q56_mrdf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.algorithms.mrdf import knn_graph
+    from pyspark_mrdf_spark.algorithms.recall import recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g_exact = knn_exact(emb, K)
+    g = knn_graph(
+        emb, K, rho=4, alpha=300, tau=0.01, seed=42, max_iter=3, refine_rounds=1
+    )
+    r = recall(g_exact, g)
+    return spark.createDataFrame([(float(r),)], ["recall"])

@@ -1,0 +1,102 @@
+"""MRDF / NN-Descent / recall tests, mirroring the reference's own
+methodology (SURVEY.md §5.1): exact brute-force oracle + recall
+threshold + seeded determinism, plus the README 2-vector golden case
+(reference README.md:48-50)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_mrdf_spark.algorithms.mrdf import format_adjacency, knn_graph
+from pyspark_mrdf_spark.algorithms.nndescent import nn_descent, _exact_block
+from pyspark_mrdf_spark.algorithms.recall import recall, recall_vs_groundtruth
+from pyspark_mrdf_spark.io import load_table
+from pyspark_mrdf_spark.operators.similarity import knn_exact
+
+K = 5
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def g_exact(emb):
+    return knn_exact(emb, K).localCheckpoint()
+
+
+def test_mrdf_recall_vs_exact(spark, emb, g_exact):
+    # alpha small enough to force ≥1 division round on 500 vectors
+    g = knn_graph(emb, K, rho=4, alpha=250, tau=0.0, seed=42, max_iter=3)
+    r = recall(g_exact, g)
+    assert r >= 0.9, f"MRDF recall {r} below threshold"
+
+
+def test_mrdf_single_leaf_high_recall(spark, emb, g_exact):
+    # alpha > n: no division, pure per-group NN-Descent
+    g = knn_graph(emb, K, rho=4, alpha=600, tau=0.01, seed=42, max_iter=1, refine_rounds=0)
+    r = recall(g_exact, g)
+    assert r >= 0.97, f"NN-Descent recall {r} below threshold"
+
+
+def test_mrdf_seeded_determinism(spark, emb):
+    a = knn_graph(emb, K, rho=3, alpha=120, tau=0.05, seed=7, max_iter=2)
+    b = knn_graph(emb, K, rho=3, alpha=120, tau=0.05, seed=7, max_iter=2)
+    rows_a = sorted(map(tuple, a.select("src", "dst").collect()))
+    rows_b = sorted(map(tuple, b.select("src", "dst").collect()))
+    assert rows_a == rows_b
+
+
+def test_mrdf_max_k_edges_per_src(spark, emb):
+    g = knn_graph(emb, K, rho=3, alpha=200, tau=0.05, seed=1, max_iter=2)
+    over = g.groupBy("src").count().filter(F.col("count") > K).count()
+    assert over == 0
+
+
+def test_readme_two_vector_golden(spark):
+    # reference README.md:48-50: two vectors, K=1 → (0,[1]), (1,[0])
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])], ["vec_id", "embedding"]
+    )
+    g = knn_graph(df, 1, rho=2, alpha=10, tau=0.01, seed=42, max_iter=2)
+    adj = {r["id"]: list(r["neighbors"]) for r in format_adjacency(g).collect()}
+    assert adj == {0: [1], 1: [0]}
+
+
+def test_recall_identity(g_exact):
+    assert recall(g_exact, g_exact) == 1.0
+
+
+def test_recall_vs_groundtruth(spark, g_exact):
+    gt = (
+        g_exact.orderBy("rnk")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.collect_list("dst").alias("true_neighbors"))
+    )
+    assert recall_vs_groundtruth(g_exact, gt, K) == 1.0
+
+
+def test_nndescent_recall_clusters():
+    # three well-separated blobs (FIXTURES.md B3): kNN stays in-blob
+    rng = np.random.default_rng(5)
+    blobs = [rng.normal(loc=c, scale=0.1, size=(60, 8)) for c in (0.0, 5.0, 10.0)]
+    mat = np.concatenate(blobs)
+    ids = np.arange(len(mat), dtype=np.int64)
+    approx = nn_descent(ids, mat, 5, rng=np.random.default_rng(3))
+    exact = _exact_block(ids, mat, 5)
+    ex: dict[int, set] = {}
+    for s, d, _ in exact:
+        ex.setdefault(s, set()).add(d)
+    ap: dict[int, set] = {}
+    for s, d, _ in approx:
+        ap.setdefault(s, set()).add(d)
+    hits = sum(len(ex[s] & ap.get(s, set())) for s in ex)
+    total = sum(len(v) for v in ex.values())
+    assert hits / total >= 0.9
+    # all neighbors in-blob
+    for s, ds in ap.items():
+        blob = s // 60
+        assert all(d // 60 == blob for d in ds)
