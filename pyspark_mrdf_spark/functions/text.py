@@ -66,6 +66,11 @@ def shingles(col: str | Column = "text", n: int = 3) -> Column:
     space-joined strings: the MinHash/Jaccard unit."""
     toks = tokens(col)
     idx = F.sequence(F.lit(0), F.size(toks) - n)
-    return F.array_distinct(
+    grams = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+    # guard: Spark's sequence(0, negative) counts DOWN — short texts
+    # must yield an empty shingle set, not garbage
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )

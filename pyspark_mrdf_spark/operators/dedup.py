@@ -1,0 +1,176 @@
+"""Deduplication operators over a text column (north-star "dedup").
+
+Five tiers, cheapest first — a real 100 TB dedup pipeline runs them in
+this order, each pruning the candidate space for the next:
+
+ 1. ``exact_duplicates`` — md5 fingerprint groupBy; one shuffle on a
+    16-byte key regardless of document size.
+ 2. ``simhash`` — 16-bit locality-sensitive token-set signature; docs
+    with equal/near signatures are near-dup candidates.
+ 3. ``minhash_signatures`` + ``lsh_band_buckets`` — MinHash-LSH:
+    banded signatures make the candidate join an equi-join on bucket
+    id (no all-pairs anything).
+ 4. ``jaccard_pairs`` — exact n-gram Jaccard verification via a
+    shingle-posting-list self-join (the verify step after 2/3 prune).
+ 5. embedding-cosine near-dup — see ``operators.similarity`` (k=1
+    exact or IVF search).
+
+Portability discipline: every hash here is md5 (identical hex across
+Spark and DuckDB) — NOT Spark's xxhash64/hash, which no oracle could
+reproduce. MinHash uses the textbook "min over a hashed permutation"
+with the permutation keyed by a salt prefix: sig_i = min over
+shingles of md5(i || ':' || shingle), compared as hex strings.
+Jaccard values are int/int divisions — bit-exact across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_mrdf_spark.functions.text import fingerprint, shingles
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (fingerprint, n_copies,
+    doc_ids ascending), only groups with ≥ 2 members."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+
+
+def shingle_table(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Posting-list form: one row per (doc, distinct shingle)."""
+    return df.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise n-gram Jaccard for every pair sharing ≥1 shingle:
+    (doc_a < doc_b, inter, size_a, size_b, jaccard).
+
+    The self-join is on the shingle posting list, so only pairs with
+    overlap are ever materialized — at scale, hot shingles should be
+    stop-listed (drop shingles with document frequency above a cap)
+    to bound the join fan-out."""
+    sizes = df.select(
+        F.col(id_col), F.size(shingles(text_col, n)).alias("sz")
+    )
+    post = shingle_table(df, n, id_col, text_col)
+    a = post.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = post.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("size_a")), "doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("size_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "size_a",
+            "size_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min md5(i || ':' || s)
+    over the doc's n-gram shingles, as hex strings."""
+    post = shingle_table(df, n, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = post.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def lsh_band_buckets(
+    sig: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    id_col: str = "doc_id",
+    sig_col: str = "signature",
+) -> DataFrame:
+    """Banded LSH buckets: (doc_id, band, bucket) where bucket is the
+    md5 of the band's concatenated signature slice. Candidate pairs =
+    equi-join on (band, bucket)."""
+    out = None
+    for band in range(bands):
+        b = sig.select(
+            F.col(id_col),
+            F.lit(band).alias("band"),
+            F.md5(
+                F.concat_ws("|", F.slice(F.col(sig_col), band * rows_per_band + 1, rows_per_band))
+            ).alias("bucket"),
+        )
+        out = b if out is None else out.unionByName(b)
+    return out
+
+
+def lsh_candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs sharing any band bucket."""
+    a = buckets.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame,
+    bits: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash over whitespace tokens (with multiplicity): bit j is the
+    sign of Σ_tokens (parity(hex_j(md5(token)))·2 − 1); the j-th hex
+    char of the token's md5 supplies bit j's ±1 vote. Returns
+    (doc_id, simhash int)."""
+    tok = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    h = F.md5(F.col("tok"))
+    # parity of hex digit j of the token hash supplies bit j's ±1 vote
+    aggs = []
+    for j in range(bits):
+        val = F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int")
+        vote = (val % 2) * 2 - 1
+        aggs.append(F.sum(vote).alias(f"s{j}"))
+    sums = tok.groupBy(id_col).agg(*aggs)
+    sim = None
+    for j in range(bits):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return sums.select(F.col(id_col), sim.cast("bigint").alias("simhash"))

@@ -1,1 +1,181 @@
-"""Deduplication queries (filled in with dedup operators)."""
+"""Deduplication query family over ``documents`` (north-star "dedup":
+exact, MinHash-LSH, SimHash, n-gram Jaccard; embedding near-dup lives
+in the vector family q50/q53).
+
+The corpus has planted near-duplicates (25 pairs with 3-gram Jaccard
+≥ 0.1 at sf0.01, max 0.99) so these return meaningful rows. Jaccard
+outputs are int/int doubles — bit-exact across engines. All hashes are
+md5 hex (portable), never Spark-internal hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_mrdf_spark.io import load_table
+from pyspark_mrdf_spark.operators import dedup as D
+from pyspark_mrdf_spark.queries import register
+
+# DuckDB-side shingle expression (3-gram over whitespace tokens,
+# distinct), kept textually in one place so every oracle agrees.
+_TOKS = "string_split(text, ' ')"
+_SHINGLES = (
+    "list_distinct(list_transform("
+    f"generate_series(1, len({_TOKS}) - 2), "
+    f"i -> array_to_string(({_TOKS})[i:i+2], ' ')))"
+)
+
+
+@register(
+    "q40_exact_dup_groups",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50)
+SELECT fp, n_copies, doc_ids FROM (
+  SELECT md5(text) AS fp, COUNT(*) AS n_copies,
+         list_sort(list(doc_id)) AS doc_ids
+  FROM corpus GROUP BY md5(text))
+WHERE n_copies >= 2
+""",
+    description="exact dedup: md5 fingerprint groups (corpus augmented with 50 known copies so the operator demonstrably fires)",
+    tags=("dedup",),
+)
+def q40_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return D.exact_duplicates(d.unionByName(copies))
+
+
+@register(
+    "q41_jaccard_near_dups",
+    oracle=f"""
+WITH post AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM post GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.1
+""",
+    description="n-gram Jaccard near-dup detection: shingle posting-list self-join, exact int/int similarity",
+    tags=("dedup", "join"),
+)
+def q41_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.jaccard_pairs(d, n=3).filter(F.col("jaccard") >= 0.1)
+
+
+@register(
+    "q42_minhash_signatures",
+    oracle=f"""
+WITH post AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents)
+SELECT doc_id,
+       [min(md5('0:' || shingle)), min(md5('1:' || shingle)),
+        min(md5('2:' || shingle)), min(md5('3:' || shingle)),
+        min(md5('4:' || shingle)), min(md5('5:' || shingle)),
+        min(md5('6:' || shingle)), min(md5('7:' || shingle))] AS signature
+FROM post GROUP BY doc_id
+""",
+    description="MinHash signatures (8 salted md5 permutations over 3-gram shingles)",
+    tags=("dedup", "minhash"),
+)
+def q42_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_signatures(d, num_hashes=8, n=3)
+
+
+@register(
+    "q43_lsh_candidates",
+    oracle=f"""
+WITH post AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+sig AS (
+  SELECT doc_id,
+         [min(md5('0:' || shingle)), min(md5('1:' || shingle)),
+          min(md5('2:' || shingle)), min(md5('3:' || shingle)),
+          min(md5('4:' || shingle)), min(md5('5:' || shingle)),
+          min(md5('6:' || shingle)), min(md5('7:' || shingle))] AS signature
+  FROM post GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, band, md5(array_to_string(signature[band*2+1:band*2+2], '|')) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS band))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+""",
+    description="MinHash-LSH candidate pairs: 4 bands × 2 rows, equi-join on band bucket (no all-pairs scan)",
+    tags=("dedup", "minhash", "lsh"),
+)
+def q43_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(d, num_hashes=8, n=3)
+    buckets = D.lsh_band_buckets(sig, bands=4, rows_per_band=2)
+    return D.lsh_candidate_pairs(buckets)
+
+
+@register(
+    "q44_simhash",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+sums AS (
+  SELECT doc_id, {sums}
+  FROM tok GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums
+""".format(
+        sums=", ".join(
+            f"SUM(((strpos('0123456789abcdef', substr(md5(tok), {j + 1}, 1)) - 1) % 2) * 2 - 1) AS s{j}"
+            for j in range(16)
+        ),
+        bits=" + ".join(f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16)),
+    ),
+    description="SimHash 16-bit signatures (md5 hex-digit votes over tokens with multiplicity)",
+    tags=("dedup", "simhash"),
+)
+def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash(d, bits=16)
+
+
+@register(
+    "q45_simhash_near_pairs",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+sums AS (
+  SELECT doc_id, {sums}
+  FROM tok GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+""".format(
+        sums=", ".join(
+            f"SUM(((strpos('0123456789abcdef', substr(md5(tok), {j + 1}, 1)) - 1) % 2) * 2 - 1) AS s{j}"
+            for j in range(16)
+        ),
+        bits=" + ".join(f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16)),
+    ),
+    description="SimHash near-dup pairs: Hamming distance ≤ 2 via bit_count(xor) (banded at scale)",
+    tags=("dedup", "simhash"),
+)
+def q45_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.simhash(d, bits=16)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= 2)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )
