@@ -1,0 +1,81 @@
+"""fvecs/ivecs connector round-trip tests (FIXTURES.md B1/B4/B5)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from pyspark_mrdf_spark.sources.fvecs import (
+    read_adjacency_json,
+    read_fvecs,
+    read_ivecs,
+    write_adjacency_json,
+    write_fvecs_local,
+    write_ivecs_local,
+)
+
+
+@pytest.fixture()
+def tmp(tmp_path):
+    return str(tmp_path)
+
+
+def test_fvecs_roundtrip(spark, tmp):
+    rng = np.random.default_rng(0)
+    mat = rng.normal(size=(10, 4)).astype(np.float32)
+    p = os.path.join(tmp, "v.fvecs")
+    write_fvecs_local(p, mat)
+    df = read_fvecs(spark, p)
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float32) for r in df.collect()}
+    assert len(rows) == 10
+    for i in range(10):
+        assert np.array_equal(rows[i], mat[i])
+
+
+def test_fvecs_multifile_offsets(spark, tmp):
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(3, 4)).astype(np.float32)
+    b = rng.normal(size=(5, 4)).astype(np.float32)
+    write_fvecs_local(os.path.join(tmp, "part-000.fvecs"), a)
+    write_fvecs_local(os.path.join(tmp, "part-001.fvecs"), b)
+    df = read_fvecs(spark, tmp)
+    ids = sorted(r["vec_id"] for r in df.collect())
+    assert ids == list(range(8))
+
+
+def test_fvecs_input_max(spark, tmp):
+    mat = np.ones((10, 4), dtype=np.float32)
+    p = os.path.join(tmp, "v.fvecs")
+    write_fvecs_local(p, mat)
+    assert read_fvecs(spark, p, input_max=4).count() == 4
+
+
+def test_fvecs_truncated_tail(spark, tmp):
+    mat = np.ones((3, 4), dtype=np.float32)
+    p = os.path.join(tmp, "v.fvecs")
+    write_fvecs_local(p, mat)
+    with open(p, "ab") as f:
+        f.write(b"\x04\x00\x00\x00\x00\x00")  # header + partial record
+    assert read_fvecs(spark, p).count() == 3
+
+
+def test_ivecs_roundtrip_with_k(spark, tmp):
+    mat = np.arange(20, dtype=np.int32).reshape(4, 5)
+    p = os.path.join(tmp, "gt.ivecs")
+    write_ivecs_local(p, mat)
+    df = read_ivecs(spark, p, k=3)
+    rows = {r["vec_id"]: list(r["components"]) for r in df.collect()}
+    assert rows[0] == [0, 1, 2]
+    assert rows[3] == [15, 16, 17]
+
+
+def test_adjacency_json_roundtrip(spark, tmp):
+    g = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 2.0), (1, 0, 1.0)], ["src", "dst", "dist_sq"]
+    )
+    p = os.path.join(tmp, "graph")
+    write_adjacency_json(g, p)
+    back = {r["id"]: list(r["neighbors"]) for r in read_adjacency_json(spark, p).collect()}
+    assert back == {0: [1, 2], 1: [0]}
