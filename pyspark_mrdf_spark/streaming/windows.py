@@ -1,0 +1,117 @@
+"""Event-time window transformations (batch- and stream-compatible).
+
+At scale these are the canonical streaming aggregations: watermark
+bounds state, window grouping shuffles once on (window, key), and AQE
+(batch) / state-store partitioning (streaming) handle skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def hourly_counts(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Tumbling 1-hour window counts per event type."""
+    if watermark and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_value_avg(events: DataFrame, watermark: str | None = None) -> DataFrame:
+    """Sliding 2-hour window (1-hour slide) average value per type."""
+    if watermark and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "event_type")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "avg_value",
+            "n_events",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = None
+) -> DataFrame:
+    """Per-user sessions: events closer than ``gap`` merge into one
+    session (Spark's native session_window; in SQL terms, the
+    gaps-and-islands pattern)."""
+    if watermark and events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("session_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stream_events_from_json(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of events (JSON lines, explicit schema —
+    streaming sources never infer)."""
+    return spark.readStream.schema(EVENT_SCHEMA).json(path)
+
+
+def run_available_now(sdf: DataFrame, query_name: str) -> list:
+    """Drain all available input through one micro-batch into a memory
+    sink and return the rows (test/verification harness)."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sdf.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
+    q.stop()
+    return rows

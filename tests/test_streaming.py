@@ -1,0 +1,76 @@
+"""Structured Streaming tests: the same transformation must agree
+between batch mode and a real streaming run (file source → availableNow
+micro-batches → memory sink), plus the custom stateful operator."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark_mrdf_spark.io import load_table
+from pyspark_mrdf_spark.streaming import (
+    hourly_counts,
+    running_user_totals,
+    session_windows,
+    stream_events_from_json,
+)
+
+
+@pytest.fixture(scope="module")
+def events_json_dir(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_json"))
+    ev = load_table(spark, sf_dir, "events")
+    ev.coalesce(4).write.mode("overwrite").json(d)
+    return d
+
+
+def _rows_set(rows, cols):
+    return sorted(tuple(r[c] for c in cols) for r in rows)
+
+
+def test_hourly_counts_stream_matches_batch(spark, sf_dir, events_json_dir):
+    batch = hourly_counts(load_table(spark, sf_dir, "events")).collect()
+    stream = stream_events_from_json(spark, events_json_dir)
+    q = (
+        hourly_counts(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("hourly_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM hourly_test").collect()
+    q.stop()
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _rows_set(got, cols) == _rows_set(batch, cols)
+
+
+def test_session_windows_batch(spark, sf_dir):
+    out = session_windows(load_table(spark, sf_dir, "events"), gap="30 minutes")
+    rows = out.collect()
+    assert len(rows) > 0
+    # every session has ≥1 event and session totals are finite
+    assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_running_user_totals_stateful(spark, sf_dir, events_json_dir):
+    stream = stream_events_from_json(spark, events_json_dir)
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("totals_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"]: r for r in spark.sql(
+        "SELECT user_id, max(n_events) AS n_events FROM totals_test GROUP BY user_id"
+    ).collect()}
+    q.stop()
+    ev = load_table(spark, sf_dir, "events")
+    expected = {r["user_id"]: r["n"] for r in ev.groupBy("user_id").count().withColumnRenamed("count", "n").collect()}
+    assert {u: r["n_events"] for u, r in got.items()} == expected
