@@ -113,17 +113,10 @@ def knn_graph(
             if not big_paths:
                 break
             # seeded ρ-sample per oversized path (reference
-            # centroid_sampling_2, mrdf.py:75-121, as a window-rank
-            # aggregate; Catalyst does the partial/final combine)
+            # centroid_sampling_2, mrdf.py:75-121: per-partition partial
+            # sample + final merge by key)
             rand_seed = seed + 1_000_003 * iteration + 1_009 * division
-            w = Window.partitionBy("path").orderBy(F.rand(rand_seed), "id")
-            cent_rows = (
-                data.join(F.broadcast(big), "path")
-                .withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") <= rho)
-                .select("path", "rn", "vec")
-                .collect()
-            )
+            cent_rows = _sample_centroids(data, big, rho, rand_seed).collect()
             cmap: dict[str, np.ndarray] = {}
             for p in big_paths:
                 rows = sorted((r for r in cent_rows if r["path"] == p), key=lambda r: r["rn"])
@@ -215,6 +208,42 @@ def knn_graph(
         g.withColumn("rn", F.row_number().over(wk))
         .filter(F.col("rn") <= k)
         .drop("rn")
+    )
+
+
+def _sample_centroids(
+    data: DataFrame, big: DataFrame, rho: int, rand_seed: int
+) -> DataFrame:
+    """Seeded top-ρ-by-rand sample per oversized path, partial+final.
+
+    A plain ``row_number() over (partition by path order by rand)``
+    sorts every ENTIRE ≥α group in a single task (and in division
+    round 1 the group is the whole dataset — Catalyst even folds the
+    constant root path into an empty partition spec, i.e. a global
+    single-partition sort). Instead each Arrow batch keeps its local
+    ρ smallest (r, id) per path map-side — no shuffle, the
+    reference's mapPartitions partial reservoir (mrdf.py:101-121) —
+    and only the ≤ ρ·batches candidate rows per path reach the final
+    window. top-ρ by a total order is associative, so partial+final
+    is exact."""
+    cand = (
+        data.join(F.broadcast(big), "path")
+        .select("path", "id", "vec")
+        .withColumn("r", F.rand(rand_seed))
+    )
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pdf.sort_values(["r", "id"]).groupby("path", sort=False).head(rho)
+
+    part = cand.mapInPandas(_partial, cand.schema)
+    w = Window.partitionBy("path").orderBy("r", "id")
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= rho)
+        .select("path", "rn", "vec")
     )
 
 

@@ -99,6 +99,54 @@ def q22_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q24_session_windows",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged)
+SELECT MIN(ts) AS session_start, user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+FROM sess GROUP BY user_id, sid
+""",
+    description="per-user session windows (session_window, gap=30m) vs SQL gaps-and-islands oracle; same fn runs under readStream+watermark",
+    tags=("window-agg", "events", "streaming", "session"),
+)
+def q24_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.streaming.windows import session_windows
+
+    return session_windows(load_table(spark, sf_dir, "events"), gap="30 minutes")
+
+
+@register(
+    "q25_sliding_windows",
+    oracle="""
+SELECT window_start, event_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value,
+       COUNT(*) AS n_events
+FROM (SELECT unnest([date_trunc('hour', ts) - INTERVAL '1 hour',
+                     date_trunc('hour', ts)]) AS window_start,
+             event_type, value
+      FROM events)
+GROUP BY 1, 2
+""",
+    description="sliding 2h/1h event-time windows (each event in 2 windows) vs unnest-expansion oracle; streaming-ready shape",
+    tags=("window-agg", "events", "streaming", "sliding"),
+)
+def q25_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.streaming.windows import sliding_value_avg
+
+    return sliding_value_avg(load_table(spark, sf_dir, "events"))
+
+
+@register(
     "q23_user_activity",
     oracle="""
 SELECT user_id,
