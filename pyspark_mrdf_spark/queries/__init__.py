@@ -49,6 +49,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup,
         text,
         events,
+        multimodal,
     )
 
     return REGISTRY

@@ -1,0 +1,103 @@
+"""Multimodal query family (north-star "multimodal columns").
+
+Payloads are opaque binary columns derived deterministically from
+``documents.text`` (see operators/multimodal.py docstring — codecs are
+stubbed, plumbing is real). Every query here runs the REAL Spark path
+(binary column → mapInPandas kernel → relational agg) while the oracle
+recomputes the expected values arithmetically from the text — so the
+driver's value-hash check covers the whole binary pipeline.
+
+documents.text is pure ASCII in the harness data (verified:
+octet_length(encode(text)) == length(text) for all rows), so DuckDB
+code-point functions reproduce byte-level expectations exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspark_mrdf_spark.io import load_table
+from pyspark_mrdf_spark.operators.multimodal import (
+    attach_payloads,
+    decode_features,
+    frame_sample,
+)
+from pyspark_mrdf_spark.queries import register
+
+
+@register(
+    "q60_multimodal_meta",
+    oracle="""
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       CAST(64 + doc_id % 64 AS INT) AS width,
+       CAST(64 + (doc_id * 7) % 64 AS INT) AS height,
+       CAST(8000 + 1000 * (doc_id % 5) AS INT) AS sample_rate,
+       CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames
+FROM documents
+""",
+    description="binary payload attach + typed metadata struct (multimodal table shape): JVM-side exprs only, struct field projection",
+    tags=("multimodal", "binary"),
+)
+def q60_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = attach_payloads(load_table(spark, sf_dir, "documents"))
+    return mm.select(
+        "doc_id",
+        "modality",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.n_frames").alias("n_frames"),
+    )
+
+
+@register(
+    "q61_payload_features",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(string_split(text, ''), c -> unicode(c))) AS BIGINT) AS byte_sum,
+       CAST(list_max(list_transform(string_split(text, ''), c -> unicode(c))) AS INT) AS max_byte,
+       CAST(list_min(list_transform(string_split(text, ''), c -> unicode(c))) AS INT) AS min_byte
+FROM documents
+""",
+    description="deterministic-fake decode: byte-level features via mapInPandas over binary payloads (real-codec slot, see decode_image stub)",
+    tags=("multimodal", "binary", "udf"),
+)
+def q61_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = attach_payloads(load_table(spark, sf_dir, "documents"))
+    return decode_features(mm)
+
+
+@register(
+    "q62_frame_sample",
+    oracle="""
+WITH f AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS len,
+         CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS nf
+  FROM documents)
+SELECT doc_id,
+       CAST((nf + 3) // 4 AS BIGINT) AS n_sampled,
+       CAST(4 * ((nf + 3) // 4 - 1) AS INT) AS max_idx,
+       CAST(CASE WHEN (nf - 1) % 4 = 0
+                 THEN 256 * ((nf + 3) // 4 - 1) + (len - 256 * (nf - 1))
+                 ELSE 256 * ((nf + 3) // 4) END AS BIGINT) AS sampled_bytes
+FROM f
+""",
+    description="video-style frame sampling: fixed-size frame split + every-4th sample inside mapInPandas, checked arithmetically",
+    tags=("multimodal", "binary", "frames"),
+)
+def q62_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mm = attach_payloads(load_table(spark, sf_dir, "documents"))
+    frames = frame_sample(mm, frame_bytes=256, every_n=4)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.max("frame_idx").cast("int").alias("max_idx"),
+        F.sum(F.octet_length("frame")).cast("bigint").alias("sampled_bytes"),
+    )

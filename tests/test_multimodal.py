@@ -1,0 +1,72 @@
+"""Multimodal binary-column pipeline: payload attach, deterministic-fake
+decode, frame sampling — kernels checked against plain-Python
+recomputation of the same bytes, stub contract checked explicitly."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark_mrdf_spark.io import load_table
+from pyspark_mrdf_spark.operators.multimodal import (
+    attach_payloads,
+    decode_features,
+    decode_image,
+    frame_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").limit(50).cache()
+
+
+def test_payload_roundtrip_bytes(spark, docs):
+    mm = attach_payloads(docs)
+    rows = mm.join(docs.select("doc_id", "text"), "doc_id").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert bytes(r["payload"]) == r["text"].encode("utf-8")
+        assert r["meta"]["byte_len"] == len(r["text"].encode("utf-8"))
+        assert r["modality"] in ("image", "audio", "video")
+
+
+def test_decode_features_match_python(spark, docs):
+    mm = attach_payloads(docs)
+    feats = {r["doc_id"]: r for r in decode_features(mm).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        b = r["text"].encode("utf-8")
+        f = feats[r["doc_id"]]
+        assert f["n_bytes"] == len(b)
+        assert f["byte_sum"] == sum(b)
+        assert f["max_byte"] == max(b)
+        assert f["min_byte"] == min(b)
+
+
+def test_frame_sample_reassembles(spark, docs):
+    mm = attach_payloads(docs)
+    frames = frame_sample(mm, frame_bytes=256, every_n=4).collect()
+    by_doc: dict[int, dict[int, bytes]] = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], {})[r["frame_idx"]] = bytes(r["frame"])
+    for r in docs.select("doc_id", "text").collect():
+        b = r["text"].encode("utf-8")
+        n_frames = (len(b) + 255) // 256
+        expect = {i: b[i * 256 : (i + 1) * 256] for i in range(0, n_frames, 4)}
+        assert by_doc[r["doc_id"]] == expect
+
+
+def test_frame_binary_is_decodable_downstream(spark, docs):
+    # frames are themselves binary columns: a second mapInPandas pass
+    # over them must see the same bytes (schema plumbing end-to-end)
+    mm = attach_payloads(docs)
+    frames = frame_sample(mm, frame_bytes=64, every_n=2)
+    feats = decode_features(
+        frames.selectExpr("doc_id", "frame AS payload"), payload_col="payload"
+    )
+    total = feats.groupBy().sum("n_bytes").collect()[0][0]
+    assert total > 0
+
+
+def test_decode_image_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n")
