@@ -174,3 +174,67 @@ def simhash(
         bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
     return sums.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (src, dst, cos_e6) with
+    src < dst and cosine ≥ threshold.
+
+    Exact variant: distributed block scan — each Arrow batch of rows
+    computes a vectorized cosine block against the broadcast corpus
+    matrix (query partitions parallelize; O(n²d) flops total, the
+    honest cost of exact near-dup). Scale path for n where n² is
+    infeasible: LSH candidates (``lsh_candidate_pairs`` or random
+    hyperplane buckets) first, then this kernel on candidates only.
+
+    Cosines are fixed-point-rounded to 1e-6 BEFORE thresholding, so the
+    selected pair set is reproducible across engines (a last-ulp float
+    difference cannot flip membership)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from pyspark_mrdf_spark.operators.similarity import collect_matrix
+
+    spark = df.sparkSession
+    ids, mat = collect_matrix(df, id_col, vec_col)
+    b = spark.sparkContext.broadcast((ids, mat))
+    t_e6 = int(round(threshold * 1e6))
+    schema = StructType(
+        [
+            StructField("src", LongType(), False),
+            StructField("dst", LongType(), False),
+            StructField("cos_e6", LongType(), False),
+        ]
+    )
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c_ids, c_mat = b.value
+        c_norm = np.linalg.norm(c_mat, axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q_norm = np.linalg.norm(q_mat, axis=1)
+            # dot / (|a||b|): same formula as the oracle's
+            # list_cosine_similarity — divergence stays ~1 ulp
+            cos = (q_mat @ c_mat.T) / np.outer(q_norm, c_norm)
+            cos_e6 = np.rint(cos * 1e6).astype(np.int64)
+            keep = (cos_e6 >= t_e6) & (q_ids[:, None] < c_ids[None, :])
+            ii, jj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "src": q_ids[ii],
+                    "dst": c_ids[jj],
+                    "cos_e6": cos_e6[ii, jj],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_scan, schema)

@@ -179,3 +179,21 @@ def q45_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 2)
         .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
     )
+
+
+@register(
+    "q46_embedding_near_dups",
+    oracle="""
+SELECT src, dst, cos_e6 FROM (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) * 1000000, 0) AS BIGINT) AS cos_e6
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+WHERE cos_e6 >= 350000
+""",
+    description="embedding-cosine near-dup pairs (cos >= 0.35, fixed-point gate): vectorized block scan; LSH prefilter is the scale path",
+    tags=("dedup", "vector", "cosine"),
+)
+def q46_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dups(emb, threshold=0.35)
