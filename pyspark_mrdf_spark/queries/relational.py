@@ -485,3 +485,112 @@ FROM orders WHERE o_orderkey % 10 = 3
 def q17_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.filter(F.col("o_orderkey") % 10 == 3).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "q18_cube_agg",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    description="CUBE aggregation over both grouping dimensions (Catalyst expand, all 4 grouping sets)",
+    tags=("agg", "cube"),
+)
+def q18_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q19_moving_avg",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS moving_avg,
+       COUNT(*) OVER w AS n_in_frame
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""",
+    description="moving average over a bounded ROWS window frame (per-customer order history)",
+    tags=("window", "frame"),
+)
+def q19_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.sum(_dec("o_totalprice")).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "moving_avg"
+        ),
+        F.count(F.lit(1)).over(w).alias("n_in_frame"),
+    )
+
+
+@register(
+    "q26_pivot_priority",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS urgent,
+       CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS high,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS other
+FROM orders
+GROUP BY o_orderstatus
+""",
+    description="pivot (long->wide conditional aggregation) of order value by priority class",
+    tags=("agg", "pivot"),
+)
+def q26_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    price = _dec("o_totalprice")
+    zero = F.lit(0).cast(DEC)
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", price).otherwise(zero))
+        .cast("double")
+        .alias("urgent"),
+        F.sum(F.when(F.col("o_orderpriority") == "2-HIGH", price).otherwise(zero))
+        .cast("double")
+        .alias("high"),
+        F.sum(
+            F.when(~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), price).otherwise(zero)
+        )
+        .cast("double")
+        .alias("other"),
+    )
+
+
+@register(
+    "q27_above_customer_avg",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+JOIN (SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+      FROM orders GROUP BY o_custkey) a
+  ON o.o_custkey = a.o_custkey
+WHERE o.o_totalprice > a.avg_price
+""",
+    description="correlated-subquery semantics (orders above their customer's average) via self-agg join",
+    tags=("join", "subquery"),
+)
+def q27_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    avg = o.groupBy("o_custkey").agg(
+        (F.sum(_dec("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("avg_price")
+    )
+    return (
+        o.join(avg, "o_custkey")
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
