@@ -112,49 +112,108 @@ def ann_ivf(
     centroid, then search exactly within each query's ``n_probe``
     nearest clusters.
 
-    Pure DataFrame plumbing: centroid assignment is a broadcast join +
-    min_by over a tiny cross product; the refine step shuffles once on
-    cluster id. At scale, cluster sizes ≈ n/n_centroids bound the
-    quadratic term, and the probe join replaces the all-pairs scan.
+    Physical design (scale-first; replaces an earlier crossJoin +
+    zip_with/aggregate version — Catalyst higher-order functions are
+    interpreted, not codegen'd, so per-pair array lambdas were the
+    bottleneck, and the full candidate set hit the final window):
+
+      1. centroid table collected (n_centroids rows — tiny) and
+         broadcast as a NumPy matrix;
+      2. ONE mapInPandas pass assigns every vector its home cluster
+         and its n_probe probe clusters — vectorized argmin per Arrow
+         batch, no join, no shuffle;
+      3. cogroup(members, probe-queries) by cluster: per-cluster NumPy
+         block scan with local top-k per query (cluster sizes
+         ≈ n/n_centroids bound memory and the quadratic term);
+      4. final exact top-k window over ≤ n_probe·k candidate rows per
+         query — the window input is output-sized, not candidate-sized.
+
     Returns (src, dst, dist_sq, rnk) like ``knn_exact``.
     """
-    from pyspark_mrdf_spark.functions.vector import l2_sq
-
-    cent = (
-        df.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("cent_id"),
-            F.col(vec_col).alias("cent_vec"),
-        )
-    )
-    # nearest centroid per vector (broadcast n_centroids rows)
-    assigned = (
-        df.crossJoin(F.broadcast(cent))
-        .withColumn("cdist", l2_sq(vec_col, "cent_vec"))
-        .groupBy(id_col, vec_col)
-        .agg(F.min_by("cent_id", F.struct("cdist", "cent_id")).alias("cluster"))
-    )
-    # per-query probe list: n_probe nearest centroids
     from pyspark.sql import Window
+    from pyspark.sql.types import ArrayType
 
-    w = Window.partitionBy(id_col).orderBy("cdist", "cent_id")
-    probes = (
-        df.crossJoin(F.broadcast(cent))
-        .withColumn("cdist", l2_sq(vec_col, "cent_vec"))
-        .withColumn("probe_rnk", F.row_number().over(w))
-        .filter(F.col("probe_rnk") <= n_probe)
-        .select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), F.col("cent_id").alias("cluster"))
+    spark = df.sparkSession
+    cent_rows = df.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+    c_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    c_mat = np.stack([np.asarray(r[1]) for r in cent_rows]).astype(np.float64)
+    order = np.argsort(c_ids)
+    bcent = spark.sparkContext.broadcast((c_ids[order], c_mat[order]))
+
+    vec_type = df.schema[vec_col].dataType
+    assign_schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("vec", vec_type, False),
+            StructField("cluster", LongType(), False),
+            StructField("probes", ArrayType(LongType(), False), False),
+        ]
     )
-    # search: join queries to members of probed clusters, exact top-k
-    cand = probes.join(
-        assigned.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), "cluster"),
-        "cluster",
-    ).filter(F.col("q_id") != F.col("c_id"))
-    scored = cand.withColumn("dist_sq", l2_sq("q_vec", "c_vec"))
+
+    def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cid, cm = bcent.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = pairwise_l2_sq(q, cm)
+            # stable argsort + ascending cent ids ⇒ ties break to the
+            # lower cent_id, matching the oracle's (dist, cent_id) order
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "vec": pdf[vec_col],
+                    "cluster": cid[idx[:, 0]],
+                    "probes": [cid[row].tolist() for row in idx],
+                }
+            )
+
+    assigned = df.select(id_col, vec_col).mapInPandas(_assign, assign_schema)
+    members = assigned.select(
+        "cluster", F.col("id").alias("c_id"), F.col("vec").alias("c_vec")
+    )
+    probes = assigned.select(
+        F.col("id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.explode("probes").alias("cluster"),
+    )
+
+    def _search(key: tuple, qpdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["q_id", "c_id", "dist_sq"]
+        if len(qpdf) == 0 or len(mpdf) == 0:
+            return pd.DataFrame(columns=cols)
+        q_ids = qpdf["q_id"].to_numpy(dtype=np.int64)
+        q_mat = np.stack(qpdf["q_vec"].to_numpy()).astype(np.float64)
+        m_ids = mpdf["c_id"].to_numpy(dtype=np.int64)
+        m_mat = np.stack(mpdf["c_vec"].to_numpy()).astype(np.float64)
+        d2 = pairwise_l2_sq(q_mat, m_mat)
+        kk = min(k + 1, len(m_ids))
+        part = np.argpartition(d2, kk - 1, axis=1)[:, :kk] if kk < len(m_ids) else (
+            np.broadcast_to(np.arange(len(m_ids)), (len(q_ids), len(m_ids)))
+        )
+        rows: list[tuple[int, int, float]] = []
+        for i in range(len(q_ids)):
+            cand = part[i]
+            order_i = cand[np.lexsort((m_ids[cand], d2[i, cand]))]
+            cnt = 0
+            for j in order_i:
+                if m_ids[j] == q_ids[i]:
+                    continue
+                rows.append((int(q_ids[i]), int(m_ids[j]), float(d2[i, j])))
+                cnt += 1
+                if cnt == k:
+                    break
+        return pd.DataFrame(rows, columns=cols)
+
+    cand = (
+        probes.groupby("cluster")
+        .cogroup(members.groupby("cluster"))
+        .applyInPandas(_search, "q_id long, c_id long, dist_sq double")
+    )
     wk = Window.partitionBy("q_id").orderBy("dist_sq", "c_id")
     return (
-        scored.withColumn("rnk", F.row_number().over(wk))
+        cand.withColumn("rnk", F.row_number().over(wk))
         .filter(F.col("rnk") <= k)
         .select(
             F.col("q_id").alias("src"),
@@ -162,4 +221,48 @@ def ann_ivf(
             "dist_sq",
             F.col("rnk").cast("int").alias("rnk"),
         )
+    )
+
+
+def cosine_topk_by_group(
+    df: DataFrame,
+    k: int,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k most-cosine-similar pairs WITHIN each group: (src, dst,
+    rnk), rnk 1..k by (cosine desc, dst).
+
+    Shape matters at scale: a pair self-join ships every vector once
+    PER PAIR through the shuffle and Arrow boundary (O(G²) vector
+    transfers per group); grouping first ships each vector ONCE and
+    computes the all-pairs block as one BLAS matmul per group
+    (applyInPandas — bound group size like MRDF's α if groups can be
+    huge). Cosine = S_ij/√(S_ii·S_jj) with S = M·Mᵀ — the exact
+    per-pair formula the SQL oracle uses."""
+
+    def _topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        s = mat @ mat.T
+        norms = np.sqrt(np.diag(s))
+        cos = s / np.outer(norms, norms)
+        rows: list[tuple[int, int, int]] = []
+        for i in range(len(ids)):
+            order = np.lexsort((ids, -cos[i]))
+            rnk = 0
+            for j in order:
+                if ids[j] == ids[i]:
+                    continue
+                rnk += 1
+                rows.append((int(ids[i]), int(ids[j]), rnk))
+                if rnk == k:
+                    break
+        return pd.DataFrame(rows, columns=["src", "dst", "rnk"])
+
+    return (
+        df.select(group_col, id_col, vec_col)
+        .groupBy(group_col)
+        .applyInPandas(_topk, "src long, dst long, rnk long")
     )

@@ -13,7 +13,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyspark_mrdf_spark.functions.vector import cosine
 from pyspark_mrdf_spark.io import load_table
 from pyspark_mrdf_spark.operators.similarity import ann_ivf, knn_exact
 from pyspark_mrdf_spark.queries import register
@@ -117,25 +116,14 @@ SELECT src, dst, rnk FROM (
     ON a.label = b.label AND a.vec_id <> b.vec_id)
 WHERE rnk <= 5
 """,
-    description="cosine top-5 within label partition: JVM-side zip_with/aggregate dot product (no UDF)",
+    description="cosine top-5 within label partition: per-group BLAS block kernel (each vector ships once, not once per pair)",
     tags=("vector", "cosine"),
 )
 def q53_cosine_topk_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.similarity import cosine_topk_by_group
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("src"), F.col("embedding").alias("va"), F.col("label").alias("la")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"), F.col("label").alias("lb")
-    )
-    pairs = a.join(b, (F.col("la") == F.col("lb")) & (F.col("src") != F.col("dst")))
-    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
-    return (
-        pairs.withColumn("cos", cosine("va", "vb"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))
-    )
+    return cosine_topk_by_group(emb, 5)
 
 
 @register(
