@@ -32,6 +32,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
 
+    # Warmup: pay one-time JVM/codegen/Python-worker startup before the
+    # first timed query so per-query numbers measure the engine, not
+    # session initialization.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in sorted(specs):

@@ -103,13 +103,18 @@ def knn_graph(
         division = 0
         while True:
             division += 1
+            # loop gate: any path still ≥ α? One cheap JVM aggregate —
+            # deliberately NOT fused into the sampling plan: the gate
+            # runs once more than the sampler (the final "all small"
+            # round), and a fused plan would pay the Python sampling
+            # stage on every gate evaluation.
             big = (
                 data.groupBy("path")
                 .count()
                 .filter(F.col("count") >= alpha)
                 .select("path")
             )
-            big_paths = [r["path"] for r in big.collect()]
+            big_paths = sorted(r["path"] for r in big.collect())
             if not big_paths:
                 break
             # seeded ρ-sample per oversized path (reference
@@ -182,11 +187,24 @@ def knn_graph(
         g_new = g_new.localCheckpoint(eager=True)
 
         # ---- convergence: changed-edge ratio ≤ τ (reference
-        # mrdf.py:161-179, as one anti-join count) --------------------
+        # mrdf.py:161-179; total and changed counted in ONE aggregate
+        # over a left join instead of two separate count jobs) --------
         if g is not None:
-            total = g_new.count()
-            changed = g_new.join(g, ["src", "dst"], "left_anti").count()
-            ratio = changed / max(total, 1)
+            stats = (
+                g_new.join(
+                    g.select("src", "dst").withColumn("_old", F.lit(1)),
+                    ["src", "dst"],
+                    "left",
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("total"),
+                    F.sum(
+                        F.when(F.col("_old").isNull(), 1).otherwise(0)
+                    ).alias("changed"),
+                )
+                .collect()[0]
+            )
+            ratio = (stats["changed"] or 0) / max(stats["total"], 1)
         else:
             ratio = 1.0
         g = g_new

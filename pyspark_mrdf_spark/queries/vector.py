@@ -137,7 +137,7 @@ def q55_mrdf_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_graph(
-        emb, K, rho=4, alpha=300, tau=0.01, seed=42, max_iter=3, refine_rounds=1
+        emb, K, rho=4, alpha=600, tau=0.01, seed=42, max_iter=3, refine_rounds=2
     )
 
 
@@ -154,7 +154,7 @@ def q56_mrdf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     g_exact = knn_exact(emb, K)
     g = knn_graph(
-        emb, K, rho=4, alpha=300, tau=0.01, seed=42, max_iter=3, refine_rounds=1
+        emb, K, rho=4, alpha=600, tau=0.01, seed=42, max_iter=3, refine_rounds=2
     )
     r = recall(g_exact, g)
     return spark.createDataFrame([(float(r),)], ["recall"])
