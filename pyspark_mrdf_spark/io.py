@@ -60,3 +60,35 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet sink: one directory per partition
+    value, so a filter on the partition column prunes whole directories
+    at planning time (``PartitionFilters`` in the scan) — at 100 TB the
+    difference between scanning a day and scanning a decade."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed parquet table (external, at ``path``): rows are
+    hash-distributed into ``num_buckets`` files by ``bucket_cols`` at
+    WRITE time, so later equi-joins/aggregations on those columns read
+    the data already co-located — Catalyst drops the shuffle Exchange
+    entirely when both sides are bucketed the same way. This is the
+    materialized answer to the orders⋈lineitem fact-fact shuffle."""
+    w = df.write.mode(mode).format("parquet").option("path", path)
+    w = w.bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
