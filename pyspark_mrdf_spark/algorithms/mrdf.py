@@ -36,6 +36,7 @@ utilities.py:27).
 
 from __future__ import annotations
 
+import time
 import zlib
 from collections.abc import Iterator
 
@@ -77,6 +78,7 @@ def knn_graph(
     nnd_sample_rate: float = 1.0,
     nnd_precision: float = 0.001,
     refine_rounds: int = 1,
+    metrics_out: list | None = None,
 ) -> DataFrame:
     """Approximate k-NN graph: edge DataFrame (src, dst, dist_sq),
     ≤ k edges per src. Signature mirrors reference mrdf.py:13
@@ -97,6 +99,7 @@ def knn_graph(
     iteration = 0
     while True:
         iteration += 1
+        iter_t0 = time.monotonic()
         data = base.withColumn("path", F.lit(""))
 
         # ---- division: split every ≥α subset into ρ children --------
@@ -208,6 +211,23 @@ def knn_graph(
         else:
             ratio = 1.0
         g = g_new
+        # per-iteration run metrics (reference S10 write_out_mrdf_details,
+        # mrdf.py:217-226 — minus its extra full count job just to name
+        # the output file): driver-side list, caller decides the sink.
+        if metrics_out is not None:
+            metrics_out.append(
+                {
+                    "iteration": iteration,
+                    "divisions": division - 1,
+                    "changed_ratio": round(ratio, 6),
+                    "seconds": round(time.monotonic() - iter_t0, 3),
+                    "k": k,
+                    "rho": rho,
+                    "alpha": alpha,
+                    "tau": tau,
+                    "seed": seed,
+                }
+            )
         if ratio <= tau or (max_iter and iteration >= max_iter):
             break
 

@@ -158,3 +158,31 @@ def q56_mrdf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     r = recall(g_exact, g)
     return spark.createDataFrame([(float(r),)], ["recall"])
+
+
+@register(
+    "q54_doc_embedding_join",
+    oracle="""
+SELECT d.lang, e.label,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(d.n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY d.lang, e.label
+""",
+    description="cross-modality equi-join (documents x embeddings on shared id) + two-dim aggregate: text corpus meets vector index",
+    tags=("vector", "join", "text"),
+)
+def q54_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        d.join(e, d["doc_id"] == e["vec_id"])
+        .groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_chars"),
+        )
+    )
