@@ -163,3 +163,45 @@ def q35_bpeish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_subtokens"),
     )
+
+
+@register(
+    "q36_rolling_fingerprint",
+    oracle="""
+SELECT doc_id,
+       list_min(list_transform(generate_series(1, length(text) - 7),
+                i -> CAST(unicode(text[i+0]) AS BIGINT) * 27512614111 + CAST(unicode(text[i+1]) AS BIGINT) * 887503681 + CAST(unicode(text[i+2]) AS BIGINT) * 28629151 + CAST(unicode(text[i+3]) AS BIGINT) * 923521 + CAST(unicode(text[i+4]) AS BIGINT) * 29791 + CAST(unicode(text[i+5]) AS BIGINT) * 961 + CAST(unicode(text[i+6]) AS BIGINT) * 31 + CAST(unicode(text[i+7]) AS BIGINT) * 1)) AS min_rhash,
+       CAST(length(text) - 7 AS INT) AS n_windows
+FROM documents
+WHERE length(text) >= 8
+""",
+    description="rolling-hash document fingerprint (winnowing-style min of 8-char polynomial window hashes), pure JVM exprs vs DuckDB list oracle",
+    tags=("text", "fingerprint"),
+)
+def q36_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    t = F.col("text")
+    win = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 7),
+        lambda i: _poly8(t, i),
+    )
+    return d.select(
+        "doc_id",
+        F.array_min(win).alias("min_rhash"),
+        (F.length("text") - 7).cast("int").alias("n_windows"),
+    )
+
+
+def _poly8(t, i):
+    """31-base polynomial hash of the 8-char window of ``t`` at 1-based
+    position ``i`` (max value 127·Σ31^j < 2^63 — no modulus needed, so
+    both engines agree exactly in int64)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    return sum(
+        (
+            F.ascii(t.substr(i + j, F.lit(1))).cast("bigint") * (31 ** (7 - j))
+            for j in range(8)
+        ),
+        start=F.lit(0).cast("bigint"),
+    )
