@@ -48,6 +48,26 @@ def test_hourly_counts_stream_matches_batch(spark, sf_dir, events_json_dir):
     assert _rows_set(got, cols) == _rows_set(batch, cols)
 
 
+def test_sliding_windows_stream_matches_batch(spark, sf_dir, events_json_dir):
+    from pyspark_mrdf_spark.streaming import sliding_value_avg
+
+    batch = sliding_value_avg(load_table(spark, sf_dir, "events")).collect()
+    stream = stream_events_from_json(spark, events_json_dir)
+    q = (
+        sliding_value_avg(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("sliding_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM sliding_test").collect()
+    q.stop()
+    cols = ["window_start", "event_type", "avg_value", "n_events"]
+    assert _rows_set(got, cols) == _rows_set(batch, cols)
+
+
 def test_session_windows_batch(spark, sf_dir):
     out = session_windows(load_table(spark, sf_dir, "events"), gap="30 minutes")
     rows = out.collect()
