@@ -237,4 +237,7 @@ def embedding_near_dups(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(_scan, schema)
+    n_parts = max(
+        spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions()
+    )
+    return df.select(id_col, vec_col).repartition(n_parts).mapInPandas(_scan, schema)

@@ -68,6 +68,12 @@ def knn_exact(
     ids, mat = collect_matrix(df, id_col, vec_col)
     b = spark.sparkContext.broadcast((ids, mat))
 
+    # a small corpus often arrives as ONE parquet file = one input
+    # partition; the quadratic scan must spread over the cluster, so
+    # split the QUERY side explicitly (row-independent kernel — the
+    # result is partitioning-invariant)
+    n_parts = max(spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
+
     def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c_ids, c_mat = b.value
         for pdf in batches:
@@ -95,7 +101,7 @@ def knn_exact(
                         break
             yield pd.DataFrame(rows, columns=["src", "dst", "dist_sq", "rnk"])
 
-    return df.select(id_col, vec_col).mapInPandas(_scan, KNN_SCHEMA)
+    return df.select(id_col, vec_col).repartition(n_parts).mapInPandas(_scan, KNN_SCHEMA)
 
 
 def ann_ivf(
