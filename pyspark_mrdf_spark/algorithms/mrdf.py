@@ -85,8 +85,13 @@ def knn_graph(
     (k, rho, alpha, tau, seed, max_iter) on DataFrame footing."""
     spark = df.sparkSession
     sc = spark.sparkContext
-    base = df.select(
-        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec")
+    # materialize the working set once: spread a possibly-few-files
+    # input over the cluster (single-file tables otherwise run every
+    # division map on one task) and cut the re-scan per iteration
+    base = (
+        df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec"))
+        .repartition(sc.defaultParallelism)
+        .localCheckpoint(eager=True)
     )
     # Working width: local graphs, merge, and refinement all run at
     # k_work ≥ k; truncation to k happens once at the end. Keeping the
