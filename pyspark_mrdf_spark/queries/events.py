@@ -170,3 +170,64 @@ def q23_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchases"),
     )
+
+
+@register(
+    "q28_asof_prev_click",
+    oracle="""
+SELECT l.event_id, l.user_id, l.ts, r.ts AS asof_ts, r.value AS asof_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+    description="as-of join (most recent prior click per purchase): union + carry-forward window, one shuffle, vs DuckDB native ASOF JOIN",
+    tags=("events", "asof", "join"),
+)
+def q28_asof_prev_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    return asof_join(purchases, clicks, "user_id").select(
+        "event_id", "user_id", "ts", "asof_ts", "asof_value"
+    )
+
+
+@register(
+    "q29_price_band_join",
+    oracle="""
+SELECT band_id,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+FROM part
+JOIN (SELECT i AS band_id, 900 + i * 20 AS lo, 900 + (i + 1) * 20 AS hi
+      FROM generate_series(0, 4) t(i)) bands
+  ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band_id
+""",
+    description="range (interval containment) join against a broadcast band table + per-band aggregate",
+    tags=("join", "range"),
+)
+def q29_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.temporal import band_join
+
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.range(5).select(
+        F.col("id").alias("band_id"),
+        (900 + F.col("id") * 20).cast("double").alias("lo"),
+        (900 + (F.col("id") + 1) * 20).cast("double").alias("hi"),
+    )
+    return (
+        band_join(part, bands, "p_retailprice")
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (
+                F.sum(F.col("p_retailprice").cast(DEC6)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_price"),
+        )
+    )
