@@ -186,3 +186,54 @@ def q54_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_chars"),
         )
     )
+
+
+@register(
+    "q57_ivf_recall",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_vec
+  FROM embeddings ORDER BY vec_id LIMIT 8),
+assigned AS (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id AS cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cent_vec), c.cent_id) AS arnk
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE arnk = 1),
+probes AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id AS cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cent_vec), c.cent_id) AS prnk
+    FROM embeddings e CROSS JOIN cent c)
+  WHERE prnk <= 2),
+approx AS (
+  SELECT src, dst FROM (
+    SELECT p.q_id AS src, a.vec_id AS dst,
+           ROW_NUMBER() OVER (PARTITION BY p.q_id
+             ORDER BY list_distance(CAST(p.q_vec AS DOUBLE[]),
+                                    CAST(a.embedding AS DOUBLE[])), a.vec_id) AS rnk
+    FROM probes p JOIN assigned a USING (cluster)
+    WHERE p.q_id <> a.vec_id)
+  WHERE rnk <= {K}),
+exact AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY list_distance(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rnk
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+  WHERE rnk <= {K})
+SELECT CAST((SELECT COUNT(*) FROM exact e JOIN approx x ON e.src = x.src AND e.dst = x.dst) AS DOUBLE)
+       / (SELECT COUNT(*) FROM exact) AS recall
+""",
+    description="recall of IVF vs exact kNN — deterministic index, so the ENTIRE recall computation is hash-verified against SQL (q56's randomized variant cannot be)",
+    tags=("vector", "ann", "recall"),
+)
+def q57_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.algorithms.recall import recall
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    r = recall(knn_exact(emb, K), ann_ivf(emb, K, n_centroids=8, n_probe=2))
+    return spark.createDataFrame([(float(r),)], ["recall"])
