@@ -45,9 +45,20 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a (possibly single-file) input across the cluster
+    before per-document expression work: shingling/hashing are
+    interpreted higher-order functions, and a one-file table would run
+    them all in one task."""
+    n = max(
+        df.sparkSession.sparkContext.defaultParallelism, df.rdd.getNumPartitions()
+    )
+    return df.repartition(n)
+
+
 def shingle_table(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Posting-list form: one row per (doc, distinct shingle)."""
-    return df.select(
+    return _spread(df).select(
         F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
     )
 
@@ -64,11 +75,14 @@ def jaccard_pairs(
     The self-join is on the shingle posting list, so only pairs with
     overlap are ever materialized — at scale, hot shingles should be
     stop-listed (drop shingles with document frequency above a cap)
-    to bound the join fan-out."""
-    sizes = df.select(
-        F.col(id_col), F.size(shingles(text_col, n)).alias("sz")
-    )
+    to bound the join fan-out.
+
+    Set sizes are derived FROM the posting table (groupBy count), not
+    recomputed from text: the shingle expression is a Catalyst
+    higher-order function (interpreted per element), so it should run
+    once; the two join branches share one exchange via ReusedExchange."""
     post = shingle_table(df, n, id_col, text_col)
+    sizes = post.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = post.select(F.col(id_col).alias("doc_a"), "shingle")
     b = post.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (
@@ -160,7 +174,7 @@ def simhash(
     sign of Σ_tokens (parity(hex_j(md5(token)))·2 − 1); the j-th hex
     char of the token's md5 supplies bit j's ±1 vote. Returns
     (doc_id, simhash int)."""
-    tok = df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    tok = _spread(df).select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
     h = F.md5(F.col("tok"))
     # parity of hex digit j of the token hash supplies bit j's ±1 vote
     aggs = []
