@@ -61,11 +61,29 @@ def knn_exact(
     vec_col: str = "embedding",
     include_self: bool = False,
 ) -> DataFrame:
-    """Exact k-NN graph: (src, dst, dist_sq, rnk), rnk 1..k ascending
-    by (dist_sq, dst). Distributed over query partitions; corpus is a
-    broadcast float64 matrix (reference knn.py:7 broadcast, vectorized)."""
+    """Exact k-NN graph of a set against itself: ``knn_search`` with
+    queries == corpus (reference W3 semantics)."""
+    return knn_search(df, df, k, id_col=id_col, vec_col=vec_col, include_self=include_self)
+
+
+def knn_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = True,
+) -> DataFrame:
+    """Exact top-k search of ``queries`` against ``corpus``: (src, dst,
+    dist_sq, rnk), rnk 1..k ascending by (dist_sq, dst) — the
+    similarity-search entry point (external query set vs indexed
+    corpus). Distributed over query partitions; corpus is a broadcast
+    float64 matrix (reference knn.py:7 broadcast, vectorized).
+    ``include_self=False`` drops corpus rows whose id equals the query
+    id (the self-kNN-graph case)."""
+    df = queries
     spark = df.sparkSession
-    ids, mat = collect_matrix(df, id_col, vec_col)
+    ids, mat = collect_matrix(corpus, id_col, vec_col)
     b = spark.sparkContext.broadcast((ids, mat))
 
     # a small corpus often arrives as ONE parquet file = one input
@@ -271,4 +289,50 @@ def cosine_topk_by_group(
         df.select(group_col, id_col, vec_col)
         .groupBy(group_col)
         .applyInPandas(_topk, "src long, dst long, rnk long")
+    )
+
+
+def lsh_hyperplane_buckets(
+    df: DataFrame,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH bucket per vector: bit j = sign of the
+    dot product with plane j; bucket = Σ bit_j·2ʲ — cosine-similar
+    vectors collide with high probability, so candidate generation
+    becomes an equi-join on bucket (the LSH-bucketed ANN scale path;
+    complement to IVF).
+
+    "Random" planes are the ``n_planes`` lowest-id vectors —
+    deterministic across engines like the IVF quantizer, no RNG to
+    reproduce. Signs gate on the 1e-6 fixed-point dot so a last-ulp
+    difference cannot flip a bit. Kernel is one vectorized matmul per
+    Arrow batch against the broadcast (tiny) plane matrix."""
+    spark = df.sparkSession
+    rows = df.orderBy(id_col).limit(n_planes).select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    planes = np.stack([np.asarray(r[1]) for r in rows]).astype(np.float64)
+    planes = planes[np.argsort(ids)]
+    bp = spark.sparkContext.broadcast(planes)
+    weights = (2 ** np.arange(n_planes)).astype(np.int64)
+
+    def _bucket(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = bp.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            dots_e6 = np.rint((v @ p.T) * 1e6).astype(np.int64)
+            buckets = ((dots_e6 >= 0).astype(np.int64) * weights).sum(axis=1)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(dtype=np.int64), "bucket": buckets}
+            )
+
+    n_parts = max(spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
+    return (
+        df.select(id_col, vec_col)
+        .repartition(n_parts)
+        .mapInPandas(_bucket, "id long, bucket long")
+        .withColumnRenamed("id", id_col)
     )

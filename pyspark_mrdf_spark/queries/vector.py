@@ -237,3 +237,34 @@ def q57_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     r = recall(knn_exact(emb, K), ann_ivf(emb, K, n_centroids=8, n_probe=2))
     return spark.createDataFrame([(float(r),)], ["recall"])
+
+
+@register(
+    "q58_lsh_hyperplane_candidates",
+    oracle="""
+WITH hp AS (
+  SELECT h, ROW_NUMBER() OVER (ORDER BY h_id) AS rnk FROM (
+    SELECT vec_id AS h_id, CAST(embedding AS DOUBLE[]) AS h
+    FROM embeddings ORDER BY vec_id LIMIT 4)),
+bits AS (
+  SELECT e.vec_id,
+         SUM(CASE WHEN round(list_inner_product(CAST(e.embedding AS DOUBLE[]), hp.h) * 1000000, 0) >= 0
+                  THEN CAST(pow(2, rnk - 1) AS BIGINT) ELSE 0 END) AS bucket
+  FROM embeddings e CROSS JOIN hp GROUP BY e.vec_id)
+SELECT a.vec_id AS src, b.vec_id AS dst, a.bucket
+FROM bits a JOIN bits b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+""",
+    description="random-hyperplane LSH candidate pairs (deterministic planes, fixed-point sign bits): the LSH-bucketed ANN scale path",
+    tags=("vector", "ann", "lsh"),
+)
+def q58_lsh_hyperplane_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.similarity import lsh_hyperplane_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bk = lsh_hyperplane_buckets(emb, n_planes=4)
+    a = bk.select(F.col("vec_id").alias("src"), "bucket")
+    b = bk.select(F.col("vec_id").alias("dst"), F.col("bucket").alias("bucket_b"))
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("src") < F.col("dst")))
+        .select("src", "dst", "bucket")
+    )
