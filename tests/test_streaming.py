@@ -76,6 +76,35 @@ def test_session_windows_batch(spark, sf_dir):
     assert all(r["n_events"] >= 1 for r in rows)
 
 
+def test_parquet_sink_with_checkpoint(spark, sf_dir, events_json_dir, tmp_path_factory):
+    # durable sink path: file source → windowed agg → parquet sink with
+    # checkpointLocation; append mode requires the watermark to close
+    # windows, and a second availableNow run must be a no-op (exactly-
+    # once bookkeeping via the checkpoint)
+    out = str(tmp_path_factory.mktemp("stream_out"))
+    ckpt = str(tmp_path_factory.mktemp("stream_ckpt"))
+    stream = stream_events_from_json(spark, events_json_dir)
+
+    def run_once():
+        q = (
+            hourly_counts(stream, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert first > 0
+    run_once()  # same input, same checkpoint: nothing new may be emitted
+    assert spark.read.parquet(out).count() == first
+
+
 def test_running_user_totals_stateful(spark, sf_dir, events_json_dir):
     stream = stream_events_from_json(spark, events_json_dir)
     q = (
