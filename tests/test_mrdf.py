@@ -100,3 +100,21 @@ def test_nndescent_recall_clusters():
     for s, ds in ap.items():
         blob = s // 60
         assert all(d // 60 == blob for d in ds)
+
+
+def test_mrdf_deep_division_recall(spark, emb, g_exact):
+    # α=120 at n=500 forces ≥2 division rounds (500 → ~3×167 → ~9×56):
+    # exercises multi-level tree-path extension, per-path centroid
+    # sampling on non-root paths, and the metrics hook
+    metrics: list = []
+    g = knn_graph(
+        emb, K, rho=3, alpha=120, tau=0.01, seed=42, max_iter=3,
+        refine_rounds=2, metrics_out=metrics,
+    ).localCheckpoint()
+    assert metrics and any(m["divisions"] >= 2 for m in metrics)
+    # every node keeps exactly K edges
+    per_src = g.groupBy("src").count().agg(
+        F.min("count").alias("lo"), F.max("count").alias("hi")
+    ).collect()[0]
+    assert (per_src["lo"], per_src["hi"]) == (K, K)
+    assert recall(g_exact, g) >= 0.85
