@@ -68,6 +68,7 @@ def jaccard_pairs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Pairwise n-gram Jaccard for every pair sharing ≥1 shingle:
     (doc_a < doc_b, inter, size_a, size_b, jaccard).
@@ -83,6 +84,18 @@ def jaccard_pairs(
     once; the two join branches share one exchange via ReusedExchange."""
     post = shingle_table(df, n, id_col, text_col)
     sizes = post.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if max_df is not None:
+        # stoplist hot shingles: a shingle appearing in > max_df docs
+        # contributes O(df²) join rows but almost no Jaccard signal.
+        # Set sizes stay TRUE sizes (computed above, pre-filter), so
+        # capped Jaccard is a strict under-estimate — candidates only.
+        hot = (
+            post.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        post = post.join(F.broadcast(hot), "shingle", "left_anti")
     a = post.select(F.col(id_col).alias("doc_a"), "shingle")
     b = post.select(F.col(id_col).alias("doc_b"), "shingle")
     inter = (
@@ -255,3 +268,38 @@ def embedding_near_dups(
         spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions()
     )
     return df.select(id_col, vec_col).repartition(n_parts).mapInPandas(_scan, schema)
+
+
+def simhash_band_candidates(
+    sh: DataFrame,
+    bands: int = 3,
+    bits: int = 16,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+) -> DataFrame:
+    """Banded SimHash candidate pairs: split the ``bits``-bit signature
+    into ``bands`` contiguous slices and equi-join on (band, slice
+    value). Pigeonhole guarantee: any pair within Hamming distance
+    ``bands - 1`` differs in at most bands-1 slices, so at least one
+    slice matches — no false negatives up to that radius, and the
+    all-pairs bit_count scan of the verify step runs only on
+    candidates. This is the scale path for ``simhash`` near-dup
+    (the exact variant joins all pairs)."""
+    width = bits // bands
+    out = None
+    for band in range(bands):
+        lo = band * width
+        w = width + (bits - bands * width if band == bands - 1 else 0)
+        slice_val = F.shiftright(F.col(sim_col), lo).bitwiseAND(F.lit((1 << w) - 1))
+        b = sh.select(
+            F.col(id_col), F.lit(band).alias("band"), slice_val.alias("slice")
+        )
+        out = b if out is None else out.unionByName(b)
+    a = out.select(F.col(id_col).alias("doc_a"), "band", "slice")
+    bb = out.select(F.col(id_col).alias("doc_b"), "band", "slice")
+    return (
+        a.join(bb, ["band", "slice"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )

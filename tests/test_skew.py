@@ -37,3 +37,42 @@ def test_salted_join_shuffles_on_salt(spark, sf_dir):
         assert "hashpartitioning(custkey" in plan and "_salt" in plan.split("hashpartitioning(custkey", 1)[1][:60]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_simhash_banding_no_false_negatives(spark, sf_dir):
+    from pyspark_mrdf_spark.operators.dedup import simhash, simhash_band_candidates
+    from pyspark.sql import functions as F
+    from pyspark_mrdf_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = simhash(d, bits=16).localCheckpoint()
+    # exact pairs with hamming <= bands-1 = 2
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    close = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("h", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("h") <= 2)
+        .select("doc_a", "doc_b")
+    )
+    cand = simhash_band_candidates(sh, bands=3, bits=16)
+    missed = close.join(cand, ["doc_a", "doc_b"], "left_anti").count()
+    assert missed == 0
+    # and banding actually prunes: candidates << all pairs
+    n = sh.count()
+    assert cand.count() < n * (n - 1) / 2
+
+
+def test_jaccard_max_df_is_candidate_subset(spark, sf_dir):
+    from pyspark_mrdf_spark.operators.dedup import jaccard_pairs
+    from pyspark_mrdf_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(200)
+    full = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in jaccard_pairs(d).collect()}
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(d, max_df=20).collect()
+    }
+    assert set(capped) <= set(full)
+    for pair, j in capped.items():
+        assert j <= full[pair] + 1e-12  # strict under-estimate
