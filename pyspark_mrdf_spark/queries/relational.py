@@ -594,3 +594,66 @@ def q27_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > F.col("avg_price"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@register(
+    "q38_disjunctive_predicates",
+    oracle="""
+SELECT COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#3' AND p_size <= 20 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#5' AND p_size <= 30 AND l_quantity BETWEEN 20 AND 50)
+""",
+    description="TPC-H Q19-style disjunctive multi-table predicates: Catalyst splits the OR into join-level filters + pushes the common conjuncts",
+    tags=("join", "filter"),
+)
+def q38_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "lineitem", "part")
+    li, part = t["lineitem"], t["part"]
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
+    b = F.col("p_brand")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & (sz <= 10) & q.between(1, 15))
+        | ((b == "Brand#3") & (sz <= 20) & q.between(10, 30))
+        | ((b == "Brand#5") & (sz <= 30) & q.between(20, 50))
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "q39_median_order_value",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderstatus, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders)
+SELECT o_orderstatus, o_totalprice AS median_price
+FROM ranked WHERE rn = (n + 1) // 2
+""",
+    description="exact median via order statistics (deterministic lower median — no interpolation, so both engines pick the identical row)",
+    tags=("window", "agg", "percentile"),
+)
+def q39_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("o_orderstatus")
+    return (
+        o.select(
+            "o_orderstatus",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        .filter(F.col("rn") == ((F.col("n") + 1) / 2).cast("bigint"))
+        .select("o_orderstatus", F.col("o_totalprice").alias("median_price"))
+    )
