@@ -231,3 +231,21 @@ def q29_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_price"),
         )
     )
+
+
+@register(
+    "q63_stream_stream_join",
+    oracle="""
+SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts, c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '1 hour'
+""",
+    description="stream-stream join shape (purchase x clicks within preceding hour): event-time range bound = bounded state under watermarks",
+    tags=("events", "streaming", "join"),
+)
+def q63_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.streaming.joins import purchases_with_recent_clicks
+
+    return purchases_with_recent_clicks(load_table(spark, sf_dir, "events"))

@@ -15,6 +15,7 @@ from pyspark_mrdf_spark.streaming.windows import (
     run_available_now,
 )
 from pyspark_mrdf_spark.streaming.stateful import running_user_totals
+from pyspark_mrdf_spark.streaming.joins import purchases_with_recent_clicks
 
 __all__ = [
     "hourly_counts",
@@ -23,4 +24,5 @@ __all__ = [
     "stream_events_from_json",
     "run_available_now",
     "running_user_totals",
+    "purchases_with_recent_clicks",
 ]

@@ -95,10 +95,20 @@ def session_windows(
     )
 
 
+# Spark's default JSON timestampFormat truncates to milliseconds;
+# event-time joins/windows need the full microsecond precision, so
+# writer and reader must agree on this format.
+JSON_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
+
 def stream_events_from_json(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream of events (JSON lines, explicit schema —
     streaming sources never infer)."""
-    return spark.readStream.schema(EVENT_SCHEMA).json(path)
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("timestampFormat", JSON_TS_FORMAT)
+        .json(path)
+    )
 
 
 def run_available_now(sdf: DataFrame, query_name: str) -> list:

@@ -20,9 +20,13 @@ from pyspark_mrdf_spark.streaming import (
 
 @pytest.fixture(scope="module")
 def events_json_dir(spark, sf_dir, tmp_path_factory):
+    from pyspark_mrdf_spark.streaming.windows import JSON_TS_FORMAT
+
     d = str(tmp_path_factory.mktemp("events_json"))
     ev = load_table(spark, sf_dir, "events")
-    ev.coalesce(4).write.mode("overwrite").json(d)
+    ev.coalesce(4).write.mode("overwrite").option(
+        "timestampFormat", JSON_TS_FORMAT
+    ).json(d)
     return d
 
 
@@ -123,3 +127,23 @@ def test_running_user_totals_stateful(spark, sf_dir, events_json_dir):
     ev = load_table(spark, sf_dir, "events")
     expected = {r["user_id"]: r["n"] for r in ev.groupBy("user_id").count().withColumnRenamed("count", "n").collect()}
     assert {u: r["n_events"] for u, r in got.items()} == expected
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_json_dir):
+    from pyspark_mrdf_spark.streaming import purchases_with_recent_clicks
+
+    batch = purchases_with_recent_clicks(load_table(spark, sf_dir, "events")).collect()
+    stream = stream_events_from_json(spark, events_json_dir)
+    q = (
+        purchases_with_recent_clicks(stream, watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ssj_test").collect()
+    q.stop()
+    cols = ["event_id", "click_ts", "click_value"]
+    assert _rows_set(got, cols) == _rows_set(batch, cols)
