@@ -657,3 +657,42 @@ def q39_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == ((F.col("n") + 1) / 2).cast("bigint"))
         .select("o_orderstatus", F.col("o_totalprice").alias("median_price"))
     )
+
+
+@register(
+    "q65_profile_lineitem",
+    oracle="""
+SELECT 'l_quantity' AS col_name, COUNT(*) AS n,
+       COUNT(*) - COUNT(l_quantity) AS n_nulls,
+       COUNT(DISTINCT l_quantity) AS n_distinct,
+       MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+       COUNT(DISTINCT l_extendedprice), MIN(l_extendedprice), MAX(l_extendedprice)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+       COUNT(DISTINCT l_discount), MIN(l_discount), MAX(l_discount)
+FROM lineitem
+""",
+    description="column-profiling operator (n/nulls/distinct/min/max per column): the data-QA pass every ingest runs; one scan, Catalyst fuses the aggregates",
+    tags=("agg", "profiling"),
+)
+def q65_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def prof(c: str):
+        return li.agg(
+            F.lit(c).alias("col_name"),
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(c).alias("min_v"),
+            F.max(c).alias("max_v"),
+        )
+
+    out = prof("l_quantity")
+    for c in ("l_extendedprice", "l_discount"):
+        out = out.unionByName(prof(c))
+    return out

@@ -209,3 +209,35 @@ def q36_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").mapInPandas(
         _fp, "doc_id long, min_rhash long, n_windows int"
     )
+
+
+@register(
+    "q64_clean_corpus",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50),
+keep_one AS (
+  SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+survivors AS (
+  SELECT c.doc_id, len(string_split(c.text, ' ')) AS n_tokens
+  FROM corpus c JOIN keep_one k ON c.doc_id = k.doc_id)
+SELECT doc_id, n_tokens FROM survivors WHERE n_tokens >= 30
+""",
+    description="end-to-end corpus cleaning composite: exact-dedup (keep lowest id per fingerprint) then token-count quality gate — the filter+dedup shape of a real training-data pass",
+    tags=("text", "dedup", "pipeline"),
+)
+def q64_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(copies)
+    keep = corpus.groupBy(F.md5("text").alias("fp")).agg(F.min("doc_id").alias("doc_id"))
+    return (
+        corpus.join(keep.select("doc_id"), "doc_id")
+        .withColumn("n_tokens", F.size(F.split("text", " ")))
+        .filter(F.col("n_tokens") >= 30)
+        .select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"))
+    )
