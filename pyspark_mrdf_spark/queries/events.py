@@ -249,3 +249,26 @@ def q63_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_mrdf_spark.streaming.joins import purchases_with_recent_clicks
 
     return purchases_with_recent_clicks(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "q66_variant_props",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50 THEN 1 END) AS BIGINT) AS n_high
+FROM events
+GROUP BY event_type
+""",
+    description="semi-structured props via Spark 4 VariantType (parse_json + try_variant_get): the shredded-JSON path, vs string get_json_object in q20",
+    tags=("json", "variant", "events"),
+)
+def q66_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import parse_json, try_variant_get
+
+    ev = load_table(spark, sf_dir, "events")
+    k = try_variant_get(parse_json(F.col("props")), "$.k", "int")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.count(F.when(F.col("k") > 50, 1)).cast("bigint").alias("n_high"),
+    )

@@ -79,3 +79,47 @@ def test_adjacency_json_roundtrip(spark, tmp):
     write_adjacency_json(g, p)
     back = {r["id"]: list(r["neighbors"]) for r in read_adjacency_json(spark, p).collect()}
     assert back == {0: [1, 2], 1: [0]}
+
+
+def test_fvecs_datasource_matches_connector(spark, tmp):
+    import numpy as np
+    from pyspark_mrdf_spark.sources.fvecs import read_fvecs, write_fvecs_local
+    from pyspark_mrdf_spark.sources.fvecs_datasource import FvecsDataSource
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=(40, 8)).astype(np.float32)
+    b = rng.normal(size=(25, 8)).astype(np.float32)
+    d = os.path.join(tmp, "ds_shards")
+    os.makedirs(d, exist_ok=True)
+    write_fvecs_local(os.path.join(d, "part-000.fvecs"), a)
+    write_fvecs_local(os.path.join(d, "part-001.fvecs"), b)
+
+    spark.dataSource.register(FvecsDataSource)
+    via_ds = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.format("fvecs").load(d).collect()
+    }
+    via_conn = {
+        r["vec_id"]: r["embedding"] for r in read_fvecs(spark, d).collect()
+    }
+    assert via_ds.keys() == via_conn.keys() and len(via_ds) == 65
+    for k in via_ds:
+        assert via_ds[k] == via_conn[k]
+
+
+def test_ivecs_datasource(spark, tmp):
+    import numpy as np
+    from pyspark_mrdf_spark.sources.fvecs import write_ivecs_local
+    from pyspark_mrdf_spark.sources.fvecs_datasource import FvecsDataSource
+
+    m = np.arange(30, dtype=np.int32).reshape(6, 5)
+    p = os.path.join(tmp, "gt.ivecs")
+    write_ivecs_local(p, m)
+    spark.dataSource.register(FvecsDataSource)
+    rows = (
+        spark.read.format("fvecs").option("format", "ivecs").load(p).collect()
+    )
+    assert len(rows) == 6
+    assert rows[0]["components"] == list(range(5)) or sorted(
+        r["vec_id"] for r in rows
+    ) == list(range(6))
