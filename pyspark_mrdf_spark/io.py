@@ -92,3 +92,20 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    base_path: str,
+    updates: DataFrame,
+    key: str,
+    out_path: str,
+) -> None:
+    """MERGE-style upsert for plain parquet: rows in ``updates`` replace
+    base rows with the same ``key``; new keys append. (Format-level
+    upsert needs a table format — Delta/Iceberg MERGE INTO; on raw
+    parquet the honest primitive is anti-join + union + rewrite, which
+    is exactly what those formats' copy-on-write does per file group.)"""
+    base = spark.read.parquet(base_path)
+    merged = base.join(updates.select(key), key, "left_anti").unionByName(updates)
+    merged.write.mode("overwrite").parquet(out_path)

@@ -303,3 +303,24 @@ def simhash_band_candidates(
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def dedup_against(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: rows of ``new_docs`` whose text
+    fingerprint is NOT already in ``corpus`` (and not duplicated within
+    the batch — lowest id wins). The daily-ingest shape: the corpus
+    side reduces to a fingerprint set (16-byte keys), so the join
+    shuffles hashes, never documents."""
+    corpus_fp = corpus.select(fingerprint(text_col).alias("fp")).distinct()
+    batch = new_docs.withColumn("fp", fingerprint(text_col))
+    in_batch_first = batch.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return (
+        batch.join(in_batch_first, [id_col, "fp"], "left_semi")
+        .join(corpus_fp, "fp", "left_anti")
+        .drop("fp")
+    )

@@ -49,3 +49,45 @@ def test_compact_reduces_file_count(spark, sf_dir, tmp_path):
     compact(spark, frag, out, target_files=4)
     assert len(glob.glob(os.path.join(out, "*.parquet"))) == 4
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_upsert_parquet(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark_mrdf_spark.io import upsert_parquet
+
+    base_p = str(tmp_path / "base")
+    out_p = str(tmp_path / "merged")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.parquet(base_p)
+    updates = docs.filter(F.col("doc_id") < 10).withColumn(
+        "text", F.lit("REPLACED")
+    ).unionByName(
+        docs.filter(F.col("doc_id") < 5).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+    )
+    upsert_parquet(spark, base_p, updates, "doc_id", out_p)
+    merged = spark.read.parquet(out_p)
+    assert merged.count() == docs.count() + 5
+    assert merged.filter(F.col("text") == "REPLACED").count() == 10
+    assert merged.select("doc_id").distinct().count() == merged.count()
+
+
+def test_dedup_against_corpus(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from pyspark_mrdf_spark.operators.dedup import dedup_against
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    # batch: 20 copies of corpus docs + 30 genuinely new + 2 in-batch dupes
+    copies = docs.filter(F.col("doc_id") < 20).withColumn(
+        "doc_id", F.col("doc_id") + 500_000
+    )
+    fresh = docs.filter(F.col("doc_id") >= 400).limit(30).withColumn(
+        "doc_id", F.col("doc_id") + 600_000
+    )
+    batch_dupe = fresh.limit(2).withColumn("doc_id", F.col("doc_id") + 700_000)
+    batch = copies.unionByName(fresh).unionByName(batch_dupe)
+    out = dedup_against(batch, corpus)
+    assert out.count() == 30  # copies dropped, in-batch dupes collapsed
+    assert out.filter(F.col("doc_id") >= 700_000).count() == 0
