@@ -696,3 +696,61 @@ def q65_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in ("l_extendedprice", "l_discount"):
         out = out.unionByName(prof(c))
     return out
+
+
+@register(
+    "q67_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    description="explicit GROUPING SETS with grouping_id disambiguation (the general form of rollup/cube; one Expand, one aggregate)",
+    tags=("agg", "grouping-sets"),
+)
+def q67_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+
+
+@register(
+    "q68_array_set_ops",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         list_sort(list(DISTINCT event_type) FILTER (WHERE value >= 50)) AS hi_types,
+         list_sort(list(DISTINCT event_type)) AS all_types
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       list_sort(list_filter(all_types, t -> NOT list_contains(hi_types, t))) AS low_only_types,
+       len(hi_types) AS n_hi,
+       len(all_types) AS n_all
+FROM per_user
+""",
+    description="array set operations on aggregated sets (collect_set -> array_sort/array_except): the reference's E1-E3 family at column level",
+    tags=("array", "agg", "events"),
+)
+def q68_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hi = F.array_sort(
+        F.collect_set(F.when(F.col("value") >= 50, F.col("event_type")))
+    )
+    allt = F.array_sort(F.collect_set("event_type"))
+    per_user = ev.groupBy("user_id").agg(hi.alias("hi_types"), allt.alias("all_types"))
+    return per_user.select(
+        "user_id",
+        F.array_sort(F.array_except("all_types", "hi_types")).alias("low_only_types"),
+        F.size("hi_types").alias("n_hi"),
+        F.size("all_types").alias("n_all"),
+    )
