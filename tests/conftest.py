@@ -14,6 +14,10 @@ from pyspark_mrdf_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: slow end-to-end tests")
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="pyspark-mrdf-tests", shuffle_partitions=8)

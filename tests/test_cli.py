@@ -1,0 +1,42 @@
+"""CLI parity smoke: the reference's main.py/getrecall.py workflow
+(bruteforce → mrdf → recall) runs end-to-end through our CLIs."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_cli_workflow(tmp_path):
+    from pyspark_mrdf_spark.sources.fvecs import write_fvecs_local
+
+    fv = str(tmp_path / "v.fvecs")
+    rng = np.random.default_rng(5)
+    write_fvecs_local(fv, rng.normal(size=(150, 8)).astype(np.float32))
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "8"}
+
+    def run(*args):
+        return subprocess.run(
+            [sys.executable, *args], cwd=REPO, env=env, capture_output=True,
+            text=True, timeout=300,
+        )
+
+    r1 = run("scripts/mrdf_cli.py", "--inputfile", fv, "--outputfile",
+             str(tmp_path / "knn"), "--k", "5", "--bruteforce")
+    assert r1.returncode == 0 and "Total time taken" in r1.stdout
+    r2 = run("scripts/mrdf_cli.py", "--inputfile", fv, "--outputfile",
+             str(tmp_path / "mrdf"), "--k", "5", "--alpha", "80",
+             "--rho", "3", "--maxiterations", "3")
+    assert r2.returncode == 0 and "Running MRDF" in r2.stdout
+    r3 = run("scripts/recall_cli.py", "--knn", str(tmp_path / "knn"),
+             "--mrdf", str(tmp_path / "mrdf"))
+    assert r3.returncode == 0
+    recall = float(r3.stdout.split("Recall:")[1].strip())
+    assert recall >= 0.8
