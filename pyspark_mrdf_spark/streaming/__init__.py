@@ -14,7 +14,7 @@ from pyspark_mrdf_spark.streaming.windows import (
     stream_events_from_json,
     run_available_now,
 )
-from pyspark_mrdf_spark.streaming.stateful import running_user_totals
+from pyspark_mrdf_spark.streaming.stateful import dedup_stream, running_user_totals
 from pyspark_mrdf_spark.streaming.joins import purchases_with_recent_clicks
 
 __all__ = [
@@ -25,4 +25,5 @@ __all__ = [
     "run_available_now",
     "running_user_totals",
     "purchases_with_recent_clicks",
+    "dedup_stream",
 ]

@@ -61,3 +61,15 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact-once dedup on event_id: duplicates arriving
+    within the watermark horizon are dropped, and state for old ids is
+    expired with the watermark (unbounded-state-safe — plain
+    ``dropDuplicates`` on a stream would keep every id forever).
+    At-least-once sources (Kafka, retried file ingest) become
+    effectively-once for downstream aggregates."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

@@ -147,3 +147,33 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_json_dir):
     q.stop()
     cols = ["event_id", "click_ts", "click_value"]
     assert _rows_set(got, cols) == _rows_set(batch, cols)
+
+
+def test_dedup_stream_drops_duplicates(spark, sf_dir, tmp_path_factory):
+    from pyspark_mrdf_spark.streaming.stateful import dedup_stream
+    from pyspark_mrdf_spark.streaming.windows import JSON_TS_FORMAT
+
+    # write the events TWICE into the stream directory (at-least-once
+    # delivery simulation)
+    d = str(tmp_path_factory.mktemp("events_dup"))
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.coalesce(2).write.option("timestampFormat", JSON_TS_FORMAT)
+    w.mode("overwrite").json(d)
+    ev.coalesce(2).write.option("timestampFormat", JSON_TS_FORMAT).mode(
+        "append"
+    ).json(d)
+    assert spark.read.json(d).count() == 2 * ev.count()
+
+    stream = stream_events_from_json(spark, d)
+    q = (
+        dedup_stream(stream, watermark="10 hours")
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_test").collect()[0]
+    q.stop()
+    assert got["n"] == got["d"] == ev.count()
