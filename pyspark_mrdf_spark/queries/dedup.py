@@ -36,7 +36,7 @@ WITH corpus AS (
   SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50)
 SELECT fp, n_copies, doc_ids FROM (
   SELECT md5(text) AS fp, COUNT(*) AS n_copies,
-         list_sort(list(doc_id)) AS doc_ids
+         array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
   FROM corpus GROUP BY md5(text))
 WHERE n_copies >= 2
 """,
@@ -48,7 +48,11 @@ def q40_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = d.filter(F.col("doc_id") < 50).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
-    return D.exact_duplicates(d.unionByName(copies))
+    # doc_ids serialized to a csv string: the driver canonicalizer
+    # hashes scalar cells only (raw arrays are unhashable there).
+    return D.exact_duplicates(d.unionByName(copies)).withColumn(
+        "doc_ids", F.array_join(F.col("doc_ids").cast("array<string>"), ",")
+    )
 
 
 @register(
@@ -80,10 +84,11 @@ def q41_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH post AS (
   SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents)
 SELECT doc_id,
-       [min(md5('0:' || shingle)), min(md5('1:' || shingle)),
-        min(md5('2:' || shingle)), min(md5('3:' || shingle)),
-        min(md5('4:' || shingle)), min(md5('5:' || shingle)),
-        min(md5('6:' || shingle)), min(md5('7:' || shingle))] AS signature
+       array_to_string(
+         [min(md5('0:' || shingle)), min(md5('1:' || shingle)),
+          min(md5('2:' || shingle)), min(md5('3:' || shingle)),
+          min(md5('4:' || shingle)), min(md5('5:' || shingle)),
+          min(md5('6:' || shingle)), min(md5('7:' || shingle))], '|') AS signature
 FROM post GROUP BY doc_id
 """,
     description="MinHash signatures (8 salted md5 permutations over 3-gram shingles)",
@@ -91,7 +96,11 @@ FROM post GROUP BY doc_id
 )
 def q42_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return D.minhash_signatures(d, num_hashes=8, n=3)
+    # signature serialized to '|'-joined hex: scalar cells for the
+    # driver canonicalizer (raw arrays are unhashable there).
+    return D.minhash_signatures(d, num_hashes=8, n=3).withColumn(
+        "signature", F.array_join("signature", "|")
+    )
 
 
 @register(

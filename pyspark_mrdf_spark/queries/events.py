@@ -9,6 +9,15 @@ transformations run under ``readStream`` with a watermark — see
 Float discipline: ``value`` is double; aggregates go through
 DECIMAL(18,6) so Spark's partial-agg order can't perturb results
 (see relational.py docstring).
+
+Timestamp discipline: driver-facing outputs serialize event-time
+columns as epoch MICROSECONDS (bigint) — ``unix_micros`` on the Spark
+side, ``epoch_us`` in the DuckDB oracle. The driver's canonicalizer
+hashes pandas values dtype-sensitively and its collection path
+(collect vs Arrow, ns vs us datetime unit) is not ours to control;
+int64 microseconds are representation-proof on both engines. The
+streaming twins (``pyspark_mrdf_spark.streaming``) keep real
+timestamps — watermarks and windows need them.
 """
 
 from __future__ import annotations
@@ -48,7 +57,7 @@ def q20_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q21_hourly_windows",
     oracle="""
-SELECT date_trunc('hour', ts) AS window_start,
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
        event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
@@ -63,7 +72,7 @@ def q21_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("window_start_us"),
             "event_type",
         )
         .agg(
@@ -77,7 +86,7 @@ def q21_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q22_event_gaps",
     oracle="""
-SELECT event_id, user_id, ts,
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
        date_diff('microsecond',
                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
                  ts) AS gap_us
@@ -93,7 +102,7 @@ def q22_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        "ts",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
         (F.unix_micros(F.col("ts")) - F.unix_micros(prev)).alias("gap_us"),
     )
 
@@ -111,7 +120,7 @@ sess AS (
          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM flagged)
-SELECT MIN(ts) AS session_start, user_id,
+SELECT epoch_us(MIN(ts)) AS session_start_us, user_id,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
 FROM sess GROUP BY user_id, sid
@@ -122,13 +131,19 @@ FROM sess GROUP BY user_id, sid
 def q24_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_mrdf_spark.streaming.windows import session_windows
 
-    return session_windows(load_table(spark, sf_dir, "events"), gap="30 minutes")
+    out = session_windows(load_table(spark, sf_dir, "events"), gap="30 minutes")
+    return out.select(
+        F.unix_micros("session_start").alias("session_start_us"),
+        "user_id",
+        "n_events",
+        "session_value",
+    )
 
 
 @register(
     "q25_sliding_windows",
     oracle="""
-SELECT window_start, event_type,
+SELECT epoch_us(window_start) AS window_start_us, event_type,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value,
        COUNT(*) AS n_events
 FROM (SELECT unnest([date_trunc('hour', ts) - INTERVAL '1 hour',
@@ -143,7 +158,13 @@ GROUP BY 1, 2
 def q25_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_mrdf_spark.streaming.windows import sliding_value_avg
 
-    return sliding_value_avg(load_table(spark, sf_dir, "events"))
+    out = sliding_value_avg(load_table(spark, sf_dir, "events"))
+    return out.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "avg_value",
+        "n_events",
+    )
 
 
 @register(
@@ -152,9 +173,9 @@ def q25_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id,
        COUNT(*) AS n_events,
        COUNT(DISTINCT event_type) AS n_types,
-       MIN(ts) AS first_ts,
-       MAX(ts) AS last_ts,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+       epoch_us(MIN(ts)) AS first_ts_us,
+       epoch_us(MAX(ts)) AS last_ts_us,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
 FROM events
 GROUP BY user_id
 """,
@@ -166,8 +187,8 @@ def q23_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("event_type").alias("n_types"),
-        F.min("ts").alias("first_ts"),
-        F.max("ts").alias("last_ts"),
+        F.unix_micros(F.min("ts")).alias("first_ts_us"),
+        F.unix_micros(F.max("ts")).alias("last_ts_us"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchases"),
     )
 
@@ -175,7 +196,8 @@ def q23_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q28_asof_prev_click",
     oracle="""
-SELECT l.event_id, l.user_id, l.ts, r.ts AS asof_ts, r.value AS asof_value
+SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+       epoch_us(r.ts) AS asof_ts_us, r.value AS asof_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') l
 ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
   ON l.user_id = r.user_id AND l.ts >= r.ts
@@ -192,7 +214,11 @@ def q28_asof_prev_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
     return asof_join(purchases, clicks, "user_id").select(
-        "event_id", "user_id", "ts", "asof_ts", "asof_value"
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("asof_ts").alias("asof_ts_us"),
+        "asof_value",
     )
 
 
@@ -236,7 +262,8 @@ def q29_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q63_stream_stream_join",
     oracle="""
-SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts, c.value AS click_value
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       epoch_us(c.ts) AS click_ts_us, c.value AS click_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id
@@ -248,7 +275,14 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
 def q63_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_mrdf_spark.streaming.joins import purchases_with_recent_clicks
 
-    return purchases_with_recent_clicks(load_table(spark, sf_dir, "events"))
+    out = purchases_with_recent_clicks(load_table(spark, sf_dir, "events"))
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("click_ts").alias("click_ts_us"),
+        "click_value",
+    )
 
 
 @register(

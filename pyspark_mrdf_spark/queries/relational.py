@@ -729,11 +729,13 @@ def q67_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH per_user AS (
   SELECT user_id,
-         list_sort(list(DISTINCT event_type) FILTER (WHERE value >= 50)) AS hi_types,
+         COALESCE(list_sort(list(DISTINCT event_type) FILTER (WHERE value >= 50)),
+                  CAST([] AS VARCHAR[])) AS hi_types,
          list_sort(list(DISTINCT event_type)) AS all_types
   FROM events GROUP BY user_id)
 SELECT user_id,
-       list_sort(list_filter(all_types, t -> NOT list_contains(hi_types, t))) AS low_only_types,
+       COALESCE(array_to_string(list_sort(list_filter(all_types, t -> NOT list_contains(hi_types, t))), ','),
+                '') AS low_only_types,
        len(hi_types) AS n_hi,
        len(all_types) AS n_all
 FROM per_user
@@ -748,9 +750,13 @@ def q68_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     allt = F.array_sort(F.collect_set("event_type"))
     per_user = ev.groupBy("user_id").agg(hi.alias("hi_types"), allt.alias("all_types"))
+    # low_only_types serialized to a csv string (driver canonicalizer
+    # hashes scalar cells only); sizes cast to bigint to match DuckDB len.
     return per_user.select(
         "user_id",
-        F.array_sort(F.array_except("all_types", "hi_types")).alias("low_only_types"),
-        F.size("hi_types").alias("n_hi"),
-        F.size("all_types").alias("n_all"),
+        F.array_join(
+            F.array_sort(F.array_except("all_types", "hi_types")), ","
+        ).alias("low_only_types"),
+        F.size("hi_types").cast("bigint").alias("n_hi"),
+        F.size("all_types").cast("bigint").alias("n_all"),
     )

@@ -101,10 +101,10 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+       CAST(SUM(CASE WHEN CAST(len(list_filter(string_split(text, ' '),
                 t -> list_contains({_SW_SQL}, t))) AS DOUBLE)
                 / len(string_split(text, ' ')) > 0.05
-            THEN 1 ELSE 0 END) AS n_pred_en
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en
 FROM documents
 GROUP BY lang
 """,

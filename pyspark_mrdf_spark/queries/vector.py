@@ -248,8 +248,8 @@ WITH hp AS (
     FROM embeddings ORDER BY vec_id LIMIT 4)),
 bits AS (
   SELECT e.vec_id,
-         SUM(CASE WHEN round(list_inner_product(CAST(e.embedding AS DOUBLE[]), hp.h) * 1000000, 0) >= 0
-                  THEN CAST(pow(2, rnk - 1) AS BIGINT) ELSE 0 END) AS bucket
+         CAST(SUM(CASE WHEN round(list_inner_product(CAST(e.embedding AS DOUBLE[]), hp.h) * 1000000, 0) >= 0
+                  THEN CAST(pow(2, rnk - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
   FROM embeddings e CROSS JOIN hp GROUP BY e.vec_id)
 SELECT a.vec_id AS src, b.vec_id AS dst, a.bucket
 FROM bits a JOIN bits b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
