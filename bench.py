@@ -26,11 +26,15 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else None
 
     from pyspark_mrdf_spark.session import get_spark
-    from pyspark_mrdf_spark.queries import load_all
+    from pyspark_mrdf_spark.queries import driver_registry, load_all
 
     spark = get_spark(app_name="pyspark-mrdf-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
-    specs = load_all()
+    # Headline = the driver-facing surface (the 50 queries graded for
+    # correctness). SPARK_GRAFT_BENCH_ALL=1 also times the pytest-only
+    # overflow queries. This keeps the bench from paying MRDF twice:
+    # q55 (graph only) is pytest-only, q56 (graph + recall) is timed.
+    specs = load_all() if os.environ.get("SPARK_GRAFT_BENCH_ALL") else driver_registry()
 
     # Warmup: pay one-time JVM/codegen/Python-worker startup before the
     # first timed query so per-query numbers measure the engine, not

@@ -80,6 +80,7 @@ def q41_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q42_minhash_signatures",
+    driver=False,  # pytest-only: signature computation embedded in q43 LSH oracle
     oracle=f"""
 WITH post AS (
   SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents)
@@ -134,6 +135,7 @@ def q43_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q44_simhash",
+    driver=False,  # pytest-only: simhash computation embedded in q45 near-pairs oracle
     oracle="""
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 sums AS (

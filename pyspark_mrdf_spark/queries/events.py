@@ -85,6 +85,7 @@ def q21_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q22_event_gaps",
+    driver=False,  # pytest-only: lag window covered by q19 frames + q24 sessionization
     oracle="""
 SELECT event_id, user_id, epoch_us(ts) AS ts_us,
        date_diff('microsecond',

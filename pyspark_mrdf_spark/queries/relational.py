@@ -90,6 +90,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q02_minmax_part",
+    driver=False,  # pytest-only: min/max agg covered by q65 profile
     oracle="""
 SELECT p_type,
        MIN(p_retailprice) AS min_price,
@@ -114,6 +115,7 @@ def q02_minmax_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q03_rollup_lineitem",
+    driver=False,  # pytest-only: Expand-based agg covered by q67 grouping sets
     oracle="""
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -242,6 +244,7 @@ def q08_anti_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q09_order_priority_check",
+    driver=False,  # pytest-only: semi-join covered by q07
     oracle="""
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders
@@ -298,6 +301,7 @@ def q10_top_lineitems_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q11_customer_rank_in_nation",
+    driver=False,  # pytest-only: ranking window covered by q10 top-k
     oracle="""
 SELECT c_custkey, c_nationkey, c_acctbal,
        RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_rank,
@@ -489,6 +493,7 @@ def q17_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q18_cube_agg",
+    driver=False,  # pytest-only: Expand-based agg covered by q67 grouping sets
     oracle="""
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -598,6 +603,7 @@ def q27_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q38_disjunctive_predicates",
+    driver=False,  # pytest-only: OR-pushdown evidenced in EXPLAIN.md; scan+filter covered by q01/q14
     oracle="""
 SELECT COUNT(*) AS n,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue

@@ -122,6 +122,7 @@ def q33_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q34_fingerprint_stats",
+    driver=False,  # pytest-only: exact-dup fingerprinting covered by q40
     oracle="""
 SELECT source,
        COUNT(*) AS n_docs,

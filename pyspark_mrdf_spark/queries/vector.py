@@ -81,6 +81,7 @@ def q51_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q52_vector_norms",
+    driver=False,  # pytest-only: explode->agg bridge covered by q31
     oracle="""
 SELECT vec_id, label, CAST(SUM(xi * xi) AS BIGINT) AS norm_sq_e12
 FROM (SELECT vec_id, label,
@@ -128,6 +129,7 @@ def q53_cosine_topk_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q55_mrdf_knn_graph",
+    driver=False,  # pytest-only: same MRDF graph runs inside q56 recall
     oracle=None,  # randomized iterative algorithm — driver records rows-only
     description="MRDF approximate k-NN graph (reference W1, mrdf.py:13-72): random division forest + per-subset NN-Descent + top-k merge + graph refinement",
     tags=("vector", "mrdf", "ann"),
