@@ -203,29 +203,109 @@ def simhash(
     return sums.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
 
 
+NEAR_DUP_SCHEMA = "src long, dst long, cos_e6 long"
+
+
+def _cos_e6_block(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+    """Fixed-point cosine block: rint(1e6 · dot/(|a||b|)) as int64.
+
+    Same formula as DuckDB's list_cosine_similarity; rounding to 1e-6
+    BEFORE thresholding makes pair-set membership reproducible across
+    engines (a last-ulp float difference cannot flip it)."""
+    import numpy as np
+
+    na = np.linalg.norm(a, axis=1)
+    nb = np.linalg.norm(b, axis=1)
+    cos = (a @ b.T) / np.outer(na, nb)
+    return np.rint(cos * 1e6).astype(np.int64)
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (src, dst, cos_e6) with
-    src < dst and cosine ≥ threshold.
+    src < dst and cosine ≥ threshold. EXACT, and fully distributed.
 
-    Exact variant: distributed block scan — each Arrow batch of rows
-    computes a vectorized cosine block against the broadcast corpus
-    matrix (query partitions parallelize; O(n²d) flops total, the
-    honest cost of exact near-dup). Scale path for n where n² is
-    infeasible: LSH candidates (``lsh_candidate_pairs`` or random
-    hyperplane buckets) first, then this kernel on candidates only.
+    Triangle block join: vectors hash into ``n_blocks`` blocks; each of
+    the B(B+1)/2 unordered block pairs becomes one ``applyInPandas``
+    group that computes its cosine block with one BLAS matmul. Every
+    unordered vector pair lives in exactly one group, so the result is
+    exact with no dedup pass. Nothing is ever materialized on the
+    driver (contrast ``embedding_near_dups_broadcast``).
 
-    Cosines are fixed-point-rounded to 1e-6 BEFORE thresholding, so the
-    selected pair set is reproducible across engines (a last-ulp float
-    difference cannot flip membership)."""
-    import numpy as np
+    Scale accounting at n vectors, d dims:
+      - shuffle: each vector ships to exactly ``n_blocks`` groups
+        (n·B rows — linear in n, tunable);
+      - task memory: one group holds ~2n/B vectors (8·d·2n/B bytes) —
+        pick B so that fits the executor (B ≈ 16·n·d / mem_bytes);
+      - flops: O(n²d) total — the honest cost of EXACT near-dup. When
+        n² is infeasible, use ``embedding_near_dups_lsh`` (approximate,
+        candidates only) or raise the threshold pipeline upstream.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    bpairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)], "b1 int, b2 int"
+    )
+    t_e6 = int(round(threshold * 1e6))
+
+    blk = F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    rep = df.select(F.col(id_col), F.col(vec_col), blk.alias("blk")).join(
+        F.broadcast(bpairs), (F.col("blk") == F.col("b1")) | (F.col("blk") == F.col("b2"))
+    )
+
+    def _pair_scan(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        b1, b2 = key
+        cols = ["src", "dst", "cos_e6"]
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=cols)
+        if b1 == b2:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cos_e6 = _cos_e6_block(mat, mat)
+            keep = (cos_e6 >= t_e6) & (ids[:, None] < ids[None, :])
+            ii, jj = np.nonzero(keep)
+            return pd.DataFrame({"src": ids[ii], "dst": ids[jj], "cos_e6": cos_e6[ii, jj]})
+        left = pdf[pdf["blk"] == b1]
+        right = pdf[pdf["blk"] == b2]
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(columns=cols)
+        l_ids = left[id_col].to_numpy(dtype=np.int64)
+        r_ids = right[id_col].to_numpy(dtype=np.int64)
+        cos_e6 = _cos_e6_block(
+            np.stack(left[vec_col].to_numpy()).astype(np.float64),
+            np.stack(right[vec_col].to_numpy()).astype(np.float64),
+        )
+        ii, jj = np.nonzero(cos_e6 >= t_e6)
+        # cross-block pair ids come unordered; normalize to src < dst
+        a, b = l_ids[ii], r_ids[jj]
+        return pd.DataFrame(
+            {"src": np.minimum(a, b), "dst": np.maximum(a, b), "cos_e6": cos_e6[ii, jj]}
+        )
+
+    return rep.groupBy("b1", "b2").applyInPandas(_pair_scan, NEAR_DUP_SCHEMA)
+
+
+def embedding_near_dups_broadcast(
+    df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Small-corpus tier of ``embedding_near_dups``: broadcast the whole
+    corpus matrix (driver-side ``collect_matrix``) and let each Arrow
+    batch of query rows compute its cosine block. Only valid when the
+    corpus fits the driver + every executor; the triangle block join
+    above is the default precisely because this one cannot scale."""
     import pandas as pd
     from collections.abc import Iterator
-    from pyspark.sql.types import LongType, StructField, StructType
 
     from pyspark_mrdf_spark.operators.similarity import collect_matrix
 
@@ -233,41 +313,86 @@ def embedding_near_dups(
     ids, mat = collect_matrix(df, id_col, vec_col)
     b = spark.sparkContext.broadcast((ids, mat))
     t_e6 = int(round(threshold * 1e6))
-    schema = StructType(
-        [
-            StructField("src", LongType(), False),
-            StructField("dst", LongType(), False),
-            StructField("cos_e6", LongType(), False),
-        ]
-    )
 
     def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         c_ids, c_mat = b.value
-        c_norm = np.linalg.norm(c_mat, axis=1)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             q_ids = pdf[id_col].to_numpy(dtype=np.int64)
             q_mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            q_norm = np.linalg.norm(q_mat, axis=1)
-            # dot / (|a||b|): same formula as the oracle's
-            # list_cosine_similarity — divergence stays ~1 ulp
-            cos = (q_mat @ c_mat.T) / np.outer(q_norm, c_norm)
-            cos_e6 = np.rint(cos * 1e6).astype(np.int64)
+            cos_e6 = _cos_e6_block(q_mat, c_mat)
             keep = (cos_e6 >= t_e6) & (q_ids[:, None] < c_ids[None, :])
             ii, jj = np.nonzero(keep)
             yield pd.DataFrame(
+                {"src": q_ids[ii], "dst": c_ids[jj], "cos_e6": cos_e6[ii, jj]}
+            )
+
+    n_parts = max(spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
+    return df.select(id_col, vec_col).repartition(n_parts).mapInPandas(_scan, NEAR_DUP_SCHEMA)
+
+
+def embedding_near_dups_lsh(
+    df: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate tier: OR-amplified hyperplane-LSH candidate
+    generation (equi-join on (table, bucket), distinct pairs) + exact
+    fixed-point cosine verify per candidate — no all-pairs anything,
+    linear shuffle, no false POSITIVES (verify is exact). Recall is the
+    amplified 1 − (1 − p^k)^L, p = 1 − θ/π: tune ``n_tables`` up for
+    recall, down for cost — the standard dial for 100TB-scale near-dup
+    where O(n²) is off the table (``embedding_near_dups`` is the exact
+    tier while n² remains feasible)."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from pyspark_mrdf_spark.operators.similarity import lsh_hyperplane_tables
+
+    t_e6 = int(round(threshold * 1e6))
+    bk = lsh_hyperplane_tables(
+        df, n_planes=n_planes, n_tables=n_tables, id_col=id_col, vec_col=vec_col
+    )
+    a = bk.select(F.col(id_col).alias("src"), "table", "bucket")
+    b = bk.select(F.col(id_col).alias("dst"), "table", "bucket")
+    cand_ids = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("src"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("vb"))
+    cand = cand_ids.join(va, "src").join(vb, "dst").select("src", "va", "dst", "vb")
+
+    def _verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            va = np.stack(pdf["va"].to_numpy()).astype(np.float64)
+            vb = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
+            # row-wise cosine (each candidate pair independently)
+            dot = np.einsum("ij,ij->i", va, vb)
+            cos = dot / (np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1))
+            cos_e6 = np.rint(cos * 1e6).astype(np.int64)
+            keep = cos_e6 >= t_e6
+            yield pd.DataFrame(
                 {
-                    "src": q_ids[ii],
-                    "dst": c_ids[jj],
-                    "cos_e6": cos_e6[ii, jj],
+                    "src": pdf["src"].to_numpy(dtype=np.int64)[keep],
+                    "dst": pdf["dst"].to_numpy(dtype=np.int64)[keep],
+                    "cos_e6": cos_e6[keep],
                 }
             )
 
-    n_parts = max(
-        spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions()
-    )
-    return df.select(id_col, vec_col).repartition(n_parts).mapInPandas(_scan, schema)
+    return cand.mapInPandas(_verify, NEAR_DUP_SCHEMA)
 
 
 def simhash_band_candidates(

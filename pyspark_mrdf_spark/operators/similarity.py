@@ -336,3 +336,55 @@ def lsh_hyperplane_buckets(
         .mapInPandas(_bucket, "id long, bucket long")
         .withColumnRenamed("id", id_col)
     )
+
+
+def lsh_hyperplane_tables(
+    df: DataFrame,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OR-amplified hyperplane LSH: ``n_tables`` independent bucket
+    tables of ``n_planes`` sign bits each → (id, table, bucket).
+
+    A pair is a candidate if it collides in ANY table:
+    P[candidate] = 1 − (1 − p^k)^L with p = 1 − θ/π — the recall/cost
+    dial for candidate generation when a single table's p^k is too
+    lossy (at cos 0.35, one 4-bit table keeps ~14% of threshold pairs;
+    8 tables keep ~70%, and ~99.9% of the high-cos pairs dedup cares
+    about). Plane sets are disjoint slices of the ``n_tables·n_planes``
+    lowest-id vectors — deterministic across engines, like the IVF
+    quantizer. One matmul per Arrow batch computes ALL tables' bits."""
+    spark = df.sparkSession
+    need = n_planes * n_tables
+    rows = df.orderBy(id_col).limit(need).select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    planes = np.stack([np.asarray(r[1]) for r in rows]).astype(np.float64)
+    planes = planes[np.argsort(ids)]
+    bp = spark.sparkContext.broadcast(planes)
+    weights = (2 ** np.arange(n_planes)).astype(np.int64)
+
+    def _buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p = bp.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            bits = (np.rint((v @ p.T) * 1e6) >= 0).astype(np.int64)  # (n, L·k)
+            ids_b = pdf[id_col].to_numpy(dtype=np.int64)
+            out = {"id": np.repeat(ids_b, n_tables)}
+            buckets = np.empty((len(v), n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                buckets[:, t] = bits[:, t * n_planes : (t + 1) * n_planes] @ weights
+            out["table"] = np.tile(np.arange(n_tables, dtype=np.int64), len(v))
+            out["bucket"] = buckets.reshape(-1)
+            yield pd.DataFrame(out)
+
+    n_parts = max(spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions())
+    return (
+        df.select(id_col, vec_col)
+        .repartition(n_parts)
+        .mapInPandas(_buckets, "id long, table long, bucket long")
+        .withColumnRenamed("id", id_col)
+    )

@@ -202,7 +202,7 @@ SELECT src, dst, cos_e6 FROM (
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
 WHERE cos_e6 >= 350000
 """,
-    description="embedding-cosine near-dup pairs (cos >= 0.35, fixed-point gate): vectorized block scan; LSH prefilter is the scale path",
+    description="embedding-cosine near-dup pairs (cos >= 0.35, fixed-point gate): exact distributed triangle block join — no driver-side corpus; LSH-verify tier for when n^2 is infeasible",
     tags=("dedup", "vector", "cosine"),
 )
 def q46_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

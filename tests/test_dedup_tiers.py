@@ -1,0 +1,54 @@
+"""Embedding near-dup tiers: the exact distributed triangle block join
+is the default; the broadcast kernel is the small-n tier; LSH+verify is
+the approximate scale tier. Laws:
+
+ * triangle ≡ broadcast (two exact algorithms, identical pair sets and
+   fixed-point cosines) — for several block counts, including B larger
+   than the corpus partition count;
+ * LSH tier ⊆ exact (verify is exact ⇒ no false positives), and on the
+   planted near-dup corpus it keeps high recall.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark_mrdf_spark.io import load_table
+from pyspark_mrdf_spark.operators.dedup import (
+    embedding_near_dups,
+    embedding_near_dups_broadcast,
+    embedding_near_dups_lsh,
+)
+
+
+def _pairs(df):
+    return {(r["src"], r["dst"]): r["cos_e6"] for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_triangle_matches_broadcast(spark, emb):
+    exact = _pairs(embedding_near_dups_broadcast(emb, threshold=0.35))
+    for n_blocks in (1, 3, 8):
+        tri = _pairs(embedding_near_dups(emb, threshold=0.35, n_blocks=n_blocks))
+        assert tri == exact, f"n_blocks={n_blocks}"
+    assert len(exact) > 0  # corpus has planted near-dups — the law is not vacuous
+
+
+def test_triangle_normalizes_src_lt_dst(spark, emb):
+    rows = embedding_near_dups(emb, threshold=0.35, n_blocks=4).collect()
+    assert all(r["src"] < r["dst"] for r in rows)
+
+
+def test_lsh_tier_subset_of_exact_with_recall(spark, emb):
+    exact = _pairs(embedding_near_dups_broadcast(emb, threshold=0.35))
+    approx = _pairs(embedding_near_dups_lsh(emb, threshold=0.35, n_planes=4))
+    # exact verify ⇒ no false positives, and cosines agree exactly
+    assert set(approx) <= set(exact)
+    for k, v in approx.items():
+        assert exact[k] == v
+    # the cos>=0.35 planted pairs mostly collide under 4 planes
+    assert len(approx) >= 0.5 * len(exact)
