@@ -63,6 +63,14 @@ EDGE_SCHEMA = StructType(
     ]
 )
 
+# Above this many oversized paths per division round, the centroid
+# tables stay distributed (join + min_by assignment) instead of being
+# collected into a driver dict: the dict is O(ρ·paths·d) — with
+# n = 10¹² vectors and α = 600 that is ~50 GB on the driver. Below it,
+# the dict broadcast wins (one Python lookup per batch, no fan-out
+# join). 4096 paths ≈ ρ·4096 centroid vectors ≈ a few MB: safely small.
+CENTROID_BROADCAST_MAX_PATHS = 4096
+
 
 def knn_graph(
     df: DataFrame,
@@ -79,6 +87,7 @@ def knn_graph(
     nnd_precision: float = 0.001,
     refine_rounds: int = 1,
     metrics_out: list | None = None,
+    centroid_broadcast_max_paths: int = CENTROID_BROADCAST_MAX_PATHS,
 ) -> DataFrame:
     """Approximate k-NN graph: edge DataFrame (src, dst, dist_sq),
     ≤ k edges per src. Signature mirrors reference mrdf.py:13
@@ -122,18 +131,24 @@ def knn_graph(
                 .filter(F.col("count") >= alpha)
                 .select("path")
             )
-            big_paths = sorted(r["path"] for r in big.collect())
-            if not big_paths:
+            n_big = big.count()
+            if n_big == 0:
                 break
             # seeded ρ-sample per oversized path (reference
             # centroid_sampling_2, mrdf.py:75-121: per-partition partial
             # sample + final merge by key)
             rand_seed = seed + 1_000_003 * iteration + 1_009 * division
-            cent_rows = _sample_centroids(data, big, rho, rand_seed).collect()
+            cents = _sample_centroids(data, big, rho, rand_seed)
+            if n_big > centroid_broadcast_max_paths:
+                # too many oversized paths for a driver-side dict —
+                # keep centroids distributed (join + min_by)
+                data = _extend_by_join(data, cents).localCheckpoint(eager=True)
+                continue
+            cent_rows = cents.collect()
             cmap: dict[str, np.ndarray] = {}
-            for p in big_paths:
-                rows = sorted((r for r in cent_rows if r["path"] == p), key=lambda r: r["rn"])
-                cmap[p] = np.array([r["vec"] for r in rows], dtype=np.float64)
+            for r in sorted(cent_rows, key=lambda r: (r["path"], r["rn"])):
+                cmap.setdefault(r["path"], []).append(r["vec"])
+            cmap = {p: np.array(v, dtype=np.float64) for p, v in cmap.items()}
             bc = sc.broadcast(cmap)
 
             def _extend(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -143,7 +158,7 @@ def knn_graph(
                         continue
                     paths = pdf["path"].to_numpy()
                     out_paths = paths.copy()
-                    for p, cents in cm.items():
+                    for p, cents_m in cm.items():
                         mask = paths == p
                         if not mask.any():
                             continue
@@ -151,7 +166,7 @@ def knn_graph(
                         # nearest-centroid argmin (reference
                         # tree_path_extension map fn, mrdf.py:130-146),
                         # vectorized over the whole Arrow batch
-                        d2 = pairwise_l2_sq(vecs, cents)
+                        d2 = pairwise_l2_sq(vecs, cents_m)
                         child = d2.argmin(axis=1)
                         out_paths[mask] = np.array([f"{p},{c}" for c in child])
                     pdf = pdf.copy()
@@ -287,6 +302,40 @@ def _sample_centroids(
         part.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= rho)
         .select("path", "rn", "vec")
+    )
+
+
+def _extend_by_join(data: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid path extension with DISTRIBUTED centroids —
+    the large-path-count tier of the division step.
+
+    ``data ⋈ cents`` on path fans each oversized-path row out to its ρ
+    centroid candidates (ρ·n rows — linear, ρ is 4..16); ``min_by``
+    keeps the nearest (tie → lowest centroid index, matching the dict
+    tier's argmin). Rows whose path is not oversized have no centroid
+    rows and pass through via the left join. The driver never touches
+    a vector; Catalyst/AQE picks broadcast vs shuffle for the centroid
+    side from its actual size."""
+    from pyspark_mrdf_spark.functions.vector import l2_sq
+
+    scored = data.join(
+        cents.select("path", "rn", F.col("vec").alias("cvec")), "path"
+    ).select(
+        "id", "path", "rn", l2_sq("vec", "cvec").alias("d2")
+    )
+    best = scored.groupBy("id").agg(
+        F.min_by(F.struct("path", "rn"), F.struct("d2", "rn")).alias("b")
+    )
+    newp = best.select(
+        "id",
+        F.concat(
+            F.col("b.path"), F.lit(","), (F.col("b.rn") - 1).cast("string")
+        ).alias("_newp"),
+    )
+    return (
+        data.join(newp, "id", "left")
+        .withColumn("path", F.coalesce("_newp", "path"))
+        .drop("_newp")
     )
 
 

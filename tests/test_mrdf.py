@@ -50,6 +50,22 @@ def test_mrdf_seeded_determinism(spark, emb):
     assert rows_a == rows_b
 
 
+def test_mrdf_distributed_centroids_tier(spark, emb, g_exact):
+    # centroid_broadcast_max_paths=0 forces the join+min_by tier (no
+    # driver-side centroid dict) on every division round; tiny alpha
+    # forces many oversized paths. Same recall contract as the dict
+    # tier, and seeded determinism holds.
+    kw = dict(rho=4, alpha=250, tau=0.0, seed=42, max_iter=3, centroid_broadcast_max_paths=0)
+    g = knn_graph(emb, K, **kw)
+    r = recall(g_exact, g)
+    assert r >= 0.9, f"join-tier MRDF recall {r} below threshold"
+    rows_a = sorted(map(tuple, g.select("src", "dst").collect()))
+    rows_b = sorted(
+        map(tuple, knn_graph(emb, K, **kw).select("src", "dst").collect())
+    )
+    assert rows_a == rows_b
+
+
 def test_mrdf_max_k_edges_per_src(spark, emb):
     g = knn_graph(emb, K, rho=3, alpha=200, tau=0.05, seed=1, max_iter=2)
     over = g.groupBy("src").count().filter(F.col("count") > K).count()
