@@ -89,41 +89,42 @@ def read_ivecs(
     return df
 
 
+def _header_dim(spark: SparkSession, path: str) -> int:
+    """First record's ``dim``: a 4-byte read through the Hadoop
+    FileSystem API (driver-side, works on any supported FS — local,
+    HDFS, S3A). 4 bytes of I/O per shard, never the content."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        b = [stream.read() for _ in range(4)]
+    finally:
+        stream.close()
+    if any(x < 0 for x in b):  # shorter than one header
+        return 0
+    (dim,) = struct.unpack("<i", bytes(b))
+    return dim
+
+
 def _read_vecs(spark, path, np_dtype, schema, col, input_max):
     files = spark.read.format("binaryFile").load(path)
-    # deterministic shard offsets: count records per file (header scan),
-    # prefix-sum in filename order. One tiny driver-side pass over
-    # lengths, not contents.
+    # deterministic shard offsets: records are uniform-width within a
+    # shard (TexMex layout), so each shard's record count is
+    # length // (4 + 4·dim) after one 4-byte header read — prefix-sum
+    # in filename order. No content pass: round 1 ran a full
+    # distributed decode of every file just to compute these offsets,
+    # doubling I/O+CPU on exactly the sharded corpora this targets.
     sizes = [
         (r["path"], r["length"]) for r in files.select("path", "length").collect()
     ]
     sizes.sort()
-    # record count requires dim; read first header per file locally is
-    # not possible on executor-less driver — instead compute offsets
-    # from decoded counts in a first distributed pass only when more
-    # than one file exists.
     if len(sizes) > 1:
-        count_schema = StructType(
-            [StructField("path", files.schema["path"].dataType, False), StructField("cnt", LongType(), False)]
-        )
-
-        def _count(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                yield pd.DataFrame(
-                    {
-                        "path": pdf["path"],
-                        "cnt": [len(_decode(c, np_dtype)) for c in pdf["content"]],
-                    }
-                )
-
-        counts = {
-            r["path"]: r["cnt"]
-            for r in files.select("path", "content").mapInPandas(_count, count_schema).collect()
-        }
         offsets, acc = {}, 0
-        for p, _ in sizes:
+        for p, length in sizes:
             offsets[p] = acc
-            acc += counts[p]
+            dim = _header_dim(spark, p)
+            acc += length // (4 + 4 * dim) if dim > 0 else 0
     else:
         offsets = {sizes[0][0]: 0} if sizes else {}
 
