@@ -15,6 +15,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+SALTED_JOIN_HOWS = frozenset({"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"})
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
@@ -27,11 +30,27 @@ def salted_join(
     salted into ``n_salts`` shuffle sub-keys.
 
     ``other`` is replicated n_salts× (explode of a literal range — no
-    extra scan), so it should be the smaller side; the result equals
-    the plain join exactly, row multiplicity included."""
+    extra scan), so it should be the smaller side; for the supported
+    join types the result equals the plain join exactly, row
+    multiplicity included.
+
+    Supported ``how``: inner / left / left_semi / left_anti — the
+    types whose output is driven by the (unreplicated) skewed side.
+    right/full are rejected: an ``other`` row with no match would
+    surface once per salt (n_salts copies), silently corrupting
+    multiplicity. Salt the other side instead (swap the arguments), or
+    de-dup unmatched rows downstream."""
+    how_norm = how.replace("_", "").lower()
+    if how_norm not in {h.replace("_", "") for h in SALTED_JOIN_HOWS}:
+        raise ValueError(
+            f"salted_join supports {sorted(SALTED_JOIN_HOWS)}; got how={how!r} "
+            "(right/full would emit each unmatched replicated row n_salts times)"
+        )
     salt = (F.rand(seed) * n_salts).cast("int")
     left = skewed.withColumn("_salt", salt)
     right = other.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
-    return left.join(right, [key, "_salt"], how).drop("_salt")
+    joined = left.join(right, [key, "_salt"], how)
+    # semi/anti joins never take right-side columns, so _salt is already gone
+    return joined.drop("_salt") if "_salt" in joined.columns else joined

@@ -76,3 +76,15 @@ def test_jaccard_max_df_is_candidate_subset(spark, sf_dir):
     assert set(capped) <= set(full)
     for pair, j in capped.items():
         assert j <= full[pair] + 1e-12  # strict under-estimate
+
+
+def test_salted_join_rejects_right_full(spark, sf_dir):
+    import pytest
+    from pyspark_mrdf_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    for how in ("right", "full", "full_outer", "rightouter"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(o, c, "custkey", n_salts=4, how=how)
