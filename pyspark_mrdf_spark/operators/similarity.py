@@ -122,6 +122,99 @@ def knn_search(
     return df.select(id_col, vec_col).repartition(n_parts).mapInPandas(_scan, KNN_SCHEMA)
 
 
+def knn_search_blocked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = True,
+) -> DataFrame:
+    """Exact top-k search with a DISTRIBUTED corpus — the scale tier of
+    ``knn_search`` (which broadcasts the corpus via a driver collect).
+
+    Corpus rows hash into ``n_blocks`` blocks; queries replicate to
+    every block (explode of a literal range); one cogroup per block
+    computes a vectorized local top-k; a final window merges the
+    ≤ n_blocks·k candidates per query. Local top-k by (dist, id) is
+    associative, so blocked merge ≡ full scan EXACTLY (same tie-break
+    as the SQL oracle's ORDER BY dist, id).
+
+    Scale accounting: corpus never leaves the executors; shuffle is
+    n_q·n_blocks query rows + n_c corpus rows; task memory one corpus
+    block (~n_c/n_blocks vectors) + the colocated queries; the merge
+    window input is output-sized (n_q·n_blocks·k rows), not n_q·n_c.
+    O(n_q·n_c·d) flops remain — exactness' honest price; this tier
+    spreads them over n_blocks·(query partitions) tasks."""
+    from pyspark.sql import Window
+
+    spark = queries.sparkSession
+    blk = F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), blk.alias("block")
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(F.array(*[F.lit(i) for i in range(n_blocks)])).alias("block"),
+    )
+
+    def _scan(key: tuple, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["src", "dst", "dist_sq"]
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame(columns=cols)
+        q_ids = qpdf["q_id"].to_numpy(dtype=np.int64)
+        q_mat = np.stack(qpdf["q_vec"].to_numpy()).astype(np.float64)
+        c_ids = cpdf["c_id"].to_numpy(dtype=np.int64)
+        c_mat = np.stack(cpdf["c_vec"].to_numpy()).astype(np.float64)
+        d2 = pairwise_l2_sq(q_mat, c_mat)
+        kk = min(k + (0 if include_self else 1), len(c_ids))
+        if kk < len(c_ids):
+            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+        else:
+            part = np.broadcast_to(np.arange(len(c_ids)), (len(q_ids), len(c_ids)))
+        rows: list[tuple[int, int, float]] = []
+        for i in range(len(q_ids)):
+            cand = part[i]
+            order = cand[np.lexsort((c_ids[cand], d2[i, cand]))]
+            cnt = 0
+            for j in order:
+                if not include_self and c_ids[j] == q_ids[i]:
+                    continue
+                rows.append((int(q_ids[i]), int(c_ids[j]), float(d2[i, j])))
+                cnt += 1
+                if cnt == k:
+                    break
+        return pd.DataFrame(rows, columns=cols)
+
+    cand = (
+        q.groupby("block")
+        .cogroup(c.groupby("block"))
+        .applyInPandas(_scan, "src long, dst long, dist_sq double")
+    )
+    wk = Window.partitionBy("src").orderBy("dist_sq", "dst")
+    return (
+        cand.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select("src", "dst", "dist_sq", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def knn_exact_blocked(
+    df: DataFrame,
+    k: int,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact self-kNN graph on the distributed tier (``knn_exact``
+    semantics via ``knn_search_blocked``)."""
+    return knn_search_blocked(
+        df, df, k, n_blocks=n_blocks, id_col=id_col, vec_col=vec_col, include_self=False
+    )
+
+
 def ann_ivf(
     df: DataFrame,
     k: int,

@@ -32,12 +32,16 @@ SELECT src, dst, rnk FROM (
   FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
 WHERE rnk <= {K}
 """,
-    description="exact brute-force k-NN graph (reference W3, knn.py:4-26): vectorized block scan vs SQL cross-join oracle",
+    description="exact brute-force k-NN graph (reference W3, knn.py:4-26): distributed blocked scan (corpus never leaves executors) vs SQL cross-join oracle",
     tags=("vector", "knn"),
 )
 def q50_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.similarity import knn_exact_blocked
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return knn_exact(emb, K).select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))
+    return knn_exact_blocked(emb, K).select(
+        "src", "dst", F.col("rnk").cast("bigint").alias("rnk")
+    )
 
 
 @register(

@@ -35,3 +35,28 @@ def test_lsh_buckets_cover_all_vectors(spark, sf_dir):
     rows = bk.collect()
     assert len(rows) == emb.count()
     assert all(0 <= r["bucket"] < 16 for r in rows)
+
+
+def test_knn_blocked_matches_broadcast(spark, sf_dir):
+    from pyspark_mrdf_spark.io import load_table
+    from pyspark_mrdf_spark.operators.similarity import (
+        knn_exact,
+        knn_exact_blocked,
+        knn_search,
+        knn_search_blocked,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    ref = sorted(map(tuple, knn_exact(emb, 5).select("src", "dst", "rnk").collect()))
+    for nb in (1, 3, 8):
+        got = sorted(
+            map(tuple, knn_exact_blocked(emb, 5, n_blocks=nb).select("src", "dst", "rnk").collect())
+        )
+        assert got == ref, f"n_blocks={nb}"
+    # external query set, include_self=True
+    q = emb.filter("vec_id % 7 = 0")
+    ref_q = sorted(map(tuple, knn_search(q, emb, 4).select("src", "dst", "rnk").collect()))
+    got_q = sorted(
+        map(tuple, knn_search_blocked(q, emb, 4, n_blocks=5).select("src", "dst", "rnk").collect())
+    )
+    assert got_q == ref_q
