@@ -86,6 +86,7 @@ def load_all() -> dict[str, QuerySpec]:
         text,
         dedup,
         vector,
+        pipeline,
     )
 
     return REGISTRY

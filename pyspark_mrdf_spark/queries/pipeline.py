@@ -1,0 +1,106 @@
+"""Training-data pipeline operators beyond the reference's surface:
+shard packing (token-budget bin packing of a corpus into training
+shards) and deterministic mixture sampling (per-language rates) — the
+two ops that turn a cleaned corpus into an actual training mix.
+
+Both are pytest-only (``driver=False``): the driver verdict surface is
+capped at 50 queries; these are oracle-checked by the pytest gate and
+``scripts/driver_replica.py``.
+
+Portability discipline: sampling uses md5-derived uniforms (identical
+hex on both engines — the repo-wide rule; Spark's ``rand`` is not
+reproducible in SQL), and shard ids come from integer token counts, so
+both outputs are bit-exact across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspark_mrdf_spark.functions import text as T
+from pyspark_mrdf_spark.io import load_table
+from pyspark_mrdf_spark.queries import register
+
+SHARD_TOKEN_BUDGET = 512
+
+_N_TOK_SQL = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+
+
+@register(
+    "q70_shard_packing",
+    driver=False,  # pytest-only: driver surface is at the 50-verdict cap
+    oracle=f"""
+SELECT doc_id, source, {_N_TOK_SQL} AS n_tok,
+       CAST(floor((SUM({_N_TOK_SQL}) OVER (PARTITION BY source ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING)
+                   - {_N_TOK_SQL}) / {SHARD_TOKEN_BUDGET}.0) AS BIGINT) AS shard_id
+FROM documents
+""",
+    description=f"token-budget shard packing: per-source running token count assigns each doc the shard where it starts ({SHARD_TOKEN_BUDGET}-token shards); per-source windows keep the cumulative sum parallel (one partition per source, never a global sort)",
+    tags=("pipeline", "window", "text"),
+)
+def q70_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-token-budget training shards, stably
+    ordered by doc_id within source.
+
+    Scale note: the cumulative sum is windowed PER SOURCE, so each
+    source packs independently in parallel — the global-order variant
+    would serialize the whole corpus through one task. At 100 TB, use
+    as many pack-keys (source × date × …) as you want shard-writer
+    parallelism."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = T.n_tokens("text").cast("bigint")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = F.sum(tok).over(w)
+    return d.select(
+        "doc_id",
+        "source",
+        tok.alias("n_tok"),
+        F.floor((running - tok) / F.lit(float(SHARD_TOKEN_BUDGET))).cast("bigint").alias("shard_id"),
+    )
+
+
+# per-language mixture rates: upsample-ish English, thin the rest —
+# the shape of a real pretraining mix (values arbitrary but fixed)
+MIXTURE_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "it": 0.25}
+_DEFAULT_RATE = 0.1
+
+
+@register(
+    "q71_mixture_sample",
+    driver=False,  # pytest-only: driver surface is at the 50-verdict cap
+    oracle="""
+SELECT doc_id, lang, source
+FROM documents
+WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      / 4294967296.0
+      < CASE {cases} ELSE {default} END
+""".format(
+        cases="lang " + " ".join(f"WHEN '{k}' THEN {v}" for k, v in MIXTURE_RATES.items()),
+        default=_DEFAULT_RATE,
+    ),
+    description="deterministic mixture sampling: per-language keep-rates via an md5-derived uniform on doc_id — reproducible across engines and runs, no RNG state",
+    tags=("pipeline", "sampling"),
+)
+def q71_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample the corpus into a training mixture at per-language rates.
+
+    The keep decision is a pure function of doc_id (first 8 hex chars
+    of md5 → uniform in [0,1)), so the sample is identical on any
+    engine, any partitioning, any day — the property a reproducible
+    data pipeline needs and ``rand()`` cannot give."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    rate = F.lit(_DEFAULT_RATE)
+    for k, v in MIXTURE_RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return d.filter(u < rate).select("doc_id", "lang", "source")
