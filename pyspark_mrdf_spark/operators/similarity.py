@@ -385,6 +385,81 @@ def cosine_topk_by_group(
     )
 
 
+def cosine_topk_by_group_blocked(
+    df: DataFrame,
+    k: int,
+    n_blocks: int = 8,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``cosine_topk_by_group`` with BOUNDED task memory — the tier for
+    groups too large for one ``applyInPandas`` task.
+
+    Members hash into ``n_blocks`` blocks per group; the query side
+    replicates across its group's blocks; cogroup on (group, block)
+    computes one cosine gemm per block, keeping a local top-k; a final
+    window merges ≤ n_blocks·k candidates per query. Task memory is
+    one (group, block) slice (~|G|/B vectors), not the whole group.
+
+    Norms are per-row sum-of-squares (einsum) on both sides — the
+    same accumulation the single-task kernel's gram diagonal produces
+    for d-dim rows — so pair cosines are identical across tiers
+    (equivalence-tested)."""
+    from pyspark.sql import Window
+
+    blk = F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    c = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        blk.alias("block"),
+    )
+    q = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(F.array(*[F.lit(i) for i in range(n_blocks)])).alias("block"),
+    )
+
+    def _scan(key: tuple, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["src", "dst", "cos"]
+        if len(qpdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame(columns=cols)
+        q_ids = qpdf["q_id"].to_numpy(dtype=np.int64)
+        q_mat = np.stack(qpdf["q_vec"].to_numpy()).astype(np.float64)
+        c_ids = cpdf["c_id"].to_numpy(dtype=np.int64)
+        c_mat = np.stack(cpdf["c_vec"].to_numpy()).astype(np.float64)
+        qn = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+        cn = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat))
+        cos = (q_mat @ c_mat.T) / np.outer(qn, cn)
+        kk = min(k + 1, len(c_ids))
+        rows: list[tuple[int, int, float]] = []
+        for i in range(len(q_ids)):
+            order = np.lexsort((c_ids, -cos[i]))[:kk]
+            cnt = 0
+            for j in order:
+                if c_ids[j] == q_ids[i]:
+                    continue
+                rows.append((int(q_ids[i]), int(c_ids[j]), float(cos[i, j])))
+                cnt += 1
+                if cnt == k:
+                    break
+        return pd.DataFrame(rows, columns=cols)
+
+    cand = (
+        q.groupby("g", "block")
+        .cogroup(c.groupby("g", "block"))
+        .applyInPandas(_scan, "src long, dst long, cos double")
+    )
+    wk = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")
+    return (
+        cand.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select("src", "dst", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
 def lsh_hyperplane_buckets(
     df: DataFrame,
     n_planes: int = 4,

@@ -121,14 +121,14 @@ SELECT src, dst, rnk FROM (
     ON a.label = b.label AND a.vec_id <> b.vec_id)
 WHERE rnk <= 5
 """,
-    description="cosine top-5 within label partition: per-group BLAS block kernel (each vector ships once, not once per pair)",
+    description="cosine top-5 within label partition: blocked per-(group,block) BLAS kernel — task memory bounded even when one label holds millions of vectors",
     tags=("vector", "cosine"),
 )
 def q53_cosine_topk_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark_mrdf_spark.operators.similarity import cosine_topk_by_group
+    from pyspark_mrdf_spark.operators.similarity import cosine_topk_by_group_blocked
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_topk_by_group(emb, 5)
+    return cosine_topk_by_group_blocked(emb, 5)
 
 
 @register(

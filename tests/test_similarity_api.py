@@ -60,3 +60,17 @@ def test_knn_blocked_matches_broadcast(spark, sf_dir):
         map(tuple, knn_search_blocked(q, emb, 4, n_blocks=5).select("src", "dst", "rnk").collect())
     )
     assert got_q == ref_q
+
+
+def test_cosine_topk_blocked_matches_single_task(spark, sf_dir):
+    from pyspark_mrdf_spark.io import load_table
+    from pyspark_mrdf_spark.operators.similarity import (
+        cosine_topk_by_group,
+        cosine_topk_by_group_blocked,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    ref = sorted(map(tuple, cosine_topk_by_group(emb, 5).collect()))
+    for nb in (1, 4):
+        got = sorted(map(tuple, cosine_topk_by_group_blocked(emb, 5, n_blocks=nb).collect()))
+        assert got == ref, f"n_blocks={nb}"
