@@ -85,6 +85,40 @@ def pairwise_l2_sq(q: np.ndarray, x: np.ndarray) -> np.ndarray:
     return out
 
 
+def l2_topk_candidates(
+    q: np.ndarray, x: np.ndarray, kk: int, pad: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-query-row top candidates by squared L2: BLAS-gemm prefilter,
+    EXACT re-ranking — (cand_idx (m, c), d2_exact (m, c)) unordered.
+
+    Why two passes: the gemm expansion ||q||²+||x||²−2q·x runs at
+    matmul speed (~70× the broadcast (q−x)² form at n=2000) but its
+    absolute error is O(eps·(‖q‖²+‖x‖²)) — enough to perturb ranks of
+    near-tied pairs. So the gemm only nominates ``kk + pad`` candidates
+    per row; their distances are then recomputed with the exact
+    cancellation-free (q−x)² form, and ALL ordering downstream uses the
+    exact values. A true top-kk member is missed only if gemm error
+    exceeds the true distance gap across the pad boundary (~1e-12 vs
+    data-scale gaps; pad defaults to max(16, kk)) — the oracle gates
+    (q50/q51/q57 hash comparisons, blocked-vs-broadcast equivalence
+    tests) guard the assumption."""
+    q = np.asarray(q, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    c = min(kk + (max(16, kk) if pad is None else pad), n)
+    qq = np.einsum("ij,ij->i", q, q)
+    xx = np.einsum("ij,ij->i", x, x)
+    g = qq[:, None] + xx[None, :] - 2.0 * (q @ x.T)
+    if c < n:
+        cand = np.argpartition(g, c - 1, axis=1)[:, :c]
+    else:
+        cand = np.broadcast_to(np.arange(n), (q.shape[0], n)).copy()
+    # exact recompute of candidates only: (m, c, d) intermediate, c small
+    diff = q[:, None, :] - x[cand]
+    d2 = np.einsum("ijk,ijk->ij", diff, diff)
+    return cand, d2
+
+
 def topk_ids(dist_row: np.ndarray, ids: np.ndarray, k: int, exclude: int | None = None) -> list[tuple[int, float]]:
     """Top-k (id, dist) by ascending (dist, id); optional self-exclusion."""
     order = np.lexsort((ids, dist_row))
