@@ -218,6 +218,50 @@ def knn_exact_blocked(
     )
 
 
+def ivf_train_centroids(
+    df: DataFrame,
+    n_centroids: int = 8,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Seeded Lloyd-refined IVF centroids → (n_centroids, d) float64.
+
+    Training data is a DETERMINISTIC bounded sample: the
+    ``sample_size`` rows with the smallest md5(seed:id) — same rows on
+    any engine, any partitioning. Collecting it is bounded by
+    construction (sample_size·d floats, never O(n)) — the legitimate
+    sample-to-driver training pattern; assignment and search stay
+    fully distributed. Init = first ``n_centroids`` hash-ordered
+    sample rows; ``iters`` Lloyd steps with empty clusters keeping
+    their previous centroid. Everything is seeded ⇒ same centroids
+    every run.
+
+    Use with ``ann_ivf(..., centroids=...)``: balanced trained cells
+    beat the lowest-id quantizer's arbitrary cells on recall at equal
+    probe cost (tested)."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    pdf = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", h)
+        .orderBy("_h")
+        .limit(sample_size)
+        .select(vec_col)
+    ).toPandas()
+    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    c = x[:n_centroids].copy()
+    for _ in range(iters):
+        cand, d2 = l2_topk_candidates(x, c, 1, pad=0)
+        assign = cand[np.arange(len(x)), np.argmin(d2, axis=1)]
+        for j in range(n_centroids):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+    return c
+
+
 def ann_ivf(
     df: DataFrame,
     k: int,
@@ -225,6 +269,7 @@ def ann_ivf(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate k-NN: deterministic coarse quantizer (the
     ``n_centroids`` lowest-id vectors — reproducible across engines,
@@ -254,11 +299,18 @@ def ann_ivf(
     from pyspark.sql.types import ArrayType
 
     spark = df.sparkSession
-    cent_rows = df.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
-    c_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
-    c_mat = np.stack([np.asarray(r[1]) for r in cent_rows]).astype(np.float64)
-    order = np.argsort(c_ids)
-    bcent = spark.sparkContext.broadcast((c_ids[order], c_mat[order]))
+    if centroids is not None:
+        # trained quantizer (ivf_train_centroids): cluster ids are
+        # centroid indices
+        c_mat = np.asarray(centroids, dtype=np.float64)
+        c_ids = np.arange(len(c_mat), dtype=np.int64)
+        bcent = spark.sparkContext.broadcast((c_ids, c_mat))
+    else:
+        cent_rows = df.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
+        c_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+        c_mat = np.stack([np.asarray(r[1]) for r in cent_rows]).astype(np.float64)
+        order = np.argsort(c_ids)
+        bcent = spark.sparkContext.broadcast((c_ids[order], c_mat[order]))
 
     vec_type = df.schema[vec_col].dataType
     assign_schema = StructType(

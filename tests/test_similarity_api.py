@@ -74,3 +74,25 @@ def test_cosine_topk_blocked_matches_single_task(spark, sf_dir):
     for nb in (1, 4):
         got = sorted(map(tuple, cosine_topk_by_group_blocked(emb, 5, n_blocks=nb).collect()))
         assert got == ref, f"n_blocks={nb}"
+
+
+def test_ivf_trained_centroids_improve_recall(spark, sf_dir):
+    import numpy as np
+    from pyspark_mrdf_spark.algorithms.recall import recall
+    from pyspark_mrdf_spark.io import load_table
+    from pyspark_mrdf_spark.operators.similarity import (
+        ann_ivf,
+        ivf_train_centroids,
+        knn_exact,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    exact = knn_exact(emb, 5).localCheckpoint()
+    c1 = ivf_train_centroids(emb, n_centroids=8, sample_size=256, iters=8, seed=7)
+    c2 = ivf_train_centroids(emb, n_centroids=8, sample_size=256, iters=8, seed=7)
+    assert np.array_equal(c1, c2)  # seeded determinism
+    r_base = recall(exact, ann_ivf(emb, 5, n_centroids=8, n_probe=2))
+    r_trained = recall(exact, ann_ivf(emb, 5, n_centroids=8, n_probe=2, centroids=c1))
+    # Lloyd-refined cells must not be worse than arbitrary lowest-id cells
+    assert r_trained >= r_base - 0.02, (r_trained, r_base)
+    assert r_trained >= 0.5
