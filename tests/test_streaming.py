@@ -177,3 +177,59 @@ def test_dedup_stream_drops_duplicates(spark, sf_dir, tmp_path_factory):
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_test").collect()[0]
     q.stop()
     assert got["n"] == got["d"] == ev.count()
+
+
+def test_watermark_drops_late_events(spark, tmp_path_factory):
+    """Late-data semantics, which no batch-equality test can show: an
+    event arriving BEHIND the checkpointed watermark is dropped and its
+    already-finalized window is never re-emitted."""
+    from pyspark_mrdf_spark.streaming.windows import EVENT_SCHEMA, hourly_counts
+
+    src = str(tmp_path_factory.mktemp("late_src"))
+    ckpt = str(tmp_path_factory.mktemp("late_ckpt"))
+
+    def write_file(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    def ev(eid, h, m=0):
+        return {
+            "event_id": eid,
+            "ts": f"2024-01-01T{h:02d}:{m:02d}:00.000000Z",
+            "user_id": 1,
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+
+    out_dir = str(tmp_path_factory.mktemp("late_out"))
+
+    def run():
+        stream = spark.readStream.schema(EVENT_SCHEMA).option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        ).json(src)
+        q = (
+            hourly_counts(stream, watermark="30 minutes")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        q.stop()
+        rows = spark.read.parquet(out_dir).collect()
+        return {(r["window_start"].hour, r["event_type"]): r["n_events"] for r in rows}
+
+    # run 1: 10:00 and 13:00 -> watermark 12:30; [10,11) finalized+emitted
+    write_file("a.json", [ev(1, 10), ev(2, 13)])
+    out1 = run()
+    assert out1 == {(10, "click"): 1}
+
+    # run 2: a 10:30 event is behind the checkpointed watermark -> dropped;
+    # 15:00 advances the watermark so [13,14) finalizes with n=1 only
+    write_file("b.json", [ev(3, 10, 30), ev(4, 15)])
+    out2 = run()
+    assert out2 == {(10, "click"): 1, (13, "click"): 1}
