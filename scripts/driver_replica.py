@@ -77,7 +77,7 @@ def diagnose(s: pd.DataFrame, d: pd.DataFrame) -> str:
     return "values equal as str — raw hash artifact"
 
 
-def main(sf_dir: str, only: list[str]) -> int:
+def main(sf_dir: str, only: list[str], include_all: bool = False) -> int:
     # A plain session, as the driver would make it — NOT our tuned builder.
     spark = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
@@ -92,9 +92,17 @@ def main(sf_dir: str, only: list[str]) -> int:
     print(f"[entry] rows={len(rows)} cols={df.columns} in {time.time()-t0:.1f}s")
     assert len(df.columns) > 0
 
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
-    print(f"[registry] {len(qs)} queries, {len(oracles)} with oracle")
+    if include_all:
+        from pyspark_mrdf_spark.queries import load_all
+
+        specs = load_all()
+        qs = {n: s.builder for n, s in specs.items()}
+        oracles = {n: s.oracle for n, s in specs.items() if s.oracle}
+        print(f"[registry] {len(qs)} queries incl. pytest-only, {len(oracles)} with oracle")
+    else:
+        qs = entry_mod.queries()
+        oracles = entry_mod.oracle_sql()
+        print(f"[registry] {len(qs)} driver-facing queries, {len(oracles)} with oracle")
 
     con = duck_con(sf_dir)
     failed = []
@@ -136,6 +144,8 @@ def main(sf_dir: str, only: list[str]) -> int:
 
 if __name__ == "__main__":
     argv = sys.argv[1:]
+    include_all = "--all" in argv
+    argv = [a for a in argv if a != "--all"]
     sf = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.01"
     only = [a for a in argv if not os.path.isdir(a)]
-    sys.exit(main(sf, only))
+    sys.exit(main(sf, only, include_all))
