@@ -137,6 +137,44 @@ def decode_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.select("doc_id", payload_col).mapInPandas(_decode, FEATURE_SCHEMA)
 
 
+def embed_payloads(df: DataFrame, dim: int = 64, payload_col: str = "payload") -> DataFrame:
+    """Multimodal → vector bridge: (doc_id, embedding array<float>) —
+    the shape of batch model inference in a training-data pipeline.
+
+    The "model" is a deterministic fake (L2-normalized ``dim``-bucket
+    byte histogram of the real payload), standing in for an ONNX/torch
+    encoder exactly like ``decode_features`` stands in for a codec:
+    identical Spark plumbing (Arrow batches in, fixed-width float
+    vectors out, no shuffle, scales with input partitions), so the
+    output feeds ``knn_search`` / ``ann_ivf`` / ``embedding_near_dups``
+    unchanged. Identical payloads ⇒ identical embeddings — near-dup
+    laws hold end-to-end (tested)."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("embedding", ArrayType(FloatType(), False), False),
+        ]
+    )
+
+    def _embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for payload in pdf[payload_col]:
+                b = np.frombuffer(payload, dtype=np.uint8)
+                h = np.bincount(b % dim, minlength=dim).astype(np.float64) if b.size else np.zeros(dim)
+                n = np.linalg.norm(h)
+                out.append((h / n if n else h).astype(np.float32))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "embedding": out}
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(_embed, schema)
+
+
 def frame_sample(
     df: DataFrame,
     frame_bytes: int = FRAME_BYTES,

@@ -70,3 +70,26 @@ def test_frame_binary_is_decodable_downstream(spark, docs):
 def test_decode_image_is_stubbed():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n")
+
+
+def test_embed_payloads_feeds_vector_ops(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.io import load_table
+    from pyspark_mrdf_spark.operators.dedup import embedding_near_dups
+    from pyspark_mrdf_spark.operators.multimodal import attach_payloads, embed_payloads
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    mm = attach_payloads(docs)
+    # plant an exact duplicate payload under a fresh id
+    dup = mm.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "modality", "payload", "meta"
+    )
+    emb = embed_payloads(mm.unionByName(dup), dim=32)
+    row = emb.filter("doc_id = 0").collect()[0]
+    assert len(row["embedding"]) == 32
+    # identical payloads -> identical embeddings -> cosine 1.0 pair found
+    pairs = embedding_near_dups(
+        emb, threshold=0.999999, id_col="doc_id", vec_col="embedding", n_blocks=4
+    ).collect()
+    assert any(r["src"] == 0 and r["dst"] == 100000 for r in pairs)
