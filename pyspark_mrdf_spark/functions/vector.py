@@ -108,9 +108,32 @@ def l2_topk_candidates(
     c = min(kk + (max(16, kk) if pad is None else pad), n)
     qq = np.einsum("ij,ij->i", q, q)
     xx = np.einsum("ij,ij->i", x, x)
-    g = qq[:, None] + xx[None, :] - 2.0 * (q @ x.T)
+    # in-place expansion: the naive qq+xx-2qx spends more time allocating
+    # three (m,n) temporaries than the gemm itself at 4096² (2.6s → 0.7s)
+    g = q @ x.T
+    g *= -2.0
+    g += qq[:, None]
+    g += xx[None, :]
     if c < n:
+        # Fast selection with a tie-safe patch. Two failure modes of a
+        # plain argpartition boundary (both found by the duplicate-heavy
+        # property test): (a) > c exact duplicates give bitwise-equal g
+        # across the boundary and partition keeps an arbitrary tied
+        # subset; (b) distinct vectors at exactly equal TRUE distance
+        # differ in g by ~1 ulp, so the wrong one can fall outside. Flag
+        # any row where an excluded g lies within the gemm error margin
+        # of the included max, and redo JUST those rows with the exact
+        # cancellation-free distances over all n columns (stable ⇒ ties
+        # keep column order = id order). Normal data never flags; a full
+        # stable argsort everywhere would cost ~25× the partition.
         cand = np.argpartition(g, c - 1, axis=1)[:, :c]
+        t = np.take_along_axis(g, cand, axis=1).max(axis=1)
+        margin = 256.0 * np.finfo(np.float64).eps * (qq + float(xx.max()) + 1.0)
+        tied = np.flatnonzero((g <= (t + margin)[:, None]).sum(axis=1) > c)
+        for i in tied:
+            diff_row = q[i] - x
+            d_exact = np.einsum("ij,ij->i", diff_row, diff_row)
+            cand[i] = np.argsort(d_exact, kind="stable")[:c]
     else:
         cand = np.broadcast_to(np.arange(n), (q.shape[0], n)).copy()
     # exact recompute of candidates only: (m, c, d) intermediate, c small

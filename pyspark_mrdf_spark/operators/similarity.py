@@ -58,6 +58,11 @@ def _block_topk(
     previous per-row lexsort loop cost ~1.8 s per 500-vector group;
     this is ~20 ms."""
     kk = k if include_self else k + 1
+    # corpus columns ordered by id so stable candidate selection keeps
+    # the LOWEST ids among exact-duplicate ties (see l2_topk_candidates)
+    c_order = np.argsort(c_ids, kind="stable")
+    c_ids = c_ids[c_order]
+    c_mat = c_mat[c_order]
     cand, d2 = l2_topk_candidates(q_mat, c_mat, kk)
     dst_ids = c_ids[cand]
     if not include_self:

@@ -94,3 +94,33 @@ def test_topk_merge_idempotent_commutative():
     half1 = {kv: w for kv, w in edges.items() if kv[1] < 10}
     half2 = {kv: w for kv, w in edges.items() if kv[1] >= 10}
     assert merge(10, half1, half2) == merge(10, half2, half1) == g1
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(10, 80).flatmap(
+        lambda n: st.tuples(
+            arrays(np.float64, (n, 8), elements=st.floats(-1e3, 1e3, width=64)),
+            st.integers(1, 9),
+            st.integers(0, 5),  # how many rows to duplicate (distance ties)
+        )
+    )
+)
+def test_l2_topk_candidates_contains_true_topk(args):
+    """The gemm prefilter may only NOMINATE; membership of the true
+    exact top-k in the candidate set is the correctness contract."""
+    from pyspark_mrdf_spark.functions.vector import l2_topk_candidates
+
+    x, k, n_dup = args
+    n = len(x)
+    for i in range(min(n_dup, n - 1)):
+        x[i + 1] = x[0]  # exact duplicates -> zero distances, worst case for gemm
+    cand, d2 = l2_topk_candidates(x, x, k)
+    exact = pairwise_l2_sq(x, x)
+    for i in range(n):
+        true_top = set(np.argsort(exact[i], kind="stable")[:k].tolist())
+        got = set(cand[i].tolist())
+        assert true_top <= got, f"row {i}: missing {true_top - got}"
+        # candidate distances are the EXACT ones, not the gemm estimates
+        for pos, j in enumerate(cand[i].tolist()):
+            assert d2[i, pos] == exact[i, j]
