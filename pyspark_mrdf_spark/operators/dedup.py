@@ -430,6 +430,66 @@ def simhash_band_candidates(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of an undirected pair graph →
+    (doc_id, cluster_id) with cluster_id = MIN node id in the
+    component. The step that turns near-dup PAIRS into dedup GROUPS
+    (pairs alone over-count: {A,B},{B,C} is one group of three).
+
+    Min-label propagation: every node repeatedly adopts the smallest
+    label among itself and its neighbors — one join + one groupBy·min
+    per round, converging in O(component diameter) rounds. Near-dup
+    graphs are piles of small dense cliques (diameter ≤ ~3), so 3-4
+    rounds settle everything; the driver sees one changed-count scalar
+    per round and ``localCheckpoint`` truncates lineage, exactly the
+    MRDF iteration discipline. For adversarial long-chain graphs use
+    the large-star/small-star alternation (same primitives, fewer
+    rounds); the stopping rule here is exact either way."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["u"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
 def dedup_against(
     new_docs: DataFrame,
     corpus: DataFrame,

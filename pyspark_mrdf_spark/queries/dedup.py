@@ -192,6 +192,65 @@ def q45_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAIRS_CTE = f"""
+post AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM post GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.1),
+und AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+  SELECT DISTINCT u, u FROM und
+  UNION SELECT r.src, e.v FROM reach r JOIN und e ON r.dst = e.u),
+cc AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+"""
+
+
+@register(
+    "q72_dup_clusters",
+    driver=False,  # pytest-only: driver surface is at the 50-verdict cap
+    oracle=f"""
+WITH RECURSIVE {_PAIRS_CTE}
+SELECT doc_id, cluster_id FROM cc
+""",
+    description="near-dup pairs -> duplicate CLUSTERS: connected components via min-label propagation (one join+min per round, O(diameter) rounds) vs a DuckDB recursive-CTE closure oracle",
+    tags=("dedup", "graph", "iteration"),
+)
+def q72_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, n=3).filter(F.col("jaccard") >= 0.1)
+    return D.connected_components(pairs)
+
+
+@register(
+    "q73_canonical_corpus",
+    driver=False,  # pytest-only: driver surface is at the 50-verdict cap
+    oracle=f"""
+WITH RECURSIVE {_PAIRS_CTE}
+SELECT d.doc_id FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+WHERE cc.doc_id IS NULL OR cc.cluster_id = d.doc_id
+""",
+    description="canonical corpus after near-dup clustering: keep each cluster's lowest-id member plus all unpaired docs — the dedup pipeline's final SELECT",
+    tags=("dedup", "graph"),
+)
+def q73_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(d, n=3).filter(F.col("jaccard") >= 0.1)
+    cc = D.connected_components(pairs)
+    return (
+        d.join(cc, "doc_id", "left")
+        .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .select("doc_id")
+    )
+
+
 @register(
     "q46_embedding_near_dups",
     oracle="""

@@ -52,3 +52,15 @@ def test_lsh_tier_subset_of_exact_with_recall(spark, emb):
         assert exact[k] == v
     # the cos>=0.35 planted pairs mostly collide under 4 planes
     assert len(approx) >= 0.5 * len(exact)
+
+
+def test_connected_components_chain_and_clique(spark):
+    from pyspark_mrdf_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3), clique {10,11,12}, pair {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (11, 12), (21, 20)],
+        ["doc_a", "doc_b"],
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
