@@ -71,6 +71,66 @@ MIXTURE_RATES = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "it": 0.25}
 _DEFAULT_RATE = 0.1
 
 
+KMV_K = 16  # small: the synthetic corpus has ~31 distinct tokens per lang
+
+
+@register(
+    "q74_kmv_distinct_sketch",
+    driver=False,  # pytest-only: driver surface is at the 50-verdict cap
+    oracle=f"""
+WITH h AS (
+  SELECT DISTINCT lang, md5(tok) AS hash FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)),
+ranked AS (
+  SELECT lang, hash,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hash) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n_exact
+  FROM h)
+SELECT lang,
+       CAST(round(({KMV_K} - 1) /
+            (CAST(concat('0x', substr(hash, 1, 8)) AS BIGINT) / 4294967296.0), 0) AS BIGINT)
+         AS est_distinct,
+       n_exact AS true_distinct
+FROM ranked WHERE rn = {KMV_K}
+""",
+    description=f"KMV (k-minimum-values) distinct-count sketch, k={KMV_K}: portable md5 hash order makes the ESTIMATE itself bit-identical across engines — a sketch with an exact oracle (HLLs never match cross-engine); true_distinct alongside shows the error",
+    tags=("pipeline", "sketch", "agg"),
+)
+def q74_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct tokens per language via the KMV estimator: keep each
+    partition's K smallest distinct hash values; if the K-th smallest
+    is at fraction f of the hash space, distinct ≈ (K-1)/f.
+
+    The sketch state is K 16-byte hashes per group — mergeable
+    (union + re-take K smallest ⇒ works map-side and across shards)
+    and tiny regardless of corpus size, the property that matters at
+    100 TB where exact COUNT(DISTINCT) shuffles every value. md5 makes
+    the estimate reproducible across engines, which no engine-native
+    HLL can offer."""
+    d = load_table(spark, sf_dir, "documents")
+    h = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .select("lang", F.md5("tok").alias("hash"))
+        .distinct()
+    )
+    w = Window.partitionBy("lang").orderBy("hash")
+    wn = Window.partitionBy("lang")
+    ranked = h.select(
+        "lang",
+        "hash",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("true_distinct"),
+    ).filter(F.col("rn") == KMV_K)
+    frac = (
+        F.conv(F.substring("hash", 1, 8), 16, 10).cast("bigint") / F.lit(4294967296.0)
+    )
+    return ranked.select(
+        "lang",
+        F.round((KMV_K - 1) / frac, 0).cast("bigint").alias("est_distinct"),
+        "true_distinct",
+    )
+
+
 @register(
     "q71_mixture_sample",
     driver=False,  # pytest-only: driver surface is at the 50-verdict cap
