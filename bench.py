@@ -38,9 +38,13 @@ def main() -> None:
 
     # Warmup: pay one-time JVM/codegen/Python-worker startup before the
     # first timed query so per-query numbers measure the engine, not
-    # session initialization.
+    # session initialization — including the first parquet-reader spin-up
+    # on the largest fact table (q01 otherwise absorbs it).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).selectExpr(
+        "sum(l_partkey)"
+    ).collect()
 
     timings: dict[str, float] = {}
     total = 0.0
