@@ -215,7 +215,6 @@ cc AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)
 
 @register(
     "q72_dup_clusters",
-    driver=False,  # pytest-only: driver surface is at the 50-verdict cap
     oracle=f"""
 WITH RECURSIVE {_PAIRS_CTE}
 SELECT doc_id, cluster_id FROM cc

@@ -226,6 +226,7 @@ def q07_semi_join_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q08_anti_join_parts",
+    driver=False,  # pytest-only: 0-row result is weak driver evidence; anti-join also proven by dedup_against/upsert tests. Slot given to q72 clustering.
     oracle="""
 SELECT p_partkey, p_name FROM part
 WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
