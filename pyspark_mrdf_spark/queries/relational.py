@@ -767,3 +767,30 @@ def q68_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("hi_types").cast("bigint").alias("n_hi"),
         F.size("all_types").cast("bigint").alias("n_all"),
     )
+
+
+@register(
+    "q75_unpivot_lineitem",
+    driver=False,  # pytest-only: driver surface is at the 50-verdict cap
+    oracle="""
+SELECT l_orderkey, l_linenumber, metric,
+       CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value
+FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem)
+WHERE l_orderkey <= 64
+""",
+    description="UNPIVOT/melt (wide metrics -> long rows): Catalyst Expand, the inverse of q26's pivot",
+    tags=("reshape", "unpivot"),
+)
+def q75_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 64)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "value",
+    ).withColumn("value", F.col("value").cast(DEC).cast("double"))
