@@ -468,23 +468,21 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # carry the old label through so the convergence count is a
+        # filter on the SAME checkpointed frame — no extra join pass
+        stepped = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["u"], "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("label") != F.col("old_label")).count()
+        labels = stepped.select("node", "label")
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
