@@ -1,0 +1,107 @@
+"""End-to-end training-data pipeline on this engine — every stage is a
+library operator that also has an oracle-checked query; this script
+chains them the way a production corpus build would, printing one JSON
+line of stage-by-stage counts.
+
+    ingest (parquet scan)
+      → quality filter           (functions.text scoring, q32 semantics)
+      → exact dedup              (operators.dedup.dedup_against / exact_duplicates, q40)
+      → near-dup pairs           (jaccard_pairs + max_df stoplist, q41)
+      → duplicate clusters       (connected_components, q72)
+      → canonical selection      (cluster-min + unpaired, q73)
+      → mixture sampling         (md5-uniform per-language rates, q71)
+      → token-budget shard packing (windowed cumsum per source, q70)
+      → shard write              (partitioned parquet sink)
+
+Usage: python scripts/pipeline_demo.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pyspark_mrdf_spark.functions import text as T
+from pyspark_mrdf_spark.io import load_table, write_partitioned
+from pyspark_mrdf_spark.operators import dedup as D
+from pyspark_mrdf_spark.queries.pipeline import MIXTURE_RATES, SHARD_TOKEN_BUDGET, _DEFAULT_RATE
+from pyspark_mrdf_spark.session import get_spark
+
+
+def main(sf_dir: str, out_dir: str) -> None:
+    spark = get_spark(app_name="pipeline-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    stages: dict[str, int] = {}
+
+    docs = load_table(spark, sf_dir, "documents")
+    stages["ingested"] = docs.count()
+
+    # quality filter: enough tokens and at least one stopword hit
+    nt = T.n_tokens("text")
+    quality = docs.filter((nt >= 20) & (T.stopword_hits("text") > 0)).localCheckpoint()
+    stages["quality_pass"] = quality.count()
+
+    # exact dedup: lowest id per fingerprint survives
+    keep = quality.groupBy(F.md5("text").alias("fp")).agg(F.min("doc_id").alias("doc_id"))
+    exact = quality.join(keep.select("doc_id"), "doc_id").localCheckpoint()
+    stages["after_exact_dedup"] = exact.count()
+
+    # near-dup pairs -> clusters -> canonical member per cluster
+    pairs = D.jaccard_pairs(exact, n=3, max_df=1000).filter(F.col("jaccard") >= 0.1)
+    clusters = D.connected_components(pairs)
+    stages["near_dup_clusters"] = clusters.select("cluster_id").distinct().count()
+    canonical = (
+        exact.join(clusters, "doc_id", "left")
+        .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+        .drop("cluster_id")
+        .localCheckpoint()
+    )
+    stages["canonical"] = canonical.count()
+
+    # deterministic mixture sampling (portable md5 uniform)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    rate = F.lit(_DEFAULT_RATE)
+    for lang, r in MIXTURE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    mixed = canonical.filter(u < rate)
+    stages["mixture_sampled"] = mixed.count()
+
+    # token-budget shard packing per source, then partitioned write
+    tok = T.n_tokens("text").cast("bigint")
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = mixed.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        F.floor((F.sum(tok).over(w) - tok) / F.lit(float(SHARD_TOKEN_BUDGET)))
+        .cast("bigint")
+        .alias("shard_id"),
+    )
+    write_partitioned(packed, out_dir, ["source", "shard_id"])
+    stages["shards_written"] = (
+        spark.read.parquet(out_dir).select("source", "shard_id").distinct().count()
+    )
+    stages["rows_written"] = spark.read.parquet(out_dir).count()
+
+    print(json.dumps({"metric": "pipeline_demo", "sf_dir": sf_dir, "stages": stages,
+                      "seconds": round(time.time() - t0, 1)}))
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else os.path.join(tempfile.gettempdir(), "pipeline_demo_out")
+    main(sf, out)

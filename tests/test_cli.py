@@ -40,3 +40,20 @@ def test_cli_workflow(tmp_path):
     assert r3.returncode == 0
     recall = float(r3.stdout.split("Recall:")[1].strip())
     assert recall >= 0.8
+
+
+def test_pipeline_demo_end_to_end(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "scripts/pipeline_demo.py", "/root/testdata/sf0.001", str(tmp_path / "out")],
+        capture_output=True, text=True, timeout=600, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    s = rec["stages"]
+    # monotone pipeline: each stage keeps a subset
+    assert s["ingested"] >= s["quality_pass"] >= s["after_exact_dedup"] >= s["canonical"] >= s["mixture_sampled"] == s["rows_written"]
+    assert s["rows_written"] > 0 and s["shards_written"] > 0
