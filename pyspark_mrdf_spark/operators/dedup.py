@@ -430,6 +430,70 @@ def simhash_band_candidates(
     )
 
 
+def near_dedup_against(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental NEAR-dup dedup: rows of ``new_docs`` with no corpus
+    document of n-gram Jaccard ≥ ``threshold`` — the daily-ingest shape
+    for fuzzy dedup (``dedup_against`` is the exact-match sibling).
+
+    MinHash-LSH candidates first (equi-join of batch vs corpus band
+    buckets — in production the corpus buckets are precomputed and
+    stored, so each ingest touches signatures, never the corpus text),
+    then exact Jaccard verify on candidate pairs only via the posting
+    lists of JUST the candidate documents. No all-pairs work anywhere;
+    false negatives are the standard LSH banding ones (a ≥ threshold
+    pair missing every band)."""
+    c_sig = minhash_signatures(corpus, num_hashes, n, id_col, text_col)
+    b_sig = minhash_signatures(new_docs, num_hashes, n, id_col, text_col)
+    c_buckets = lsh_band_buckets(c_sig, bands, rows_per_band, id_col).select(
+        F.col(id_col).alias("c_id"), "band", "bucket"
+    )
+    b_buckets = lsh_band_buckets(b_sig, bands, rows_per_band, id_col).select(
+        F.col(id_col).alias("b_id"), "band", "bucket"
+    )
+    cand = (
+        b_buckets.join(c_buckets, ["band", "bucket"]).select("b_id", "c_id").distinct()
+    )
+    # exact verify on candidates only: posting lists restricted to the
+    # candidate documents by semi-join
+    b_post = shingle_table(new_docs, n, id_col, text_col).join(
+        cand.select(F.col("b_id").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    c_post = shingle_table(corpus, n, id_col, text_col).join(
+        cand.select(F.col("c_id").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    b_sz = b_post.groupBy(id_col).agg(F.count(F.lit(1)).alias("b_sz"))
+    c_sz = c_post.groupBy(id_col).agg(F.count(F.lit(1)).alias("c_sz"))
+    inter = (
+        b_post.select(F.col(id_col).alias("b_id"), "shingle")
+        .join(c_post.select(F.col(id_col).alias("c_id"), "shingle"), "shingle")
+        .join(cand, ["b_id", "c_id"], "left_semi")
+        .groupBy("b_id", "c_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    dup_ids = (
+        inter.join(b_sz.select(F.col(id_col).alias("b_id"), "b_sz"), "b_id")
+        .join(c_sz.select(F.col(id_col).alias("c_id"), "c_sz"), "c_id")
+        .filter(
+            F.col("inter").cast("double")
+            / (F.col("b_sz") + F.col("c_sz") - F.col("inter"))
+            >= threshold
+        )
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(dup_ids, id_col, "left_anti")
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

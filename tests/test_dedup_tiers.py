@@ -64,3 +64,25 @@ def test_connected_components_chain_and_clique(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_near_dedup_against_drops_fuzzy_dups(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.io import load_table
+    from pyspark_mrdf_spark.operators.dedup import jaccard_pairs, near_dedup_against
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # batch: copies of corpus docs (jaccard 1.0 with their source, new ids)
+    # plus genuinely novel docs
+    copies = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    novel = spark.createDataFrame(
+        [(600000 + i, f"zxq{i} wvu{i} tsr{i} qpo{i} nml{i} kji{i}") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    batch = copies.unionByName(novel)
+    kept = near_dedup_against(batch, docs, threshold=0.5)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert kept_ids == {600000 + i for i in range(5)}  # copies dropped, novel kept
