@@ -549,6 +549,14 @@ def connected_components(
         labels = stepped.select("node", "label")
         if changed == 0:
             break
+    else:
+        # partially-propagated labels are silently WRONG (one component
+        # reported as several); refuse rather than return them
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter or use "
+            "star-contraction for long-chain graphs"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

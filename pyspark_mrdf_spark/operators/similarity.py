@@ -473,22 +473,25 @@ def cosine_topk_by_group_blocked(
         q_mat = np.stack(qpdf["q_vec"].to_numpy()).astype(np.float64)
         c_ids = cpdf["c_id"].to_numpy(dtype=np.int64)
         c_mat = np.stack(cpdf["c_vec"].to_numpy()).astype(np.float64)
+        c_order = np.argsort(c_ids, kind="stable")
+        c_ids = c_ids[c_order]
+        c_mat = c_mat[c_order]
         qn = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
         cn = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat))
         cos = (q_mat @ c_mat.T) / np.outer(qn, cn)
+        # vectorized top-(k+1): full stable argsort on -cos over
+        # id-ordered columns ≡ per-row lexsort((ids, -cos)) — ties to
+        # the lower id — without the per-row Python loop
         kk = min(k + 1, len(c_ids))
-        rows: list[tuple[int, int, float]] = []
-        for i in range(len(q_ids)):
-            order = np.lexsort((c_ids, -cos[i]))[:kk]
-            cnt = 0
-            for j in order:
-                if c_ids[j] == q_ids[i]:
-                    continue
-                rows.append((int(q_ids[i]), int(c_ids[j]), float(cos[i, j])))
-                cnt += 1
-                if cnt == k:
-                    break
-        return pd.DataFrame(rows, columns=cols)
+        sel = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+        dst = c_ids[sel]
+        cval = np.take_along_axis(cos, sel, axis=1)
+        not_self = dst != q_ids[:, None]
+        keep = not_self & (np.cumsum(not_self, axis=1) <= k)
+        src = np.repeat(q_ids, kk).reshape(len(q_ids), kk)
+        return pd.DataFrame(
+            {"src": src[keep], "dst": dst[keep], "cos": cval[keep]}
+        )
 
     cand = (
         q.groupby("g", "block")
@@ -566,22 +569,31 @@ def lsh_hyperplane_tables(
     8 tables keep ~70%, and ~99.9% of the high-cos pairs dedup cares
     about). Plane sets are disjoint slices of the ``n_tables·n_planes``
     lowest-id vectors — deterministic across engines, like the IVF
-    quantizer. One matmul per Arrow batch computes ALL tables' bits."""
+    quantizer. One matmul per Arrow batch computes ALL tables' bits.
+
+    Unlike the single-table ``lsh_hyperplane_buckets`` (whose raw-dot
+    form is pinned by the q58 SQL oracle), hyperplanes here pass
+    through the plane-sample CENTROID: for non-negative data (e.g.
+    ``embed_payloads`` histograms) every raw dot is ≥ 0, so all sign
+    bits collapse into one bucket and candidate generation degenerates
+    to all-pairs — centering restores balanced bits for any sign
+    pattern."""
     spark = df.sparkSession
     need = n_planes * n_tables
     rows = df.orderBy(id_col).limit(need).select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     planes = np.stack([np.asarray(r[1]) for r in rows]).astype(np.float64)
     planes = planes[np.argsort(ids)]
-    bp = spark.sparkContext.broadcast(planes)
+    center = planes.mean(axis=0)
+    bp = spark.sparkContext.broadcast((planes, center))
     weights = (2 ** np.arange(n_planes)).astype(np.int64)
 
     def _buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        p = bp.value
+        p, ctr = bp.value
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            v = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) - ctr
             bits = (np.rint((v @ p.T) * 1e6) >= 0).astype(np.int64)  # (n, L·k)
             ids_b = pdf[id_col].to_numpy(dtype=np.int64)
             out = {"id": np.repeat(ids_b, n_tables)}

@@ -15,7 +15,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-SALTED_JOIN_HOWS = frozenset({"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"})
+SALTED_JOIN_HOWS = frozenset(
+    {
+        "inner",
+        "left",
+        "left_outer",
+        "leftouter",
+        "left_semi",
+        "leftsemi",
+        "semi",  # Spark alias for left_semi
+        "left_anti",
+        "leftanti",
+        "anti",  # Spark alias for left_anti
+    }
+)
 
 
 def salted_join(

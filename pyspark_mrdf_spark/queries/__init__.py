@@ -93,11 +93,16 @@ def load_all() -> dict[str, QuerySpec]:
 
 
 def driver_registry() -> dict[str, QuerySpec]:
-    """The capped driver-facing registry (first ``DRIVER_QUERY_CAP``
-    specs with ``driver=True``, in registration order)."""
+    """The capped driver-facing registry: every ``driver=True`` spec in
+    registration order. Exceeding ``DRIVER_QUERY_CAP`` raises (a plain
+    raise, not an assert — must fire under ``python -O`` too): the
+    driver records verdicts for at most that many queries, so overflow
+    must be an explicit ``driver=False`` decision, never silent
+    truncation of whatever registered last."""
     out = {n: s for n, s in load_all().items() if s.driver}
-    assert len(out) <= DRIVER_QUERY_CAP, (
-        f"{len(out)} driver-facing queries exceed the observed "
-        f"{DRIVER_QUERY_CAP}-verdict cap; mark overflow driver=False"
-    )
+    if len(out) > DRIVER_QUERY_CAP:
+        raise RuntimeError(
+            f"{len(out)} driver-facing queries exceed the observed "
+            f"{DRIVER_QUERY_CAP}-verdict cap; mark overflow driver=False"
+        )
     return out

@@ -15,7 +15,7 @@ both outputs are bit-exact across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_mrdf_spark.functions import text as T
@@ -25,6 +25,38 @@ from pyspark_mrdf_spark.queries import register
 SHARD_TOKEN_BUDGET = 512
 
 _N_TOK_SQL = "CAST(len(string_split(text, ' ')) AS BIGINT)"
+
+
+def shard_id_col(tok: Column, part_col: str = "source", order_col: str = "doc_id",
+                 budget: int = SHARD_TOKEN_BUDGET) -> Column:
+    """Token-budget shard id: the shard where the doc STARTS under a
+    per-``part_col`` running token count (shared by q70 and
+    scripts/pipeline_demo.py so the demo can't diverge)."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return F.floor((F.sum(tok).over(w) - tok) / F.lit(float(budget))).cast("bigint")
+
+
+def mixture_uniform_col(id_col: str = "doc_id") -> Column:
+    """Portable uniform in [0,1): first 8 md5 hex chars of the id —
+    identical on any engine, any partitioning (shared by q71 and the
+    pipeline demo)."""
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(4294967296.0)
+    )
+
+
+def mixture_rate_col(lang_col: str = "lang") -> Column:
+    """Per-language keep rate from MIXTURE_RATES (default rate else)."""
+    rate = F.lit(_DEFAULT_RATE)
+    for k, v in MIXTURE_RATES.items():
+        rate = F.when(F.col(lang_col) == k, F.lit(v)).otherwise(rate)
+    return rate
 
 
 @register(
@@ -51,17 +83,11 @@ def q70_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism."""
     d = load_table(spark, sf_dir, "documents")
     tok = T.n_tokens("text").cast("bigint")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    running = F.sum(tok).over(w)
     return d.select(
         "doc_id",
         "source",
         tok.alias("n_tok"),
-        F.floor((running - tok) / F.lit(float(SHARD_TOKEN_BUDGET))).cast("bigint").alias("shard_id"),
+        shard_id_col(tok).alias("shard_id"),
     )
 
 
@@ -155,12 +181,6 @@ def q71_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine, any partitioning, any day — the property a reproducible
     data pipeline needs and ``rand()`` cannot give."""
     d = load_table(spark, sf_dir, "documents")
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        / F.lit(4294967296.0)
+    return d.filter(mixture_uniform_col() < mixture_rate_col()).select(
+        "doc_id", "lang", "source"
     )
-    rate = F.lit(_DEFAULT_RATE)
-    for k, v in MIXTURE_RATES.items():
-        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
-    return d.filter(u < rate).select("doc_id", "lang", "source")

@@ -120,21 +120,34 @@ def _read_vecs(spark, path, np_dtype, schema, col, input_max):
     ]
     sizes.sort()
     if len(sizes) > 1:
-        offsets, acc = {}, 0
+        offsets, counts, acc = {}, {}, 0
         for p, length in sizes:
             offsets[p] = acc
             dim = _header_dim(spark, p)
-            acc += length // (4 + 4 * dim) if dim > 0 else 0
+            counts[p] = length // (4 + 4 * dim) if dim > 0 else 0
+            acc += counts[p]
     else:
         offsets = {sizes[0][0]: 0} if sizes else {}
+        counts = {}
 
-    b_off = spark.sparkContext.broadcast(offsets)
+    b_off = spark.sparkContext.broadcast((offsets, counts))
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, row in pdf.iterrows():
                 vecs = _decode(row["content"], np_dtype)
-                base = b_off.value.get(row["path"], 0)
+                offs, cnts = b_off.value
+                base = offs.get(row["path"], 0)
+                # header-arithmetic counts assume uniform well-formed
+                # records; a malformed shard would silently shift every
+                # later shard's global ids — fail loudly instead
+                expect = cnts.get(row["path"])
+                if expect is not None and len(vecs) != expect:
+                    raise ValueError(
+                        f"shard {row['path']}: decoded {len(vecs)} records, "
+                        f"header arithmetic expected {expect} — malformed or "
+                        "ragged-dim shard; global ids would misalign"
+                    )
                 if not vecs:
                     continue
                 yield pd.DataFrame(

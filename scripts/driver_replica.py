@@ -106,8 +106,13 @@ def main(sf_dir: str, only: list[str], include_all: bool = False) -> int:
 
     con = duck_con(sf_dir)
     failed = []
+    unknown = [n for n in only if n not in qs]
+    if unknown:
+        raise SystemExit(f"error: unknown query names {unknown} (registry has {len(qs)})")
     # registration order — the same order the driver walks (and dies) in
     names = [n for n in qs if not only or n in only]
+    if not names:
+        raise SystemExit("error: query filter matched nothing")
     for name in names:
         t0 = time.time()
         try:
@@ -146,6 +151,14 @@ if __name__ == "__main__":
     argv = sys.argv[1:]
     include_all = "--all" in argv
     argv = [a for a in argv if a != "--all"]
-    sf = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.01"
-    only = [a for a in argv if not os.path.isdir(a)]
+    # a path-looking arg MUST be a real directory — a typo'd sf_dir must
+    # not silently become a never-matching query filter (vacuous green)
+    paths = [a for a in argv if os.sep in a]
+    for p in paths:
+        if not os.path.isdir(p):
+            sys.exit(f"error: {p!r} is not a directory")
+    if len(paths) > 1:
+        sys.exit(f"error: multiple sf dirs given: {paths}")
+    sf = paths[0] if paths else "/root/testdata/sf0.01"
+    only = [a for a in argv if os.sep not in a]
     sys.exit(main(sf, only, include_all))

@@ -26,13 +26,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from pyspark_mrdf_spark.functions import text as T
 from pyspark_mrdf_spark.io import load_table, write_partitioned
 from pyspark_mrdf_spark.operators import dedup as D
-from pyspark_mrdf_spark.queries.pipeline import MIXTURE_RATES, SHARD_TOKEN_BUDGET, _DEFAULT_RATE
+from pyspark_mrdf_spark.queries.pipeline import (
+    mixture_rate_col,
+    mixture_uniform_col,
+    shard_id_col,
+)
 from pyspark_mrdf_spark.session import get_spark
 
 
@@ -67,29 +70,15 @@ def main(sf_dir: str, out_dir: str) -> None:
     )
     stages["canonical"] = canonical.count()
 
-    # deterministic mixture sampling (portable md5 uniform)
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        / F.lit(4294967296.0)
-    )
-    rate = F.lit(_DEFAULT_RATE)
-    for lang, r in MIXTURE_RATES.items():
-        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
-    mixed = canonical.filter(u < rate)
+    # deterministic mixture sampling (portable md5 uniform) — the SAME
+    # column expressions the oracle-checked q71 uses
+    mixed = canonical.filter(mixture_uniform_col() < mixture_rate_col())
     stages["mixture_sampled"] = mixed.count()
 
     # token-budget shard packing per source, then partitioned write
     tok = T.n_tokens("text").cast("bigint")
-    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
     packed = mixed.select(
-        "doc_id",
-        "source",
-        "lang",
-        "text",
-        F.floor((F.sum(tok).over(w) - tok) / F.lit(float(SHARD_TOKEN_BUDGET)))
-        .cast("bigint")
-        .alias("shard_id"),
+        "doc_id", "source", "lang", "text", shard_id_col(tok).alias("shard_id")
     )
     write_partitioned(packed, out_dir, ["source", "shard_id"])
     stages["shards_written"] = (

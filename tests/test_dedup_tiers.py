@@ -86,3 +86,22 @@ def test_near_dedup_against_drops_fuzzy_dups(spark, sf_dir):
     kept = near_dedup_against(batch, docs, threshold=0.5)
     kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert kept_ids == {600000 + i for i in range(5)}  # copies dropped, novel kept
+
+
+def test_lsh_tier_works_on_nonnegative_embeddings(spark, sf_dir):
+    """embed_payloads vectors are all-nonnegative; uncentered hyperplane
+    dots would put EVERY vector in one bucket per table (candidate join
+    degenerates to all-pairs). Centered planes must spread buckets."""
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.io import load_table
+    from pyspark_mrdf_spark.operators.multimodal import attach_payloads, embed_payloads
+    from pyspark_mrdf_spark.operators.similarity import lsh_hyperplane_tables
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    emb = embed_payloads(attach_payloads(docs), dim=32)
+    bk = lsh_hyperplane_tables(emb, n_planes=4, n_tables=2, id_col="doc_id")
+    per_table = (
+        bk.groupBy("table").agg(F.countDistinct("bucket").alias("n_buckets")).collect()
+    )
+    assert all(r["n_buckets"] >= 4 for r in per_table), per_table
