@@ -399,18 +399,20 @@ def cosine_topk_by_group(
     transfers per group); grouping first ships each vector ONCE and
     computes the all-pairs block as one BLAS matmul per group
     (applyInPandas — bound group size like MRDF's α if groups can be
-    huge). Cosine = S_ij/√(S_ii·S_jj) with S = M·Mᵀ — the exact
-    per-pair formula the SQL oracle uses."""
+    huge). Ranking uses the repo-wide fixed-point discipline: cosines
+    round to 1e-6 BEFORE ordering (ties → lower id), and the SQL
+    oracle orders identically — a last-ulp float difference between
+    engines (or kernels) cannot flip a rank."""
 
     def _topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy(dtype=np.int64)
         mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         s = mat @ mat.T
         norms = np.sqrt(np.diag(s))
-        cos = s / np.outer(norms, norms)
+        cos_e6 = np.rint((s / np.outer(norms, norms)) * 1e6).astype(np.int64)
         rows: list[tuple[int, int, int]] = []
         for i in range(len(ids)):
-            order = np.lexsort((ids, -cos[i]))
+            order = np.lexsort((ids, -cos_e6[i]))
             rnk = 0
             for j in order:
                 if ids[j] == ids[i]:
@@ -478,14 +480,15 @@ def cosine_topk_by_group_blocked(
         c_mat = c_mat[c_order]
         qn = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
         cn = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat))
-        cos = (q_mat @ c_mat.T) / np.outer(qn, cn)
-        # vectorized top-(k+1): full stable argsort on -cos over
-        # id-ordered columns ≡ per-row lexsort((ids, -cos)) — ties to
-        # the lower id — without the per-row Python loop
+        cos_e6 = np.rint(((q_mat @ c_mat.T) / np.outer(qn, cn)) * 1e6).astype(np.int64)
+        # vectorized top-(k+1): full stable argsort on -cos_e6 over
+        # id-ordered columns ≡ per-row lexsort((ids, -cos_e6)) — ties
+        # to the lower id — without the per-row Python loop. Fixed-point
+        # BEFORE ordering: rank-safe across kernels and engines.
         kk = min(k + 1, len(c_ids))
-        sel = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+        sel = np.argsort(-cos_e6, axis=1, kind="stable")[:, :kk]
         dst = c_ids[sel]
-        cval = np.take_along_axis(cos, sel, axis=1)
+        cval = np.take_along_axis(cos_e6, sel, axis=1)
         not_self = dst != q_ids[:, None]
         keep = not_self & (np.cumsum(not_self, axis=1) <= k)
         src = np.repeat(q_ids, kk).reshape(len(q_ids), kk)

@@ -4,8 +4,10 @@
 Oracle-checked outputs are id/rank-only: distance VALUES are float and
 engine summation order may differ in the last ulp, but the induced
 ORDERING is stable for non-degenerate data, and ranks/ids are exact.
-The one float output (q52 norms) goes through exact DECIMAL unnest
-summation on both sides.
+q53 goes further — both sides rank on the 1e-6 fixed-point cosine, so
+even a degenerate near-tie cannot flip a rank. The one float output
+(q52 norms) goes through exact DECIMAL unnest summation on both
+sides.
 """
 
 from __future__ import annotations
@@ -113,9 +115,11 @@ def q52_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT src, dst, rnk FROM (
   SELECT a.vec_id AS src, b.vec_id AS dst,
          ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
-           list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-           / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-              * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) DESC,
+           CAST(round(
+             list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+             * 1000000, 0) AS BIGINT) DESC,
            b.vec_id) AS rnk
   FROM embeddings a JOIN embeddings b
     ON a.label = b.label AND a.vec_id <> b.vec_id)
