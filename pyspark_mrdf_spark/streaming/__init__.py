@@ -16,6 +16,7 @@ from pyspark_mrdf_spark.streaming.windows import (
 )
 from pyspark_mrdf_spark.streaming.stateful import dedup_stream, running_user_totals
 from pyspark_mrdf_spark.streaming.joins import purchases_with_recent_clicks
+from pyspark_mrdf_spark.streaming.sinks import upsert_stream_to_parquet
 
 __all__ = [
     "hourly_counts",
@@ -25,5 +26,6 @@ __all__ = [
     "run_available_now",
     "running_user_totals",
     "purchases_with_recent_clicks",
+    "upsert_stream_to_parquet",
     "dedup_stream",
 ]

@@ -233,3 +233,24 @@ def test_watermark_drops_late_events(spark, tmp_path_factory):
     write_file("b.json", [ev(3, 10, 30), ev(4, 15)])
     out2 = run()
     assert out2 == {(10, "click"): 1, (13, "click"): 1}
+
+
+def test_upsert_stream_sink_matches_batch(spark, sf_dir, events_json_dir, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.streaming.sinks import upsert_stream_to_parquet
+
+    stream = stream_events_from_json(spark, events_json_dir)
+    agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    base = str(tmp_path_factory.mktemp("upsert_base"))
+    ckpt = str(tmp_path_factory.mktemp("upsert_ckpt"))
+    q = upsert_stream_to_parquet(agg, "user_id", base, ckpt)
+    q.awaitTermination(180)
+    q.stop()
+    got = {r["user_id"]: r["n_events"] for r in spark.read.parquet(base).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: r["n_events"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events")).collect()
+    }
+    assert got == want
