@@ -118,6 +118,31 @@ def test_nndescent_recall_clusters():
         assert all(d // 60 == blob for d in ds)
 
 
+def test_nndescent_iterative_rounds_recall(monkeypatch):
+    # n=180 is below the exact cutoffs, so force the ITERATIVE
+    # NN-Descent rounds (the only path the cutoffs leave untested —
+    # it's what runs for reference-parity huge-alpha leaves)
+    import pyspark_mrdf_spark.algorithms.nndescent as nd
+
+    monkeypatch.setattr(nd, "EXACT_BLOCK_MAX", 0)
+    monkeypatch.setattr(nd, "TILED_EXACT_MAX", 0)
+    rng = np.random.default_rng(5)
+    blobs = [rng.normal(loc=c, scale=0.1, size=(60, 8)) for c in (0.0, 5.0, 10.0)]
+    mat = np.concatenate(blobs)
+    ids = np.arange(len(mat), dtype=np.int64)
+    approx = nn_descent(ids, mat, 5, rng=np.random.default_rng(3))
+    exact = _exact_block(ids, mat, 5)
+    ex: dict[int, set] = {}
+    for s, d, _ in exact:
+        ex.setdefault(s, set()).add(d)
+    ap: dict[int, set] = {}
+    for s, d, _ in approx:
+        ap.setdefault(s, set()).add(d)
+    hits = sum(len(ex[s] & ap.get(s, set())) for s in ex)
+    total = sum(len(v) for v in ex.values())
+    assert hits / total >= 0.9
+
+
 def test_mrdf_deep_division_recall(spark, emb, g_exact):
     # α=120 at n=500 forces ≥2 division rounds (500 → ~3×167 → ~9×56):
     # exercises multi-level tree-path extension, per-path centroid
