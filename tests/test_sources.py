@@ -123,3 +123,28 @@ def test_ivecs_datasource(spark, tmp):
     assert rows[0]["components"] == list(range(5)) or sorted(
         r["vec_id"] for r in rows
     ) == list(range(6))
+
+
+def test_orc_roundtrip_events(spark, sf_dir, tmp_path):
+    # ORC sink/scan with timestamp fidelity (the non-parquet columnar path)
+    from pyspark_mrdf_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    p = str(tmp_path / "events_orc")
+    ev.write.mode("overwrite").orc(p)
+    back = spark.read.orc(p)
+    assert back.schema == ev.schema
+    a = sorted(map(tuple, ev.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_csv_roundtrip_nation(spark, sf_dir, tmp_path):
+    # CSV sink/scan with explicit schema (no inference in pipelines)
+    from pyspark_mrdf_spark.io import load_table
+
+    n = load_table(spark, sf_dir, "nation")
+    p = str(tmp_path / "nation_csv")
+    n.write.mode("overwrite").option("header", True).csv(p)
+    back = spark.read.schema(n.schema).option("header", True).csv(p)
+    assert sorted(map(tuple, n.collect())) == sorted(map(tuple, back.collect()))
