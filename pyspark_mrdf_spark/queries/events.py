@@ -307,3 +307,30 @@ def q66_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("bigint").alias("sum_k"),
         F.count(F.when(F.col("k") > 50, 1)).cast("bigint").alias("n_high"),
     )
+
+
+@register(
+    "q76_salted_hot_user_join",
+    driver=False,  # pytest-only: driver surface is at the 50-verdict cap
+    oracle="""
+SELECT e.user_id, u.n_total,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events e
+JOIN (SELECT user_id, COUNT(*) AS n_total FROM events GROUP BY user_id) u
+  ON e.user_id = u.user_id
+GROUP BY e.user_id, u.n_total
+""",
+    description="skew-safe equi-join: the fact side is salted across shuffle sub-keys before joining the per-user dim (operators/skew.salted_join) — result provably equals the plain join",
+    tags=("join", "skew", "events"),
+)
+def q76_salted_hot_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_total"))
+    joined = salted_join(ev.select("user_id", "value"), dim, "user_id", n_salts=8)
+    return joined.groupBy("user_id", "n_total").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC6)).cast("double").alias("total_value"),
+    )
