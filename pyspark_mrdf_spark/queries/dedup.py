@@ -266,3 +266,42 @@ WHERE cos_e6 >= 350000
 def q46_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return D.embedding_near_dups(emb, threshold=0.35)
+
+
+@register(
+    "q77_incremental_dedup",
+    driver=False,  # pytest-only: driver surface is at the 50-verdict cap
+    oracle="""
+WITH batch AS (
+  SELECT doc_id + 200000 AS doc_id,
+         CASE WHEN doc_id < 50 THEN text ELSE text || ' novelsuffix' END AS text
+  FROM documents WHERE doc_id < 100
+  UNION ALL
+  SELECT 300000 AS doc_id, text || ' novelsuffix' FROM documents WHERE doc_id = 60),
+corpus_fp AS (SELECT DISTINCT md5(text) AS fp FROM documents),
+in_batch_first AS (
+  SELECT md5(text) AS fp, MIN(doc_id) AS doc_id FROM batch GROUP BY md5(text))
+SELECT b.doc_id
+FROM batch b
+JOIN in_batch_first f ON b.doc_id = f.doc_id AND md5(b.text) = f.fp
+LEFT JOIN corpus_fp c ON md5(b.text) = c.fp
+WHERE c.fp IS NULL
+""",
+    description="incremental exact dedup (operators/dedup.dedup_against): daily batch vs corpus fingerprints — corpus-known texts dropped, in-batch dups keep lowest id, novel docs survive",
+    tags=("dedup", "incremental"),
+)
+def q77_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.when(F.col("doc_id") < 50, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" novelsuffix")))
+        .alias("text"),
+    )
+    # an in-batch duplicate of doc 60's novel text under a higher id:
+    # lowest id must win
+    extra = d.filter(F.col("doc_id") == 60).select(
+        F.lit(300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" novelsuffix")).alias("text"),
+    )
+    return D.dedup_against(batch.unionByName(extra), d).select("doc_id")
