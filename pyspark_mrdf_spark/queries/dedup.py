@@ -305,3 +305,65 @@ def q77_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" novelsuffix")).alias("text"),
     )
     return D.dedup_against(batch.unionByName(extra), d).select("doc_id")
+
+
+@register(
+    "q78_incremental_near_dedup",
+    driver=False,  # pytest-only: driver surface is at the 50-verdict cap
+    oracle=f"""
+WITH batch AS (
+  SELECT doc_id + 400000 AS doc_id, text FROM documents WHERE doc_id < 10
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, reverse(text) AS text
+  FROM documents WHERE doc_id >= 100 AND doc_id < 110),
+bpost AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM batch),
+cpost AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+bsig AS (
+  SELECT doc_id,
+         [min(md5('0:' || shingle)), min(md5('1:' || shingle)),
+          min(md5('2:' || shingle)), min(md5('3:' || shingle)),
+          min(md5('4:' || shingle)), min(md5('5:' || shingle)),
+          min(md5('6:' || shingle)), min(md5('7:' || shingle))] AS signature
+  FROM bpost GROUP BY doc_id),
+csig AS (
+  SELECT doc_id,
+         [min(md5('0:' || shingle)), min(md5('1:' || shingle)),
+          min(md5('2:' || shingle)), min(md5('3:' || shingle)),
+          min(md5('4:' || shingle)), min(md5('5:' || shingle)),
+          min(md5('6:' || shingle)), min(md5('7:' || shingle))] AS signature
+  FROM cpost GROUP BY doc_id),
+bbuck AS (
+  SELECT doc_id, band, md5(array_to_string(signature[band*2+1:band*2+2], '|')) AS bucket
+  FROM bsig CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)),
+cbuck AS (
+  SELECT doc_id, band, md5(array_to_string(signature[band*2+1:band*2+2], '|')) AS bucket
+  FROM csig CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)),
+cand AS (
+  SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS c_id
+  FROM bbuck b JOIN cbuck c ON b.band = c.band AND b.bucket = c.bucket),
+bsz AS (SELECT doc_id, COUNT(*) AS sz FROM bpost GROUP BY doc_id),
+csz AS (SELECT doc_id, COUNT(*) AS sz FROM cpost GROUP BY doc_id),
+dup AS (
+  SELECT DISTINCT i.b_id FROM (
+    SELECT cand.b_id, cand.c_id, COUNT(*) AS inter
+    FROM bpost bp JOIN cpost cp ON bp.shingle = cp.shingle
+    JOIN cand ON bp.doc_id = cand.b_id AND cp.doc_id = cand.c_id
+    GROUP BY cand.b_id, cand.c_id) i
+  JOIN bsz ON i.b_id = bsz.doc_id JOIN csz ON i.c_id = csz.doc_id
+  WHERE CAST(i.inter AS DOUBLE) / (bsz.sz + csz.sz - i.inter) >= 0.5)
+SELECT b.doc_id FROM batch b LEFT JOIN dup ON b.doc_id = dup.b_id
+WHERE dup.b_id IS NULL
+""",
+    description="incremental NEAR-dup dedup (operators/dedup.near_dedup_against): LSH band-bucket candidates batch-vs-corpus + exact Jaccard verify — copies dropped, shuffled-text novels kept; full pipeline mirrored in the SQL oracle",
+    tags=("dedup", "incremental", "lsh"),
+)
+def q78_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 400000).alias("doc_id"), "text"
+    )
+    novel = d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 110)).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), F.reverse("text").alias("text")
+    )
+    batch = copies.unionByName(novel)
+    return D.near_dedup_against(batch, d, threshold=0.5).select("doc_id")
