@@ -367,3 +367,37 @@ def q78_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     batch = copies.unionByName(novel)
     return D.near_dedup_against(batch, d, threshold=0.5).select("doc_id")
+
+
+@register(
+    "q79_simhash_band_candidates",
+    driver=False,  # pytest-only: driver surface is at the 50-verdict cap
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+sums AS (
+  SELECT doc_id, {sums}
+  FROM tok GROUP BY doc_id),
+sh AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums),
+slices AS (
+  SELECT doc_id, band,
+         CASE band WHEN 0 THEN simhash & 31
+                   WHEN 1 THEN (simhash >> 5) & 31
+                   ELSE (simhash >> 10) & 63 END AS slice
+  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2]) AS band))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM slices a JOIN slices b
+  ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id
+""".format(
+        sums=", ".join(
+            f"SUM(((strpos('0123456789abcdef', substr(md5(tok), {j + 1}, 1)) - 1) % 2) * 2 - 1) AS s{j}"
+            for j in range(16)
+        ),
+        bits=" + ".join(f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16)),
+    ),
+    description="SimHash pigeonhole banding (3 bands over 16 bits: 5+5+6): candidate pairs sharing any band slice — guaranteed superset of all pairs within Hamming distance 2, no all-pairs scan; the scale path q45's exact variant needs",
+    tags=("dedup", "simhash", "lsh"),
+)
+def q79_simhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.simhash(d, bits=16)
+    return D.simhash_band_candidates(sh, bands=3, bits=16)
