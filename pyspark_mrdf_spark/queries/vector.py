@@ -278,3 +278,30 @@ def q58_lsh_hyperplane_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
         a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("src") < F.col("dst")))
         .select("src", "dst", "bucket")
     )
+
+
+@register(
+    "q80_knn_search_external",
+    driver=False,  # pytest-only: driver surface is at the 50-verdict cap
+    oracle=f"""
+SELECT src, dst, rnk FROM (
+  SELECT q.vec_id AS src, c.vec_id AS dst,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]),
+                                  CAST(c.embedding AS DOUBLE[])), c.vec_id) AS rnk
+  FROM (SELECT * FROM embeddings WHERE vec_id % 7 = 0) q
+  CROSS JOIN embeddings c)
+WHERE rnk <= {K}
+""",
+    description="similarity search with an EXTERNAL query set (queries != corpus, self-matches allowed): distributed blocked scan, the serving-path shape of the similarity-search north star",
+    tags=("vector", "knn", "search"),
+)
+def q80_knn_search_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.similarity import knn_search_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 7 == 0)
+    return knn_search_blocked(queries, emb, K).select(
+        "src", "dst", F.col("rnk").cast("bigint").alias("rnk")
+    )
