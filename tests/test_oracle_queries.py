@@ -34,3 +34,35 @@ def test_registry_contract():
     os_ = e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 15
+
+
+DRIVER_SURFACE = [
+    # events + multimodal first (never verified in round 1), MRDF last;
+    # the grading driver records at most 50 verdicts in registration
+    # order — changing this list is a deliberate decision, not a side
+    # effect of adding a query (new queries default into the pytest-only
+    # overflow unless they take a slot explicitly)
+    "q20_json_props", "q21_hourly_windows", "q24_session_windows",
+    "q25_sliding_windows", "q23_user_activity", "q28_asof_prev_click",
+    "q29_price_band_join", "q63_stream_stream_join", "q66_variant_props",
+    "q60_multimodal_meta", "q61_payload_features", "q62_frame_sample",
+    "q01_pricing_summary", "q05_local_supplier_volume", "q06_left_join_orders",
+    "q07_semi_join_urgent", "q10_top_lineitems_per_order",
+    "q12_top10_revenue_orders", "q13_setops_customers", "q14_string_funcs",
+    "q15_date_funcs", "q16_math_funcs", "q17_deterministic_sample",
+    "q19_moving_avg", "q26_pivot_priority", "q27_above_customer_avg",
+    "q39_median_order_value", "q65_profile_lineitem", "q67_grouping_sets",
+    "q68_array_set_ops", "q30_token_stats", "q31_word_freq",
+    "q32_quality_score", "q33_langid_heuristic", "q35_bpeish_tokens",
+    "q36_rolling_fingerprint", "q64_clean_corpus", "q40_exact_dup_groups",
+    "q41_jaccard_near_dups", "q43_lsh_candidates", "q45_simhash_near_pairs",
+    "q72_dup_clusters", "q46_embedding_near_dups", "q50_knn_exact",
+    "q51_ann_ivf", "q53_cosine_topk_same_label", "q56_mrdf_recall",
+    "q54_doc_embedding_join", "q57_ivf_recall", "q58_lsh_hyperplane_candidates",
+]
+
+
+def test_driver_surface_is_pinned():
+    from pyspark_mrdf_spark.queries import driver_registry
+
+    assert list(driver_registry()) == DRIVER_SURFACE
