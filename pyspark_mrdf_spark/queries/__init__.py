@@ -85,8 +85,8 @@ def load_all() -> dict[str, QuerySpec]:
         relational,
         text,
         dedup,
-        vector,
         pipeline,
+        vector,
     )
 
     return REGISTRY

@@ -230,7 +230,7 @@ def q72_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q73_canonical_corpus",
-    driver=False,  # pytest-only: driver surface is at the 50-verdict cap
+    # promoted r3: rotated into the driver surface for a hard verdict
     oracle=f"""
 WITH RECURSIVE {_PAIRS_CTE}
 SELECT d.doc_id FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
@@ -270,7 +270,7 @@ def q46_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q77_incremental_dedup",
-    driver=False,  # pytest-only: driver surface is at the 50-verdict cap
+    # promoted r3: rotated into the driver surface for a hard verdict
     oracle="""
 WITH batch AS (
   SELECT doc_id + 200000 AS doc_id,
@@ -309,7 +309,7 @@ def q77_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q78_incremental_near_dedup",
-    driver=False,  # pytest-only: driver surface is at the 50-verdict cap
+    # promoted r3: rotated into the driver surface for a hard verdict
     oracle=f"""
 WITH batch AS (
   SELECT doc_id + 400000 AS doc_id, text FROM documents WHERE doc_id < 10
@@ -371,7 +371,7 @@ def q78_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q79_simhash_band_candidates",
-    driver=False,  # pytest-only: driver surface is at the 50-verdict cap
+    # promoted r3: rotated into the driver surface for a hard verdict
     oracle="""
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 sums AS (

@@ -33,6 +33,7 @@ DEC6 = "decimal(18,6)"
 
 @register(
     "q20_json_props",
+    driver=False,  # rotated out r3: twice driver-green; slot ceded to q70-q80
     oracle="""
 SELECT event_type,
        COUNT(*) AS n_events,
@@ -311,7 +312,7 @@ def q66_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q76_salted_hot_user_join",
-    driver=False,  # pytest-only: driver surface is at the 50-verdict cap
+    # promoted r3: rotated into the driver surface for a hard verdict
     oracle="""
 SELECT e.user_id, u.n_total,
        COUNT(*) AS n_events,

@@ -3,9 +3,9 @@ shard packing (token-budget bin packing of a corpus into training
 shards) and deterministic mixture sampling (per-language rates) — the
 two ops that turn a cleaned corpus into an actual training mix.
 
-Both are pytest-only (``driver=False``): the driver verdict surface is
-capped at 50 queries; these are oracle-checked by the pytest gate and
-``scripts/driver_replica.py``.
+Rotated onto the 50-slot driver surface in round 3 (they had only
+pytest-gate evidence in round 2); twice-green scalar-function and text
+siblings ceded the slots.
 
 Portability discipline: sampling uses md5-derived uniforms (identical
 hex on both engines — the repo-wide rule; Spark's ``rand`` is not
@@ -61,7 +61,7 @@ def mixture_rate_col(lang_col: str = "lang") -> Column:
 
 @register(
     "q70_shard_packing",
-    driver=False,  # pytest-only: driver surface is at the 50-verdict cap
+    # promoted r3: rotated into the driver surface for a hard verdict
     oracle=f"""
 SELECT doc_id, source, {_N_TOK_SQL} AS n_tok,
        CAST(floor((SUM({_N_TOK_SQL}) OVER (PARTITION BY source ORDER BY doc_id
@@ -102,7 +102,7 @@ KMV_K = 16  # small: the synthetic corpus has ~31 distinct tokens per lang
 
 @register(
     "q74_kmv_distinct_sketch",
-    driver=False,  # pytest-only: driver surface is at the 50-verdict cap
+    # promoted r3: rotated into the driver surface for a hard verdict
     oracle=f"""
 WITH h AS (
   SELECT DISTINCT lang, md5(tok) AS hash FROM (
@@ -159,7 +159,7 @@ def q74_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q71_mixture_sample",
-    driver=False,  # pytest-only: driver surface is at the 50-verdict cap
+    # promoted r3: rotated into the driver surface for a hard verdict
     oracle="""
 SELECT doc_id, lang, source
 FROM documents

@@ -396,6 +396,7 @@ def q13_setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q14_string_funcs",
+    driver=False,  # rotated out r3: twice driver-green; slot ceded to q70-q80
     oracle="""
 SELECT p_partkey,
        LOWER(p_name) AS lname,
@@ -424,6 +425,7 @@ def q14_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q15_date_funcs",
+    driver=False,  # rotated out r3: twice driver-green; slot ceded to q70-q80
     oracle="""
 SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
        CAST(MONTH(o_orderdate) AS INT) AS o_month,
@@ -453,6 +455,7 @@ def q15_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q16_math_funcs",
+    driver=False,  # rotated out r3: twice driver-green; slot ceded to q70-q80
     oracle="""
 SELECT l_orderkey, l_linenumber,
        ABS(l_discount - 0.05) AS disc_dev,
@@ -480,6 +483,7 @@ def q16_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q17_deterministic_sample",
+    driver=False,  # rotated out r3: twice driver-green; slot ceded to q70-q80
     oracle="""
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders WHERE o_orderkey % 10 = 3
@@ -546,6 +550,7 @@ def q19_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q26_pivot_priority",
+    driver=False,  # rotated out r3: twice driver-green; slot ceded to q70-q80
     oracle="""
 SELECT o_orderstatus,
        CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END) AS DOUBLE) AS urgent,
@@ -637,6 +642,7 @@ def q38_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q39_median_order_value",
+    driver=False,  # rotated out r3: twice driver-green; slot ceded to q70-q80
     oracle="""
 WITH ranked AS (
   SELECT o_orderstatus, o_totalprice,
@@ -771,7 +777,7 @@ def q68_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q75_unpivot_lineitem",
-    driver=False,  # pytest-only: driver surface is at the 50-verdict cap
+    # promoted r3: rotated into the driver surface for a hard verdict
     oracle="""
 SELECT l_orderkey, l_linenumber, metric,
        CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value

@@ -22,6 +22,7 @@ _SW_SQL = "['the','a','of','and','to','in','is','for','on','with']"
 
 @register(
     "q30_token_stats",
+    driver=False,  # rotated out r3: twice driver-green; slot ceded to q70-q80
     oracle="""
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_tokens,
@@ -45,6 +46,7 @@ def q30_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q31_word_freq",
+    driver=False,  # rotated out r3: twice driver-green; slot ceded to q70-q80
     oracle="""
 SELECT word, COUNT(*) AS freq
 FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -145,6 +147,7 @@ def q34_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q35_bpeish_tokens",
+    driver=False,  # rotated out r3: twice driver-green; slot ceded to q70-q80
     oracle=r"""
 SELECT doc_id,
        len(string_split_regex(trim(regexp_replace(text, '([0-9]+|[^a-zA-Z0-9 ]+)', ' \1 ', 'g')), '\s+')) AS n_subtokens

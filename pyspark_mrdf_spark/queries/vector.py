@@ -282,7 +282,7 @@ def q58_lsh_hyperplane_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "q80_knn_search_external",
-    driver=False,  # pytest-only: driver surface is at the 50-verdict cap
+    # promoted r3: rotated into the driver surface for a hard verdict
     oracle=f"""
 SELECT src, dst, rnk FROM (
   SELECT q.vec_id AS src, c.vec_id AS dst,

@@ -37,28 +37,34 @@ def test_registry_contract():
 
 
 DRIVER_SURFACE = [
-    # events + multimodal first (never verified in round 1), MRDF last;
-    # the grading driver records at most 50 verdicts in registration
-    # order — changing this list is a deliberate decision, not a side
-    # effect of adding a query (new queries default into the pytest-only
-    # overflow unless they take a slot explicitly)
-    "q20_json_props", "q21_hourly_windows", "q24_session_windows",
-    "q25_sliding_windows", "q23_user_activity", "q28_asof_prev_click",
-    "q29_price_band_join", "q63_stream_stream_join", "q66_variant_props",
+    # Round-3 rotation: the 10 training-pipeline queries added in round
+    # 2 (q70/q71/q73-q80, previously pytest-only) take the slots of ten
+    # twice-driver-green siblings (q14/q15/q16/q17/q20/q26/q30/q31/q35/
+    # q39 — each family keeps at least one driver representative:
+    # scalar fns → q66, sampling → q71, pivot/median aggs → q65/q67,
+    # text → q32/q33/q36/q64). The grading driver records at most 50
+    # verdicts in registration order — changing this list is a
+    # deliberate decision, not a side effect of adding a query (new
+    # queries default into the pytest-only overflow unless they take a
+    # slot explicitly).
+    "q21_hourly_windows", "q24_session_windows", "q25_sliding_windows",
+    "q23_user_activity", "q28_asof_prev_click", "q29_price_band_join",
+    "q63_stream_stream_join", "q66_variant_props", "q76_salted_hot_user_join",
     "q60_multimodal_meta", "q61_payload_features", "q62_frame_sample",
     "q01_pricing_summary", "q05_local_supplier_volume", "q06_left_join_orders",
     "q07_semi_join_urgent", "q10_top_lineitems_per_order",
-    "q12_top10_revenue_orders", "q13_setops_customers", "q14_string_funcs",
-    "q15_date_funcs", "q16_math_funcs", "q17_deterministic_sample",
-    "q19_moving_avg", "q26_pivot_priority", "q27_above_customer_avg",
-    "q39_median_order_value", "q65_profile_lineitem", "q67_grouping_sets",
-    "q68_array_set_ops", "q30_token_stats", "q31_word_freq",
-    "q32_quality_score", "q33_langid_heuristic", "q35_bpeish_tokens",
-    "q36_rolling_fingerprint", "q64_clean_corpus", "q40_exact_dup_groups",
-    "q41_jaccard_near_dups", "q43_lsh_candidates", "q45_simhash_near_pairs",
-    "q72_dup_clusters", "q46_embedding_near_dups", "q50_knn_exact",
-    "q51_ann_ivf", "q53_cosine_topk_same_label", "q56_mrdf_recall",
-    "q54_doc_embedding_join", "q57_ivf_recall", "q58_lsh_hyperplane_candidates",
+    "q12_top10_revenue_orders", "q13_setops_customers", "q19_moving_avg",
+    "q27_above_customer_avg", "q65_profile_lineitem", "q67_grouping_sets",
+    "q68_array_set_ops", "q75_unpivot_lineitem", "q32_quality_score",
+    "q33_langid_heuristic", "q36_rolling_fingerprint", "q64_clean_corpus",
+    "q40_exact_dup_groups", "q41_jaccard_near_dups", "q43_lsh_candidates",
+    "q45_simhash_near_pairs", "q72_dup_clusters", "q73_canonical_corpus",
+    "q46_embedding_near_dups", "q77_incremental_dedup",
+    "q78_incremental_near_dedup", "q79_simhash_band_candidates",
+    "q70_shard_packing", "q74_kmv_distinct_sketch", "q71_mixture_sample",
+    "q50_knn_exact", "q51_ann_ivf", "q53_cosine_topk_same_label",
+    "q56_mrdf_recall", "q54_doc_embedding_join", "q57_ivf_recall",
+    "q58_lsh_hyperplane_candidates", "q80_knn_search_external",
 ]
 
 
