@@ -29,9 +29,14 @@ per division round + one scalar count — vs the reference's ≥6 full
 dataset round-trips.
 
 Determinism: all randomness is derived from (seed, iteration,
-division round, path) — same seed ⇒ identical graph, which the
+division round, path, id) — same seed ⇒ identical graph, which the
 reference could not guarantee (unseeded executor randomness,
-utilities.py:27).
+utilities.py:27). Centroid sampling draws its uniform from
+md5(id, round seed) — the repo-wide portable-uniform discipline — so
+the graph is identical on ANY partition layout / cluster size
+(``F.rand`` seeds per partition index: its draws silently change when
+the input is split differently, which is exactly the kind of layout
+dependence a 1000-executor deployment cannot carry).
 """
 
 from __future__ import annotations
@@ -39,6 +44,7 @@ from __future__ import annotations
 import time
 import zlib
 from collections.abc import Iterator
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import pandas as pd
@@ -112,6 +118,32 @@ def knn_graph(
         .repartition(sc.defaultParallelism)
         .localCheckpoint(eager=True)
     )
+    # one count on the checkpointed base replaces the first division
+    # gate of EVERY iteration: at division 1 all rows share the root
+    # path "", so "any path ≥ α?" is just n_total ≥ α — no job needed.
+    n_total = base.count()
+    # Right-size the working partitioning to the data: ~32 MB of vector
+    # payload per partition (n·d·8 bytes), capped at the cluster's
+    # parallelism. A small input pinned at defaultParallelism partitions
+    # schedules defaultParallelism near-empty tasks for EVERY stage of
+    # every iteration — pure scheduler overhead; an over-large input
+    # still fans out to the full cluster. Safe to vary freely because
+    # every random draw is derived from (seed, iteration, division,
+    # path, id), never from the partition layout. coalesce() on the
+    # checkpointed base is narrow — no shuffle.
+    refine_blocks = 1
+    if n_total:
+        dim = len(base.select("vec").first()["vec"])
+        ideal = max(1, min(sc.defaultParallelism, -(-(n_total * dim * 8) // (32 << 20))))
+        if ideal < sc.defaultParallelism:
+            base = base.coalesce(ideal)
+        # refine blocking: at least one block per 32 MB of vector
+        # payload (caps a block task's vector copy), at least
+        # defaultParallelism blocks (the pair-distance compute fans out
+        # even when the vector table is small)
+        refine_blocks = max(
+            sc.defaultParallelism, int(-(-(n_total * dim * 8) // (32 << 20)))
+        )
     # Working width: local graphs, merge, and refinement all run at
     # k_work ≥ k; truncation to k happens once at the end. Keeping the
     # wider frontier is what lets union-of-trees + refinement recover
@@ -119,11 +151,11 @@ def knn_graph(
     # k_build note).
     k_work = max(k, 20)
 
-    g: DataFrame | None = None
-    iteration = 0
-    while True:
-        iteration += 1
-        iter_t0 = time.monotonic()
+    def _build_forest_graph(iteration: int) -> tuple[DataFrame, int]:
+        """Division + per-subset NN-Descent for one iteration: the
+        random forest's local k-NN graph, materialized. Depends only on
+        (base, seed, iteration) — NOT on the running merged graph — so
+        successive iterations' forests can build concurrently."""
         data = base.withColumn("path", F.lit(""))
 
         # ---- division: split every ≥α subset into ρ children --------
@@ -134,16 +166,24 @@ def knn_graph(
             # deliberately NOT fused into the sampling plan: the gate
             # runs once more than the sampler (the final "all small"
             # round), and a fused plan would pay the Python sampling
-            # stage on every gate evaluation.
-            big = (
-                data.groupBy("path")
-                .count()
-                .filter(F.col("count") >= alpha)
-                .select("path")
-            )
-            n_big = big.count()
-            if n_big == 0:
-                break
+            # stage on every gate evaluation. Division 1 needs no job at
+            # all: every row still carries the root path "", so the
+            # gate is just n_total ≥ α.
+            if division == 1:
+                if n_total < alpha:
+                    break
+                big = spark.createDataFrame([("",)], "path string")
+                n_big = 1
+            else:
+                big = (
+                    data.groupBy("path")
+                    .count()
+                    .filter(F.col("count") >= alpha)
+                    .select("path")
+                )
+                n_big = big.count()
+                if n_big == 0:
+                    break
             # seeded ρ-sample per oversized path (reference
             # centroid_sampling_2, mrdf.py:75-121: per-partition partial
             # sample + final merge by key)
@@ -204,62 +244,91 @@ def knn_graph(
             return pd.DataFrame(edges, columns=["src", "dst", "dist_sq"])
 
         g_prime = data.groupBy("path").applyInPandas(_local, EDGE_SCHEMA)
+        return g_prime.localCheckpoint(eager=True), division - 1
 
-        # ---- merge: keep k best per node (reference graph_update_map
-        # top-k merge, mrdf.py:166-170, as a window) -------------------
-        if g is None:
-            g_new = g_prime
-        else:
-            unioned = g.unionByName(g_prime).dropDuplicates(["src", "dst"])
-            wk = Window.partitionBy("src").orderBy("dist_sq", "dst")
-            g_new = (
-                unioned.withColumn("rn", F.row_number().over(wk))
-                .filter(F.col("rn") <= k_work)
-                .drop("rn")
-            )
-        g_new = g_new.localCheckpoint(eager=True)
+    # One-ahead pipelining: while iteration i merges and checks
+    # convergence (driver-latency-bound window/aggregate jobs), the
+    # forest of iteration i+1 — which by construction depends only on
+    # (seed, i+1), never on the merged graph — already builds in a
+    # background thread. Every value computed is identical to the
+    # sequential schedule; on early τ-stop, at most one speculative
+    # forest is discarded (bounded waste).
+    executor = ThreadPoolExecutor(max_workers=1)
+    try:
+        g: DataFrame | None = None
+        iteration = 0
+        fut = executor.submit(_build_forest_graph, 1)
+        while True:
+            iteration += 1
+            iter_t0 = time.monotonic()
+            g_prime, divisions = fut.result()
+            stop_by_iter = bool(max_iter) and iteration >= max_iter
+            if not stop_by_iter:
+                fut = executor.submit(_build_forest_graph, iteration + 1)
 
-        # ---- convergence: changed-edge ratio ≤ τ (reference
-        # mrdf.py:161-179; total and changed counted in ONE aggregate
-        # over a left join instead of two separate count jobs) --------
-        if g is not None:
-            stats = (
-                g_new.join(
-                    g.select("src", "dst").withColumn("_old", F.lit(1)),
-                    ["src", "dst"],
-                    "left",
+            # ---- merge: keep k best per node (reference
+            # graph_update_map top-k merge, mrdf.py:166-170, as a
+            # window) ---------------------------------------------------
+            if g is None:
+                g_new = g_prime
+            else:
+                unioned = g.unionByName(g_prime).dropDuplicates(["src", "dst"])
+                wk = Window.partitionBy("src").orderBy("dist_sq", "dst")
+                g_new = (
+                    unioned.withColumn("rn", F.row_number().over(wk))
+                    .filter(F.col("rn") <= k_work)
+                    .drop("rn")
                 )
-                .agg(
-                    F.count(F.lit(1)).alias("total"),
-                    F.sum(
-                        F.when(F.col("_old").isNull(), 1).otherwise(0)
-                    ).alias("changed"),
+                g_new = g_new.localCheckpoint(eager=True)
+
+            # ---- convergence: changed-edge ratio ≤ τ (reference
+            # mrdf.py:161-179; total and changed counted in ONE
+            # aggregate over a left join instead of two count jobs).
+            # Skipped when the iteration cap already ends the loop —
+            # the ratio would gate nothing. ----------------------------
+            if g is not None and not stop_by_iter:
+                stats = (
+                    g_new.join(
+                        g.select("src", "dst").withColumn("_old", F.lit(1)),
+                        ["src", "dst"],
+                        "left",
+                    )
+                    .agg(
+                        F.count(F.lit(1)).alias("total"),
+                        F.sum(
+                            F.when(F.col("_old").isNull(), 1).otherwise(0)
+                        ).alias("changed"),
+                    )
+                    .collect()[0]
                 )
-                .collect()[0]
-            )
-            ratio = (stats["changed"] or 0) / max(stats["total"], 1)
-        else:
-            ratio = 1.0
-        g = g_new
-        # per-iteration run metrics (reference S10 write_out_mrdf_details,
-        # mrdf.py:217-226 — minus its extra full count job just to name
-        # the output file): driver-side list, caller decides the sink.
-        if metrics_out is not None:
-            metrics_out.append(
-                {
-                    "iteration": iteration,
-                    "divisions": division - 1,
-                    "changed_ratio": round(ratio, 6),
-                    "seconds": round(time.monotonic() - iter_t0, 3),
-                    "k": k,
-                    "rho": rho,
-                    "alpha": alpha,
-                    "tau": tau,
-                    "seed": seed,
-                }
-            )
-        if ratio <= tau or (max_iter and iteration >= max_iter):
-            break
+                ratio = (stats["changed"] or 0) / max(stats["total"], 1)
+            elif g is None:
+                ratio = 1.0
+            else:
+                ratio = None  # not computed: max_iter stop
+            g = g_new
+            # per-iteration run metrics (reference S10
+            # write_out_mrdf_details, mrdf.py:217-226 — minus its extra
+            # full count job just to name the output file): driver-side
+            # list, caller decides the sink.
+            if metrics_out is not None:
+                metrics_out.append(
+                    {
+                        "iteration": iteration,
+                        "divisions": divisions,
+                        "changed_ratio": None if ratio is None else round(ratio, 6),
+                        "seconds": round(time.monotonic() - iter_t0, 3),
+                        "k": k,
+                        "rho": rho,
+                        "alpha": alpha,
+                        "tau": tau,
+                        "seed": seed,
+                    }
+                )
+            if stop_by_iter or (ratio is not None and ratio <= tau):
+                break
+    finally:
+        executor.shutdown(wait=False)
 
     # ---- global graph refinement: NN-Descent's neighbor-of-neighbor
     # step at graph scale, as pure DataFrame ops (no driver traffic).
@@ -268,7 +337,7 @@ def knn_graph(
     # round substantially recovers edges that random division split
     # across subsets — the step the reference only ran locally.
     for _ in range(refine_rounds):
-        g = _refine(base, g, k_work)
+        g = _refine(base, g, k_work, n_blocks=refine_blocks)
         g = g.localCheckpoint(eager=True)
 
     wk = Window.partitionBy("src").orderBy("dist_sq", "dst")
@@ -294,10 +363,27 @@ def _sample_centroids(
     and only the ≤ ρ·batches candidate rows per path reach the final
     window. top-ρ by a total order is associative, so partial+final
     is exact."""
-    cand = (
-        data.join(F.broadcast(big), "path")
-        .select("path", "id", "vec")
-        .withColumn("r", F.rand(rand_seed))
+    # The sampling decision needs only (path, id, r): keeping the
+    # d-dimensional vectors out of the Arrow round-trip cuts the
+    # partial pass's transfer by ~d× (the winners' vectors — ≤ ρ per
+    # big path — are joined back at the end, inside the same plan).
+    # r is a PORTABLE uniform — first 8 md5 hex chars of (id, round
+    # seed) — not F.rand, whose per-partition seeding makes the draw
+    # depend on the physical partition layout (different cluster size
+    # ⇒ different forest ⇒ different graph).
+    cand = data.join(F.broadcast(big), "path").select(
+        "path",
+        "id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("id"), F.lit(int(rand_seed)))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            / F.lit(4294967296.0)
+        ).alias("r"),
     )
 
     def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -308,11 +394,12 @@ def _sample_centroids(
 
     part = cand.mapInPandas(_partial, cand.schema)
     w = Window.partitionBy("path").orderBy("r", "id")
-    return (
+    winners = (
         part.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= rho)
-        .select("path", "rn", "vec")
+        .select("path", "rn", "id")
     )
+    return winners.join(data.select("id", "vec"), "id").select("path", "rn", "vec")
 
 
 def _extend_by_join(data: DataFrame, cents: DataFrame) -> DataFrame:
@@ -349,7 +436,20 @@ def _extend_by_join(data: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _refine(base: DataFrame, g: DataFrame, k: int) -> DataFrame:
+def _refine(
+    base: DataFrame, g: DataFrame, k: int, n_blocks: int | None = None
+) -> DataFrame:
+    """One neighbor-of-neighbor refinement round (deterministic).
+
+    Candidate pairs = distinct 2-hop pairs of ``g`` not already edges.
+    Distances are computed per hash-block of the src id via cogroup:
+    each block task receives its pair list plus ONE copy of the vector
+    table, and gathers operands locally by index. The per-pair-join
+    variant shipped both d-dim vectors with EVERY pair through Arrow —
+    |pairs|·2d floats, and |pairs| ≈ n·(2k)² dwarfs n — whereas the
+    block shape moves |pairs|·2 longs + B·n·d floats; with B sized so a
+    block's vector copy is ~32 MB, the pair stream dominates and is
+    minimal. Same einsum, bit-identical distances."""
     hop2 = (
         g.select(F.col("src").alias("a"), F.col("dst").alias("mid"))
         .join(
@@ -369,32 +469,44 @@ def _refine(base: DataFrame, g: DataFrame, k: int) -> DataFrame:
         )
     )
     vecs = base.select("id", "vec")
-    paired = (
-        hop2.join(vecs.select(F.col("id").alias("a"), F.col("vec").alias("va")), "a")
-        .join(vecs.select(F.col("id").alias("b"), F.col("vec").alias("vb")), "b")
-        .select("a", "b", "va", "vb")
+    if n_blocks is None:
+        # ~32 MB of replicated vector payload per block task; base is
+        # tiny in local runs (1 block) and fans out on a cluster
+        try:
+            first = vecs.first()
+            dim = len(first["vec"]) if first else 1
+        except Exception:
+            dim = 1
+        n_rows = vecs.count()
+        n_blocks = max(1, int(-(-(n_rows * dim * 8) // (32 << 20))))
+    pairs_b = hop2.withColumn("blk", F.pmod(F.hash("a"), F.lit(n_blocks)))
+    vecs_b = vecs.withColumn(
+        "blk", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
     )
 
-    # vectorized per-pair distance: one einsum per Arrow batch. The
-    # equivalent Catalyst higher-order aggregate is interpreted per
-    # ELEMENT (~26M lambda evals for 400k 64-d pairs) — measured 2×
-    # slower per refine round.
-    def _dist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            va = np.stack(pdf["va"].to_numpy()).astype(np.float64)
-            vb = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
-            diff = va - vb
-            yield pd.DataFrame(
-                {
-                    "src": pdf["a"].to_numpy(dtype=np.int64),
-                    "dst": pdf["b"].to_numpy(dtype=np.int64),
-                    "dist_sq": np.einsum("ij,ij->i", diff, diff),
-                }
+    def _dist_block(key: tuple, pairs: pd.DataFrame, vv: pd.DataFrame) -> pd.DataFrame:
+        if len(pairs) == 0 or len(vv) == 0:
+            return pd.DataFrame({"src": [], "dst": [], "dist_sq": []}).astype(
+                {"src": np.int64, "dst": np.int64, "dist_sq": np.float64}
             )
+        ids = vv["id"].to_numpy(dtype=np.int64)
+        mat = np.stack(vv["vec"].to_numpy()).astype(np.float64)
+        order = np.argsort(ids, kind="stable")
+        sorted_ids = ids[order]
+        a = pairs["a"].to_numpy(dtype=np.int64)
+        b = pairs["b"].to_numpy(dtype=np.int64)
+        ia = order[np.searchsorted(sorted_ids, a)]
+        ib = order[np.searchsorted(sorted_ids, b)]
+        diff = mat[ia] - mat[ib]
+        return pd.DataFrame(
+            {"src": a, "dst": b, "dist_sq": np.einsum("ij,ij->i", diff, diff)}
+        )
 
-    scored = paired.mapInPandas(_dist, "src long, dst long, dist_sq double")
+    scored = (
+        pairs_b.groupBy("blk")
+        .cogroup(vecs_b.groupBy("blk"))
+        .applyInPandas(_dist_block, "src long, dst long, dist_sq double")
+    )
     unioned = g.unionByName(scored).dropDuplicates(["src", "dst"])
     wk = Window.partitionBy("src").orderBy("dist_sq", "dst")
     return (

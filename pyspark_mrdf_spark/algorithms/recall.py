@@ -14,14 +14,27 @@ from pyspark.sql import functions as F
 
 def recall(g_exact: DataFrame, g_approx: DataFrame) -> float:
     """recall = |exact ∩ approx| / |exact| over (src, dst) edge sets
-    (reference getrecall.py:30-35: matching edges / (k·n))."""
+    (reference getrecall.py:30-35: matching edges / (k·n)).
+
+    Total and hits come from ONE aggregate over a left join — a single
+    Spark action, so each input graph is evaluated exactly once (the
+    two-action variant recomputed the expensive exact side for its
+    separate ``count()``)."""
     exact = g_exact.select("src", "dst").distinct()
-    approx = g_approx.select("src", "dst").distinct()
-    total = exact.count()
-    if total == 0:
+    approx = (
+        g_approx.select("src", "dst").distinct().withColumn("_hit", F.lit(1))
+    )
+    row = (
+        exact.join(approx, ["src", "dst"], "left")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).alias("hits"),
+        )
+        .collect()[0]
+    )
+    if not row["total"]:
         return 1.0
-    hits = exact.join(approx, ["src", "dst"], "left_semi").count()
-    return hits / total
+    return (row["hits"] or 0) / row["total"]
 
 
 def recall_vs_groundtruth(g: DataFrame, gt: DataFrame, k: int) -> float:

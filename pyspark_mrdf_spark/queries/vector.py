@@ -160,9 +160,14 @@ def q55_mrdf_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q56_mrdf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_mrdf_spark.algorithms.mrdf import knn_graph
     from pyspark_mrdf_spark.algorithms.recall import recall
+    from pyspark_mrdf_spark.operators.similarity import knn_exact_blocked
 
     emb = load_table(spark, sf_dir, "embeddings")
-    g_exact = knn_exact(emb, K)
+    # exact side via the distributed blocked tier (q50's registered
+    # path — corpus never leaves executors); recall() is single-action,
+    # so each side is evaluated exactly once and the MRDF graph (already
+    # localCheckpoint-backed internally) is not rebuilt.
+    g_exact = knn_exact_blocked(emb, K)
     g = knn_graph(
         emb, K, rho=4, alpha=600, tau=0.01, seed=42, max_iter=3, refine_rounds=2
     )
