@@ -185,14 +185,21 @@ def simhash(
 ) -> DataFrame:
     """SimHash over whitespace tokens (with multiplicity): bit j is the
     sign of Σ_tokens (parity(hex_j(md5(token)))·2 − 1); the j-th hex
-    char of the token's md5 supplies bit j's ±1 vote. Returns
-    (doc_id, simhash int)."""
+    char of the token's md5 supplies bit j's ±1 vote. Signatures wider
+    than 32 bits draw hex chars from salted hashes — bit j uses hex
+    char ``j % 32`` of ``md5(f"{j // 32}:" + token)``, with block 0
+    unsalted so narrow signatures are unchanged. Returns
+    (doc_id, simhash int); ``bits`` ≤ 62 (the signature is a signed
+    64-bit int)."""
+    if bits > 62:
+        raise ValueError(f"simhash bits must be <= 62, got {bits}")
     tok = _spread(df).select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-    h = F.md5(F.col("tok"))
     # parity of hex digit j of the token hash supplies bit j's ±1 vote
     aggs = []
     for j in range(bits):
-        val = F.conv(F.substring(h, j + 1, 1), 16, 10).cast("int")
+        blk, off = divmod(j, 32)
+        h = F.md5(F.col("tok")) if blk == 0 else F.md5(F.concat(F.lit(f"{blk}:"), F.col("tok")))
+        val = F.conv(F.substring(h, off + 1, 1), 16, 10).cast("int")
         vote = (val % 2) * 2 - 1
         aggs.append(F.sum(vote).alias(f"s{j}"))
     sums = tok.groupBy(id_col).agg(*aggs)

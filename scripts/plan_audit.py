@@ -27,8 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # algorithm, not an accident.
 QUADRATIC_OK = {
     "q41_jaccard_near_dups",
-    "q45_simhash_near_pairs",
     "q43_lsh_candidates",
+    # q45 moved to the pigeonhole-banded plan in round 3 — no longer
+    # exempt: its plan must not contain an all-pairs join.
 }
 
 
