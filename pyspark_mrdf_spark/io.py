@@ -38,16 +38,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one corpus table as a DataFrame (distributed parquet scan).
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet, which Spark's reader
-    rejects; read it as long (legacy conf) and convert to a microsecond
-    timestamp with exact integer division (matching DuckDB's nanos→us
-    truncation bit-for-bit — no double arithmetic on int64 nanos).
+    ``events.ts`` has shipped as both TIMESTAMP(NANOS) (which Spark's
+    reader rejects — read as long via the legacy conf, then exact
+    integer-divide to microseconds, matching DuckDB's nanos→us
+    truncation bit-for-bit) and plain TIMESTAMP_MICROS (directly
+    readable). Branch on the resolved scan type so either vintage of
+    the corpus loads identically.
     """
     apply_engine_conf(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(df.dtypes).get("ts", "")
+        if ts_type == "bigint":  # nanos vintage, surfaced as raw int64
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # micros vintage reads as NTZ; downstream (unix_micros,
+            # session/sliding windows) expects TIMESTAMP — cast is
+            # value-preserving under the engine's UTC session TZ
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
