@@ -183,24 +183,36 @@ def simhash(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """SimHash over whitespace tokens (with multiplicity): bit j is the
-    sign of Σ_tokens (parity(hex_j(md5(token)))·2 − 1); the j-th hex
-    char of the token's md5 supplies bit j's ±1 vote. Signatures wider
-    than 32 bits draw hex chars from salted hashes — bit j uses hex
-    char ``j % 32`` of ``md5(f"{j // 32}:" + token)``, with block 0
-    unsalted so narrow signatures are unchanged. Returns
+    """SimHash over whitespace tokens (with multiplicity): ONE md5 per
+    token supplies up to 128 vote bits — bit j's ±1 vote is bit
+    ``j % 4`` of hex char ``j // 4`` of ``md5(token)``. (The previous
+    scheme burned a whole hex char per bit — 1 useful bit per 4 — and
+    needed a second salted md5 beyond 32 bits; using all 4 bit
+    parities of each char halves the hashing for 48-bit signatures.)
+    Extraction is chunked: 8 hex chars (32 vote bits) decode with one
+    ``conv`` into a bigint, and each vote is a shift+mask on that
+    chunk — integer ops, not per-bit string ops. Returns
     (doc_id, simhash int); ``bits`` ≤ 62 (the signature is a signed
-    64-bit int)."""
+    64-bit int, and 62 < the 128 bits one md5 provides)."""
     if bits > 62:
         raise ValueError(f"simhash bits must be <= 62, got {bits}")
     tok = _spread(df).select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-    # parity of hex digit j of the token hash supplies bit j's ±1 vote
+    h = F.md5(F.col("tok"))
+    # 32-bit chunks of the digest (8 hex chars -> one bigint via conv);
+    # Catalyst's subexpression elimination computes each chunk (and the
+    # md5) once per token across all the vote aggregates
+    chunks = {
+        i: F.conv(F.substring(h, 8 * i + 1, 8), 16, 10).cast("bigint")
+        for i in range(-(-bits // 32))
+    }
     aggs = []
     for j in range(bits):
-        blk, off = divmod(j, 32)
-        h = F.md5(F.col("tok")) if blk == 0 else F.md5(F.concat(F.lit(f"{blk}:"), F.col("tok")))
-        val = F.conv(F.substring(h, off + 1, 1), 16, 10).cast("int")
-        vote = (val % 2) * 2 - 1
+        c, b = divmod(j, 4)  # hex char c of the digest, bit b of its value
+        # chunk c // 8 holds chars big-endian: char (c % 8) sits at
+        # nibble (7 - c % 8), so its bit b is chunk bit 4*(7 - c%8) + b
+        vote = (
+            F.shiftright(chunks[c // 8], 4 * (7 - c % 8) + b).bitwiseAND(F.lit(1))
+        ) * 2 - 1
         aggs.append(F.sum(vote).alias(f"s{j}"))
     sums = tok.groupBy(id_col).agg(*aggs)
     sim = None

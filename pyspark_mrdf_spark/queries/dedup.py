@@ -27,6 +27,18 @@ _SHINGLES = (
 )
 
 
+def _simhash_vote_sums(bits: int) -> str:
+    """DuckDB side of the single-md5 SimHash vote (operators/dedup.py
+    simhash): bit j's ±1 vote is bit j%4 of hex char j//4 of
+    md5(token). Must stay in exact lockstep with the Spark kernel."""
+    return ", ".join(
+        "SUM((((strpos('0123456789abcdef', substr(md5(tok), {c}, 1)) - 1) >> {b}) & 1) * 2 - 1) AS s{j}".format(
+            c=j // 4 + 1, b=j % 4, j=j
+        )
+        for j in range(bits)
+    )
+
+
 @register(
     "q40_exact_dup_groups",
     oracle="""
@@ -143,13 +155,10 @@ sums AS (
   FROM tok GROUP BY doc_id)
 SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums
 """.format(
-        sums=", ".join(
-            f"SUM(((strpos('0123456789abcdef', substr(md5(tok), {j + 1}, 1)) - 1) % 2) * 2 - 1) AS s{j}"
-            for j in range(16)
-        ),
+        sums=_simhash_vote_sums(16),
         bits=" + ".join(f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16)),
     ),
-    description="SimHash 16-bit signatures (md5 hex-digit votes over tokens with multiplicity)",
+    description="SimHash 16-bit signatures (single-md5 bit-parity votes over tokens with multiplicity)",
     tags=("dedup", "simhash"),
 )
 def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -170,14 +179,7 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
 """.format(
-        sums=", ".join(
-            "SUM(((strpos('0123456789abcdef', substr(md5({src}), {pos}, 1)) - 1) % 2) * 2 - 1) AS s{j}".format(
-                src="tok" if j < 32 else f"concat('{j // 32}:', tok)",
-                pos=j % 32 + 1,
-                j=j,
-            )
-            for j in range(48)
-        ),
+        sums=_simhash_vote_sums(48),
         bits=" + ".join(f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(48)),
     ),
     description="SimHash near-dup pairs (48-bit signature, Hamming ≤ 2): pigeonhole-banded candidates (3×16-bit bands — any pair within Hamming 2 matches at least one band slice, zero false negatives) + bit_count verify on candidates only; no all-pairs join anywhere in the plan",
@@ -405,10 +407,7 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM slices a JOIN slices b
   ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id
 """.format(
-        sums=", ".join(
-            f"SUM(((strpos('0123456789abcdef', substr(md5(tok), {j + 1}, 1)) - 1) % 2) * 2 - 1) AS s{j}"
-            for j in range(16)
-        ),
+        sums=_simhash_vote_sums(16),
         bits=" + ".join(f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16)),
     ),
     description="SimHash pigeonhole banding (3 bands over 16 bits: 5+5+6): candidate pairs sharing any band slice — guaranteed superset of all pairs within Hamming distance 2, no all-pairs scan; the scale path q45's exact variant needs",
