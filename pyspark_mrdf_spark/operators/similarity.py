@@ -406,22 +406,27 @@ def cosine_topk_by_group(
 
     def _topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy(dtype=np.int64)
-        mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        order0 = np.argsort(ids, kind="stable")
+        ids = ids[order0]
+        mat = np.stack(pdf[vec_col].to_numpy()[order0]).astype(np.float64)
         s = mat @ mat.T
         norms = np.sqrt(np.diag(s))
         cos_e6 = np.rint((s / np.outer(norms, norms)) * 1e6).astype(np.int64)
-        rows: list[tuple[int, int, int]] = []
-        for i in range(len(ids)):
-            order = np.lexsort((ids, -cos_e6[i]))
-            rnk = 0
-            for j in order:
-                if ids[j] == ids[i]:
-                    continue
-                rnk += 1
-                rows.append((int(ids[i]), int(ids[j]), rnk))
-                if rnk == k:
-                    break
-        return pd.DataFrame(rows, columns=["src", "dst", "rnk"])
+        # vectorized top-(k+1): stable argsort on -cos_e6 over id-ordered
+        # columns ≡ per-row lexsort((ids, -cos_e6)) — ties to the lower
+        # id — with no per-row Python loop (same selection as the
+        # blocked tier's kernel below)
+        n = len(ids)
+        kk = min(k + 1, n)
+        sel = np.argsort(-cos_e6, axis=1, kind="stable")[:, :kk]
+        dst = ids[sel]
+        not_self = dst != ids[:, None]
+        keep = not_self & (np.cumsum(not_self, axis=1) <= k)
+        src = np.repeat(ids, kk).reshape(n, kk)
+        rnk = np.cumsum(not_self, axis=1)
+        return pd.DataFrame(
+            {"src": src[keep], "dst": dst[keep], "rnk": rnk[keep]}
+        )
 
     return (
         df.select(group_col, id_col, vec_col)

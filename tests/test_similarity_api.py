@@ -76,6 +76,33 @@ def test_cosine_topk_blocked_matches_single_task(spark, sf_dir):
         assert got == ref, f"n_blocks={nb}"
 
 
+def test_cosine_topk_ties_and_small_groups(spark):
+    # identical vectors (cosine ties at exactly 1e6) break to the LOWER
+    # id, and a group smaller than k+1 yields all its non-self pairs —
+    # the edge cases the vectorized selection must preserve
+    from pyspark_mrdf_spark.operators.similarity import cosine_topk_by_group
+
+    rows = [
+        (0, 10, [1.0, 0.0]),
+        (0, 11, [1.0, 0.0]),
+        (0, 12, [1.0, 0.0]),
+        (1, 20, [0.0, 1.0]),
+        (1, 21, [1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "label int, vec_id long, embedding array<double>")
+    got = sorted(map(tuple, cosine_topk_by_group(df, 2).collect()))
+    assert got == [
+        (10, 11, 1),
+        (10, 12, 2),
+        (11, 10, 1),
+        (11, 12, 2),
+        (12, 10, 1),
+        (12, 11, 2),
+        (20, 21, 1),
+        (21, 20, 1),
+    ]
+
+
 def test_ivf_trained_centroids_improve_recall(spark, sf_dir):
     import numpy as np
     from pyspark_mrdf_spark.algorithms.recall import recall
