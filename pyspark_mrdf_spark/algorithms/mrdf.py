@@ -116,11 +116,12 @@ def knn_graph(
     base = (
         df.select(F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vec"))
         .repartition(sc.defaultParallelism)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    # one count on the checkpointed base replaces the first division
-    # gate of EVERY iteration: at division 1 all rows share the root
-    # path "", so "any path ≥ α?" is just n_total ≥ α — no job needed.
+    # one count on the (lazily) checkpointed base both materializes it
+    # and replaces the first division gate of EVERY iteration: at
+    # division 1 all rows share the root path "", so "any path ≥ α?"
+    # is just n_total ≥ α — no extra job for either.
     n_total = base.count()
     # Right-size the working partitioning to the data: ~32 MB of vector
     # payload per partition (n·d·8 bytes), capped at the cluster's
@@ -191,8 +192,10 @@ def knn_graph(
             cents = _sample_centroids(data, big, rho, rand_seed)
             if n_big > centroid_broadcast_max_paths:
                 # too many oversized paths for a driver-side dict —
-                # keep centroids distributed (join + min_by)
-                data = _extend_by_join(data, cents).localCheckpoint(eager=True)
+                # keep centroids distributed (join + min_by). Lazy
+                # checkpoint: the next round's gate count materializes
+                # it — no dedicated job.
+                data = _extend_by_join(data, cents).localCheckpoint(eager=False)
                 continue
             cent_rows = cents.collect()
             cmap: dict[str, np.ndarray] = {}
@@ -223,7 +226,11 @@ def knn_graph(
                     pdf["path"] = out_paths
                     yield pdf
 
-            data = data.mapInPandas(_extend, data.schema).localCheckpoint(eager=True)
+            # lazy checkpoint: materialized by the NEXT action that
+            # touches data (round r+1's gate count, or the local
+            # NN-Descent stage after the loop breaks) — fusing the
+            # former dedicated materialization job into it
+            data = data.mapInPandas(_extend, data.schema).localCheckpoint(eager=False)
 
         # ---- local NN-Descent per ≤α subset -------------------------
         def _local(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -246,25 +253,42 @@ def knn_graph(
         g_prime = data.groupBy("path").applyInPandas(_local, EDGE_SCHEMA)
         return g_prime.localCheckpoint(eager=True), division - 1
 
-    # One-ahead pipelining: while iteration i merges and checks
-    # convergence (driver-latency-bound window/aggregate jobs), the
-    # forest of iteration i+1 — which by construction depends only on
-    # (seed, i+1), never on the merged graph — already builds in a
-    # background thread. Every value computed is identical to the
-    # sequential schedule; on early τ-stop, at most one speculative
-    # forest is discarded (bounded waste).
-    executor = ThreadPoolExecutor(max_workers=1)
+    # Forest pipelining: iteration i's forest depends only on
+    # (seed, i), never on the running merged graph, so future forests
+    # build on background threads while the main thread merges and
+    # checks convergence (driver-latency-bound window/aggregate jobs).
+    # With a known iteration cap the lookahead is 2 — iterations i+1
+    # and i+2 build concurrently, overlapping each other's small-job
+    # driver latency; open-ended τ-only runs keep lookahead 1. Every
+    # value computed is identical to the sequential schedule; on early
+    # τ-stop at most ``lookahead`` speculative forests are discarded
+    # (bounded waste).
+    lookahead = 2 if max_iter else 1
+    executor = ThreadPoolExecutor(max_workers=lookahead)
     try:
         g: DataFrame | None = None
         iteration = 0
-        fut = executor.submit(_build_forest_graph, 1)
+        futures: dict = {}
+        next_to_submit = 1
+
+        def _submit_through(target: int) -> None:
+            nonlocal next_to_submit
+            while next_to_submit <= target and (
+                not max_iter or next_to_submit <= max_iter
+            ):
+                futures[next_to_submit] = executor.submit(
+                    _build_forest_graph, next_to_submit
+                )
+                next_to_submit += 1
+
+        _submit_through(1 + lookahead)
         while True:
             iteration += 1
             iter_t0 = time.monotonic()
-            g_prime, divisions = fut.result()
+            g_prime, divisions = futures.pop(iteration).result()
             stop_by_iter = bool(max_iter) and iteration >= max_iter
             if not stop_by_iter:
-                fut = executor.submit(_build_forest_graph, iteration + 1)
+                _submit_through(iteration + lookahead)
 
             # ---- merge: keep k best per node (reference
             # graph_update_map top-k merge, mrdf.py:166-170, as a
@@ -279,7 +303,11 @@ def knn_graph(
                     .filter(F.col("rn") <= k_work)
                     .drop("rn")
                 )
-                g_new = g_new.localCheckpoint(eager=True)
+                # merge+convergence fused into ONE action: when the
+                # convergence aggregate below runs, its collect
+                # materializes the lazy checkpoint; only a max_iter
+                # stop (no aggregate) needs the eager materialization
+                g_new = g_new.localCheckpoint(eager=stop_by_iter)
 
             # ---- convergence: changed-edge ratio ≤ τ (reference
             # mrdf.py:161-179; total and changed counted in ONE
@@ -336,9 +364,13 @@ def knn_graph(
     # JVM-side l2 expression; merge keeps k best. One shuffle-bounded
     # round substantially recovers edges that random division split
     # across subsets — the step the reference only ran locally.
-    for _ in range(refine_rounds):
+    for i in range(refine_rounds):
         g = _refine(base, g, k_work, n_blocks=refine_blocks)
-        g = g.localCheckpoint(eager=True)
+        # last round stays lazy: the caller's first action (write /
+        # collect / the memoized checkpoint) materializes it — earlier
+        # rounds stay eager because the next round's 2-hop join
+        # references g three times within one job
+        g = g.localCheckpoint(eager=(i < refine_rounds - 1))
 
     wk = Window.partitionBy("src").orderBy("dist_sq", "dst")
     return (
