@@ -152,6 +152,7 @@ def knn_search_blocked(
     corpus: DataFrame,
     k: int,
     n_blocks: int = 8,
+    n_query_blocks: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     include_self: bool = True,
@@ -159,29 +160,37 @@ def knn_search_blocked(
     """Exact top-k search with a DISTRIBUTED corpus — the scale tier of
     ``knn_search`` (which broadcasts the corpus via a driver collect).
 
-    Corpus rows hash into ``n_blocks`` blocks; queries replicate to
-    every block (explode of a literal range); one cogroup per block
-    computes a vectorized local top-k; a final window merges the
-    ≤ n_blocks·k candidates per query. Local top-k by (dist, id) is
-    associative, so blocked merge ≡ full scan EXACTLY (same tie-break
-    as the SQL oracle's ORDER BY dist, id).
+    Grid blocking: corpus rows hash into ``n_blocks`` corpus blocks,
+    queries into ``n_query_blocks`` query blocks; each (q-block,
+    c-block) grid cell is one cogroup that computes a vectorized local
+    top-k; a final window merges the ≤ n_blocks·k candidates per
+    query. Local top-k by (dist, id) is associative, so blocked merge
+    ≡ full scan EXACTLY (same tie-break as the SQL oracle's
+    ORDER BY dist, id).
 
-    Scale accounting: corpus never leaves the executors; shuffle is
-    n_q·n_blocks query rows + n_c corpus rows; task memory one corpus
-    block (~n_c/n_blocks vectors) + the colocated queries; the merge
-    window input is output-sized (n_q·n_blocks·k rows), not n_q·n_c.
-    O(n_q·n_c·d) flops remain — exactness' honest price; this tier
-    spreads them over n_blocks·(query partitions) tasks."""
+    Scale accounting (n_q queries, n_c corpus rows, B = n_blocks,
+    M = n_query_blocks): shuffle is n_q·B + n_c·M rows (each side
+    replicates across the OTHER side's blocks); task memory is one
+    grid cell — ~n_q/M query vectors + ~n_c/B corpus vectors — so BOTH
+    sides are bounded (M=1 degenerates to the whole query set per
+    task); the merge window input is output-sized (n_q·B·k rows), not
+    n_q·n_c. O(n_q·n_c·d) flops remain — exactness' honest price;
+    this tier spreads them over B·M tasks."""
     from pyspark.sql import Window
 
     spark = queries.sparkSession
     blk = F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    qblk = F.pmod(F.hash(F.col(id_col)), F.lit(n_query_blocks)).cast("int")
     c = corpus.select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"), blk.alias("block")
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        blk.alias("block"),
+        F.explode(F.array(*[F.lit(i) for i in range(n_query_blocks)])).alias("qblk"),
     )
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        qblk.alias("qblk"),
         F.explode(F.array(*[F.lit(i) for i in range(n_blocks)])).alias("block"),
     )
 
@@ -197,8 +206,8 @@ def knn_search_blocked(
         )
 
     cand = (
-        q.groupby("block")
-        .cogroup(c.groupby("block"))
+        q.groupby("qblk", "block")
+        .cogroup(c.groupby("qblk", "block"))
         .applyInPandas(_scan, "src long, dst long, dist_sq double")
     )
     wk = Window.partitionBy("src").orderBy("dist_sq", "dst")
@@ -213,13 +222,21 @@ def knn_exact_blocked(
     df: DataFrame,
     k: int,
     n_blocks: int = 8,
+    n_query_blocks: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact self-kNN graph on the distributed tier (``knn_exact``
     semantics via ``knn_search_blocked``)."""
     return knn_search_blocked(
-        df, df, k, n_blocks=n_blocks, id_col=id_col, vec_col=vec_col, include_self=False
+        df,
+        df,
+        k,
+        n_blocks=n_blocks,
+        n_query_blocks=n_query_blocks,
+        id_col=id_col,
+        vec_col=vec_col,
+        include_self=False,
     )
 
 
@@ -439,6 +456,7 @@ def cosine_topk_by_group_blocked(
     df: DataFrame,
     k: int,
     n_blocks: int = 8,
+    n_query_blocks: int = 4,
     group_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -446,11 +464,14 @@ def cosine_topk_by_group_blocked(
     """``cosine_topk_by_group`` with BOUNDED task memory — the tier for
     groups too large for one ``applyInPandas`` task.
 
-    Members hash into ``n_blocks`` blocks per group; the query side
-    replicates across its group's blocks; cogroup on (group, block)
-    computes one cosine gemm per block, keeping a local top-k; a final
-    window merges ≤ n_blocks·k candidates per query. Task memory is
-    one (group, block) slice (~|G|/B vectors), not the whole group.
+    Grid blocking within each group: members hash into ``n_blocks``
+    corpus blocks AND ``n_query_blocks`` query blocks; each (group,
+    q-block, c-block) grid cell is one cogroup computing one cosine
+    gemm with a local top-k; a final window merges ≤ n_blocks·k
+    candidates per query. Task memory is one grid cell —
+    ~|G|/n_query_blocks query vectors + ~|G|/n_blocks corpus vectors —
+    so BOTH sides stay bounded when one label holds millions of
+    vectors; shuffle is |G|·(n_blocks + n_query_blocks) rows per group.
 
     Norms are per-row sum-of-squares (einsum) on both sides — the
     same accumulation the single-task kernel's gram diagonal produces
@@ -459,16 +480,19 @@ def cosine_topk_by_group_blocked(
     from pyspark.sql import Window
 
     blk = F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).cast("int")
+    qblk = F.pmod(F.hash(F.col(id_col)), F.lit(n_query_blocks)).cast("int")
     c = df.select(
         F.col(group_col).alias("g"),
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
         blk.alias("block"),
+        F.explode(F.array(*[F.lit(i) for i in range(n_query_blocks)])).alias("qblk"),
     )
     q = df.select(
         F.col(group_col).alias("g"),
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
+        qblk.alias("qblk"),
         F.explode(F.array(*[F.lit(i) for i in range(n_blocks)])).alias("block"),
     )
 
@@ -502,8 +526,8 @@ def cosine_topk_by_group_blocked(
         )
 
     cand = (
-        q.groupby("g", "block")
-        .cogroup(c.groupby("g", "block"))
+        q.groupby("g", "qblk", "block")
+        .cogroup(c.groupby("g", "qblk", "block"))
         .applyInPandas(_scan, "src long, dst long, cos double")
     )
     wk = Window.partitionBy("src").orderBy(F.col("cos").desc(), "dst")

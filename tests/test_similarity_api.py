@@ -48,16 +48,26 @@ def test_knn_blocked_matches_broadcast(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings").cache()
     ref = sorted(map(tuple, knn_exact(emb, 5).select("src", "dst", "rnk").collect()))
-    for nb in (1, 3, 8):
+    for nb, nq in ((1, 1), (3, 2), (8, 4)):
         got = sorted(
-            map(tuple, knn_exact_blocked(emb, 5, n_blocks=nb).select("src", "dst", "rnk").collect())
+            map(
+                tuple,
+                knn_exact_blocked(emb, 5, n_blocks=nb, n_query_blocks=nq)
+                .select("src", "dst", "rnk")
+                .collect(),
+            )
         )
-        assert got == ref, f"n_blocks={nb}"
-    # external query set, include_self=True
+        assert got == ref, f"n_blocks={nb} n_query_blocks={nq}"
+    # external query set, include_self=True, grid-blocked on both sides
     q = emb.filter("vec_id % 7 = 0")
     ref_q = sorted(map(tuple, knn_search(q, emb, 4).select("src", "dst", "rnk").collect()))
     got_q = sorted(
-        map(tuple, knn_search_blocked(q, emb, 4, n_blocks=5).select("src", "dst", "rnk").collect())
+        map(
+            tuple,
+            knn_search_blocked(q, emb, 4, n_blocks=5, n_query_blocks=3)
+            .select("src", "dst", "rnk")
+            .collect(),
+        )
     )
     assert got_q == ref_q
 
@@ -71,9 +81,16 @@ def test_cosine_topk_blocked_matches_single_task(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings").cache()
     ref = sorted(map(tuple, cosine_topk_by_group(emb, 5).collect()))
-    for nb in (1, 4):
-        got = sorted(map(tuple, cosine_topk_by_group_blocked(emb, 5, n_blocks=nb).collect()))
-        assert got == ref, f"n_blocks={nb}"
+    for nb, nq in ((1, 1), (4, 3)):
+        got = sorted(
+            map(
+                tuple,
+                cosine_topk_by_group_blocked(
+                    emb, 5, n_blocks=nb, n_query_blocks=nq
+                ).collect(),
+            )
+        )
+        assert got == ref, f"n_blocks={nb} n_query_blocks={nq}"
 
 
 def test_cosine_topk_ties_and_small_groups(spark):
