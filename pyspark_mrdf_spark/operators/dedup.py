@@ -529,21 +529,24 @@ def connected_components(
     per round, converging in O(component diameter) rounds. Near-dup
     graphs are piles of small dense cliques (diameter ≤ ~3), so 3-4
     rounds settle everything; the driver sees one changed-count scalar
-    per round and ``localCheckpoint`` truncates lineage, exactly the
-    MRDF iteration discipline. For adversarial long-chain graphs use
-    the large-star/small-star alternation (same primitives, fewer
-    rounds); the stopping rule here is exact either way."""
+    per round (whose action also materializes that round's lazy
+    ``localCheckpoint`` — one job per round total), exactly the MRDF
+    iteration discipline. If a component's diameter exceeds
+    ``max_iter`` (a legitimate long-chain graph), the partially
+    propagated labels are silently WRONG — so this falls through to
+    ``connected_components_star``, whose round count is logarithmic in
+    the diameter, instead of refusing or returning them."""
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -552,7 +555,9 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
         )
         # carry the old label through so the convergence count is a
-        # filter on the SAME checkpointed frame — no extra join pass
+        # filter on the SAME checkpointed frame — no extra join pass;
+        # the count below is the round's ONE action and materializes
+        # the lazy checkpoint as it runs
         stepped = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["u"], "left")
             .select(
@@ -562,21 +567,102 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = stepped.filter(F.col("label") != F.col("old_label")).count()
         labels = stepped.select("node", "label")
         if changed == 0:
             break
     else:
-        # partially-propagated labels are silently WRONG (one component
-        # reported as several); refuse rather than return them
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds "
-            "(component diameter exceeds max_iter); raise max_iter or use "
-            "star-contraction for long-chain graphs"
-        )
+        return connected_components_star(pairs, a_col, b_col)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by large-star/small-star alternation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the long-chain tier of ``connected_components``.
+
+    Each round rewires edges toward smaller node ids:
+
+     - **large-star** (per node u over its undirected neighborhood
+       Γ(u)): every neighbor v > u re-attaches to m = min(Γ(u) ∪ {u});
+     - **small-star** (per node u over its smaller neighbors
+       N⁻(u) = {v ∈ Γ(u): v < u}): u and every v ∈ N⁻(u) attach to
+       m = min(N⁻(u)).
+
+    Both steps preserve connectivity, every output edge points
+    strictly downward (big id → small id), and the alternation
+    converges in O(log² n) rounds even on path graphs where plain
+    min-label propagation needs O(diameter) — each step is one
+    groupBy·min + one join, the same shuffle primitives as the
+    propagation tier. At the fixpoint the edges form stars around each
+    component's minimum id: (node, min) edges plus the roots
+    themselves ARE the labeling.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        nbrs = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
+        )
+        # (v, m) for v > u: v > u ≥ m, so edges point strictly downward
+        return (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # input edges all point downward (u > v): N⁻(u) is just v's
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        moved = (
+            e.join(mins, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        return moved.unionByName(mins.select("u", F.col("m").alias("v"))).distinct()
+
+    n_old = edges.count()  # materializes the initial lazy checkpoint
+    for _ in range(max_iter):
+        stepped = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        # fixpoint test: both sets are distinct downward edges, so
+        # equality ⇔ same count AND no row of the new set outside the
+        # old (the count action also materializes the checkpoint)
+        n_new = stepped.count()
+        changed = (
+            n_new != n_old
+            or stepped.join(edges, ["u", "v"], "left_anti").limit(1).count() > 0
+        )
+        edges, n_old = stepped, n_new
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    roots = edges.select(F.col("v").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    return (
+        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+        .unionByName(roots)
+        .distinct()
+    )
 
 
 def dedup_against(

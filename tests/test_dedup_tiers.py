@@ -66,6 +66,49 @@ def test_connected_components_chain_and_clique(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_long_chain_falls_back_to_star(spark):
+    # a path graph of diameter 40 (> the propagation tier's max_iter
+    # default of 20): min-label alone cannot converge, so the operator
+    # must finish via the star-contraction tier — with correct labels
+    from pyspark_mrdf_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 141)], ["doc_a", "doc_b"]
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {i: 100 for i in range(100, 142)}
+
+
+def test_star_contraction_matches_propagation(spark):
+    # equivalence on a mixed graph (cliques + chains + isolated pairs),
+    # with ids shuffled so edge orientation is arbitrary
+    import random
+
+    from pyspark_mrdf_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    edges = []
+    # 5 cliques of 4
+    for c in range(5):
+        ids = [1000 * c + i for i in (3, 1, 4, 2)]
+        edges += [(a, b) for a in ids for b in ids if a != b and rng.random() < 0.7]
+    # 3 chains of length 6
+    for c in range(3):
+        ids = [9000 + 100 * c + i for i in range(7)]
+        rng.shuffle(ids)
+        edges += list(zip(ids, ids[1:]))
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    ref = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_star(pairs).collect()
+    }
+    assert got == ref
+
+
 def test_near_dedup_against_drops_fuzzy_dups(spark, sf_dir):
     from pyspark.sql import functions as F
 
