@@ -235,6 +235,40 @@ def test_watermark_drops_late_events(spark, tmp_path_factory):
     assert out2 == {(10, "click"): 1, (13, "click"): 1}
 
 
+def test_upsert_sink_swaps_via_hadoop_fs_uri(spark, events_json_dir, tmp_path_factory):
+    # the sink must resolve existence and the tmp->base swap through
+    # the Hadoop FileSystem of the dataset's OWN path (scheme-qualified
+    # URI here — the resolution path an hdfs:// or s3a:// dataset
+    # takes), NOT driver-local os.path: with pre-existing data the
+    # batch must take the merge+rename branch and both upsert and
+    # preserve rows
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.streaming.sinks import upsert_stream_to_parquet
+
+    base_dir = str(tmp_path_factory.mktemp("upsert_uri_base"))
+    base_uri = "file:" + base_dir
+    ckpt = str(tmp_path_factory.mktemp("upsert_uri_ckpt"))
+    # pre-existing dataset: one key the stream updates, one it doesn't
+    seed_user = -999
+    spark.createDataFrame(
+        [(seed_user, 7)], "user_id long, n_events long"
+    ).write.mode("overwrite").parquet(base_uri)
+
+    stream = stream_events_from_json(spark, events_json_dir)
+    agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    q = upsert_stream_to_parquet(agg, "user_id", base_uri, ckpt)
+    q.awaitTermination(180)
+    q.stop()
+    got = {r["user_id"]: r["n_events"] for r in spark.read.parquet(base_uri).collect()}
+    assert got[seed_user] == 7  # untouched key survives the swap
+    assert len(got) > 1  # stream keys were merged in
+    import os
+
+    assert not os.path.exists(base_dir.rstrip("/") + "._upsert_tmp")
+    assert not os.path.exists(base_dir.rstrip("/") + "._upsert_old")
+
+
 def test_upsert_stream_sink_matches_batch(spark, sf_dir, events_json_dir, tmp_path_factory):
     from pyspark.sql import functions as F
 
