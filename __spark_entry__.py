@@ -46,11 +46,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted for
-    non-SQL-expressible ops → driver records a rows-only check)."""
-    from pyspark_mrdf_spark.queries import driver_registry
+    non-SQL-expressible ops → driver records a rows-only check).
+
+    Callable (data-dependent) oracles resolve against sf0.01 — the
+    scale the driver's correctness gate runs at per its contract."""
+    from pyspark_mrdf_spark.queries import driver_registry, resolve_oracle
 
     return {
-        name: spec.oracle
+        name: resolve_oracle(spec.oracle, "/root/testdata/sf0.01")
         for name, spec in driver_registry().items()
         if spec.oracle is not None
     }

@@ -32,11 +32,18 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 
+# An oracle is either a static ANSI-SQL string or a callable
+# (sf_dir) -> str for DATA-DEPENDENT oracles (q57 inlines trained IVF
+# centroids computed from the corpus at that scale; a static string
+# could only be right for one sf).
+Oracle = "str | Callable[[str], str] | None"
+
+
 @dataclass
 class QuerySpec:
     name: str
     builder: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None = None
+    oracle: str | Callable[[str], str] | None = None
     description: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
     driver: bool = True  # exposed through __spark_entry__ (50-cap surface)
@@ -47,9 +54,19 @@ REGISTRY: dict[str, QuerySpec] = {}
 DRIVER_QUERY_CAP = 50
 
 
+def resolve_oracle(
+    oracle: str | Callable[[str], str] | None, sf_dir: str
+) -> str | None:
+    """SQL text of an oracle for ``sf_dir`` (callable oracles are
+    generated against that scale's data; strings pass through)."""
+    if oracle is None or isinstance(oracle, str):
+        return oracle
+    return oracle(sf_dir)
+
+
 def register(
     name: str,
-    oracle: str | None = None,
+    oracle: str | Callable[[str], str] | None = None,
     description: str = "",
     tags: tuple[str, ...] = (),
     driver: bool = True,

@@ -247,34 +247,95 @@ def q54_doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q57_ivf_recall",
-    oracle=f"""
-WITH cent AS (
-  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_vec
-  FROM embeddings ORDER BY vec_id LIMIT 8),
+# q57's production IVF operating point: 32 Lloyd-trained cells,
+# multi-assignment 4, probe 2 — same ~25% scanned fraction as the
+# untrained (8, 1, 2) baseline q51 demonstrates, recall ~0.62 vs ~0.43.
+_IVF_CFG = dict(n_centroids=32, n_probe=2, r_assign=4, sample_size=2048, iters=25, seed=42)
+
+
+def _ivf_trained_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.similarity import ivf_train_centroids
+
+    cfg = _IVF_CFG
+
+    def build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = ivf_train_centroids(
+            emb,
+            n_centroids=cfg["n_centroids"],
+            sample_size=cfg["sample_size"],
+            iters=cfg["iters"],
+            seed=cfg["seed"],
+        )
+        return ann_ivf(
+            emb,
+            K,
+            n_centroids=cfg["n_centroids"],
+            n_probe=cfg["n_probe"],
+            r_assign=cfg["r_assign"],
+            centroids=cents,
+        )
+
+    return memoized_df(
+        spark, ("ann_ivf_trained", sf_dir, K) + tuple(sorted(cfg.items())), build
+    )
+
+
+def _q57_oracle(sf_dir: str) -> str:
+    """Data-dependent oracle: replays the engine's EXACT centroid
+    training (md5-ordered sample — reproducible in SQL — through the
+    same ``lloyd_centroids`` NumPy code on DuckDB-loaded rows) and
+    inlines the resulting bit-identical centroids as SQL literals, so
+    the trained index is as hash-verifiable as the untrained one."""
+    import duckdb
+
+    import numpy as np
+
+    from pyspark_mrdf_spark.operators.similarity import lloyd_centroids
+
+    cfg = _IVF_CFG
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY md5('{cfg['seed']}:' || CAST(vec_id AS VARCHAR)) "
+        f"LIMIT {cfg['sample_size']}"
+    ).fetchall()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    cents = lloyd_centroids(x, cfg["n_centroids"], cfg["iters"])
+    vals = ",\n  ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(
+            i, ", ".join(repr(float(v)) for v in cents[i])
+        )
+        for i in range(len(cents))
+    )
+    return f"""
+WITH cent(cent_id, cent_vec) AS (VALUES
+  {vals}),
 assigned AS (
-  SELECT vec_id, embedding, cluster FROM (
-    SELECT e.vec_id, e.embedding, c.cent_id AS cluster,
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cent_id AS cluster,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
              ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cent_vec), c.cent_id) AS arnk
     FROM embeddings e CROSS JOIN cent c)
-  WHERE arnk = 1),
+  WHERE arnk <= {cfg["r_assign"]}),
 probes AS (
-  SELECT vec_id AS q_id, embedding AS q_vec, cluster FROM (
-    SELECT e.vec_id, e.embedding, c.cent_id AS cluster,
+  SELECT vec_id AS q_id, cluster FROM (
+    SELECT e.vec_id, c.cent_id AS cluster,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
              ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cent_vec), c.cent_id) AS prnk
     FROM embeddings e CROSS JOIN cent c)
-  WHERE prnk <= 2),
+  WHERE prnk <= {cfg["n_probe"]}),
+cand AS (
+  SELECT DISTINCT p.q_id AS src, a.vec_id AS dst
+  FROM probes p JOIN assigned a USING (cluster)
+  WHERE p.q_id <> a.vec_id),
 approx AS (
   SELECT src, dst FROM (
-    SELECT p.q_id AS src, a.vec_id AS dst,
-           ROW_NUMBER() OVER (PARTITION BY p.q_id
-             ORDER BY list_distance(CAST(p.q_vec AS DOUBLE[]),
-                                    CAST(a.embedding AS DOUBLE[])), a.vec_id) AS rnk
-    FROM probes p JOIN assigned a USING (cluster)
-    WHERE p.q_id <> a.vec_id)
+    SELECT c.src, c.dst,
+           ROW_NUMBER() OVER (PARTITION BY c.src
+             ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(t.embedding AS DOUBLE[])), c.dst) AS rnk
+    FROM cand c JOIN embeddings q ON q.vec_id = c.src
+                JOIN embeddings t ON t.vec_id = c.dst)
   WHERE rnk <= {K}),
 exact AS (
   SELECT src, dst FROM (
@@ -286,14 +347,19 @@ exact AS (
   WHERE rnk <= {K})
 SELECT CAST((SELECT COUNT(*) FROM exact e JOIN approx x ON e.src = x.src AND e.dst = x.dst) AS DOUBLE)
        / (SELECT COUNT(*) FROM exact) AS recall
-""",
-    description="recall of IVF vs exact kNN — deterministic index, so the ENTIRE recall computation is hash-verified against SQL (q56's randomized variant cannot be)",
+"""
+
+
+@register(
+    "q57_ivf_recall",
+    oracle=_q57_oracle,
+    description="recall of the PRODUCTION IVF index (32 Lloyd-trained cells, multi-assign 4, probe 2 — same scanned fraction as q51's untrained 8/1/2, ~0.62 vs ~0.43 recall) vs exact kNN; trained centroids reproduced bit-for-bit in the oracle via the shared Lloyd core + md5-ordered sample, so the ENTIRE recall computation stays hash-verified",
     tags=("vector", "ann", "recall"),
 )
 def q57_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_mrdf_spark.algorithms.recall import recall
 
-    r = recall(_exact_graph(spark, sf_dir), _ivf_graph(spark, sf_dir))
+    r = recall(_exact_graph(spark, sf_dir), _ivf_trained_graph(spark, sf_dir))
     return spark.createDataFrame([(float(r),)], ["recall"])
 
 

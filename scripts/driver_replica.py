@@ -92,16 +92,27 @@ def main(sf_dir: str, only: list[str], include_all: bool = False) -> int:
     print(f"[entry] rows={len(rows)} cols={df.columns} in {time.time()-t0:.1f}s")
     assert len(df.columns) > 0
 
+    from pyspark_mrdf_spark.queries import resolve_oracle
+
     if include_all:
         from pyspark_mrdf_spark.queries import load_all
 
         specs = load_all()
         qs = {n: s.builder for n, s in specs.items()}
-        oracles = {n: s.oracle for n, s in specs.items() if s.oracle}
+        oracles = {n: resolve_oracle(s.oracle, sf_dir) for n, s in specs.items() if s.oracle}
         print(f"[registry] {len(qs)} queries incl. pytest-only, {len(oracles)} with oracle")
     else:
         qs = entry_mod.queries()
         oracles = entry_mod.oracle_sql()
+        # oracle_sql() resolves data-dependent oracles at the real
+        # driver's sf0.01; when the replica runs another scale,
+        # re-resolve those against ITS data
+        if sf_dir.rstrip("/") != "/root/testdata/sf0.01":
+            from pyspark_mrdf_spark.queries import driver_registry
+
+            for n, s in driver_registry().items():
+                if callable(s.oracle):
+                    oracles[n] = resolve_oracle(s.oracle, sf_dir)
         print(f"[registry] {len(qs)} driver-facing queries, {len(oracles)} with oracle")
 
     con = duck_con(sf_dir)

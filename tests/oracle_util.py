@@ -51,7 +51,10 @@ def _canon_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
-def compare_query(spark, sf_dir: str, name: str, builder, oracle: str):
+def compare_query(spark, sf_dir: str, name: str, builder, oracle):
+    from pyspark_mrdf_spark.queries import resolve_oracle
+
+    oracle = resolve_oracle(oracle, sf_dir)
     sdf = builder(spark, sf_dir)
     srows = [tuple(r) for r in sdf.collect()]
     scols = list(sdf.columns)
