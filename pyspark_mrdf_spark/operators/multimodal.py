@@ -6,13 +6,15 @@ typed metadata struct; decode / feature-extract / frame-sample run as
 Arrow-batched ``mapInPandas`` kernels so the payload bytes never leave
 the executors and the work parallelizes per input partition.
 
-The actual image/audio codecs are NOT installed in this container, so
-the decode kernel here is a **clearly-marked deterministic fake**
-(byte-level features computed from the real payload bytes) and the
-real-codec entry point is stubbed behind ``NotImplementedError``
-(``decode_image``). Everything Spark-side — schema, partitioning, UDF
-signature, Arrow batch shape — is real and tested; swapping the fake
-for PIL/libvips/ffmpeg changes only the per-row kernel body.
+``decode_image`` is a REAL codec: a dependency-free 24-bit BMP parser
+(the container ships no image libraries, and BMP needs none), with
+``decode_pixel_features`` running it as the Spark kernel over payload
+columns. Formats that do need a codec library (PNG/JPEG/WAV/MP4) slot
+into the same function without touching the Spark plumbing; the
+byte-level ``decode_features`` kernel remains as the codec-free
+feature path the q61 oracle checks. Everything Spark-side — schema,
+partitioning, UDF signature, Arrow batch shape — is identical between
+the two.
 
 Payloads are derived deterministically from ``documents.text`` (UTF-8
 bytes) because the harness ships no binary fixtures; at 100 TB the
@@ -93,18 +95,114 @@ def attach_payloads(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):
-    """Real image decode — **STUB**. Image codecs (pillow / opencv /
-    libvips) are not installed in this container. The surrounding
-    Spark plumbing is identical for a real decoder; replace this body
-    with e.g. ``PIL.Image.open(io.BytesIO(payload))``."""
-    try:
-        import PIL.Image  # noqa: F401  (absent in this container)
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image codec unavailable (STUB): install pillow and decode here"
-        ) from exc
-    raise NotImplementedError("real decode intentionally not wired in tests")
+def decode_image(payload: bytes) -> np.ndarray:
+    """Real image decode: dependency-free 24-bit uncompressed BMP
+    parser → (height, width, 3) uint8 RGB array.
+
+    BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, BI_RGB) is the one
+    mainstream raster format decodable without a codec library, which
+    this container does not ship; richer codecs (PNG/JPEG via pillow,
+    frames via ffmpeg) slot into this same function without touching
+    any Spark plumbing. Handles bottom-up (positive height) and
+    top-down (negative height) row order and the 4-byte row padding
+    the format mandates. Raises ``ValueError`` on anything that is not
+    a 24bpp BI_RGB BMP."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing 'BM' magic)")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant (planes={planes}, bpp={bpp}, "
+            f"compression={compression}); only 24bpp BI_RGB is implemented"
+        )
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad BMP dimensions {width}x{height}")
+    stride = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    need = data_offset + stride * height
+    if len(payload) < need:
+        raise ValueError(f"truncated BMP: {len(payload)} bytes, need {need}")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * height, offset=data_offset)
+    rows = rows.reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    if not top_down:
+        rows = rows[::-1]  # stored bottom-up
+    return rows[..., ::-1].copy()  # BGR -> RGB
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Inverse of ``decode_image`` for tests and payload synthesis:
+    (height, width, 3) uint8 RGB → 24bpp bottom-up BI_RGB BMP bytes."""
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) pixels, got {px.shape}")
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR, bottom-up
+    data = body.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + data
+
+
+PIXEL_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("mean_r_e3", LongType(), False),
+        StructField("mean_g_e3", LongType(), False),
+        StructField("mean_b_e3", LongType(), False),
+    ]
+)
+
+
+def decode_pixel_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Per-image features from ACTUALLY-DECODED pixels: (doc_id, width,
+    height, per-channel mean ×1000 as int64 — fixed-point, so the
+    values are engine-portable like every other checked aggregate).
+
+    Same mapInPandas shape as ``decode_features`` but the kernel body
+    is the real ``decode_image`` codec: Arrow batch in, decoded NumPy
+    pixel block per row, feature frame out; payload bytes never leave
+    the executors and the work parallelizes per input partition."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                px = decode_image(bytes(payload))
+                means = px.reshape(-1, 3).mean(axis=0)
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(px.shape[1]),
+                        int(px.shape[0]),
+                        int(round(means[0] * 1000)),
+                        int(round(means[1] * 1000)),
+                        int(round(means[2] * 1000)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "mean_r_e3", "mean_g_e3", "mean_b_e3"],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(_decode, PIXEL_FEATURE_SCHEMA)
 
 
 def decode_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
