@@ -92,28 +92,29 @@ def q41_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q42_minhash_signatures",
-    driver=False,  # pytest-only: signature computation embedded in q43 LSH oracle
+    # promoted r5 (took q06's slot): q42's round-1 red was the one red
+    # verdict in the correctness history — array cells crashed the
+    # driver canonicalizer. Re-shaped to fully SCALAR rows (one row per
+    # (doc, permutation) instead of a serialized array column) so the
+    # signature VALUES themselves get a hard hash verdict.
     oracle=f"""
 WITH post AS (
-  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents)
-SELECT doc_id,
-       array_to_string(
-         [min(md5('0:' || shingle)), min(md5('1:' || shingle)),
-          min(md5('2:' || shingle)), min(md5('3:' || shingle)),
-          min(md5('4:' || shingle)), min(md5('5:' || shingle)),
-          min(md5('6:' || shingle)), min(md5('7:' || shingle))], '|') AS signature
-FROM post GROUP BY doc_id
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+hs AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS h_idx)
+SELECT doc_id, CAST(h_idx AS BIGINT) AS h_idx,
+       MIN(md5(CAST(h_idx AS VARCHAR) || ':' || shingle)) AS h_hex
+FROM post CROSS JOIN hs
+GROUP BY doc_id, h_idx
 """,
-    description="MinHash signatures (8 salted md5 permutations over 3-gram shingles)",
+    description="MinHash signatures (8 salted md5 permutations over 3-gram shingles), exploded to one scalar row per (doc, permutation)",
     tags=("dedup", "minhash"),
 )
 def q42_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    # signature serialized to '|'-joined hex: scalar cells for the
-    # driver canonicalizer (raw arrays are unhashable there).
-    return D.minhash_signatures(d, num_hashes=8, n=3).withColumn(
-        "signature", F.array_join("signature", "|")
-    )
+    sig = D.minhash_signatures(d, num_hashes=8, n=3)
+    return sig.select(
+        "doc_id", F.posexplode("signature").alias("h_idx", "h_hex")
+    ).withColumn("h_idx", F.col("h_idx").cast("bigint"))
 
 
 @register(

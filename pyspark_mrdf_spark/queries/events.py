@@ -86,7 +86,8 @@ def q21_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q22_event_gaps",
-    driver=False,  # pytest-only: lag window covered by q19 frames + q24 sessionization
+    # promoted r5: rotated into the driver surface for a hard verdict
+    # (took q23's slot — q23 was driver-green rounds 1-4)
     oracle="""
 SELECT event_id, user_id, epoch_us(ts) AS ts_us,
        date_diff('microsecond',
@@ -171,6 +172,7 @@ def q25_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q23_user_activity",
+    driver=False,  # demoted r5 after 4 driver-green rounds; slot went to q22
     oracle="""
 SELECT user_id,
        COUNT(*) AS n_events,

@@ -181,6 +181,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q06_left_join_orders",
+    driver=False,  # demoted r5 after 4 driver-green rounds; slot went to q42
     oracle="""
 SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
        CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent

@@ -42,22 +42,27 @@ DRIVER_SURFACE = [
     # twice-driver-green siblings (q14/q15/q16/q17/q20/q26/q30/q31/q35/
     # q39 — each family keeps at least one driver representative:
     # scalar fns → q66, sampling → q71, pivot/median aggs → q65/q67,
-    # text → q32/q33/q36/q64). The grading driver records at most 50
-    # verdicts in registration order — changing this list is a
-    # deliberate decision, not a side effect of adding a query (new
-    # queries default into the pytest-only overflow unless they take a
-    # slot explicitly).
-    "q21_hourly_windows", "q24_session_windows", "q25_sliding_windows",
-    "q23_user_activity", "q28_asof_prev_click", "q29_price_band_join",
+    # text → q32/q33/q36/q64). Round-5 rotation: the two never-verified
+    # queries q22 (lag-window gaps) and q42 (MinHash signatures,
+    # re-shaped to scalar rows after its round-1 canonicalizer red)
+    # take the slots of the 4×-green q23 and q06 — closing the "every
+    # registry query has had a hard verdict" loop. The grading driver
+    # records at most 50 verdicts in registration order — changing
+    # this list is a deliberate decision, not a side effect of adding
+    # a query (new queries default into the pytest-only overflow
+    # unless they take a slot explicitly).
+    "q21_hourly_windows", "q22_event_gaps", "q24_session_windows",
+    "q25_sliding_windows", "q28_asof_prev_click", "q29_price_band_join",
     "q63_stream_stream_join", "q66_variant_props", "q76_salted_hot_user_join",
     "q60_multimodal_meta", "q61_payload_features", "q62_frame_sample",
-    "q01_pricing_summary", "q05_local_supplier_volume", "q06_left_join_orders",
+    "q01_pricing_summary", "q05_local_supplier_volume",
     "q07_semi_join_urgent", "q10_top_lineitems_per_order",
     "q12_top10_revenue_orders", "q13_setops_customers", "q19_moving_avg",
     "q27_above_customer_avg", "q65_profile_lineitem", "q67_grouping_sets",
     "q68_array_set_ops", "q75_unpivot_lineitem", "q32_quality_score",
     "q33_langid_heuristic", "q36_rolling_fingerprint", "q64_clean_corpus",
-    "q40_exact_dup_groups", "q41_jaccard_near_dups", "q43_lsh_candidates",
+    "q40_exact_dup_groups", "q41_jaccard_near_dups", "q42_minhash_signatures",
+    "q43_lsh_candidates",
     "q45_simhash_near_pairs", "q72_dup_clusters", "q73_canonical_corpus",
     "q46_embedding_near_dups", "q77_incremental_dedup",
     "q78_incremental_near_dedup", "q79_simhash_band_candidates",
