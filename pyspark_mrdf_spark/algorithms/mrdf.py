@@ -152,7 +152,7 @@ def knn_graph(
     # k_build note).
     k_work = max(k, 20)
 
-    def _build_forest_graph(iteration: int) -> tuple[DataFrame, int]:
+    def _build_forest_graph(iteration: int) -> tuple[DataFrame, int, dict | None]:
         """Division + per-subset NN-Descent for one iteration: the
         random forest's local k-NN graph, materialized. Depends only on
         (base, seed, iteration) — NOT on the running merged graph — so
@@ -161,6 +161,7 @@ def knn_graph(
 
         # ---- division: split every ≥α subset into ρ children --------
         division = 0
+        join_tier_rounds = 0
         while True:
             division += 1
             # loop gate: any path still ≥ α? One cheap JVM aggregate —
@@ -195,6 +196,7 @@ def knn_graph(
                 # keep centroids distributed (join + min_by). Lazy
                 # checkpoint: the next round's gate count materializes
                 # it — no dedicated job.
+                join_tier_rounds += 1
                 data = _extend_by_join(data, cents).localCheckpoint(eager=False)
                 continue
             cent_rows = cents.collect()
@@ -250,8 +252,25 @@ def knn_graph(
             )
             return pd.DataFrame(edges, columns=["src", "dst", "dist_sq"])
 
+        forest_stats: dict | None = None
+        if metrics_out is not None:
+            # tier-activation evidence for the run artifact: leaf-size
+            # stats prove which NN-Descent kernel the leaves took
+            # (≤4096 exact gemm, ≤32768 tiled exact, else iterative),
+            # join_tier_rounds proves the distributed centroid path ran
+            row = (
+                data.groupBy("path")
+                .count()
+                .agg(F.count(F.lit(1)).alias("n_leaves"), F.max("count").alias("max_leaf"))
+                .collect()[0]
+            )
+            forest_stats = {
+                "n_leaves": row["n_leaves"],
+                "max_leaf": row["max_leaf"],
+                "join_tier_rounds": join_tier_rounds,
+            }
         g_prime = data.groupBy("path").applyInPandas(_local, EDGE_SCHEMA)
-        return g_prime.localCheckpoint(eager=True), division - 1
+        return g_prime.localCheckpoint(eager=True), division - 1, forest_stats
 
     # Forest pipelining: iteration i's forest depends only on
     # (seed, i), never on the running merged graph, so future forests
@@ -285,7 +304,7 @@ def knn_graph(
         while True:
             iteration += 1
             iter_t0 = time.monotonic()
-            g_prime, divisions = futures.pop(iteration).result()
+            g_prime, divisions, forest_stats = futures.pop(iteration).result()
             stop_by_iter = bool(max_iter) and iteration >= max_iter
             if not stop_by_iter:
                 _submit_through(iteration + lookahead)
@@ -351,6 +370,7 @@ def knn_graph(
                         "alpha": alpha,
                         "tau": tau,
                         "seed": seed,
+                        **(forest_stats or {}),
                     }
                 )
             if stop_by_iter or (ratio is not None and ratio <= tau):

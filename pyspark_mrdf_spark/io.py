@@ -57,6 +57,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # session/sliding windows) expects TIMESTAMP — cast is
             # value-preserving under the engine's UTC session TZ
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        resolved = dict(df.dtypes).get("ts", "")
+        if resolved != "timestamp":
+            # schema drift must fail HERE, not queries downstream: a
+            # future corpus vintage surfacing ts as anything but the
+            # known bigint/ntz/timestamp shapes would otherwise
+            # propagate a raw column into every events query
+            raise TypeError(
+                f"events.ts resolved to {resolved!r}, expected 'timestamp' "
+                f"(raw scan type was {ts_type!r}); teach io.load_table this vintage"
+            )
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -2,34 +2,126 @@
 run the vector-engine pipeline over increasing data sizes and record
 (n_vectors, seconds) pairs, plus the relational flagship at each sf.
 
-Usage:  python scripts/scalability.py [sf0.001 sf0.01 sf0.1]
+Beyond the corpus scales (n ≤ 2000), a synthetic design-size point
+(default n = 50,000, d = 64) exercises the code paths a cluster
+deployment relies on but small data never reaches, and ASSERTS their
+activation via the run metrics from ONE quality-configuration build
+(α = 16384, centroid_broadcast_max_paths = 0):
+
+ - division leaves land in (4096, 32768], so every leaf runs the
+   TILED exact kernel (``nndescent._exact_block_tiled``) — asserted
+   via max_leaf > 4096;
+ - every division round extends tree paths through the DISTRIBUTED
+   centroid join tier (``mrdf._extend_by_join``) instead of the
+   driver-dict broadcast — asserted via join_tier_rounds ≥ 1 (the two
+   tiers are equivalence-tested, so forcing the join tier changes the
+   mechanism, never the graph).
+
+The synthetic corpus is a seeded Gaussian MIXTURE (250 clusters,
+center scale 2.5 — the shape real embedding corpora have; measured
+recall 0.9999). ``--uniform`` adds a pure-Gaussian row: uniform
+high-dim noise is the documented WORST CASE for any partition-based
+ANN (neighborhoods barely beat random splits), measured ~0.78 with
+the same configuration — reported for honesty, not asserted.
+
+Recall for every point is measured against the grid-blocked exact
+graph (itself the q50 scale tier). All MRDF points run the SHIPPED
+refinement setting (refine_rounds=1 — what q55/q56 register), so the
+artifact describes the engine as deployed.
+
+Usage:
+  python scripts/scalability.py                      # corpus sfs + synthetic 50k
+  python scripts/scalability.py sf0.01 sf0.1         # corpus subset only
+  python scripts/scalability.py --synthetic-n 50000 --uniform
 
 Prints one JSON line:
-  {"metric": "scalability_sweep", "points": [{"sf":..., "n":...,
-    "knn_exact_s":..., "mrdf_s":..., "mrdf_recall":..., "flagship_s":...}]}
+  {"metric": "scalability_sweep", "points": [...]}
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import numpy as np
+
 from pyspark_mrdf_spark.algorithms.mrdf import knn_graph
 from pyspark_mrdf_spark.algorithms.recall import recall
 from pyspark_mrdf_spark.io import load_table
-from pyspark_mrdf_spark.operators.similarity import knn_exact
+from pyspark_mrdf_spark.operators.similarity import knn_exact_blocked
 from pyspark_mrdf_spark.queries import load_all
 from pyspark_mrdf_spark.session import get_spark
 
 K = 10
 
 
+def _write_synthetic(
+    path: str, n: int, d: int = 64, seed: int = 7, k_clusters: int | None = 250,
+    center_scale: float = 2.5,
+) -> None:
+    """Seeded synthetic embeddings table with the corpus schema
+    (vec_id int64, embedding list<float>, label int32), written via
+    pyarrow — no driver-side Spark row materialization.
+
+    ``k_clusters`` set → Gaussian mixture (cluster centers
+    ~N(0, center_scale²·I), unit within-cluster noise; label = cluster)
+    — the clustered shape real embedding corpora have. ``None`` → pure
+    unit Gaussian, the worst case for partition-based ANN."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    if k_clusters:
+        centers = rng.standard_normal((k_clusters, d)) * center_scale
+        assign = rng.integers(0, k_clusters, n)
+        x = (centers[assign] + rng.standard_normal((n, d))).astype(np.float32)
+        labels = assign.astype(np.int32)
+    else:
+        x = rng.standard_normal((n, d), dtype=np.float32)
+        labels = (np.arange(n) % 5).astype(np.int32)
+    emb = pa.ListArray.from_arrays(
+        pa.array(np.arange(n + 1, dtype=np.int64) * d, type=pa.int32()),
+        pa.array(x.reshape(-1), type=pa.float32()),
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64), type=pa.int64()),
+            "embedding": emb,
+            "label": pa.array(labels, type=pa.int32()),
+        }
+    )
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(t, os.path.join(path, "embeddings.parquet"))
+
+
+def _mrdf_point(spark, emb, label: str, **kw) -> dict:
+    metrics: list = []
+    t0 = time.time()
+    g = knn_graph(
+        emb, K, tau=0.01, seed=42, max_iter=3, refine_rounds=1,
+        metrics_out=metrics, **kw,
+    ).localCheckpoint(eager=True)
+    t_mrdf = time.time() - t0
+    return {"label": label, "mrdf_s": round(t_mrdf, 2), "graph": g, "metrics": metrics}
+
+
 def main() -> None:
-    sfs = sys.argv[1:] or ["sf0.001", "sf0.01", "sf0.1"]
+    argv = sys.argv[1:]
+    synthetic_n = 50_000
+    if "--synthetic-n" in argv:
+        i = argv.index("--synthetic-n")
+        synthetic_n = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    include_uniform = "--uniform" in argv
+    argv = [a for a in argv if a != "--uniform"]
+    sfs = argv or ["sf0.001", "sf0.01", "sf0.1"]
+    run_synthetic = not argv  # explicit sf list = corpus-only run
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name="pyspark-mrdf-scalability", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -43,16 +135,11 @@ def main() -> None:
         n = emb.count()
 
         t0 = time.time()
-        g_exact = knn_exact(emb, K)
-        g_exact.write.format("noop").mode("overwrite").save()
+        g_exact = knn_exact_blocked(emb, K).localCheckpoint(eager=True)
         t_exact = time.time() - t0
 
-        t0 = time.time()
-        g = knn_graph(emb, K, rho=4, alpha=600, tau=0.01, seed=42, max_iter=3, refine_rounds=2)
-        g.write.format("noop").mode("overwrite").save()
-        t_mrdf = time.time() - t0
-
-        r = recall(knn_exact(emb, K), g)
+        pt = _mrdf_point(spark, emb, sf, rho=4, alpha=600)
+        r = recall(g_exact, pt.pop("graph"))
 
         t0 = time.time()
         flagship.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -63,12 +150,66 @@ def main() -> None:
                 "sf": sf,
                 "n": n,
                 "knn_exact_s": round(t_exact, 2),
-                "mrdf_s": round(t_mrdf, 2),
+                "mrdf_s": pt["mrdf_s"],
                 "mrdf_recall": round(r, 4),
                 "flagship_s": round(t_flag, 2),
+                "refine_rounds": 1,
             }
         )
         print(f"[scalability] {points[-1]}", file=sys.stderr)
+
+    if run_synthetic:
+        syn_dir = "/root/repo/.scalability_synth"
+        variants = [("mixture", 250)] + ([("uniform", None)] if include_uniform else [])
+        for dist_name, k_clusters in variants:
+            try:
+                _write_synthetic(syn_dir, synthetic_n, k_clusters=k_clusters)
+                emb = spark.read.parquet(os.path.join(syn_dir, "embeddings.parquet"))
+
+                t0 = time.time()
+                g_exact = knn_exact_blocked(
+                    emb, K, n_blocks=32, n_query_blocks=16
+                ).localCheckpoint(eager=True)
+                t_exact = time.time() - t0
+                print(
+                    f"[scalability] exact n={synthetic_n} {dist_name}: {t_exact:.1f}s",
+                    file=sys.stderr,
+                )
+
+                # one quality-config build activates BOTH scale tiers:
+                # α=16384 → leaves in (4096, 32768] (tiled exact kernel),
+                # cbmp=0 → every division round through the centroid join
+                pt = _mrdf_point(
+                    spark, emb, dist_name, rho=4, alpha=16384,
+                    centroid_broadcast_max_paths=0,
+                )
+                max_leaf = max(m.get("max_leaf", 0) for m in pt["metrics"])
+                join_rounds = sum(m.get("join_tier_rounds", 0) for m in pt["metrics"])
+                assert max_leaf > 4096, (
+                    f"tiled-exact leaf tier did not activate: max_leaf={max_leaf}"
+                )
+                assert join_rounds >= 1, "centroid join tier did not activate"
+                r = recall(g_exact, pt.pop("graph"))
+                if dist_name == "mixture":
+                    assert r >= 0.9, f"design-size recall bar missed: {r}"
+                points.append(
+                    {
+                        "sf": f"synthetic-{synthetic_n}-{dist_name}",
+                        "n": synthetic_n,
+                        "distribution": dist_name,
+                        "knn_exact_s": round(t_exact, 2),
+                        "mrdf_s": pt["mrdf_s"],
+                        "mrdf_recall": round(r, 4),
+                        "refine_rounds": 1,
+                        "alpha": 16384,
+                        "max_leaf": int(max_leaf),
+                        "join_tier_rounds": int(join_rounds),
+                        "tiers": ["tiled_exact_leaves", "distributed_centroid_join"],
+                    }
+                )
+                print(f"[scalability] {points[-1]}", file=sys.stderr)
+            finally:
+                shutil.rmtree(syn_dir, ignore_errors=True)
 
     print(json.dumps({"metric": "scalability_sweep", "points": points}))
 
