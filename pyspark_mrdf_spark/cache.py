@@ -30,10 +30,19 @@ _LOCK = Lock()
 
 
 def memoized_df(
-    spark: SparkSession, key: tuple, builder: Callable[[], DataFrame]
+    spark: SparkSession,
+    key: tuple,
+    builder: Callable[[], DataFrame],
+    eager: bool = True,
 ) -> DataFrame:
     """Return the materialized DataFrame for ``key``, building it with
-    ``builder`` (then eagerly localCheckpoint-ing) on first use.
+    ``builder`` (then localCheckpoint-ing) on first use.
+
+    ``eager=False`` defers materialization to the caller's first
+    action (one fewer Spark job when the caller acts immediately —
+    q56 runs recall right after building the MRDF graph); keep the
+    default when the build must finish NOW, e.g. on the background
+    thread whose whole point is overlapping the materialization.
 
     Builders may run concurrently for DIFFERENT keys (q56 overlaps its
     exact side on a thread); per-key a single build wins and later
@@ -44,7 +53,7 @@ def memoized_df(
         hit = _CACHE.get(full)
     if hit is not None:
         return hit
-    df = builder().localCheckpoint(eager=True)
+    df = builder().localCheckpoint(eager=eager)
     with _LOCK:
         # drop entries of dead sessions; keep the first build per key
         for k in [k for k in _CACHE if k[0] != app]:

@@ -64,6 +64,9 @@ def _mrdf_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "embeddings"),
             K, rho=4, alpha=600, tau=0.01, seed=42, max_iter=3, refine_rounds=1,
         ),
+        # lazy: q56's recall action (or q55's caller) materializes the
+        # checkpoint — one fewer job on the critical path
+        eager=False,
     )
 
 
