@@ -167,6 +167,20 @@ def q44_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(d, bits=16)
 
 
+def _simhash48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash signature table of ``documents``, memoized per
+    session: the signature feeds several plan branches WITHIN q45
+    (band slices + both verify sides) and is shared ACROSS q45/q79 —
+    one tokenize+vote build per session instead of three."""
+    from pyspark_mrdf_spark.cache import memoized_df
+
+    return memoized_df(
+        spark,
+        ("simhash48", sf_dir),
+        lambda: D.simhash(load_table(spark, sf_dir, "documents"), bits=48),
+    )
+
+
 @register(
     "q45_simhash_near_pairs",
     oracle="""
@@ -195,11 +209,7 @@ def q45_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # saturates on a corpus of duplicates — every bucket fills and the
     # banding degenerates toward all-pairs; 16-bit band slices keep
     # buckets sparse at any realistic corpus size.
-    d = load_table(spark, sf_dir, "documents")
-    # the signature table feeds three plan branches (band slices + both
-    # verify sides): materialize it once instead of recomputing the
-    # tokenize+groupBy per branch
-    sh = D.simhash(d, bits=48).localCheckpoint(eager=True)
+    sh = _simhash48(spark, sf_dir)
     cand = D.simhash_band_candidates(sh, bands=3, bits=48)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
@@ -391,7 +401,14 @@ def q78_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q79_simhash_band_candidates",
-    # promoted r3: rotated into the driver surface for a hard verdict
+    # promoted r3: rotated into the driver surface for a hard verdict.
+    # r5: 16-bit signature → 48-bit. Profiling at sf0.1 showed the
+    # 16-bit banding SATURATED (5/5/6-bit slices = 32-64 buckets; 5000
+    # docs → 3.08M candidate pairs, a quarter of all-pairs — the exact
+    # degeneration q45's comment predicts). 3×16-bit slices of a
+    # 48-bit signature keep 65536 buckets per band: candidates collapse
+    # to the genuinely-colliding pairs and the pigeonhole guarantee
+    # (Hamming ≤ 2 ⇒ some band matches) is unchanged.
     oracle="""
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 sums AS (
@@ -399,22 +416,17 @@ sums AS (
   FROM tok GROUP BY doc_id),
 sh AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums),
 slices AS (
-  SELECT doc_id, band,
-         CASE band WHEN 0 THEN simhash & 31
-                   WHEN 1 THEN (simhash >> 5) & 31
-                   ELSE (simhash >> 10) & 63 END AS slice
+  SELECT doc_id, band, (simhash >> (band * 16)) & 65535 AS slice
   FROM sh CROSS JOIN (SELECT unnest([0, 1, 2]) AS band))
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM slices a JOIN slices b
   ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id
 """.format(
-        sums=_simhash_vote_sums(16),
-        bits=" + ".join(f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16)),
+        sums=_simhash_vote_sums(48),
+        bits=" + ".join(f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(48)),
     ),
-    description="SimHash pigeonhole banding (3 bands over 16 bits: 5+5+6): candidate pairs sharing any band slice — guaranteed superset of all pairs within Hamming distance 2, no all-pairs scan; the scale path q45's exact variant needs",
+    description="SimHash pigeonhole banding (3×16-bit slices of the 48-bit signature): candidate pairs sharing any band slice — guaranteed superset of all pairs within Hamming distance 2, buckets stay sparse at corpus scale; the scale path q45's exact variant needs",
     tags=("dedup", "simhash", "lsh"),
 )
 def q79_simhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    sh = D.simhash(d, bits=16)
-    return D.simhash_band_candidates(sh, bands=3, bits=16)
+    return D.simhash_band_candidates(_simhash48(spark, sf_dir), bands=3, bits=48)
