@@ -459,21 +459,32 @@ def near_dedup_against(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    corpus_buckets: DataFrame | None = None,
+    corpus_postings: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup dedup: rows of ``new_docs`` with no corpus
     document of n-gram Jaccard ≥ ``threshold`` — the daily-ingest shape
     for fuzzy dedup (``dedup_against`` is the exact-match sibling).
 
     MinHash-LSH candidates first (equi-join of batch vs corpus band
-    buckets — in production the corpus buckets are precomputed and
-    stored, so each ingest touches signatures, never the corpus text),
-    then exact Jaccard verify on candidate pairs only via the posting
-    lists of JUST the candidate documents. No all-pairs work anywhere;
-    false negatives are the standard LSH banding ones (a ≥ threshold
-    pair missing every band)."""
-    c_sig = minhash_signatures(corpus, num_hashes, n, id_col, text_col)
+    buckets), then exact Jaccard verify on candidate pairs only via
+    the posting lists of JUST the candidate documents. No all-pairs
+    work anywhere; false negatives are the standard LSH banding ones
+    (a ≥ threshold pair missing every band).
+
+    In production the corpus-side state is PRECOMPUTED AND STORED —
+    each ingest touches signatures, never the corpus text. Pass
+    ``corpus_buckets`` ((id, band, bucket), from ``lsh_band_buckets``)
+    and ``corpus_postings`` ((id, shingle), from ``shingle_table``)
+    built with the SAME (num_hashes, bands, rows_per_band, n) to model
+    that; omitted, both derive from ``corpus`` inside this plan."""
+    if corpus_buckets is None:
+        c_sig = minhash_signatures(corpus, num_hashes, n, id_col, text_col)
+        corpus_buckets = lsh_band_buckets(c_sig, bands, rows_per_band, id_col)
+    if corpus_postings is None:
+        corpus_postings = shingle_table(corpus, n, id_col, text_col)
     b_sig = minhash_signatures(new_docs, num_hashes, n, id_col, text_col)
-    c_buckets = lsh_band_buckets(c_sig, bands, rows_per_band, id_col).select(
+    c_buckets = corpus_buckets.select(
         F.col(id_col).alias("c_id"), "band", "bucket"
     )
     b_buckets = lsh_band_buckets(b_sig, bands, rows_per_band, id_col).select(
@@ -487,7 +498,7 @@ def near_dedup_against(
     b_post = shingle_table(new_docs, n, id_col, text_col).join(
         cand.select(F.col("b_id").alias(id_col)).distinct(), id_col, "left_semi"
     )
-    c_post = shingle_table(corpus, n, id_col, text_col).join(
+    c_post = corpus_postings.join(
         cand.select(F.col("c_id").alias(id_col)).distinct(), id_col, "left_semi"
     )
     b_sz = b_post.groupBy(id_col).agg(F.count(F.lit(1)).alias("b_sz"))
