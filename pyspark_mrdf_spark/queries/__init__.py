@@ -36,9 +36,6 @@ from pyspark.sql import DataFrame, SparkSession
 # (sf_dir) -> str for DATA-DEPENDENT oracles (q57 inlines trained IVF
 # centroids computed from the corpus at that scale; a static string
 # could only be right for one sf).
-Oracle = "str | Callable[[str], str] | None"
-
-
 @dataclass
 class QuerySpec:
     name: str
