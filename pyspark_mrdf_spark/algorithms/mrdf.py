@@ -107,7 +107,16 @@ def knn_graph(
     α ≤ 32768 is therefore the recommended operating point on a
     cluster — division rounds are cheap DataFrame ops that scale out;
     only reference-parity huge-α runs (α=150000 default) fall back to
-    the iterative NN-Descent kernel."""
+    the iterative NN-Descent kernel.
+
+    Design-size evidence (SCALABILITY.json, n=50,000 d=64): with
+    α=16384 the tiled-exact leaves and the distributed centroid join
+    tier both execute (asserted via ``metrics_out``); recall 0.9999 in
+    ~51s on clustered (mixture) data — the shape real embedding
+    corpora have — and ~0.78 on pure uniform noise, the known worst
+    case for partition-based ANN (neighborhoods barely beat random
+    splits; more forests via ``max_iter`` is the recall/cost dial
+    there)."""
     spark = df.sparkSession
     sc = spark.sparkContext
     # materialize the working set once: spread a possibly-few-files
