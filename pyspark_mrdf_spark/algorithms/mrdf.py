@@ -385,7 +385,10 @@ def knn_graph(
             if stop_by_iter or (ratio is not None and ratio <= tau):
                 break
     finally:
-        executor.shutdown(wait=False)
+        # cancel queued speculative forests on early τ-stop (a RUNNING
+        # one finishes orphaned — Spark jobs aren't interruptible here —
+        # but never more than one)
+        executor.shutdown(wait=False, cancel_futures=True)
 
     # ---- global graph refinement: NN-Descent's neighbor-of-neighbor
     # step at graph scale, as pure DataFrame ops (no driver traffic).

@@ -435,22 +435,17 @@ def q78_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 500000).alias("doc_id"), F.reverse("text").alias("text")
     )
     batch = copies.unionByName(novel)
-    # the stored corpus index of the production shape: band buckets +
-    # shingle postings built once per session (an ingest touches the
-    # batch and these indexes, never the corpus text)
-    from pyspark_mrdf_spark.cache import memoized_df
-
-    postings = memoized_df(
-        spark,
-        ("shingle_postings", sf_dir, 3),
-        lambda: D.shingle_table(load_table(spark, sf_dir, "documents"), 3),
-    )
+    # the band buckets are the stored corpus index of the production
+    # shape (shared with q43 via the session registry — bounded: one
+    # 3-column row per (doc, band)). The shingle POSTINGS stay a lazy
+    # plan on purpose: they are corpus-text-sized, and the registry's
+    # rule is bounded outputs only — the operator's candidate semi-join
+    # prunes them before any materialization.
     return D.near_dedup_against(
         batch,
         d,
         threshold=0.5,
         corpus_buckets=_minhash_buckets(spark, sf_dir),
-        corpus_postings=postings,
     ).select("doc_id")
 
 

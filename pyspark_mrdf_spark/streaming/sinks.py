@@ -52,6 +52,24 @@ def upsert_stream_to_parquet(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         fs, base = _hadoop_fs(spark, base_path)
+        tmp_path = base_path.rstrip("/") + "._upsert_tmp"
+        old_path = base_path.rstrip("/") + "._upsert_old"
+        _, tmp = _hadoop_fs(spark, tmp_path)
+        _, old = _hadoop_fs(spark, old_path)
+        # crash recovery BEFORE the existence check: a previous run that
+        # died between the two swap renames leaves the dataset parked at
+        # .old and nothing at base — without this, the batch would take
+        # the initial-overwrite branch and silently replace the dataset.
+        # Restoring .old (rather than completing .tmp) is always correct:
+        # the interrupted batch never committed its checkpoint, so the
+        # stream re-runs it against the restored base.
+        if not fs.exists(base) and fs.exists(old):
+            if not fs.rename(old, base):
+                raise IOError(
+                    f"upsert recovery: rename {old_path} -> {base_path} failed"
+                )
+        fs.delete(tmp, True)  # stale tmp from any interrupted attempt
+        fs.delete(old, True)
         if not fs.exists(base) or len(fs.listStatus(base)) == 0:
             batch_df.write.mode("overwrite").parquet(base_path)
             return
@@ -59,12 +77,7 @@ def upsert_stream_to_parquet(
         merged = base_df.join(
             batch_df.select(key).distinct(), key, "left_anti"
         ).unionByName(batch_df)
-        tmp_path = base_path.rstrip("/") + "._upsert_tmp"
-        old_path = base_path.rstrip("/") + "._upsert_old"
         merged.write.mode("overwrite").parquet(tmp_path)
-        _, tmp = _hadoop_fs(spark, tmp_path)
-        _, old = _hadoop_fs(spark, old_path)
-        fs.delete(old, True)
         if not fs.rename(base, old):
             raise IOError(f"upsert swap: rename {base_path} -> {old_path} failed")
         if not fs.rename(tmp, base):

@@ -103,16 +103,22 @@ def main(sf_dir: str, only: list[str], include_all: bool = False) -> int:
         print(f"[registry] {len(qs)} queries incl. pytest-only, {len(oracles)} with oracle")
     else:
         qs = entry_mod.queries()
-        oracles = entry_mod.oracle_sql()
-        # oracle_sql() resolves data-dependent oracles at the real
-        # driver's sf0.01; when the replica runs another scale,
-        # re-resolve those against ITS data
-        if sf_dir.rstrip("/") != "/root/testdata/sf0.01":
+        if sf_dir.rstrip("/") == "/root/testdata/sf0.01":
+            # the driver's own interface, end to end (oracle_sql()
+            # resolves data-dependent oracles at sf0.01 by contract)
+            oracles = entry_mod.oracle_sql()
+        else:
+            # another scale: resolve from the registry against ITS
+            # data — calling oracle_sql() here would (uselessly, and
+            # fatally if sf0.01 is absent) train q57's centroids on
+            # sf0.01 first
             from pyspark_mrdf_spark.queries import driver_registry
 
-            for n, s in driver_registry().items():
-                if callable(s.oracle):
-                    oracles[n] = resolve_oracle(s.oracle, sf_dir)
+            oracles = {
+                n: resolve_oracle(s.oracle, sf_dir)
+                for n, s in driver_registry().items()
+                if s.oracle is not None
+            }
         print(f"[registry] {len(qs)} driver-facing queries, {len(oracles)} with oracle")
 
     con = duck_con(sf_dir)

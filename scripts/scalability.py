@@ -113,14 +113,25 @@ def _mrdf_point(spark, emb, label: str, **kw) -> dict:
 def main() -> None:
     argv = sys.argv[1:]
     synthetic_n = 50_000
+    saw_synthetic_flag = False
     if "--synthetic-n" in argv:
         i = argv.index("--synthetic-n")
+        if i + 1 >= len(argv):
+            sys.exit("error: --synthetic-n needs a value")
         synthetic_n = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
+        saw_synthetic_flag = True
     include_uniform = "--uniform" in argv
     argv = [a for a in argv if a != "--uniform"]
     sfs = argv or ["sf0.001", "sf0.01", "sf0.1"]
-    run_synthetic = not argv  # explicit sf list = corpus-only run
+    # explicit sf list = corpus-only run; the synthetic flags would be
+    # silently dead in that mode, so reject the combination outright
+    run_synthetic = not argv
+    if not run_synthetic and (include_uniform or saw_synthetic_flag):
+        sys.exit(
+            "error: --uniform/--synthetic-n run the synthetic point, which an "
+            "explicit sf list disables; drop the sf args or the flags"
+        )
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(app_name="pyspark-mrdf-scalability", master=f"local[{cpus}]")

@@ -269,6 +269,44 @@ def test_upsert_sink_swaps_via_hadoop_fs_uri(spark, events_json_dir, tmp_path_fa
     assert not os.path.exists(base_dir.rstrip("/") + "._upsert_old")
 
 
+def test_upsert_sink_recovers_mid_swap_crash(spark, events_json_dir, tmp_path_factory):
+    # simulate a driver crash between the two swap renames: the dataset
+    # is parked at ._upsert_old, base is MISSING, and a stale tmp dir
+    # exists. The next run must restore the parked data before its
+    # existence check (otherwise the batch takes the initial-overwrite
+    # branch and the dataset is silently replaced), then upsert into it.
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.streaming.sinks import upsert_stream_to_parquet
+
+    base_dir = str(tmp_path_factory.mktemp("upsert_crash_base"))
+    ckpt = str(tmp_path_factory.mktemp("upsert_crash_ckpt"))
+    seed_user = -999
+    spark.createDataFrame(
+        [(seed_user, 7)], "user_id long, n_events long"
+    ).write.mode("overwrite").parquet(base_dir)
+    old_path = base_dir.rstrip("/") + "._upsert_old"
+    tmp_path = base_dir.rstrip("/") + "._upsert_tmp"
+    shutil.move(base_dir, old_path)  # the interrupted rename(base -> old)
+    os.makedirs(tmp_path)
+    with open(os.path.join(tmp_path, "garbage"), "w") as f:
+        f.write("half-written")
+
+    stream = stream_events_from_json(spark, events_json_dir)
+    agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    q = upsert_stream_to_parquet(agg, "user_id", base_dir, ckpt)
+    q.awaitTermination(180)
+    q.stop()
+    got = {r["user_id"]: r["n_events"] for r in spark.read.parquet(base_dir).collect()}
+    assert got[seed_user] == 7  # parked data was restored, not clobbered
+    assert len(got) > 1  # and the batch merged on top of it
+    assert not os.path.exists(old_path)
+    assert not os.path.exists(tmp_path)
+
+
 def test_upsert_stream_sink_matches_batch(spark, sf_dir, events_json_dir, tmp_path_factory):
     from pyspark.sql import functions as F
 
