@@ -115,8 +115,9 @@ def knn_graph(
     ~51s on clustered (mixture) data — the shape real embedding
     corpora have — and ~0.78 on pure uniform noise, the known worst
     case for partition-based ANN (neighborhoods barely beat random
-    splits; more forests via ``max_iter`` is the recall/cost dial
-    there)."""
+    splits). ``max_iter``/``refine_rounds`` are the recall/cost dial:
+    even on uniform noise, 6 forests + 2 refine rounds measure 0.9628
+    (~4× the cost — SCALABILITY.json's uniform-tuned row)."""
     spark = df.sparkSession
     sc = spark.sparkContext
     # materialize the working set once: spread a possibly-few-files

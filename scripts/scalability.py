@@ -99,11 +99,11 @@ def _write_synthetic(
     pq.write_table(t, os.path.join(path, "embeddings.parquet"))
 
 
-def _mrdf_point(spark, emb, label: str, **kw) -> dict:
+def _mrdf_point(spark, emb, label: str, max_iter: int = 3, refine_rounds: int = 1, **kw) -> dict:
     metrics: list = []
     t0 = time.time()
     g = knn_graph(
-        emb, K, tau=0.01, seed=42, max_iter=3, refine_rounds=1,
+        emb, K, tau=0.01, seed=42, max_iter=max_iter, refine_rounds=refine_rounds,
         metrics_out=metrics, **kw,
     ).localCheckpoint(eager=True)
     t_mrdf = time.time() - t0
@@ -122,12 +122,13 @@ def main() -> None:
         argv = argv[:i] + argv[i + 2 :]
         saw_synthetic_flag = True
     include_uniform = "--uniform" in argv
-    argv = [a for a in argv if a != "--uniform"]
+    include_uniform_tuned = "--uniform-tuned" in argv
+    argv = [a for a in argv if a not in ("--uniform", "--uniform-tuned")]
     sfs = argv or ["sf0.001", "sf0.01", "sf0.1"]
     # explicit sf list = corpus-only run; the synthetic flags would be
     # silently dead in that mode, so reject the combination outright
     run_synthetic = not argv
-    if not run_synthetic and (include_uniform or saw_synthetic_flag):
+    if not run_synthetic and (include_uniform or include_uniform_tuned or saw_synthetic_flag):
         sys.exit(
             "error: --uniform/--synthetic-n run the synthetic point, which an "
             "explicit sf list disables; drop the sf args or the flags"
@@ -171,8 +172,15 @@ def main() -> None:
 
     if run_synthetic:
         syn_dir = "/root/repo/.scalability_synth"
-        variants = [("mixture", 250)] + ([("uniform", None)] if include_uniform else [])
-        for dist_name, k_clusters in variants:
+        # (name, k_clusters, mrdf overrides): uniform-tuned runs the
+        # worst-case distribution at the recall/cost dial's ≥0.9
+        # setting — 6 forests + 2 refine rounds (measured 0.9628)
+        variants = [("mixture", 250, {})]
+        if include_uniform:
+            variants.append(("uniform", None, {}))
+        if include_uniform_tuned:
+            variants.append(("uniform-tuned", None, {"max_iter": 6, "refine_rounds": 2}))
+        for dist_name, k_clusters, mrdf_kw in variants:
             try:
                 _write_synthetic(syn_dir, synthetic_n, k_clusters=k_clusters)
                 emb = spark.read.parquet(os.path.join(syn_dir, "embeddings.parquet"))
@@ -192,7 +200,7 @@ def main() -> None:
                 # cbmp=0 → every division round through the centroid join
                 pt = _mrdf_point(
                     spark, emb, dist_name, rho=4, alpha=16384,
-                    centroid_broadcast_max_paths=0,
+                    centroid_broadcast_max_paths=0, **mrdf_kw,
                 )
                 max_leaf = max(m.get("max_leaf", 0) for m in pt["metrics"])
                 join_rounds = sum(m.get("join_tier_rounds", 0) for m in pt["metrics"])
@@ -201,7 +209,7 @@ def main() -> None:
                 )
                 assert join_rounds >= 1, "centroid join tier did not activate"
                 r = recall(g_exact, pt.pop("graph"))
-                if dist_name == "mixture":
+                if dist_name != "uniform":
                     assert r >= 0.9, f"design-size recall bar missed: {r}"
                 points.append(
                     {
@@ -211,7 +219,8 @@ def main() -> None:
                         "knn_exact_s": round(t_exact, 2),
                         "mrdf_s": pt["mrdf_s"],
                         "mrdf_recall": round(r, 4),
-                        "refine_rounds": 1,
+                        "refine_rounds": mrdf_kw.get("refine_rounds", 1),
+                        "max_iter": mrdf_kw.get("max_iter", 3),
                         "alpha": 16384,
                         "max_leaf": int(max_leaf),
                         "join_tier_rounds": int(join_rounds),
