@@ -15,6 +15,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# The driver contract: correctness comparisons run at sf0.01. A single
+# shared constant so data-dependent (callable) oracles resolve against
+# the same scale the driver feeds to queries().
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
@@ -49,11 +54,25 @@ def oracle_sql() -> dict[str, str]:
     non-SQL-expressible ops → driver records a rows-only check).
 
     Callable (data-dependent) oracles resolve against sf0.01 — the
-    scale the driver's correctness gate runs at per its contract."""
+    scale the driver's correctness gate runs at per its contract
+    (``ORACLE_SF_DIR``). Resolution is guarded per-oracle: if one
+    callable oracle cannot resolve (e.g. its data directory is absent
+    in some other environment), only that entry degrades to a
+    rows-only check instead of the whole oracle surface raising."""
+    import sys
+
     from pyspark_mrdf_spark.queries import driver_registry, resolve_oracle
 
-    return {
-        name: resolve_oracle(spec.oracle, "/root/testdata/sf0.01")
-        for name, spec in driver_registry().items()
-        if spec.oracle is not None
-    }
+    out: dict[str, str] = {}
+    for name, spec in driver_registry().items():
+        if spec.oracle is None:
+            continue
+        try:
+            out[name] = resolve_oracle(spec.oracle, ORACLE_SF_DIR)
+        except Exception as exc:  # noqa: BLE001 — degrade, don't raise
+            print(
+                f"[oracle_sql] {name}: oracle resolution failed "
+                f"({exc}); degrading to rows-only",
+                file=sys.stderr,
+            )
+    return out

@@ -46,22 +46,40 @@ def main() -> None:
         "sum(l_partkey)"
     ).collect()
 
+    def run_once(spec) -> float:
+        t0 = time.time()
+        df = spec.builder(spark, sf_dir)
+        # Force full execution without shipping rows to the driver.
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    # Each query runs TWICE. "queries" is the first (cold-in-order)
+    # run — comparable with earlier rounds and with what a fresh
+    # session pays. "queries_warm" is the immediate second run: JIT,
+    # parquet footers, and the session materialization registry are
+    # hot, so it isolates steady-state plan cost from sandbox noise —
+    # a cold/warm pair that diverges by 2-3x on an unchanged code path
+    # is startup/noise, not a regression (see BASELINE.md, variance).
+    # For index-building queries (q50/q56/q57...) warm is the SERVING
+    # number (registry hit) and cold the BUILD number; both are real,
+    # which is why the headline stays the cold sum rather than min.
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     total = 0.0
     for name in sorted(specs):
         spec = specs[name]
-        t0 = time.time()
         try:
-            df = spec.builder(spark, sf_dir)
-            # Force full execution without shipping rows to the driver.
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
+            dt = run_once(spec)
         except Exception as exc:  # noqa: BLE001
             print(f"[bench] {name} failed: {exc}", file=sys.stderr)
             dt = float("nan")
         timings[name] = round(dt, 3)
         if dt == dt:
             total += dt
+            try:
+                warm[name] = round(run_once(spec), 3)
+            except Exception as exc:  # noqa: BLE001
+                print(f"[bench] {name} warm rerun failed: {exc}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -70,6 +88,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "warm_total": round(sum(warm.values()), 3),
                 "sf": sf,
             }
         )

@@ -42,6 +42,7 @@ dependence a 1000-executor deployment cannot carry).
 from __future__ import annotations
 
 import time
+import warnings
 import zlib
 from collections.abc import Iterator
 from concurrent.futures import ThreadPoolExecutor
@@ -94,6 +95,7 @@ def knn_graph(
     refine_rounds: int = 1,
     metrics_out: list | None = None,
     centroid_broadcast_max_paths: int = CENTROID_BROADCAST_MAX_PATHS,
+    unconverged_warn_ratio: float | None = None,
 ) -> DataFrame:
     """Approximate k-NN graph: edge DataFrame (src, dst, dist_sq),
     ≤ k edges per src. Signature mirrors reference mrdf.py:13
@@ -116,8 +118,23 @@ def knn_graph(
     corpora have — and ~0.78 on pure uniform noise, the known worst
     case for partition-based ANN (neighborhoods barely beat random
     splits). ``max_iter``/``refine_rounds`` are the recall/cost dial:
-    even on uniform noise, 6 forests + 2 refine rounds measure 0.9628
-    (~4× the cost — SCALABILITY.json's uniform-tuned row)."""
+    even on uniform noise, 6 forests + 2 refine rounds reach recall
+    0.9628 in a cleanly-measured 614s on an idle 32-core machine
+    (~1.6× the default dial's 394s; 25× the 24.6s exact scan at this
+    n, a ratio that inverts as n² outgrows the dial's near-linear
+    cost — SCALABILITY.json's uniform-tuned row).
+
+    **Under-convergence signal** (costs zero extra jobs): when the
+    loop stops because ``max_iter`` ran out while the changed-edge
+    ratio trajectory is still above ``unconverged_warn_ratio``
+    (default max(5τ, 0.05)), the graph was still absorbing many new
+    edges per forest — the regime where recall degrades on hard
+    (uniform-noise-like) distributions. The call then emits a
+    ``UserWarning`` naming the dial (raise ``max_iter`` /
+    ``refine_rounds``, or let τ drive with ``max_iter=0``) and flags
+    the last ``metrics_out`` entry with ``"unconverged": True``. A
+    τ-driven stop by definition converged; no warning path exists for
+    it."""
     spark = df.sparkSession
     sc = spark.sparkContext
     # materialize the working set once: spread a possibly-few-files
@@ -294,6 +311,9 @@ def knn_graph(
     # (bounded waste).
     lookahead = 2 if max_iter else 1
     executor = ThreadPoolExecutor(max_workers=lookahead)
+    if unconverged_warn_ratio is None:
+        unconverged_warn_ratio = max(5 * tau, 0.05)
+    last_ratio: float | None = None  # most recent MEASURED ratio
     try:
         g: DataFrame | None = None
         iteration = 0
@@ -359,6 +379,9 @@ def knn_graph(
                     .collect()[0]
                 )
                 ratio = (stats["changed"] or 0) / max(stats["total"], 1)
+                last_ratio = ratio  # a MEASURED ratio (not iteration 1's
+                # definitional 1.0) — the under-convergence signal below
+                # only fires on real evidence
             elif g is None:
                 ratio = 1.0
             else:
@@ -384,11 +407,38 @@ def knn_graph(
                     }
                 )
             if stop_by_iter or (ratio is not None and ratio <= tau):
+                # under-convergence signal: max_iter cut the loop while
+                # the most recent measured changed-edge ratio says each
+                # new forest was still contributing heavily — recall is
+                # suspect on hard distributions (SCALABILITY.json's
+                # uniform row: 0.78 at this kind of stop). last_ratio
+                # is iteration max_iter−1's ratio (the final iteration
+                # skips the aggregate), i.e. the signal is free.
+                if (
+                    stop_by_iter
+                    and last_ratio is not None
+                    and last_ratio > unconverged_warn_ratio
+                ):
+                    warnings.warn(
+                        f"knn_graph stopped at max_iter={max_iter} with "
+                        f"changed-edge ratio {last_ratio:.3f} > "
+                        f"{unconverged_warn_ratio:.3f} (tau={tau}): the graph was "
+                        "still absorbing new edges, so recall may be low on "
+                        "hard (uniform-like) distributions. Raise max_iter / "
+                        "refine_rounds, or set max_iter=0 to let tau drive "
+                        "(see SCALABILITY.json: uniform 0.78 at the default "
+                        "dial vs 0.96 at max_iter=6, refine_rounds=2).",
+                        UserWarning,
+                        stacklevel=2,
+                    )
+                    if metrics_out is not None and metrics_out:
+                        metrics_out[-1]["unconverged"] = True
                 break
     finally:
-        # cancel queued speculative forests on early τ-stop (a RUNNING
-        # one finishes orphaned — Spark jobs aren't interruptible here —
-        # but never more than one)
+        # cancel queued speculative forests on early τ-stop; RUNNING
+        # ones finish orphaned (Spark jobs aren't interruptible here)
+        # — never more than ``lookahead`` of them, so the waste stays
+        # bounded by the pipelining depth
         executor.shutdown(wait=False, cancel_futures=True)
 
     # ---- global graph refinement: NN-Descent's neighbor-of-neighbor
@@ -398,12 +448,20 @@ def knn_graph(
     # round substantially recovers edges that random division split
     # across subsets — the step the reference only ran locally.
     for i in range(refine_rounds):
-        g = _refine(base, g, k_work, n_blocks=refine_blocks)
+        last = i == refine_rounds - 1
+        # The LAST round's merge window keeps k directly instead of
+        # k_work: top-k and truncate(top-k_work, k) rank by the same
+        # (dist_sq, dst) order, so the results are identical and the
+        # standalone final truncation window below is fused away — one
+        # fewer full-edge-table shuffle on q55/q56's critical path.
+        g = _refine(base, g, k if last else k_work, n_blocks=refine_blocks)
         # last round stays lazy: the caller's first action (write /
         # collect / the memoized checkpoint) materializes it — earlier
         # rounds stay eager because the next round's 2-hop join
         # references g three times within one job
-        g = g.localCheckpoint(eager=(i < refine_rounds - 1))
+        g = g.localCheckpoint(eager=not last)
+    if refine_rounds:
+        return g
 
     wk = Window.partitionBy("src").orderBy("dist_sq", "dst")
     return (

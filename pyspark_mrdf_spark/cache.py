@@ -27,6 +27,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 _CACHE: dict[tuple, DataFrame] = {}
 _LOCK = Lock()
+# Per-key build gates: concurrent callers with the SAME key serialize
+# here, so exactly one build runs and its checkpoint blocks are the
+# only ones ever materialized (a losing duplicate build would leak its
+# eagerly-checkpointed blocks for the session's lifetime). Different
+# keys still build fully concurrently (q56 overlaps its exact side on
+# a background thread).
+_BUILDING: dict[tuple, Lock] = {}
 
 
 def memoized_df(
@@ -44,18 +51,28 @@ def memoized_df(
     default when the build must finish NOW, e.g. on the background
     thread whose whole point is overlapping the materialization.
 
-    Builders may run concurrently for DIFFERENT keys (q56 overlaps its
-    exact side on a thread); per-key a single build wins and later
-    callers reuse it."""
+    Same-key concurrent callers serialize on a per-key gate: one
+    builds, the rest block until the entry exists and reuse it. A
+    failed build releases the gate with no entry, so the next caller
+    retries."""
     app = spark.sparkContext.applicationId
     full = (app,) + key
     with _LOCK:
         hit = _CACHE.get(full)
-    if hit is not None:
-        return hit
-    df = builder().localCheckpoint(eager=eager)
-    with _LOCK:
-        # drop entries of dead sessions; keep the first build per key
-        for k in [k for k in _CACHE if k[0] != app]:
-            del _CACHE[k]
-        return _CACHE.setdefault(full, df)
+        if hit is not None:
+            return hit
+        gate = _BUILDING.setdefault(full, Lock())
+    with gate:
+        with _LOCK:
+            hit = _CACHE.get(full)
+        if hit is not None:
+            return hit
+        df = builder().localCheckpoint(eager=eager)
+        with _LOCK:
+            # drop entries of dead sessions (their executors — and any
+            # checkpoint blocks — died with the SparkContext)
+            for k in [k for k in _CACHE if k[0] != app]:
+                del _CACHE[k]
+                _BUILDING.pop(k, None)
+            _CACHE[full] = df
+            return df

@@ -669,10 +669,23 @@ def connected_components_star(
     roots = edges.select(F.col("v").alias("doc_id")).distinct().withColumn(
         "cluster_id", F.col("doc_id")
     )
-    return (
+    star = (
         edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
         .unionByName(roots)
         .distinct()
+    )
+    # Self-pairs (u == v) were filtered before contraction, so a node
+    # whose ONLY pair is a self-pair has no edge and would vanish here
+    # — while the propagation tier labels it (node, node). Re-attach
+    # every input node, defaulting isolated ones to their own id, so
+    # both tiers return the same row set on degenerate inputs.
+    all_nodes = (
+        pairs.select(F.col(a_col).alias("doc_id"))
+        .unionByName(pairs.select(F.col(b_col).alias("doc_id")))
+        .distinct()
+    )
+    return all_nodes.join(star, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
     )
 
 

@@ -157,6 +157,53 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     return header + data
 
 
+def synth_bmp_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a deterministic gradient BMP per document —
+    the binary-fixture synthesizer for the pixel-path oracle (q81).
+
+    Image shape and pixel values are pure arithmetic in ``doc_id`` so a
+    SQL oracle can recompute the decoded per-channel means exactly:
+
+      w = 16 + doc_id % 16,  h = 8 + (7·doc_id) % 16
+      R(y,x) = doc_id % 128 + x          (max 127+30 < 256, no wrap)
+      G(y,x) = (7·doc_id) % 128 + y
+      B(y,x) = (13·doc_id) % 64 + x + y
+
+    so mean_R = doc_id % 128 + (w−1)/2 etc., and the ×1000 fixed-point
+    means are exact integers ((w−1)·500 — float64 division is exact for
+    half-integer quotients). Odd widths make ``w·3 mod 4 ≠ 0``, so the
+    BMP 4-byte row padding and the bottom-up row order both sit on the
+    encode→decode path the query exercises."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids: list[int] = []
+            payloads: list[bytes] = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 16 + d % 16
+                h = 8 + (d * 7) % 16
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                px = np.empty((h, w, 3), dtype=np.uint8)
+                px[..., 0] = d % 128 + x + 0 * y
+                px[..., 1] = (d * 7) % 128 + y + 0 * x
+                px[..., 2] = (d * 13) % 64 + x + y
+                ids.append(d)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(_synth, schema)
+
+
 PIXEL_FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),

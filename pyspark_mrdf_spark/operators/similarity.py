@@ -6,8 +6,11 @@
    it row-at-a-time per vector (knn.py:7,12-26); here the corpus
    matrix is a single NumPy broadcast and each Arrow batch of queries
    computes a vectorized distance block (O(n²d) flops stay, Python
-   overhead goes). Scale path: brute force is inherently quadratic —
-   for large n use ``ann_ivf`` (bucketed) or MRDF (algorithms.mrdf).
+   overhead goes). Above ``broadcast_max_rows`` the entry points
+   auto-route to the grid-blocked distributed tier
+   (``knn_search_blocked``) — identical results, bounded task memory.
+   Scale path for the quadratic flops themselves: ``ann_ivf``
+   (bucketed) or MRDF (algorithms.mrdf).
  - ``ann_ivf``: IVF-style approximate search — deterministic coarse
    centroids, cluster assignment, then exact search within probed
    clusters. All relational plumbing is DataFrame ops; only the
@@ -116,16 +119,40 @@ def knn_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     include_self: bool = True,
+    broadcast_max_rows: int | None = 65_536,
 ) -> DataFrame:
     """Exact top-k search of ``queries`` against ``corpus``: (src, dst,
     dist_sq, rnk), rnk 1..k ascending by (dist_sq, dst) — the
     similarity-search entry point (external query set vs indexed
-    corpus). Distributed over query partitions; corpus is a broadcast
-    float64 matrix (reference knn.py:7 broadcast, vectorized).
-    ``include_self=False`` drops corpus rows whose id equals the query
-    id (the self-kNN-graph case)."""
+    corpus). ``include_self=False`` drops corpus rows whose id equals
+    the query id (the self-kNN-graph case).
+
+    Tier routing: a corpus at or under ``broadcast_max_rows`` is
+    collected into one broadcast float64 matrix and scanned over query
+    partitions (reference knn.py:7 broadcast, vectorized). A LARGER
+    corpus auto-routes to ``knn_search_blocked`` — same result, same
+    tie-break, distributed corpus — with the corpus-block count sized
+    so each task holds a ~16k-row corpus slab. The guard costs one
+    corpus ``count()``; pass ``broadcast_max_rows=None`` to skip the
+    count and force the broadcast tier when the caller already knows
+    the corpus is small (the count is cheap next to the O(n_q·n_c·d)
+    scan, so the default keeps the naturally-named entry point safe at
+    any scale)."""
     df = queries
     spark = df.sparkSession
+    if broadcast_max_rows is not None:
+        n_c = corpus.count()
+        if n_c > broadcast_max_rows:
+            n_blocks = max(8, -(-n_c // 16_384))  # ceil: ~16k rows/corpus slab
+            return knn_search_blocked(
+                queries,
+                corpus,
+                k,
+                n_blocks=int(n_blocks),
+                id_col=id_col,
+                vec_col=vec_col,
+                include_self=include_self,
+            )
     ids, mat = collect_matrix(corpus, id_col, vec_col)
     b = spark.sparkContext.broadcast((ids, mat))
 
@@ -621,12 +648,36 @@ def lsh_hyperplane_buckets(
     )
 
 
+def _gaussian_planes(n: int, d: int, seed: int) -> np.ndarray:
+    """(n, d) i.i.d. standard-normal hyperplanes from md5-portable
+    uniforms (Box-Muller) — deterministic on any engine/partitioning,
+    like every other seeded draw in this repo, but INDEPENDENT of the
+    data (data-vector planes are mutually correlated on real corpora,
+    which skews bucket occupancy)."""
+    import hashlib
+
+    def u(tag: str) -> float:
+        h = hashlib.md5(tag.encode()).hexdigest()
+        # (0, 1]: +1 keeps log() finite at the 0 corner
+        return (int(h, 16) + 1) / 2**128
+
+    out = np.empty((n, d), dtype=np.float64)
+    for i in range(n):
+        for j in range(d):
+            u1 = u(f"planes:{seed}:{i}:{j}:a")
+            u2 = u(f"planes:{seed}:{i}:{j}:b")
+            out[i, j] = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+    return out
+
+
 def lsh_hyperplane_tables(
     df: DataFrame,
     n_planes: int = 4,
     n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_source: str = "gaussian",
+    seed: int = 42,
 ) -> DataFrame:
     """OR-amplified hyperplane LSH: ``n_tables`` independent bucket
     tables of ``n_planes`` sign bits each → (id, table, bucket).
@@ -636,24 +687,41 @@ def lsh_hyperplane_tables(
     dial for candidate generation when a single table's p^k is too
     lossy (at cos 0.35, one 4-bit table keeps ~14% of threshold pairs;
     8 tables keep ~70%, and ~99.9% of the high-cos pairs dedup cares
-    about). Plane sets are disjoint slices of the ``n_tables·n_planes``
-    lowest-id vectors — deterministic across engines, like the IVF
-    quantizer. One matmul per Arrow batch computes ALL tables' bits.
+    about). One matmul per Arrow batch computes ALL tables' bits.
 
-    Unlike the single-table ``lsh_hyperplane_buckets`` (whose raw-dot
-    form is pinned by the q58 SQL oracle), hyperplanes here pass
-    through the plane-sample CENTROID: for non-negative data (e.g.
-    ``embed_payloads`` histograms) every raw dot is ≥ 0, so all sign
-    bits collapse into one bucket and candidate generation degenerates
-    to all-pairs — centering restores balanced bits for any sign
-    pattern."""
+    ``plane_source`` picks the hyperplanes:
+
+     - ``"gaussian"`` (production default): seeded md5-portable
+       standard normals (Box-Muller) — the textbook SimHash draw,
+       independent of the data (data-vector planes are mutually
+       correlated on clustered corpora, which skews buckets); still
+       bit-for-bit deterministic across engines and partitionings.
+     - ``"data"``: disjoint slices of the ``n_tables·n_planes``
+       lowest-id vectors. Kept for parity with the data-derived
+       single-table ``lsh_hyperplane_buckets`` whose raw-dot form the
+       q58 SQL oracle pins; prefer ``"gaussian"`` outside oracle-
+       pinned paths.
+
+    Either way, vectors pass through the CENTROID of a bounded
+    lowest-id sample before dotting: data that lives in a narrow cone
+    (e.g. the all-non-negative ``embed_payloads`` histograms, whose
+    raw dots with ANY plane share one sign for most rows) would
+    otherwise collapse into one bucket per table and degenerate
+    candidate generation to all-pairs — centering restores balanced
+    sign bits for any sign pattern."""
     spark = df.sparkSession
     need = n_planes * n_tables
     rows = df.orderBy(id_col).limit(need).select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
-    planes = np.stack([np.asarray(r[1]) for r in rows]).astype(np.float64)
-    planes = planes[np.argsort(ids)]
-    center = planes.mean(axis=0)
+    sample = np.stack([np.asarray(r[1]) for r in rows]).astype(np.float64)
+    sample = sample[np.argsort(ids)]
+    center = sample.mean(axis=0)
+    if plane_source == "gaussian":
+        planes = _gaussian_planes(need, sample.shape[1], seed)
+    elif plane_source == "data":
+        planes = sample
+    else:
+        raise ValueError(f"plane_source must be 'gaussian' or 'data', got {plane_source!r}")
     bp = spark.sparkContext.broadcast((planes, center))
     weights = (2 ** np.arange(n_planes)).astype(np.int64)
 

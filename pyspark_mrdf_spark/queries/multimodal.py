@@ -1,11 +1,14 @@
 """Multimodal query family (north-star "multimodal columns").
 
 Payloads are opaque binary columns derived deterministically from
-``documents.text`` (see operators/multimodal.py docstring — codecs are
-stubbed, plumbing is real). Every query here runs the REAL Spark path
-(binary column → mapInPandas kernel → relational agg) while the oracle
-recomputes the expected values arithmetically from the text — so the
-driver's value-hash check covers the whole binary pipeline.
+``documents.text`` (q60-q62) or synthesized as real BMP images from
+``doc_id`` (q81) — see operators/multimodal.py: ``decode_image`` is a
+real dependency-free 24bpp BMP codec; only library-needing formats
+(PNG/JPEG/WAV/MP4) remain slots. Every query here runs the REAL Spark
+path (binary column → mapInPandas kernel → relational agg) while the
+oracle recomputes the expected values arithmetically — so the driver's
+value-hash check covers the whole binary pipeline, q81 including the
+codec's actual pixel math.
 
 documents.text is pure ASCII in the harness data (verified:
 octet_length(encode(text)) == length(text) for all rows), so DuckDB
@@ -21,7 +24,9 @@ from pyspark_mrdf_spark.io import load_table
 from pyspark_mrdf_spark.operators.multimodal import (
     attach_payloads,
     decode_features,
+    decode_pixel_features,
     frame_sample,
+    synth_bmp_payloads,
 )
 from pyspark_mrdf_spark.queries import register
 
@@ -101,3 +106,30 @@ def q62_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("frame_idx").cast("int").alias("max_idx"),
         F.sum(F.octet_length("frame")).cast("bigint").alias("sampled_bytes"),
     )
+
+
+@register(
+    "q81_bmp_pixel_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(16 + doc_id % 16 AS INT) AS width,
+       CAST(8 + (doc_id * 7) % 16 AS INT) AS height,
+       CAST((doc_id % 128) * 1000 + (15 + doc_id % 16) * 500 AS BIGINT) AS mean_r_e3,
+       CAST(((doc_id * 7) % 128) * 1000 + (7 + (doc_id * 7) % 16) * 500 AS BIGINT) AS mean_g_e3,
+       CAST(((doc_id * 13) % 64) * 1000
+            + (15 + doc_id % 16) * 500
+            + (7 + (doc_id * 7) % 16) * 500 AS BIGINT) AS mean_b_e3
+FROM documents
+""",
+    description=(
+        "REAL codec path: per-doc gradient BMP synthesized (encode_bmp) then "
+        "decoded pixel-for-pixel (decode_image) inside mapInPandas; header "
+        "dims + exact fixed-point channel means checked against a pure-"
+        "arithmetic oracle — hash-verifies the codec's actual pixel math, "
+        "including 4-byte row padding (odd widths) and bottom-up row order"
+    ),
+    tags=("multimodal", "binary", "codec", "udf"),
+)
+def q81_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_pixel_features(synth_bmp_payloads(docs))

@@ -33,6 +33,8 @@ Usage:
   python scripts/scalability.py                      # corpus sfs + synthetic 50k
   python scripts/scalability.py sf0.01 sf0.1         # corpus subset only
   python scripts/scalability.py --synthetic-n 50000 --uniform
+  python scripts/scalability.py --uniform-tuned-only # just the worst-case dial point
+  python scripts/scalability.py --grid-only          # blocked-operator grid shapes at 50k
 
 Prints one JSON line:
   {"metric": "scalability_sweep", "points": [...]}
@@ -123,12 +125,26 @@ def main() -> None:
         saw_synthetic_flag = True
     include_uniform = "--uniform" in argv
     include_uniform_tuned = "--uniform-tuned" in argv
-    argv = [a for a in argv if a not in ("--uniform", "--uniform-tuned")]
-    sfs = argv or ["sf0.001", "sf0.01", "sf0.1"]
+    # --uniform-tuned-only: skip corpus sfs AND the mixture/uniform
+    # variants, producing just the worst-case-dial row (for merging
+    # into an existing SCALABILITY.json without re-measuring the rest)
+    tuned_only = "--uniform-tuned-only" in argv
+    if tuned_only:
+        include_uniform_tuned = True
+    # --grid-only: ONLY the multi-cell grid-shape evidence point for
+    # the blocked exact operators at the synthetic design size
+    grid_only = "--grid-only" in argv
+    argv = [
+        a for a in argv
+        if a not in ("--uniform", "--uniform-tuned", "--uniform-tuned-only", "--grid-only")
+    ]
+    sfs = [] if (tuned_only or grid_only) else (argv or ["sf0.001", "sf0.01", "sf0.1"])
     # explicit sf list = corpus-only run; the synthetic flags would be
     # silently dead in that mode, so reject the combination outright
-    run_synthetic = not argv
-    if not run_synthetic and (include_uniform or include_uniform_tuned or saw_synthetic_flag):
+    run_synthetic = (not argv or tuned_only) and not grid_only
+    if not (run_synthetic or grid_only) and (
+        include_uniform or include_uniform_tuned or saw_synthetic_flag
+    ):
         sys.exit(
             "error: --uniform/--synthetic-n run the synthetic point, which an "
             "explicit sf list disables; drop the sf args or the flags"
@@ -175,7 +191,7 @@ def main() -> None:
         # (name, k_clusters, mrdf overrides): uniform-tuned runs the
         # worst-case distribution at the recall/cost dial's ≥0.9
         # setting — 6 forests + 2 refine rounds (measured 0.9628)
-        variants = [("mixture", 250, {})]
+        variants = [] if tuned_only else [("mixture", 250, {})]
         if include_uniform:
             variants.append(("uniform", None, {}))
         if include_uniform_tuned:
@@ -231,7 +247,98 @@ def main() -> None:
             finally:
                 shutil.rmtree(syn_dir, ignore_errors=True)
 
+    if grid_only:
+        points.append(_grid_evidence(spark, synthetic_n))
+        print(f"[scalability] {points[-1]}", file=sys.stderr)
+
     print(json.dumps({"metric": "scalability_sweep", "points": points}))
+
+
+def _grid_evidence(spark, n: int) -> dict:
+    """Execute the blocked exact operators at design size with
+    MULTI-CELL grids (M·B ≫ 1) and record the evidence a reviewer
+    needs: the grid shape that ran, wall time, and measured per-side
+    block balance — each cogroup cell receives exactly one query block
+    + one corpus block by construction, so max block sizes ARE the
+    per-task peak row counts (~|Q|/M + |C|/B when hashing balances,
+    which is asserted here within 30%)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.operators.similarity import (
+        cosine_topk_by_group_blocked,
+        knn_search_blocked,
+    )
+
+    syn_dir = "/root/repo/.scalability_synth_grid"
+    out: dict = {"sf": f"synthetic-{n}-grid", "n": n, "distribution": "mixture"}
+    try:
+        _write_synthetic(syn_dir, n)
+        emb = spark.read.parquet(os.path.join(syn_dir, "embeddings.parquet"))
+        emb = emb.localCheckpoint(eager=True)
+
+        def block_balance(df, col, n_blocks, side_rows):
+            mx = (
+                df.groupBy(F.pmod(F.hash(F.col(col)), F.lit(n_blocks)).alias("b"))
+                .count()
+                .agg(F.max("count"))
+                .collect()[0][0]
+            )
+            ideal = side_rows / n_blocks
+            assert mx <= 1.3 * ideal, f"block skew: max {mx} vs ideal {ideal:.0f}"
+            return int(mx)
+
+        # 1) knn_search_blocked: 5k external queries vs the full 50k
+        #    corpus on a 16x32 grid (512 cells)
+        B, M = 32, 16
+        queries = emb.filter(F.col("vec_id") < n // 10)
+        t0 = time.time()
+        cnt = knn_search_blocked(
+            queries, emb, K, n_blocks=B, n_query_blocks=M, include_self=False
+        ).count()
+        out["knn_search_blocked"] = {
+            "n_blocks": B,
+            "n_query_blocks": M,
+            "grid_cells": B * M,
+            "rows_out": int(cnt),
+            "seconds": round(time.time() - t0, 2),
+            "max_corpus_block_rows": block_balance(emb, "vec_id", B, n),
+            "max_query_block_rows": block_balance(queries, "vec_id", M, n // 10),
+            "per_task_peak_rows_bound": f"~{n // 10}/{M} + {n}/{B}",
+        }
+
+        # 2) cosine_topk_by_group_blocked: 4 labels of ~12.5k rows, 4x8
+        #    grid per group (32 cells/group, 128 total)
+        B2, M2 = 8, 4
+        four = emb.withColumn("label", (F.col("vec_id") % 4).cast("int"))
+        t0 = time.time()
+        cnt2 = cosine_topk_by_group_blocked(
+            four, 5, n_blocks=B2, n_query_blocks=M2
+        ).count()
+        dt2 = time.time() - t0
+        # per-task peak is per (group, block): max over the
+        # (label, hash-block) grid, ideal (n/4)/B2
+        mx2 = (
+            four.groupBy(
+                "label", F.pmod(F.hash(F.col("vec_id")), F.lit(B2)).alias("b")
+            )
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert mx2 <= 1.3 * (n / 4) / B2, f"group-block skew: max {mx2}"
+        out["cosine_topk_by_group_blocked"] = {
+            "n_blocks": B2,
+            "n_query_blocks": M2,
+            "grid_cells_per_group": B2 * M2,
+            "n_groups": 4,
+            "rows_out": int(cnt2),
+            "seconds": round(dt2, 2),
+            "max_group_block_rows": int(mx2),
+            "per_task_peak_rows_bound": f"~({n}/4)/{M2} + ({n}/4)/{B2}",
+        }
+    finally:
+        shutil.rmtree(syn_dir, ignore_errors=True)
+    return out
 
 
 if __name__ == "__main__":

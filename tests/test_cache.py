@@ -30,6 +30,50 @@ def test_different_key_rebuilds(spark):
     assert a.count() == 3 and b.count() == 7
 
 
+def test_same_key_concurrent_callers_build_once(spark):
+    # the q56-background vs q50 race: two threads request the same key
+    # at once — exactly ONE build may run (a losing duplicate would
+    # leak its checkpoint blocks for the session's lifetime) and both
+    # callers must get the same materialization
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    started = threading.Barrier(2, timeout=30)
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(9).toDF("id")
+
+    def request():
+        started.wait()  # maximize overlap: both threads enter together
+        return memoized_df(spark, ("t", "race"), build)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        a, b = [f.result() for f in [pool.submit(request), pool.submit(request)]]
+    assert a is b
+    assert len(calls) == 1
+
+
+def test_failed_build_releases_gate_for_retry(spark):
+    import pytest
+
+    from pyspark_mrdf_spark import cache as cache_mod
+
+    boom = {"n": 0}
+
+    def bad():
+        boom["n"] += 1
+        raise RuntimeError("builder failed")
+
+    with pytest.raises(RuntimeError):
+        memoized_df(spark, ("t", "retry"), bad)
+    # gate released, no poisoned entry: a second attempt re-runs the
+    # builder and can succeed
+    ok = memoized_df(spark, ("t", "retry"), lambda: spark.range(4).toDF("id"))
+    assert ok.count() == 4 and boom["n"] == 1
+
+
 def test_sf_dirs_never_cross_serve(spark):
     # the real hazard: a query family memoizes per sf_dir while pytest
     # (sf0.001) and bench (sf0.1) share one session — each scale must

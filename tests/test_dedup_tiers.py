@@ -109,6 +109,28 @@ def test_star_contraction_matches_propagation(spark):
     assert got == ref
 
 
+def test_star_labels_self_pair_only_nodes_like_propagation(spark):
+    # degenerate input: node 50's ONLY pair is a self-pair (50, 50).
+    # The propagation tier labels it (50, 50); the star tier filters
+    # self-edges before contraction and must re-attach such nodes so
+    # both tiers return the same row set
+    from pyspark_mrdf_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (50, 50), (7, 7), (7, 8)], ["doc_a", "doc_b"]
+    )
+    ref = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_star(pairs).collect()
+    }
+    assert ref == {1: 1, 2: 1, 3: 1, 50: 50, 7: 7, 8: 7}
+    assert got == ref
+
+
 def test_near_dedup_against_drops_fuzzy_dups(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -129,6 +151,49 @@ def test_near_dedup_against_drops_fuzzy_dups(spark, sf_dir):
     kept = near_dedup_against(batch, docs, threshold=0.5)
     kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert kept_ids == {600000 + i for i in range(5)}  # copies dropped, novel kept
+
+
+def test_gaussian_planes_balance_and_recall_vs_data_planes(spark, emb):
+    """The production plane draw (seeded md5 Box-Muller normals) must
+    (a) be deterministic, (b) keep candidate recall at least on par
+    with the data-vector draw, and (c) not skew bucket occupancy worse
+    than data planes do (data planes are mutually correlated on
+    clustered corpora)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.operators.similarity import (
+        _gaussian_planes,
+        lsh_hyperplane_tables,
+    )
+
+    # determinism + standard-normal sanity of the draw itself
+    p1 = _gaussian_planes(4, 16, seed=7)
+    p2 = _gaussian_planes(4, 16, seed=7)
+    assert (p1 == p2).all()
+    assert abs(p1.mean()) < 0.5 and 0.5 < p1.std() < 1.5
+
+    def entropy(df):
+        # mean per-table bucket entropy (bits); higher = more balanced
+        counts = df.groupBy("table", "bucket").count()
+        per_table = counts.groupBy("table").agg(
+            F.collect_list("count").alias("cs")
+        ).collect()
+        es = []
+        for r in per_table:
+            tot = sum(r["cs"])
+            es.append(-sum(c / tot * math.log2(c / tot) for c in r["cs"]))
+        return sum(es) / len(es)
+
+    gauss = lsh_hyperplane_tables(emb, n_planes=4, n_tables=4)
+    data = lsh_hyperplane_tables(emb, n_planes=4, n_tables=4, plane_source="data")
+    assert entropy(gauss) >= entropy(data) - 0.5
+
+    exact = _pairs(embedding_near_dups_broadcast(emb, threshold=0.35))
+    n_data = len(_pairs(embedding_near_dups_lsh(emb, threshold=0.35)))
+    # candidate recall through the full LSH tier with gaussian default
+    assert n_data >= 0.5 * len(exact)
 
 
 def test_lsh_tier_works_on_nonnegative_embeddings(spark, sf_dir):

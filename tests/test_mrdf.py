@@ -159,3 +159,53 @@ def test_mrdf_deep_division_recall(spark, emb, g_exact):
     ).collect()[0]
     assert (per_src["lo"], per_src["hi"]) == (K, K)
     assert recall(g_exact, g) >= 0.85
+
+
+def _uniform_emb(spark, n=2000, d=32, seed=13):
+    # pure Gaussian noise — the documented worst case for
+    # partition-based ANN (SCALABILITY.json's uniform rows)
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n, d)).astype(float)
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    ).localCheckpoint(eager=True)
+
+
+def test_uniform_default_tau_driven_call_reaches_recall(spark):
+    # the r5 verdict's footgun check, closed from the convergence side:
+    # at the DEFAULT dial (max_iter=0 → tau drives), worst-case uniform
+    # data must either reach >=0.9 recall or surface an explicit
+    # signal. Measured: tau-driven iteration converges (n=10k: 14
+    # forests, recall 0.996) — so the default call reaches the bar and
+    # emits NO warning.
+    import warnings as w
+
+    from pyspark_mrdf_spark.operators.similarity import knn_exact_blocked
+
+    emb = _uniform_emb(spark)
+    g_exact = knn_exact_blocked(emb, 10).localCheckpoint(eager=True)
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        g = knn_graph(emb, 10, rho=4, alpha=512, seed=42).localCheckpoint(eager=True)
+        assert not any("knn_graph stopped" in str(x.message) for x in caught)
+    assert recall(g_exact, g) >= 0.9
+
+
+def test_capped_unconverged_run_surfaces_signal(spark):
+    # ...and from the capped side: an explicit max_iter that cuts the
+    # loop while the changed-edge ratio is still high must emit the
+    # under-convergence UserWarning and flag metrics_out — the
+    # explicit signal a user sizing the dial needs
+    import pytest as pt
+
+    emb = _uniform_emb(spark)
+    metrics: list = []
+    # max_iter=3, not 2: the signal uses already-measured ratios only
+    # (iteration 1's ratio is definitional and the stop iteration skips
+    # the aggregate), so the first config that CAN warn is max_iter=3
+    with pt.warns(UserWarning, match="knn_graph stopped at max_iter"):
+        knn_graph(
+            emb, 10, rho=4, alpha=512, max_iter=3, metrics_out=metrics,
+        ).localCheckpoint(eager=True)
+    assert metrics and metrics[-1].get("unconverged") is True

@@ -124,6 +124,31 @@ def test_decode_pixel_features_from_real_pixels(spark):
         assert r["mean_b_e3"] == round(means[2] * 1000)
 
 
+def test_synth_bmp_payloads_decode_to_closed_form_means(spark):
+    # the q81 contract: synthesized gradient BMPs decode (through the
+    # REAL codec) to per-channel fixed-point means that match the pure
+    # arithmetic the DuckDB oracle uses — exact, no rounding tolerance
+    from pyspark_mrdf_spark.operators.multimodal import (
+        decode_pixel_features,
+        synth_bmp_payloads,
+    )
+
+    ids = [0, 1, 5, 16, 33, 127, 128, 1000]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: r
+        for r in decode_pixel_features(synth_bmp_payloads(docs)).collect()
+    }
+    assert set(got) == set(ids)
+    for d in ids:
+        w, h = 16 + d % 16, 8 + (d * 7) % 16
+        r = got[d]
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["mean_r_e3"] == (d % 128) * 1000 + (w - 1) * 500
+        assert r["mean_g_e3"] == ((d * 7) % 128) * 1000 + (h - 1) * 500
+        assert r["mean_b_e3"] == ((d * 13) % 64) * 1000 + (w - 1) * 500 + (h - 1) * 500
+
+
 def test_embed_payloads_feeds_vector_ops(spark, sf_dir):
     from pyspark.sql import functions as F
 

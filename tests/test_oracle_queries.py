@@ -46,15 +46,19 @@ DRIVER_SURFACE = [
     # queries q22 (lag-window gaps) and q42 (MinHash signatures,
     # re-shaped to scalar rows after its round-1 canonicalizer red)
     # take the slots of the 4×-green q23 and q06 — closing the "every
-    # registry query has had a hard verdict" loop. The grading driver
-    # records at most 50 verdicts in registration order — changing
-    # this list is a deliberate decision, not a side effect of adding
-    # a query (new queries default into the pytest-only overflow
-    # unless they take a slot explicitly).
+    # registry query has had a hard verdict" loop. Round-6 rotation:
+    # q81 (BMP pixel-path oracle — the r5 verdict's ask #3) takes the
+    # slot of the 5×-green q54 (plain join+agg; family keeps q05/q07/
+    # q27 as driver representatives). The grading driver records at
+    # most 50 verdicts in registration order — changing this list is a
+    # deliberate decision, not a side effect of adding a query (new
+    # queries default into the pytest-only overflow unless they take a
+    # slot explicitly).
     "q21_hourly_windows", "q22_event_gaps", "q24_session_windows",
     "q25_sliding_windows", "q28_asof_prev_click", "q29_price_band_join",
     "q63_stream_stream_join", "q66_variant_props", "q76_salted_hot_user_join",
     "q60_multimodal_meta", "q61_payload_features", "q62_frame_sample",
+    "q81_bmp_pixel_stats",
     "q01_pricing_summary", "q05_local_supplier_volume",
     "q07_semi_join_urgent", "q10_top_lineitems_per_order",
     "q12_top10_revenue_orders", "q13_setops_customers", "q19_moving_avg",
@@ -68,7 +72,7 @@ DRIVER_SURFACE = [
     "q78_incremental_near_dedup", "q79_simhash_band_candidates",
     "q70_shard_packing", "q74_kmv_distinct_sketch", "q71_mixture_sample",
     "q50_knn_exact", "q51_ann_ivf", "q53_cosine_topk_same_label",
-    "q56_mrdf_recall", "q54_doc_embedding_join", "q57_ivf_recall",
+    "q56_mrdf_recall", "q57_ivf_recall",
     "q58_lsh_hyperplane_candidates", "q80_knn_search_external",
 ]
 

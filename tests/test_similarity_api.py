@@ -37,6 +37,41 @@ def test_lsh_buckets_cover_all_vectors(spark, sf_dir):
     assert all(0 <= r["bucket"] < 16 for r in rows)
 
 
+def test_knn_search_autoroutes_to_blocked_tier(spark, sf_dir):
+    # above broadcast_max_rows the naturally-named entry point must NOT
+    # driver-collect the corpus: it falls through to the grid-blocked
+    # tier with identical results. Force the route with a tiny
+    # threshold and check equality against the explicit broadcast tier.
+    from unittest.mock import patch
+
+    from pyspark_mrdf_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 40)
+    ref = sorted(
+        map(
+            tuple,
+            knn_search(queries, emb, 5, include_self=False, broadcast_max_rows=None)
+            .select("src", "dst", "rnk")
+            .collect(),
+        )
+    )
+    with patch.object(similarity, "collect_matrix", side_effect=AssertionError(
+        "auto-routed call must not collect the corpus"
+    )):
+        got = sorted(
+            map(
+                tuple,
+                similarity.knn_search(
+                    queries, emb, 5, include_self=False, broadcast_max_rows=10
+                )
+                .select("src", "dst", "rnk")
+                .collect(),
+            )
+        )
+    assert got == ref
+
+
 def test_knn_blocked_matches_broadcast(spark, sf_dir):
     from pyspark_mrdf_spark.io import load_table
     from pyspark_mrdf_spark.operators.similarity import (
