@@ -594,13 +594,14 @@ def _refine(
     vecs = base.select("id", "vec")
     if n_blocks is None:
         # ~32 MB of replicated vector payload per block task; base is
-        # tiny in local runs (1 block) and fans out on a cluster
-        try:
-            first = vecs.first()
-            dim = len(first["vec"]) if first else 1
-        except Exception:
-            dim = 1
-        n_rows = vecs.count()
+        # tiny in local runs (1 block) and fans out on a cluster.
+        # Row count and dimension come from ONE aggregate job (not a
+        # first() + count() pair — this sizing runs per direct call;
+        # ``knn_graph`` passes n_blocks and skips it entirely).
+        stats = vecs.agg(
+            F.count(F.lit(1)).alias("n"), F.max(F.size("vec")).alias("dim")
+        ).collect()[0]
+        n_rows, dim = stats["n"], stats["dim"] or 1
         n_blocks = max(1, int(-(-(n_rows * dim * 8) // (32 << 20))))
     pairs_b = hop2.withColumn("blk", F.pmod(F.hash("a"), F.lit(n_blocks)))
     vecs_b = vecs.withColumn(

@@ -74,3 +74,36 @@ def shingles(col: str | Column = "text", n: int = 3) -> Column:
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
+
+
+# PII patterns — one regex dialect subset that Java (Spark) and RE2
+# (DuckDB) interpret identically: character classes, bounded repeats,
+# \d and ASCII \b only. Masking must agree byte-for-byte across
+# engines (the q83 oracle fingerprints the scrubbed text).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_counts(col: str | Column = "text") -> dict[str, Column]:
+    """Per-kind PII match counts (JVM regexp, codegen-friendly) —
+    the detection half of the content-filter pass a training corpus
+    runs before release."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        kind: F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii(col: str | Column = "text") -> Column:
+    """Masked text: every PII match replaced by its <KIND> tag, in the
+    fixed PII_PATTERNS order (email → phone → ipv4; order matters —
+    phone masking must not see digits an email already consumed).
+    Pure JVM regexp_replace chain: no UDF, full codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"<{kind.upper()}>")
+    return c

@@ -121,6 +121,83 @@ def jaccard_pairs(
     )
 
 
+def contamination_pairs(
+    train: DataFrame,
+    eval_set: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Train/eval n-gram containment — the DECONTAMINATION primitive of
+    an LLM data pipeline: for every (train doc, eval doc) pair sharing
+    ≥1 shingle, the fraction of the EVAL doc's n-grams found in the
+    train doc → (train_id, eval_id, inter, eval_sz, containment_e6).
+
+    Containment is asymmetric on purpose (|train ∩ eval| / |eval|):
+    benchmark leakage means the eval text appears INSIDE a (typically
+    much longer) train document, where symmetric Jaccard would dilute
+    to ~0. ``containment_e6`` is exact integer fixed-point
+    (inter·10⁶ DIV eval_sz) — engine-portable, no float division.
+
+    Scale shape: posting-list equi-join on shingle — the eval side of
+    a real decontamination run is benchmark-sized (thousands of docs),
+    so its posting list broadcasts (``broadcast_eval``) and the train
+    side streams map-side with NO shuffle of train postings; pass
+    ``broadcast_eval=False`` for an eval set too large to broadcast
+    (falls back to a shuffled equi-join, still linear in postings).
+    Only pairs with overlap materialize, like ``jaccard_pairs``."""
+    tp = shingle_table(train, n, id_col, text_col).select(
+        F.col(id_col).alias("train_id"), "shingle"
+    )
+    ep = shingle_table(eval_set, n, id_col, text_col).select(
+        F.col(id_col).alias("eval_id"), "shingle"
+    )
+    esz = ep.groupBy("eval_id").agg(F.count(F.lit(1)).alias("eval_sz"))
+    ep_j = F.broadcast(ep) if broadcast_eval else ep
+    esz_j = F.broadcast(esz) if broadcast_eval else esz
+    return (
+        tp.join(ep_j, "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(esz_j, "eval_id")
+        .select(
+            "train_id",
+            "eval_id",
+            "inter",
+            "eval_sz",
+            F.expr("inter * 1000000 DIV eval_sz").alias("containment_e6"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Drop training documents contaminated by any eval document:
+    ``train`` rows whose containment of some eval doc's n-grams is
+    ≥ ``threshold``. The flagged-id set is bounded by |train| ids (no
+    text moves) and the anti-join ships only ids — the
+    decontamination pass a pre-training corpus runs against every
+    benchmark suite before training."""
+    t_e6 = int(round(threshold * 1e6))
+    bad = (
+        contamination_pairs(
+            train, eval_set, n, id_col, text_col, broadcast_eval=broadcast_eval
+        )
+        .filter(F.col("containment_e6") >= t_e6)
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+    return train.join(bad, id_col, "left_anti")
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 8,

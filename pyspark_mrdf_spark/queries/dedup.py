@@ -480,3 +480,55 @@ FROM slices a JOIN slices b
 )
 def q79_simhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_band_candidates(_simhash48(spark, sf_dir), bands=3, bits=48)
+
+
+@register(
+    "q82_decontamination",
+    driver=False,  # pytest-only: 50-slot driver cap (r6 slot went to q81)
+    oracle=f"""
+WITH evalset AS (
+  SELECT doc_id + 900000 AS doc_id, text FROM documents WHERE doc_id < 5
+  UNION ALL
+  SELECT doc_id + 910000 AS doc_id,
+         array_to_string(({_TOKS})[1:len({_TOKS})//2], ' ') AS text
+  FROM documents WHERE doc_id >= 10 AND doc_id < 15),
+tpost AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+epost AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM evalset),
+esz AS (SELECT doc_id, COUNT(*) AS eval_sz FROM epost GROUP BY doc_id),
+pairs AS (
+  SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS inter
+  FROM tpost t JOIN epost e USING (shingle) GROUP BY 1, 2)
+SELECT p.train_id, p.eval_id,
+       CAST(p.inter AS BIGINT) AS inter,
+       CAST(s.eval_sz AS BIGINT) AS eval_sz,
+       CAST(p.inter * 1000000 // s.eval_sz AS BIGINT) AS containment_e6
+FROM pairs p JOIN esz s ON p.eval_id = s.doc_id
+WHERE p.inter * 1000000 // s.eval_sz >= 500000
+""",
+    description=(
+        "train/eval DECONTAMINATION (operators/dedup.contamination_pairs): "
+        "asymmetric n-gram containment |train∩eval|/|eval| over a broadcast "
+        "eval posting list — catches full-copy AND substring leakage "
+        "(prefix-half eval docs score 1.0 where symmetric Jaccard dilutes); "
+        "exact integer fixed-point, no float division"
+    ),
+    tags=("dedup", "decontamination", "pipeline"),
+)
+def q82_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    leaked = d.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    # substring leakage: the first half of a train doc's tokens — full
+    # containment in its source even though Jaccard would be ~0.5
+    prefixes = d.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 15)).select(
+        (F.col("doc_id") + 910000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.floor(F.size(toks) / 2).cast("int"))
+        ).alias("text"),
+    )
+    eval_set = leaked.unionByName(prefixes)
+    return D.contamination_pairs(d, eval_set, n=3).filter(
+        F.col("containment_e6") >= 500_000
+    )

@@ -245,3 +245,53 @@ def q64_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_tokens") >= 30)
         .select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"))
     )
+
+
+@register(
+    "q83_pii_scrub",
+    driver=False,  # pytest-only: 50-slot driver cap (r6 slot went to q81)
+    oracle=r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com or 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.1 or 555-123-4567 end' AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g')) AS clean_fp
+FROM aug
+""",
+    description=(
+        "PII detection + masking (functions/text.pii_counts/scrub_pii): "
+        "pure JVM regexp chain over PII-augmented documents; per-kind match "
+        "counts AND an md5 fingerprint of the scrubbed text — masking must "
+        "agree byte-for-byte with the oracle's RE2 dialect"
+    ),
+    tags=("text", "pii", "pipeline"),
+)
+def q83_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 or 555-123-4567 end"),
+        ).alias("t"),
+    )
+    counts = T.pii_counts("t")
+    return aug.select(
+        "doc_id",
+        counts["email"].cast("int").alias("n_email"),
+        counts["phone"].cast("int").alias("n_phone"),
+        counts["ipv4"].cast("int").alias("n_ipv4"),
+        F.md5(T.scrub_pii("t")).alias("clean_fp"),
+    )

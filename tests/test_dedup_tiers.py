@@ -213,3 +213,75 @@ def test_lsh_tier_works_on_nonnegative_embeddings(spark, sf_dir):
         bk.groupBy("table").agg(F.countDistinct("bucket").alias("n_buckets")).collect()
     )
     assert all(r["n_buckets"] >= 4 for r in per_table), per_table
+
+
+def test_decontaminate_catches_copy_and_substring_leakage(spark, sf_dir):
+    # the decontamination law: full-copy eval docs AND prefix
+    # (substring) eval docs both flag their train source — the
+    # asymmetric containment metric's whole point (symmetric Jaccard
+    # on the prefix case is only ~0.5 and would pass at 0.9)
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.io import load_table
+    from pyspark_mrdf_spark.operators.dedup import decontaminate, jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    copies = d.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    prefixes = d.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 13)).select(
+        (F.col("doc_id") + 910000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.floor(F.size(toks) / 2).cast("int"))
+        ).alias("text"),
+    )
+    eval_set = copies.unionByName(prefixes)
+    kept = {
+        r["doc_id"]
+        for r in decontaminate(d, eval_set, threshold=0.9).select("doc_id").collect()
+    }
+    # sources of the copies AND of the prefixes are gone
+    assert not kept & {0, 1, 2, 10, 11, 12}
+    # ...and the corpus was not decimated: only leaky docs (sources +
+    # possible near-dups of them) dropped
+    assert len(kept) >= d.count() - 30
+    # the prefix case really is the asymmetric regime: symmetric
+    # Jaccard between a doc and its half-prefix sits near 1/2
+    both = d.filter(F.col("doc_id") == 10).unionByName(
+        prefixes.filter(F.col("doc_id") == 910010)
+    )
+    jp = jaccard_pairs(both, 3).collect()
+    assert jp and all(0.3 <= r["jaccard"] <= 0.75 for r in jp)
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.functions.text import pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b-c_d@foo.co.uk and 10.0.0.1 plus 555-123-4567 ok"),
+            (2, "no pii here at all"),
+            (3, "two mails x@y.io z@w.ai and ip 192.168.254.3"),
+        ],
+        ["id", "t"],
+    )
+    c = pii_counts("t")
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            c["email"].alias("e"),
+            c["phone"].alias("p"),
+            c["ipv4"].alias("i"),
+            scrub_pii("t").alias("s"),
+        ).collect()
+    }
+    assert (got[1]["e"], got[1]["p"], got[1]["i"]) == (1, 1, 1)
+    assert got[1]["s"] == "mail <EMAIL> and <IPV4> plus <PHONE> ok"
+    assert (got[2]["e"], got[2]["p"], got[2]["i"]) == (0, 0, 0)
+    assert got[2]["s"] == "no pii here at all"
+    assert (got[3]["e"], got[3]["p"], got[3]["i"]) == (2, 0, 1)
+    assert got[3]["s"] == "two mails <EMAIL> <EMAIL> and ip <IPV4>"

@@ -209,3 +209,22 @@ def test_capped_unconverged_run_surfaces_signal(spark):
             emb, 10, rho=4, alpha=512, max_iter=3, metrics_out=metrics,
         ).localCheckpoint(eager=True)
     assert metrics and metrics[-1].get("unconverged") is True
+
+
+def test_refine_default_sizing_matches_explicit_blocks(spark, emb):
+    # _refine's n_blocks=None sizing (one aggregate job, not a
+    # first()+count() pair) must produce the same refined graph as an
+    # explicit block count — block shape never changes results
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.algorithms.mrdf import _refine
+
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("id"), F.col("embedding").alias("vec")
+    ).localCheckpoint(eager=True)
+    g0 = knn_exact(emb, 3).select("src", "dst", "dist_sq").localCheckpoint(eager=True)
+    auto = sorted(map(tuple, _refine(base, g0, 5).select("src", "dst").collect()))
+    explicit = sorted(
+        map(tuple, _refine(base, g0, 5, n_blocks=3).select("src", "dst").collect())
+    )
+    assert auto == explicit and len(auto) > 0
