@@ -184,3 +184,84 @@ def q71_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(mixture_uniform_col() < mixture_rate_col()).select(
         "doc_id", "lang", "source"
     )
+
+
+@register(
+    "q84_train_val_test_split",
+    driver=False,  # pytest-only: 50-slot driver cap
+    oracle="""
+SELECT doc_id, lang,
+       CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, lang,
+             CAST(concat('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             / 4294967296.0 AS u
+      FROM documents)
+""",
+    description=(
+        "deterministic train/val/test split (80/10/10): md5-derived uniform "
+        "on a salted doc id — the same doc lands in the same split on any "
+        "engine, any partitioning, any rerun; independent of q71's sampling "
+        "uniform via the salt"
+    ),
+    tags=("pipeline", "split"),
+)
+def q84_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every document a reproducible split label. The uniform is
+    salted ('split:') so split membership is independent of the
+    mixture-sampling draw — correlated uniforms would silently bias the
+    val/test sets toward the sampled mixture."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    split = (
+        F.when(u < 0.8, F.lit("train")).when(u < 0.9, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return d.select("doc_id", "lang", split.alias("split"))
+
+
+@register(
+    "q85_shuffle_shards",
+    driver=False,  # pytest-only: 50-slot driver cap
+    oracle="""
+WITH k AS (
+  SELECT doc_id, md5('shuffle:42:' || CAST(doc_id AS VARCHAR)) AS key FROM documents),
+s AS (
+  SELECT doc_id, key,
+         CAST(concat('0x', substr(key, 1, 8)) AS BIGINT) % 8 AS shard
+  FROM k)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key) AS BIGINT) AS pos
+FROM s
+""",
+    description=(
+        "seeded global corpus shuffle into 8 training shards: md5 key gives "
+        "shard AND within-shard order — a deterministic shuffle with NO "
+        "global sort (per-shard windows only), the pre-training data-order "
+        "op at corpus scale"
+    ),
+    tags=("pipeline", "shuffle"),
+)
+def q85_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: each doc's md5('shuffle:
+    seed:' || id) is simultaneously its shard (top 32 bits mod 8) and
+    its position key within the shard. Scale shape: one hash-partition
+    shuffle + per-shard window — never an unpartitioned global sort, so
+    the plan survives any corpus size (plan_audit would flag a global
+    Window)."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("shuffle:42:"), F.col("doc_id").cast("string")))
+    shard = F.pmod(F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint"), F.lit(8))
+    w = Window.partitionBy("shard").orderBy("key")
+    return (
+        d.select("doc_id", key.alias("key"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+    )
