@@ -138,6 +138,13 @@ def main() -> None:
         a for a in argv
         if a not in ("--uniform", "--uniform-tuned", "--uniform-tuned-only", "--grid-only")
     ]
+    # the -only modes run exactly one section; any other argument or
+    # flag would be silently dead — reject those combinations outright
+    # (same rule as the sf-list guard below)
+    if (tuned_only or grid_only) and argv:
+        sys.exit("error: --uniform-tuned-only/--grid-only ignore sf arguments; drop one side")
+    if grid_only and (tuned_only or include_uniform or include_uniform_tuned):
+        sys.exit("error: --grid-only runs only the grid point; drop the other synthetic flags")
     sfs = [] if (tuned_only or grid_only) else (argv or ["sf0.001", "sf0.01", "sf0.1"])
     # explicit sf list = corpus-only run; the synthetic flags would be
     # silently dead in that mode, so reject the combination outright
