@@ -111,13 +111,15 @@ def knn_graph(
     only reference-parity huge-α runs (α=150000 default) fall back to
     the iterative NN-Descent kernel.
 
-    Design-size evidence (SCALABILITY.json, n=50,000 d=64): with
-    α=16384 the tiled-exact leaves and the distributed centroid join
-    tier both execute (asserted via ``metrics_out``); recall 0.9999 in
-    ~51s on clustered (mixture) data — the shape real embedding
-    corpora have — and ~0.78 on pure uniform noise, the known worst
+    Design-size evidence (SCALABILITY.json, d=64, α=16384, both scale
+    tiers asserted via ``metrics_out``): recall 0.9999 in ~51s at
+    n=50k and 0.999 in ~142s at n=100k on clustered (mixture) data —
+    the shape real embedding corpora have. The exact-scan ratio shows
+    the quadratic/linear crossover arriving: exact costs 0.37× MRDF at
+    50k but already 0.72× at 100k, and inverts shortly after — the
+    regime this algorithm exists for. Uniform noise, the known worst
     case for partition-based ANN (neighborhoods barely beat random
-    splits). ``max_iter``/``refine_rounds`` are the recall/cost dial:
+    splits), measures ~0.78 at this dial. ``max_iter``/``refine_rounds`` are the recall/cost dial:
     even on uniform noise, 6 forests + 2 refine rounds reach recall
     0.9628 in a cleanly-measured 614s on an idle 32-core machine
     (~1.6× the default dial's 394s; 25× the 24.6s exact scan at this

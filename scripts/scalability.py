@@ -50,6 +50,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Design-size points run 32 concurrent Arrow leaf tasks in ONE local
+# JVM; the engine's 8g default heap OOMs around n=100k. That is a
+# local-mode artifact (a cluster gives each executor its own heap), so
+# the sweep asks for a bigger single JVM — overridable, never shrunk.
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+
 import numpy as np
 
 from pyspark_mrdf_spark.algorithms.mrdf import knn_graph

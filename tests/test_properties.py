@@ -124,3 +124,77 @@ def test_l2_topk_candidates_contains_true_topk(args):
         # candidate distances are the EXACT ones, not the gemm estimates
         for pos, j in enumerate(cand[i].tolist()):
             assert d2[i, pos] == exact[i, j]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 50)), min_size=1, max_size=60
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_gaussian_planes_shape_and_determinism(pairs):
+    # reuse the hypothesis harness for a pure-NumPy law: any (n, d)
+    # request is deterministic per seed, differs across seeds, and
+    # stays standard-normal-ish in bulk
+    from pyspark_mrdf_spark.operators.similarity import _gaussian_planes
+
+    n, d = 1 + pairs[0][0] % 6, 1 + pairs[0][1] % 6
+    a = _gaussian_planes(n, d, seed=3)
+    b = _gaussian_planes(n, d, seed=3)
+    c = _gaussian_planes(n, d, seed=4)
+    assert a.shape == (n, d) and (a == b).all()
+    assert (a != c).any()
+    assert np.isfinite(a).all()
+
+
+def test_containment_bounds_and_split_partition(spark, sf_dir):
+    # containment_e6 ∈ [0, 1e6] always (integer fixed-point of a true
+    # fraction), and every eval doc's self-containment vs its source
+    # is exactly 1e6; the split query partitions the corpus exactly
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.io import load_table
+    from pyspark_mrdf_spark.operators.dedup import contamination_pairs
+    from pyspark_mrdf_spark.queries import load_all
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = d.filter(F.col("doc_id") < 8).select(
+        (F.col("doc_id") + 700000).alias("doc_id"), "text"
+    )
+    cp = contamination_pairs(d, eval_set).localCheckpoint(eager=True)
+    bad = cp.filter(
+        (F.col("containment_e6") < 0) | (F.col("containment_e6") > 1_000_000)
+    ).count()
+    assert bad == 0
+    self_pairs = {
+        r["eval_id"]: r["containment_e6"]
+        for r in cp.filter(F.col("train_id") + 700000 == F.col("eval_id")).collect()
+    }
+    assert set(self_pairs) == {700000 + i for i in range(8)}
+    assert all(v == 1_000_000 for v in self_pairs.values())
+
+    split = load_all()["q84_train_val_test_split"].builder(spark, sf_dir)
+    n_docs = d.count()
+    per = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(per.values()) == n_docs  # total partition, no doc lost
+    assert set(per) <= {"train", "val", "test"}
+    assert per.get("train", 0) > per.get("val", 0)  # 80/10/10 shape
+
+
+def test_shuffle_shards_is_a_permutation(spark, sf_dir):
+    # q85 law: every doc appears exactly once; positions within each
+    # shard are 1..count with no gaps (a true permutation of the corpus)
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.io import load_table
+    from pyspark_mrdf_spark.queries import load_all
+
+    out = load_all()["q85_shuffle_shards"].builder(spark, sf_dir).localCheckpoint(eager=True)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert out.count() == n_docs
+    assert out.select("doc_id").distinct().count() == n_docs
+    per_shard = out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.min("pos").alias("lo"), F.max("pos").alias("hi")
+    ).collect()
+    for r in per_shard:
+        assert (r["lo"], r["hi"]) == (1, r["n"])  # dense 1..n positions
