@@ -220,13 +220,13 @@ def knn_search_blocked(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
         blk.alias("block"),
-        F.explode(F.array(*[F.lit(i) for i in range(n_query_blocks)])).alias("qblk"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_query_blocks - 1))).alias("qblk"),
     )
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         qblk.alias("qblk"),
-        F.explode(F.array(*[F.lit(i) for i in range(n_blocks)])).alias("block"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("block"),
     )
 
     def _scan(key: tuple, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
@@ -558,14 +558,14 @@ def cosine_topk_by_group_blocked(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
         blk.alias("block"),
-        F.explode(F.array(*[F.lit(i) for i in range(n_query_blocks)])).alias("qblk"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_query_blocks - 1))).alias("qblk"),
     )
     q = df.select(
         F.col(group_col).alias("g"),
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         qblk.alias("qblk"),
-        F.explode(F.array(*[F.lit(i) for i in range(n_blocks)])).alias("block"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("block"),
     )
 
     def _scan(key: tuple, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
