@@ -132,23 +132,23 @@ def knn_search(
     partitions (reference knn.py:7 broadcast, vectorized). A LARGER
     corpus auto-routes to ``knn_search_blocked`` — same result, same
     tie-break, distributed corpus — with BOTH grid sides sized so each
-    task holds ~16k-row query and corpus slabs. The size probe is a
-    ``limit(broadcast_max_rows+1).count()`` (early-stops on a large
-    corpus instead of scanning it; a computed — non-materialized —
-    corpus lineage is still evaluated once for the probe and once for
-    the scan, so cache/checkpoint expensive corpus pipelines, or pass
-    ``broadcast_max_rows=None`` to skip the probe and force the
-    broadcast tier when the corpus is known-small). The probe keeps
-    the naturally-named entry point safe at any scale."""
+    task holds ~16k-row query and corpus slabs. The guard is one
+    corpus ``count()`` (it also sizes the grid); a computed —
+    non-materialized — corpus lineage is evaluated once for the count
+    and once for the scan, so cache/checkpoint expensive corpus
+    pipelines, or pass ``broadcast_max_rows=None`` to skip the count
+    and force the broadcast tier when the corpus is known-small. The
+    guard keeps the naturally-named entry point safe at any scale."""
     df = queries
     spark = df.sparkSession
     if broadcast_max_rows is not None:
-        probe = corpus.limit(broadcast_max_rows + 1).count()
-        if probe > broadcast_max_rows:
+        n_c = corpus.count()
+        if n_c > broadcast_max_rows:
             # ceil to ~16k-row slabs on BOTH sides: an unbounded query
-            # set would otherwise concentrate |Q|/4 vectors per task
-            n_c = corpus.count()
-            n_q = queries.count()
+            # set would otherwise concentrate |Q|/4 vectors per task.
+            # Self-search (knn_exact) passes the same DataFrame twice —
+            # don't run the identical count job again.
+            n_q = n_c if queries is corpus else queries.count()
             n_blocks = max(8, -(-n_c // 16_384))
             n_query_blocks = max(4, -(-n_q // 16_384))
             return knn_search_blocked(

@@ -34,15 +34,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        # FAIR job scheduling: the engine overlaps background index
-        # builds with foreground queries (q56 materializes the exact
-        # graph on a thread while the MRDF loop runs; the session
-        # registry encourages exactly this shape). Under FIFO a
-        # 32-task background stage occupies every slot and the
-        # foreground loop's small stages queue behind it — measured
-        # 13.9s -> 12.7s on cold q56. Serving deployments run FAIR for
-        # the same reason.
-        .config("spark.scheduler.mode", "FAIR")
+        # Scheduler mode stays FIFO (the default). FAIR was tried for
+        # the background-index-build overlap (q56's exact-side thread)
+        # but bare spark.scheduler.mode=FAIR is a no-op — without an
+        # allocation file the auto-created default pool schedules FIFO
+        # internally — and an A/B WITH a FAIR-pool allocation file
+        # measured inside run-to-run noise at harness scale (12.3-14.6s
+        # FIFO vs 12.5-12.9s FAIR on cold q56). A serving deployment
+        # with many concurrent sessions should revisit FAIR with real
+        # pools; at this scale it buys nothing measurable.
     )
     if master is not None:
         builder = builder.master(master)

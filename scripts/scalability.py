@@ -151,6 +151,8 @@ def main() -> None:
         sys.exit("error: --uniform-tuned-only/--grid-only ignore sf arguments; drop one side")
     if grid_only and (tuned_only or include_uniform or include_uniform_tuned):
         sys.exit("error: --grid-only runs only the grid point; drop the other synthetic flags")
+    if tuned_only and include_uniform:
+        sys.exit("error: --uniform-tuned-only runs only the tuned point; drop --uniform")
     sfs = [] if (tuned_only or grid_only) else (argv or ["sf0.001", "sf0.01", "sf0.1"])
     # explicit sf list = corpus-only run; the synthetic flags would be
     # silently dead in that mode, so reject the combination outright

@@ -126,19 +126,13 @@ def test_l2_topk_candidates_contains_true_topk(args):
             assert d2[i, pos] == exact[i, j]
 
 
-@given(
-    st.lists(
-        st.tuples(st.integers(0, 50), st.integers(0, 50)), min_size=1, max_size=60
-    )
-)
+@given(n=st.integers(1, 8), d=st.integers(1, 8))
 @settings(max_examples=30, deadline=None)
-def test_gaussian_planes_shape_and_determinism(pairs):
-    # reuse the hypothesis harness for a pure-NumPy law: any (n, d)
-    # request is deterministic per seed, differs across seeds, and
-    # stays standard-normal-ish in bulk
+def test_gaussian_planes_shape_and_determinism(n, d):
+    # pure-NumPy law over the full small-(n, d) domain: any request is
+    # deterministic per seed, differs across seeds, and stays finite
     from pyspark_mrdf_spark.operators.similarity import _gaussian_planes
 
-    n, d = 1 + pairs[0][0] % 6, 1 + pairs[0][1] % 6
     a = _gaussian_planes(n, d, seed=3)
     b = _gaussian_planes(n, d, seed=3)
     c = _gaussian_planes(n, d, seed=4)
