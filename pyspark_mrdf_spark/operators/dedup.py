@@ -558,8 +558,6 @@ def near_dedup_against(
     if corpus_buckets is None:
         c_sig = minhash_signatures(corpus, num_hashes, n, id_col, text_col)
         corpus_buckets = lsh_band_buckets(c_sig, bands, rows_per_band, id_col)
-    if corpus_postings is None:
-        corpus_postings = shingle_table(corpus, n, id_col, text_col)
     b_sig = minhash_signatures(new_docs, num_hashes, n, id_col, text_col)
     c_buckets = corpus_buckets.select(
         F.col(id_col).alias("c_id"), "band", "bucket"
@@ -567,17 +565,33 @@ def near_dedup_against(
     b_buckets = lsh_band_buckets(b_sig, bands, rows_per_band, id_col).select(
         F.col(id_col).alias("b_id"), "band", "bucket"
     )
+    # the candidate pair table is referenced by three downstream
+    # branches (both posting prunes + the inter semi-join); a lazy
+    # checkpoint computes the bucket join once instead of per branch
     cand = (
-        b_buckets.join(c_buckets, ["band", "bucket"]).select("b_id", "c_id").distinct()
+        b_buckets.join(c_buckets, ["band", "bucket"])
+        .select("b_id", "c_id")
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     # exact verify on candidates only: posting lists restricted to the
-    # candidate documents by semi-join
+    # candidate documents. When the caller ships stored postings, a
+    # semi-join prunes them; when postings must derive from the corpus
+    # text, prune the CORPUS first so the shingle explode — the
+    # corpus-sized step — runs over candidate documents only (batch-
+    # sized), never the whole corpus.
     b_post = shingle_table(new_docs, n, id_col, text_col).join(
         cand.select(F.col("b_id").alias(id_col)).distinct(), id_col, "left_semi"
     )
-    c_post = corpus_postings.join(
-        cand.select(F.col("c_id").alias(id_col)).distinct(), id_col, "left_semi"
-    )
+    if corpus_postings is None:
+        cand_corpus = corpus.join(
+            cand.select(F.col("c_id").alias(id_col)).distinct(), id_col, "left_semi"
+        )
+        c_post = shingle_table(cand_corpus, n, id_col, text_col)
+    else:
+        c_post = corpus_postings.join(
+            cand.select(F.col("c_id").alias(id_col)).distinct(), id_col, "left_semi"
+        )
     b_sz = b_post.groupBy(id_col).agg(F.count(F.lit(1)).alias("b_sz"))
     c_sz = c_post.groupBy(id_col).agg(F.count(F.lit(1)).alias("c_sz"))
     inter = (
