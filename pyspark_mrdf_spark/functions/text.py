@@ -78,13 +78,46 @@ def shingles(col: str | Column = "text", n: int = 3) -> Column:
 
 # PII patterns — one regex dialect subset that Java (Spark) and RE2
 # (DuckDB) interpret identically: character classes, bounded repeats,
-# \d and ASCII \b only. Masking must agree byte-for-byte across
-# engines (the q83 oracle fingerprints the scrubbed text).
+# non-capturing groups, alternation, \d and ASCII \b only. Masking must
+# agree byte-for-byte across engines (the q83 oracle fingerprints the
+# scrubbed text). Dict order IS scrub order and it matters: email and
+# api-key masking run before the digit patterns so a digit-bearing
+# local-part or key is consumed whole; card (4-4-4-4 groups OR a bare
+# 13-19 digit run) runs before ssn/phone so a long digit run is never
+# partially eaten as a phone number; ipv4 last (needs dots the digit
+# patterns never consume).
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "apikey": r"\b(?:sk|pk|api|token|key)_[A-Za-z0-9]{16,}\b",
+    "ccard": r"\b\d{4}(?:[- ]\d{4}){3}\b|\b\d{13,19}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
     "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
 }
+
+
+def luhn_valid(col: str | Column) -> Column:
+    """Luhn checksum over the digits of ``col`` (a digits-only string):
+    from the rightmost digit, every second digit doubles (−9 if >9);
+    valid when the sum divides 10 and the run is plausibly card-length
+    (≥13 digits). Pure JVM higher-order aggregate — no UDF — with an
+    exact DuckDB ``list_sum``/``list_transform`` twin, so the check is
+    oracle-verifiable. The ≥13 guard also dodges Spark's descending
+    ``sequence(1, 0)`` on empty input."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    ds = F.split(c, "")
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            ((n - i) % 2) == 1,
+            F.element_at(ds, i).cast("int") * 2
+            - F.when(F.element_at(ds, i).cast("int") > 4, 9).otherwise(0),
+        ).otherwise(F.element_at(ds, i).cast("int")),
+    )
+    return F.when(n >= 13, (total % 10) == 0).otherwise(F.lit(False))
 
 
 def pii_counts(col: str | Column = "text") -> dict[str, Column]:

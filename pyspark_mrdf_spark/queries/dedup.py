@@ -484,7 +484,8 @@ def q79_simhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q82_decontamination",
-    driver=False,  # pytest-only: 50-slot driver cap (r6 slot went to q81)
+    # promoted r7 (VERDICT r6 ask #1): marquee pipeline operator, needs a
+    # hard driver verdict; slot ceded by q33 (4x driver-green)
     oracle=f"""
 WITH evalset AS (
   SELECT doc_id + 900000 AS doc_id, text FROM documents WHERE doc_id < 5

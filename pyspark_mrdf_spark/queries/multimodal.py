@@ -33,6 +33,7 @@ from pyspark_mrdf_spark.queries import register
 
 @register(
     "q60_multimodal_meta",
+    driver=False,  # demoted r7: byte-kernel twin of q81 (codec hash-green); slot went to q84 split
     oracle="""
 SELECT doc_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
@@ -81,6 +82,7 @@ def q61_payload_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q62_frame_sample",
+    driver=False,  # demoted r7: frame kernel re-proven by q81 codec path; slot went to q85 shards
     oracle="""
 WITH f AS (
   SELECT doc_id,

@@ -188,7 +188,8 @@ def q71_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q84_train_val_test_split",
-    driver=False,  # pytest-only: 50-slot driver cap
+    # promoted r7 (VERDICT r6 ask #1): deterministic split needs a hard
+    # driver verdict; slot ceded by q60 (byte-kernel twin of hash-green q81)
     oracle="""
 SELECT doc_id, lang,
        CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
@@ -229,7 +230,8 @@ def q84_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q85_shuffle_shards",
-    driver=False,  # pytest-only: 50-slot driver cap
+    # promoted r7 (VERDICT r6 ask #1): shuffle-shards needs a hard driver
+    # verdict; slot ceded by q62 (frame kernel twin of hash-green q81)
     oracle="""
 WITH k AS (
   SELECT doc_id, md5('shuffle:42:' || CAST(doc_id AS VARCHAR)) AS key FROM documents),

@@ -100,6 +100,7 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q33_langid_heuristic",
+    driver=False,  # demoted r7 after 5 driver-green rounds; slot went to q82 decontamination
     oracle=f"""
 SELECT lang,
        COUNT(*) AS n_docs,
@@ -171,6 +172,7 @@ def q35_bpeish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q36_rolling_fingerprint",
+    driver=False,  # demoted r7 after 4 driver-green rounds; slot went to q83 PII scrub
     oracle="""
 SELECT doc_id,
        list_min(list_transform(generate_series(1, length(text) - 7),
@@ -247,35 +249,78 @@ def q64_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q83_pii_scrub",
-    driver=False,  # pytest-only: 50-slot driver cap (r6 slot went to q81)
-    oracle=r"""
+# q83's oracle is GENERATED from functions/text.PII_PATTERNS so the
+# DuckDB replace chain cannot drift from the Spark one (same patterns,
+# same order — order is semantic, see PII_PATTERNS). The patterns use
+# only the Java∩RE2-identical dialect subset, so embedding the same
+# string in both engines yields byte-identical masking.
+def _pii_scrub_sql_expr(col: str) -> str:
+    expr = col
+    for kind, pat in T.PII_PATTERNS.items():
+        expr = f"regexp_replace({expr}, '{pat}', '<{kind.upper()}>', 'g')"
+    return expr
+
+
+def _pii_count_sql_cols(col: str) -> str:
+    return ",\n       ".join(
+        f"CAST(len(regexp_extract_all({col}, '{pat}')) AS INT) AS n_{kind}"
+        for kind, pat in T.PII_PATTERNS.items()
+    )
+
+
+_CC_DIGITS_SQL = (
+    "regexp_replace(regexp_extract(t, '"
+    + T.PII_PATTERNS["ccard"]
+    + "'), '[^0-9]', '', 'g')"
+)
+
+_Q83_ORACLE = f"""
 WITH aug AS (
   SELECT doc_id,
          text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com or 10.0.'
-              || CAST(doc_id % 256 AS VARCHAR) || '.1 or 555-123-4567 end' AS t
-  FROM documents)
+              || CAST(doc_id % 256 AS VARCHAR) || '.1 or 555-123-4567 card '
+              || CASE WHEN doc_id % 2 = 0 THEN '4111 1111 1111 1111'
+                      ELSE '4111-1111-1111-1112' END
+              || ' ssn 123-45-6789 key sk_AbC123xyz789LMNop456 end' AS t
+  FROM documents),
+cc AS (
+  SELECT doc_id, t, {_CC_DIGITS_SQL} AS ccd FROM aug)
 SELECT doc_id,
-       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
-       CAST(len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_phone,
-       CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
-       md5(regexp_replace(regexp_replace(regexp_replace(t,
-           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-           '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
-           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g')) AS clean_fp
-FROM aug
-""",
+       {_pii_count_sql_cols('t')},
+       (length(ccd) >= 13 AND
+        list_sum(list_transform(generate_series(1, length(ccd)),
+          i -> CASE WHEN (length(ccd) - i) % 2 = 1
+                    THEN 2 * CAST(ccd[i] AS INT)
+                         - CASE WHEN CAST(ccd[i] AS INT) > 4 THEN 9 ELSE 0 END
+                    ELSE CAST(ccd[i] AS INT) END)) % 10 = 0) AS cc_luhn_ok,
+       md5({_pii_scrub_sql_expr('t')}) AS clean_fp
+FROM cc
+"""
+
+
+@register(
+    "q83_pii_scrub",
+    # promoted r7 (VERDICT r6 ask #1): PII scrub needs a hard driver
+    # verdict; slot ceded by q36 (4x driver-green)
+    oracle=_Q83_ORACLE,
     description=(
-        "PII detection + masking (functions/text.pii_counts/scrub_pii): "
-        "pure JVM regexp chain over PII-augmented documents; per-kind match "
-        "counts AND an md5 fingerprint of the scrubbed text — masking must "
-        "agree byte-for-byte with the oracle's RE2 dialect"
+        "PII detection + masking (functions/text.pii_counts/scrub_pii/"
+        "luhn_valid): pure JVM regexp chain over PII-augmented documents "
+        "across SIX kinds (email, api-key, credit-card, SSN, phone, ipv4); "
+        "per-kind match counts, a Luhn checksum verdict on the extracted "
+        "card (higher-order aggregate, no UDF — even rows carry a valid "
+        "4111... card, odd rows an invalid one), AND an md5 fingerprint of "
+        "the scrubbed text — masking must agree byte-for-byte with the "
+        "oracle's RE2 dialect; the oracle SQL is generated from the same "
+        "PII_PATTERNS dict the Spark chain uses, so they cannot drift"
     ),
     tags=("text", "pii", "pipeline"),
 )
 def q83_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    card = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("4111 1111 1111 1111")
+    ).otherwise(F.lit("4111-1111-1111-1112"))
     aug = d.select(
         "doc_id",
         F.concat(
@@ -284,14 +329,18 @@ def q83_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("string"),
             F.lit("@ex.com or 10.0."),
             (F.col("doc_id") % 256).cast("string"),
-            F.lit(".1 or 555-123-4567 end"),
+            F.lit(".1 or 555-123-4567 card "),
+            card,
+            F.lit(" ssn 123-45-6789 key sk_AbC123xyz789LMNop456 end"),
         ).alias("t"),
     )
     counts = T.pii_counts("t")
+    cc_digits = F.regexp_replace(
+        F.regexp_extract("t", T.PII_PATTERNS["ccard"], 0), "[^0-9]", ""
+    )
     return aug.select(
         "doc_id",
-        counts["email"].cast("int").alias("n_email"),
-        counts["phone"].cast("int").alias("n_phone"),
-        counts["ipv4"].cast("int").alias("n_ipv4"),
+        *[counts[k].cast("int").alias(f"n_{k}") for k in T.PII_PATTERNS],
+        T.luhn_valid(cc_digits).alias("cc_luhn_ok"),
         F.md5(T.scrub_pii("t")).alias("clean_fp"),
     )

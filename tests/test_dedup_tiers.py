@@ -285,3 +285,45 @@ def test_scrub_pii_masks_and_counts(spark):
     assert got[2]["s"] == "no pii here at all"
     assert (got[3]["e"], got[3]["p"], got[3]["i"]) == (2, 0, 1)
     assert got[3]["s"] == "two mails <EMAIL> <EMAIL> and ip <IPV4>"
+
+
+def test_scrub_pii_new_kinds_and_luhn(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.functions.text import luhn_valid, pii_counts, scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "card 4111 1111 1111 1111 ssn 123-45-6789 key sk_ABCDEF1234567890xyzw"),
+            (2, "bare run 4532015112830366 and short 123456789012"),  # 16 valid; 12-digit not a card
+            (3, "api_ prefix is not a key kind: api_short and token_ABCDEFGH12345678"),
+        ],
+        ["id", "t"],
+    )
+    c = pii_counts("t")
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            c["ccard"].alias("cc"),
+            c["ssn"].alias("ss"),
+            c["apikey"].alias("ak"),
+            scrub_pii("t").alias("s"),
+        ).collect()
+    }
+    assert (got[1]["cc"], got[1]["ss"], got[1]["ak"]) == (1, 1, 1)
+    assert got[1]["s"] == "card <CCARD> ssn <SSN> key <APIKEY>"
+    # bare 13-19 digit runs are cards; 12 digits are not
+    assert got[2]["cc"] == 1
+    assert got[2]["s"] == "bare run <CCARD> and short 123456789012"
+    # prefix must be one of sk|pk|api|token|key AND >=16 chars after the _
+    assert got[3]["ak"] == 1
+    assert "token_ABCDEFGH12345678" not in got[3]["s"]
+    assert "api_short" in got[3]["s"]
+
+    # Luhn: textbook-valid and single-digit-off cards, plus the empty guard
+    lv = spark.createDataFrame(
+        [("4111111111111111",), ("4111111111111112",), ("4532015112830366",), ("",)],
+        ["d"],
+    ).select("d", luhn_valid("d").alias("ok")).collect()
+    assert [r["ok"] for r in lv] == [True, False, True, False]

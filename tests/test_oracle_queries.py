@@ -49,7 +49,13 @@ DRIVER_SURFACE = [
     # registry query has had a hard verdict" loop. Round-6 rotation:
     # q81 (BMP pixel-path oracle — the r5 verdict's ask #3) takes the
     # slot of the 5×-green q54 (plain join+agg; family keeps q05/q07/
-    # q27 as driver representatives). The grading driver records at
+    # q27 as driver representatives). Round-7 rotation (r6 verdict ask
+    # #1): the four round-6 pipeline operators — q82 decontamination,
+    # q83 PII scrub, q84 deterministic split, q85 shuffle-shards — take
+    # the slots of q33/q36 (4-5× driver-green; text family keeps
+    # q32/q64/q83) and q60/q62 (byte/frame kernel twins whose codec
+    # path q81 now hash-verifies directly; multimodal keeps q61/q81).
+    # The grading driver records at
     # most 50 verdicts in registration order — changing this list is a
     # deliberate decision, not a side effect of adding a query (new
     # queries default into the pytest-only overflow unless they take a
@@ -57,20 +63,21 @@ DRIVER_SURFACE = [
     "q21_hourly_windows", "q22_event_gaps", "q24_session_windows",
     "q25_sliding_windows", "q28_asof_prev_click", "q29_price_band_join",
     "q63_stream_stream_join", "q66_variant_props", "q76_salted_hot_user_join",
-    "q60_multimodal_meta", "q61_payload_features", "q62_frame_sample",
-    "q81_bmp_pixel_stats",
+    "q61_payload_features", "q81_bmp_pixel_stats",
     "q01_pricing_summary", "q05_local_supplier_volume",
     "q07_semi_join_urgent", "q10_top_lineitems_per_order",
     "q12_top10_revenue_orders", "q13_setops_customers", "q19_moving_avg",
     "q27_above_customer_avg", "q65_profile_lineitem", "q67_grouping_sets",
     "q68_array_set_ops", "q75_unpivot_lineitem", "q32_quality_score",
-    "q33_langid_heuristic", "q36_rolling_fingerprint", "q64_clean_corpus",
+    "q64_clean_corpus", "q83_pii_scrub",
     "q40_exact_dup_groups", "q41_jaccard_near_dups", "q42_minhash_signatures",
     "q43_lsh_candidates",
     "q45_simhash_near_pairs", "q72_dup_clusters", "q73_canonical_corpus",
     "q46_embedding_near_dups", "q77_incremental_dedup",
     "q78_incremental_near_dedup", "q79_simhash_band_candidates",
+    "q82_decontamination",
     "q70_shard_packing", "q74_kmv_distinct_sketch", "q71_mixture_sample",
+    "q84_train_val_test_split", "q85_shuffle_shards",
     "q50_knn_exact", "q51_ann_ivf", "q53_cosine_topk_same_label",
     "q56_mrdf_recall", "q57_ivf_recall",
     "q58_lsh_hyperplane_candidates", "q80_knn_search_external",
