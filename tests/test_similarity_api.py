@@ -175,3 +175,56 @@ def test_ivf_trained_centroids_improve_recall(spark, sf_dir):
     # Lloyd-refined cells must not be worse than arbitrary lowest-id cells
     assert r_trained >= r_base - 0.02, (r_trained, r_base)
     assert r_trained >= 0.5
+
+
+def test_knn_search_checkpoints_computed_corpus_once(spark, sf_dir):
+    """A computed (non-scan-shaped) corpus lineage must be evaluated
+    exactly ONCE across the auto-route guard count and the search scan
+    (knn_search localCheckpoints it lazily); a plain parquet scan must
+    NOT be checkpointed — its re-read is cheaper than a corpus copy."""
+    from pyspark_mrdf_spark.operators.similarity import _scan_shaped
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert _scan_shaped(emb)
+    assert _scan_shaped(emb.filter(F.col("vec_id") < 100).select("vec_id", "embedding"))
+    assert not _scan_shaped(emb.groupBy("label").count())
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def _tag(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    computed = emb.select("vec_id", "embedding").mapInPandas(
+        _tag, "vec_id long, embedding array<float>"
+    )
+    assert not _scan_shaped(computed)
+    n_corpus = emb.count()
+    res = knn_search(
+        emb.filter(F.col("vec_id") < 30).select("vec_id", "embedding"),
+        computed,
+        3,
+        include_self=False,
+        broadcast_max_rows=100,  # force the blocked route + guard counts
+    )
+    assert res.count() == 30 * 3
+    # guard count + grid scan: the checkpointed corpus materializes once
+    assert acc.value == n_corpus, f"computed corpus evaluated {acc.value / n_corpus:.1f}x"
+
+    # self-search passes the SAME computed DataFrame twice; the swap
+    # must preserve identity so both sides share one checkpoint
+    acc2 = spark.sparkContext.accumulator(0)
+
+    def _tag2(batches):
+        for pdf in batches:
+            acc2.add(len(pdf))
+            yield pdf
+
+    computed2 = emb.select("vec_id", "embedding").mapInPandas(
+        _tag2, "vec_id long, embedding array<float>"
+    )
+    assert knn_search(
+        computed2, computed2, 3, include_self=False, broadcast_max_rows=100
+    ).count() == n_corpus * 3
+    assert acc2.value == n_corpus, f"self-search evaluated {acc2.value / n_corpus:.1f}x"
