@@ -366,10 +366,23 @@ def lloyd_centroids(x: np.ndarray, n_centroids: int, iters: int) -> np.ndarray:
     return c
 
 
+def auto_n_centroids(n_rows: int) -> int:
+    """The ``cells ~ O(sqrt(n))`` IVF sizing rule as code: ``6·sqrt(n)``,
+    floored at 8 cells and capped at ``n // 8`` so an expected cell
+    keeps ≥8 members. The constant is calibrated by the measured
+    equal-scan-fraction sweep in ``queries/vector.py`` (256 Lloyd
+    cells at n=2000 was the recall-optimal point: 6·sqrt(2000)≈268);
+    finer cells at fixed probe·assign/cells budget monotonically buy
+    recall, so the rule errs fine, not coarse."""
+    if n_rows <= 0:
+        return 8
+    return max(8, min(n_rows // 8, int(6.0 * np.sqrt(n_rows))))
+
+
 def ann_ivf(
     df: DataFrame,
     k: int,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -382,6 +395,14 @@ def ann_ivf(
     ``ivf_train_centroids``), assign every vector to its ``r_assign``
     nearest centroids, then search exactly within each query's
     ``n_probe`` nearest clusters.
+
+    ``n_centroids=None`` (the default) self-sizes the quantizer from
+    one corpus ``count()`` via ``auto_n_centroids`` — the
+    ``O(sqrt(n))`` rule, so a 500-row corpus and a 50k-row corpus get
+    rule-consistent, different cell counts without the caller
+    choosing. Pass an explicit ``n_centroids`` to pin the geometry
+    (oracle-checked queries do, so their SQL twin can enumerate the
+    same cells).
 
     ``r_assign`` > 1 is spill-tree-style MULTI-ASSIGNMENT: each corpus
     vector is stored in its ``r_assign`` nearest cells, so a true
@@ -424,6 +445,8 @@ def ann_ivf(
         c_ids = np.arange(len(c_mat), dtype=np.int64)
         bcent = spark.sparkContext.broadcast((c_ids, c_mat))
     else:
+        if n_centroids is None:
+            n_centroids = auto_n_centroids(df.count())
         cent_rows = df.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
         c_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
         c_mat = np.stack([np.asarray(r[1]) for r in cent_rows]).astype(np.float64)

@@ -228,3 +228,25 @@ def test_knn_search_checkpoints_computed_corpus_once(spark, sf_dir):
         computed2, computed2, 3, include_self=False, broadcast_max_rows=100
     ).count() == n_corpus * 3
     assert acc2.value == n_corpus, f"self-search evaluated {acc2.value / n_corpus:.1f}x"
+
+
+def test_ann_ivf_auto_sizes_cells_from_corpus_count(spark, sf_dir):
+    """n_centroids=None derives the quantizer size from one corpus
+    count via the O(sqrt(n)) rule — different corpus sizes get
+    different, rule-consistent cell counts without the caller
+    choosing (the measured sf0.1 sweep calibrates the constant)."""
+    from pyspark_mrdf_spark.operators.similarity import ann_ivf, auto_n_centroids
+
+    # the rule itself: monotone, sqrt-shaped, bounded by n//8 below
+    # the sqrt regime and by the 8-cell floor at tiny n
+    assert auto_n_centroids(40) == 8
+    assert auto_n_centroids(500) == 62          # n//8 caps 6*sqrt(500)=134
+    assert auto_n_centroids(2_000) == 250       # ~ the measured 256-cell point
+    assert auto_n_centroids(50_000) == 1_341    # 6*sqrt(n) regime
+    assert auto_n_centroids(50_000) > auto_n_centroids(500) > auto_n_centroids(40)
+
+    # end-to-end default: a corpus self-sizes and still returns a
+    # full, valid top-k (62 cells on the 500-row harness corpus)
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = ann_ivf(emb, 3).groupBy("src").count().collect()
+    assert len(got) == emb.count() and all(r["count"] == 3 for r in got)
