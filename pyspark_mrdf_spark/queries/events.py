@@ -57,6 +57,7 @@ def q20_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q21_hourly_windows",
+    driver=False,  # demoted r7 after 6 driver-green rounds; slot went to q86 embed->knn
     oracle="""
 SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
        event_type,

@@ -135,3 +135,56 @@ FROM documents
 def q81_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return decode_pixel_features(synth_bmp_payloads(docs))
+
+
+@register(
+    "q86_payload_embed_knn",
+    # new r7 (VERDICT r6 ask #8): the full binary→vector→search pipeline
+    # under one hash verdict; slot ceded by q21 (6x driver-green, events
+    # family keeps q22/q24/q25/q28/q29/q63)
+    oracle="""
+WITH bytes AS (
+  SELECT doc_id, list_transform(string_split(text, ''), c -> unicode(c)) AS bs
+  FROM documents),
+hist AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 31),
+                        j -> CAST(len(list_filter(bs, b -> b % 32 = j)) AS DOUBLE)) AS h
+  FROM bytes),
+emb AS (
+  SELECT doc_id,
+         list_transform(h, v -> CAST(CAST(
+             v / sqrt(list_sum(list_transform(h, x -> x * x))) AS FLOAT) AS DOUBLE)) AS e
+  FROM hist)
+SELECT src, dst, rnk FROM (
+  SELECT q.doc_id AS src, c.doc_id AS dst,
+         ROW_NUMBER() OVER (PARTITION BY q.doc_id
+           ORDER BY list_distance(q.e, c.e), c.doc_id) AS rnk
+  FROM emb q JOIN emb c ON q.doc_id <> c.doc_id
+  WHERE q.doc_id < 30)
+WHERE rnk <= 5
+""",
+    description=(
+        "multimodal→ANN pipeline under ONE hash verdict: binary payloads "
+        "(attach_payloads) → embed_payloads (L2-normalized 32-bucket byte "
+        "histogram, the batch-inference stand-in) → knn_search top-5 of 30 "
+        "query docs against the full embedded corpus. The oracle recomputes "
+        "the embedding arithmetic in SQL — integer bucket counts sum exactly "
+        "in float64 regardless of order, and sqrt/divide/float32-cast are "
+        "IEEE-determined, so both engines derive bit-identical vectors and "
+        "the (distance, id) ranking is engine-portable like q50's. Also "
+        "exercises knn_search's computed-lineage checkpoint path end-to-end"
+    ),
+    tags=("multimodal", "vector", "knn", "pipeline", "udf"),
+)
+def q86_payload_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.multimodal import embed_payloads
+    from pyspark_mrdf_spark.operators.similarity import knn_search
+
+    emb = embed_payloads(
+        attach_payloads(load_table(spark, sf_dir, "documents")), dim=32
+    ).withColumnRenamed("doc_id", "vec_id")
+    queries = emb.filter(F.col("vec_id") < 30)
+    return knn_search(queries, emb, 5, include_self=False).select(
+        F.col("src"), F.col("dst"), F.col("rnk").cast("bigint").alias("rnk")
+    )

@@ -140,23 +140,34 @@ def main() -> None:
     # --grid-only: ONLY the multi-cell grid-shape evidence point for
     # the blocked exact operators at the synthetic design size
     grid_only = "--grid-only" in argv
+    # --mixture-only: ONLY the synthetic mixture row at --synthetic-n —
+    # the crossover probe (run it at n ≥ 150k to measure where MRDF
+    # undercuts the quadratic exact build; see r6 verdict ask #2)
+    mixture_only = "--mixture-only" in argv
     argv = [
         a for a in argv
-        if a not in ("--uniform", "--uniform-tuned", "--uniform-tuned-only", "--grid-only")
+        if a not in (
+            "--uniform", "--uniform-tuned", "--uniform-tuned-only", "--grid-only",
+            "--mixture-only",
+        )
     ]
     # the -only modes run exactly one section; any other argument or
     # flag would be silently dead — reject those combinations outright
     # (same rule as the sf-list guard below)
-    if (tuned_only or grid_only) and argv:
-        sys.exit("error: --uniform-tuned-only/--grid-only ignore sf arguments; drop one side")
-    if grid_only and (tuned_only or include_uniform or include_uniform_tuned):
+    if (tuned_only or grid_only or mixture_only) and argv:
+        sys.exit("error: the -only modes ignore sf arguments; drop one side")
+    if grid_only and (tuned_only or mixture_only or include_uniform or include_uniform_tuned):
         sys.exit("error: --grid-only runs only the grid point; drop the other synthetic flags")
-    if tuned_only and include_uniform:
-        sys.exit("error: --uniform-tuned-only runs only the tuned point; drop --uniform")
-    sfs = [] if (tuned_only or grid_only) else (argv or ["sf0.001", "sf0.01", "sf0.1"])
+    if tuned_only and (include_uniform or mixture_only):
+        sys.exit("error: --uniform-tuned-only runs only the tuned point; drop the other flags")
+    if mixture_only and (include_uniform or include_uniform_tuned):
+        sys.exit("error: --mixture-only runs only the mixture point; drop the uniform flags")
+    sfs = [] if (tuned_only or grid_only or mixture_only) else (
+        argv or ["sf0.001", "sf0.01", "sf0.1"]
+    )
     # explicit sf list = corpus-only run; the synthetic flags would be
     # silently dead in that mode, so reject the combination outright
-    run_synthetic = (not argv or tuned_only) and not grid_only
+    run_synthetic = (not argv or tuned_only or mixture_only) and not grid_only
     if not (run_synthetic or grid_only) and (
         include_uniform or include_uniform_tuned or saw_synthetic_flag
     ):

@@ -55,15 +55,17 @@ DRIVER_SURFACE = [
     # the slots of q33/q36 (4-5× driver-green; text family keeps
     # q32/q64/q83) and q60/q62 (byte/frame kernel twins whose codec
     # path q81 now hash-verifies directly; multimodal keeps q61/q81).
-    # The grading driver records at
+    # Also r7: q86 (payload→embed→knn pipeline under one hash verdict —
+    # r6 ask #8) takes the slot of the 6×-green q21 (events family keeps
+    # q22/q24/q25/q28/q29/q63). The grading driver records at
     # most 50 verdicts in registration order — changing this list is a
     # deliberate decision, not a side effect of adding a query (new
     # queries default into the pytest-only overflow unless they take a
     # slot explicitly).
-    "q21_hourly_windows", "q22_event_gaps", "q24_session_windows",
+    "q22_event_gaps", "q24_session_windows",
     "q25_sliding_windows", "q28_asof_prev_click", "q29_price_band_join",
     "q63_stream_stream_join", "q66_variant_props", "q76_salted_hot_user_join",
-    "q61_payload_features", "q81_bmp_pixel_stats",
+    "q61_payload_features", "q81_bmp_pixel_stats", "q86_payload_embed_knn",
     "q01_pricing_summary", "q05_local_supplier_volume",
     "q07_semi_join_urgent", "q10_top_lineitems_per_order",
     "q12_top10_revenue_orders", "q13_setops_customers", "q19_moving_avg",
