@@ -344,3 +344,73 @@ def q83_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.luhn_valid(cc_digits).alias("cc_luhn_ok"),
         F.md5(T.scrub_pii("t")).alias("clean_fp"),
     )
+
+
+@register(
+    "q87_repetition_filter",
+    driver=False,  # pytest-only: 50-slot driver cap (new r7; rotation owed next round)
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 10),
+g AS (
+  SELECT doc_id,
+         len(toks) - 2 AS n_grams,
+         len(list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                          i -> array_to_string(toks[i:i+2], ' ')))) AS n_distinct
+  FROM t),
+tc AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+m AS (
+  SELECT doc_id, MAX(c) AS max_c, CAST(SUM(c) AS BIGINT) AS n_tokens
+  FROM tc GROUP BY 1)
+SELECT g.doc_id,
+       CAST((g.n_grams - g.n_distinct) * 1000000 // g.n_grams AS BIGINT) AS dup_gram_frac_e6,
+       CAST(m.max_c * 1000000 // m.n_tokens AS BIGINT) AS top_token_frac_e6,
+       ((g.n_grams - g.n_distinct) * 1000000 // g.n_grams <= 300000
+        AND m.max_c * 1000000 // m.n_tokens <= 200000) AS quality_pass
+FROM g JOIN m USING (doc_id)
+""",
+    description=(
+        "within-document repetition filter (Gopher/MassiveText-style "
+        "pretraining quality rule): duplicate 3-gram fraction + most-common-"
+        "token fraction per doc, exact integer fixed-point, with the "
+        "dup<=0.30 / top-token<=0.20 pass flag. Gram stats are JVM "
+        "higher-order exprs (O(n log n) per doc, no shuffle); token-mode "
+        "stats explode+groupBy (map-side partial agg) — the shape that "
+        "survives 100 TB because every step is per-doc or an equi-key agg"
+    ),
+    tags=("text", "quality", "pipeline"),
+)
+def q87_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    d = d.filter(F.size(toks) >= 10)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    g = d.select(
+        "doc_id",
+        (F.size(toks) - 2).cast("bigint").alias("n_grams"),
+        F.size(F.array_distinct(grams)).cast("bigint").alias("n_distinct"),
+    )
+    m = (
+        d.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_c"), F.sum("c").alias("n_tokens"))
+    )
+    dup = F.expr("(n_grams - n_distinct) * 1000000 div n_grams")
+    top = F.expr("max_c * 1000000 div n_tokens")
+    return (
+        g.join(m, "doc_id")
+        .select(
+            "doc_id",
+            dup.alias("dup_gram_frac_e6"),
+            top.alias("top_token_frac_e6"),
+            ((dup <= 300_000) & (top <= 200_000)).alias("quality_pass"),
+        )
+    )
