@@ -126,9 +126,23 @@ def _scan_shaped(df: DataFrame) -> bool:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:  # plan introspection is an optimization, never a gate
         return False
+    skip_below: int | None = None  # indent depth of an InMemoryRelation
     for line in plan.splitlines():
         node = line.lstrip(" +-:")
-        if node and not node.startswith(_SCAN_NODES):
+        if not node:
+            continue
+        depth = len(line) - len(node)
+        if skip_below is not None:
+            if depth > skip_below:
+                # the cached PHYSICAL plan InMemoryRelation.toString
+                # embeds as its subtree (ColumnarToRow/FileScan/...) —
+                # already-materialized, so never "computed lineage"
+                continue
+            skip_below = None
+        if node.startswith("InMemoryRelation"):
+            skip_below = depth
+            continue
+        if not node.startswith(_SCAN_NODES):
             return False
     return True
 

@@ -188,6 +188,16 @@ def test_knn_search_checkpoints_computed_corpus_once(spark, sf_dir):
     assert _scan_shaped(emb)
     assert _scan_shaped(emb.filter(F.col("vec_id") < 100).select("vec_id", "embedding"))
     assert not _scan_shaped(emb.groupBy("label").count())
+    # a CACHED scan substitutes InMemoryRelation, whose toString embeds
+    # the cached PHYSICAL plan (ColumnarToRow/FileScan) as child lines —
+    # still scan-shaped: re-serving cached blocks is cheaper than a copy
+    cached = load_table(spark, sf_dir, "nation").cache()
+    try:
+        cached.count()
+        assert _scan_shaped(load_table(spark, sf_dir, "nation"))
+        assert _scan_shaped(cached.select("n_nationkey"))
+    finally:
+        cached.unpersist()
 
     acc = spark.sparkContext.accumulator(0)
 
