@@ -267,3 +267,61 @@ def q85_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .select("doc_id", "shard", "pos")
     )
+
+
+@register(
+    "q90_chunk_documents",
+    driver=False,  # pytest-only: 50-slot driver cap (new r7; rotation owed next round)
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c0 AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, ((len(toks) - 1) // 40) * 40, 40)) AS start
+  FROM t),
+c AS (
+  SELECT doc_id,
+         CAST(start // 40 AS BIGINT) AS chunk_idx,
+         CAST(start AS BIGINT) AS start_tok,
+         toks[start + 1 : least(start + 50, len(toks))] AS chunk
+  FROM c0)
+SELECT doc_id, chunk_idx, start_tok,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_toks,
+       md5(array_to_string(chunk, ' ')) AS chunk_fp
+FROM c
+""",
+    description=(
+        "overlapping token-window chunking (window 50, stride 40 — 10-token "
+        "overlap), the doc->chunk front-end of an embed-and-index (RAG / "
+        "retrieval) pipeline: stable (doc_id, chunk_idx) keys, token offsets, "
+        "and an md5 chunk fingerprint for chunk-level dedup. Pure per-doc "
+        "higher-order array exprs (sequence/posexplode/slice) — zero shuffle, "
+        "zero Python; output is chunk-count-sized, ~n_tokens/stride rows per "
+        "doc, so the operator streams at any corpus scale"
+    ),
+    tags=("text", "pipeline", "chunking"),
+)
+def q90_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    W, S = 50, 40
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    ch = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"sequence(0, ((size(toks) - 1) div {S}) * {S}, {S})")
+        ).alias("chunk_idx", "start_tok"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.expr(f"slice(toks, start_tok + 1, {W})").alias("chunk"),
+    )
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.size("chunk").cast("bigint").alias("n_chunk_toks"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_fp"),
+    )

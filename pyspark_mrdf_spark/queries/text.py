@@ -414,3 +414,92 @@ def q87_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((dup <= 300_000) & (top <= 200_000)).alias("quality_pass"),
         )
     )
+
+
+@register(
+    "q88_bm25_retrieval",
+    driver=False,  # pytest-only: 50-slot driver cap (new r7; rotation owed next round)
+    oracle="""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_toks FROM dl),
+tf AS (
+  SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+  WHERE tok IN ('vector', 'join', 'spark')
+  GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         ((2 * s.n_docs - 2 * df.df + 1) * 1000000 // (2 * df.df + 1)
+          * ((44 * tf.tf * s.total_toks * 1000000)
+             // (20 * tf.tf * s.total_toks + 6 * s.total_toks + 18 * dl.dl * s.n_docs)))
+         // 1000000 AS term_score_e6
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN s)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+       CAST(SUM(term_score_e6) AS BIGINT) AS bm25_e6
+FROM scored GROUP BY doc_id
+ORDER BY bm25_e6 DESC, doc_id LIMIT 20
+""",
+    description=(
+        "BM25 top-20 retrieval for the query {vector, join, spark} over the "
+        "documents corpus — the text-relevance scorer a curation pipeline "
+        "uses to mine topic-matched training data. Exact integer fixed-point "
+        "throughout: the idf is the rational (N-df+.5)/(df+.5) (no ln, so "
+        "the DuckDB twin is bit-identical) and the k1=1.2/b=0.75 saturation "
+        "term is cleared to one integer division, 44·tf·T / "
+        "(20·tf·T + 6·T + 18·dl·N). Scale shape: one per-doc tokenize pass, "
+        "the explode is pre-filtered to the query's own terms (map-side, "
+        "output ~|Q|·n_docs not corpus tokens), df and the corpus stats are "
+        "O(|Q|) / O(1) broadcast sides, and the top-20 is orderBy+limit — "
+        "Spark's distributed TakeOrdered, never a single-partition window"
+    ),
+    tags=("text", "retrieval", "pipeline"),
+)
+def q88_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = ["vector", "join", "spark"]
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("toks"),
+    )
+    dl = d.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_toks"),
+    )
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter("toks", lambda t: t.isin(terms))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                "(2 * n_docs - 2 * df + 1) * 1000000 div (2 * df + 1)"
+                " * ((44 * tf * total_toks * 1000000)"
+                "    div (20 * tf * total_toks + 6 * total_toks + 18 * dl * n_docs))"
+                " div 1000000"
+            ).alias("term_score_e6"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+            F.sum("term_score_e6").cast("bigint").alias("bm25_e6"),
+        )
+        .orderBy(F.desc("bm25_e6"), "doc_id")
+        .limit(20)
+    )

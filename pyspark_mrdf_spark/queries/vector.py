@@ -436,3 +436,65 @@ def q80_knn_search_external(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_search_blocked(queries, emb, K).select(
         "src", "dst", F.col("rnk").cast("bigint").alias("rnk")
     )
+
+
+@register(
+    "q89_sq8_quantized_knn",
+    driver=False,  # pytest-only: 50-slot driver cap (new r7; rotation owed next round)
+    oracle="""
+WITH mm AS (
+  SELECT i, MIN(embedding[i]) AS mn, MAX(embedding[i]) AS mx
+  FROM embeddings, generate_series(1, 64) AS g(i)
+  GROUP BY i),
+qz AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM mm),
+codes AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, 64), i ->
+           CASE WHEN mxs[i] = mns[i] THEN 0
+                ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE)) * 255.0
+                                / (CAST(mxs[i] AS DOUBLE) - CAST(mns[i] AS DOUBLE)) + 0.5) AS BIGINT)
+           END) AS code
+  FROM embeddings CROSS JOIN qz),
+cand AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         list_sum(list_transform(generate_series(1, 64),
+                  i -> (a.code[i] - b.code[i]) * (a.code[i] - b.code[i]))) AS code_dist
+  FROM codes a JOIN codes b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 30),
+topc AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY code_dist, dst) AS crnk
+  FROM cand),
+rr AS (
+  SELECT t.src, t.dst,
+         ROW_NUMBER() OVER (PARTITION BY t.src
+           ORDER BY list_distance(CAST(qe.embedding AS DOUBLE[]),
+                                  CAST(ce.embedding AS DOUBLE[])), t.dst) AS rnk
+  FROM topc AS t
+  JOIN embeddings qe ON qe.vec_id = t.src
+  JOIN embeddings ce ON ce.vec_id = t.dst
+  WHERE t.crnk <= 20)
+SELECT src, dst, rnk FROM rr WHERE rnk <= 5
+""",
+    description=(
+        "SQ8 scalar-quantized search: per-dimension min/max quantizer -> "
+        "1-byte/dim packed BINARY codes (8x smaller working set than "
+        "float64 — at 100 TB the ANN bottleneck is bytes moved, not flops) "
+        "-> top-20 candidates by SYMMETRIC integer code-space L2 (exact "
+        "cross-engine: floor((v-mn)*255/(mx-mn)+.5) codes are IEEE-"
+        "determined, the distance is pure int64) -> full-precision rerank "
+        "of the candidate set only, top-5 of 30 queries. The oracle "
+        "re-derives codes and candidates bit-identically in SQL; only the "
+        "rerank compares floats, through the q50-proven (dist, id) rank "
+        "portability"
+    ),
+    tags=("vector", "knn", "quantize", "pipeline"),
+)
+def q89_sq8_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.quantize import sq8_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 30)
+    return sq8_search(
+        queries, emb, 5, k_candidates=20, include_self=False
+    ).select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))

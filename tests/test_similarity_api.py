@@ -260,3 +260,45 @@ def test_ann_ivf_auto_sizes_cells_from_corpus_count(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     got = ann_ivf(emb, 3).groupBy("src").count().collect()
     assert len(got) == emb.count() and all(r["count"] == 3 for r in got)
+
+
+def test_sq8_codes_formula_and_range():
+    import numpy as np
+    from pyspark_mrdf_spark.operators.quantize import sq8_codes
+
+    rng = np.random.default_rng(3)
+    mat = rng.standard_normal((50, 8)).astype(np.float32)
+    mn = mat.min(axis=0).astype(np.float64)
+    mx = mat.max(axis=0).astype(np.float64)
+    codes = sq8_codes(mat, mn, mx)
+    assert codes.dtype == np.uint8
+    # extremes map to the range ends; everything in [0, 255]
+    assert codes.min() == 0 and codes.max() == 255
+    # scalar re-derivation with the exact contract expression
+    for r in (0, 7, 49):
+        for d in (0, 3, 7):
+            v = float(np.float64(mat[r, d]))
+            expect = np.floor((v - mn[d]) * 255.0 / (mx[d] - mn[d]) + 0.5)
+            assert codes[r, d] == int(expect)
+    # constant dimension encodes 0, no div-by-zero
+    cmat = np.ones((4, 2), dtype=np.float32)
+    c = sq8_codes(cmat, np.array([1.0, 1.0]), np.array([1.0, 1.0]))
+    assert (c == 0).all()
+
+
+def test_sq8_search_near_exact_recall(spark, sf_dir):
+    from pyspark_mrdf_spark.algorithms.recall import recall
+    from pyspark_mrdf_spark.operators.quantize import sq8_search
+    from pyspark_mrdf_spark.operators.similarity import knn_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = knn_exact(emb, 5).localCheckpoint()
+    approx = sq8_search(emb, emb, 5, k_candidates=40, include_self=False)
+    # quantization to 1 byte/dim at 40 candidates: near-exact on the corpus
+    r = recall(exact, approx)
+    assert r >= 0.97, r
+    # output contract: exactly k rows per src, rnk 1..k
+    from pyspark.sql import functions as SF
+
+    per = approx.groupBy("src").count().agg(SF.min("count"), SF.max("count")).collect()[0]
+    assert per[0] == per[1] == 5
