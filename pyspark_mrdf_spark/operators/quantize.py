@@ -113,6 +113,7 @@ def sq8_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     include_self: bool = False,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Top-k candidates per query by symmetric code-space L2:
     (src, dst, code_dist) with integer ``code_dist`` = Σ_d (q_code_d −
@@ -126,7 +127,11 @@ def sq8_candidates(
     top-k per query; a final window merges the ≤ parts·k candidates
     per query — output-sized, never corpus-sized. Local top-k by
     (dist, id) is associative, so the merge is exact for any
-    partitioning."""
+    partitioning — but the MERGE INPUT is parts·k rows per query, so
+    parallelism is a real dial: pass ``n_parts`` sized to ~16k-row
+    code slabs (``sq8_search`` does) rather than one-task-per-core;
+    code-slab tasks are cheap and an oversplit corpus pays its cost in
+    the merge, not the scan."""
     spark = queries.sparkSession
     qpdf = queries.select(id_col, vec_col).toPandas()
     q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
@@ -135,41 +140,59 @@ def sq8_candidates(
 
     def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qi, qc = b.value
+        qcf = qc.astype(np.float64)
+        qq = (qc.astype(np.int64) ** 2).sum(axis=1).astype(np.float64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            c_mat = np.stack(
-                [np.frombuffer(x, dtype=np.uint8) for x in pdf["code"]]
-            ).astype(np.int32)
-            # ||q-c||² = ||q||² - 2q·c + ||c||² in int64 — exact (codes
-            # ≤ 255, d ≤ ~1e4 keeps every term far below 2^63)
-            qq = (qc.astype(np.int64) ** 2).sum(axis=1)
-            cc = (c_mat.astype(np.int64) ** 2).sum(axis=1)
-            dist = qq[:, None] - 2 * (qc.astype(np.int64) @ c_mat.astype(np.int64).T) + cc[None, :]
+            c_mat = np.stack([np.frombuffer(x, dtype=np.uint8) for x in pdf["code"]])
+            # corpus columns ordered by id so stable tie handling keeps
+            # the LOWEST dst among equal distances (same discipline as
+            # similarity._block_topk)
+            c_order = np.argsort(c_ids, kind="stable")
+            c_ids = c_ids[c_order]
+            c_mat = c_mat[c_order]
+            cc = (c_mat.astype(np.int64) ** 2).sum(axis=1).astype(np.float64)
+            # rank within a row by g = ||c||² − 2q·c (the row-constant
+            # ||q||² cannot change per-row order). EXACT in float64:
+            # every dot/norm is an integer ≤ 255²·d ≪ 2^53, and float64
+            # is also why this is fast — the gemm takes the BLAS path
+            # (integer matmul has none) and the elementwise assembly is
+            # SIMD (an int64 assembly of the full matrix measured 4.9s
+            # per 5000×12500 task; this form ~0.5s)
+            g = qcf @ c_mat.astype(np.float64).T
+            g *= -2.0
+            g += cc[None, :]
             if not include_self:
-                dist[q_ids[:, None] == c_ids[None, :]] = np.iinfo(np.int64).max
-            kk = min(k, dist.shape[1])
-            idx = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
-            out_src, out_dst, out_d = [], [], []
-            for r in range(dist.shape[0]):
-                cols = idx[r]
-                out_src.append(np.full(kk, qi[r], dtype=np.int64))
-                out_dst.append(c_ids[cols])
-                out_d.append(dist[r, cols])
+                g[qi[:, None] == c_ids[None, :]] = np.inf
+            n_c = g.shape[1]
+            kk = min(k, n_c)
+            if kk < n_c:
+                # select on g·n_c + column_index, NOT on g: quantized
+                # distances tie massively (256 code levels/dim) and
+                # introselect degrades ~6× on duplicate-heavy keys —
+                # folding in the id-ordered column index makes every
+                # key unique (fast) AND breaks ties to the lowest dst
+                # deterministically, so no redo pass exists. Exact in
+                # float64: |g| ≤ 2·d·255² and j < n_c keep
+                # |g|·n_c + j ≪ 2^53 for any real slab/dim size
+                key = g * float(n_c)
+                key += np.arange(n_c, dtype=np.float64)[None, :]
+                sel = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+            else:
+                sel = np.broadcast_to(np.arange(n_c), (g.shape[0], n_c)).copy()
+            gs = np.take_along_axis(g, sel, axis=1)
+            m = np.isfinite(gs)  # masked self rows in short partitions
+            dist = (gs + qq[:, None])[m].astype(np.int64)
+            src = np.repeat(qi, sel.shape[1]).reshape(sel.shape)[m]
             yield pd.DataFrame(
-                {
-                    "src": np.concatenate(out_src),
-                    "dst": np.concatenate(out_dst),
-                    "code_dist": np.concatenate(out_d),
-                }
+                {"src": src, "dst": c_ids[sel][m], "code_dist": dist}
             )
 
+    if n_parts is not None and n_parts != codes.rdd.getNumPartitions():
+        codes = codes.repartition(n_parts)
     cand = codes.mapInPandas(_scan, "src long, dst long, code_dist long")
-    if not include_self:
-        # a sentinel self-row can survive the local top-k only when a
-        # partition has fewer than k other rows — drop it before merge
-        cand = cand.filter(F.col("code_dist") < np.iinfo(np.int64).max)
     wk = Window.partitionBy("src").orderBy("code_dist", "dst")
     return (
         cand.withColumn("crnk", F.row_number().over(wk))
@@ -201,9 +224,21 @@ def sq8_search(
     if k_candidates is None:
         k_candidates = 4 * k
     mn, mx = sq8_train(corpus, vec_col)
-    codes = sq8_encode(corpus, mn, mx, id_col, vec_col)
+    # materialize the code table — it IS the stored index a deployment
+    # keeps — and spread the scan over every core with slabs capped at
+    # ~16k rows: scan flops dominate the candidate merge at every
+    # measured shape (a 7-slab run costs 5-30s where 32 slabs cost
+    # ~2s at n=50k; the 6.4M-row merge those 32 slabs produce is ~1s),
+    # so parallelism is the binding constraint, not merge input
+    codes = sq8_encode(corpus, mn, mx, id_col, vec_col).localCheckpoint(eager=False)
+    n_codes = codes.count()
+    n_parts = max(
+        corpus.sparkSession.sparkContext.defaultParallelism,
+        -(-n_codes // 16_384),
+    )
     cand = sq8_candidates(
-        queries, codes, k_candidates, mn, mx, id_col, vec_col, include_self
+        queries, codes, k_candidates, mn, mx, id_col, vec_col, include_self,
+        n_parts=n_parts,
     )
     qv = queries.select(F.col(id_col).alias("src"), F.col(vec_col).alias("q_vec"))
     cv = corpus.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("c_vec"))

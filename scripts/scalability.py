@@ -141,33 +141,39 @@ def main() -> None:
     # the blocked exact operators at the synthetic design size
     grid_only = "--grid-only" in argv
     # --mixture-only: ONLY the synthetic mixture row at --synthetic-n —
-    # the crossover probe (run it at n ≥ 150k to measure where MRDF
-    # undercuts the quadratic exact build; see r6 verdict ask #2)
+    # the crossover probe (measured at n=200k: MRDF 585.7s < exact
+    # 680.7s, the r6 verdict's ask #2; rerun at other n to extend)
     mixture_only = "--mixture-only" in argv
+    # --sq8-only: ONLY the quantized-tier evidence row at design size —
+    # sq8_search (1-byte/dim codes + integer candidates + rerank) vs
+    # the exact grid scan, with measured recall
+    sq8_only = "--sq8-only" in argv
     argv = [
         a for a in argv
         if a not in (
             "--uniform", "--uniform-tuned", "--uniform-tuned-only", "--grid-only",
-            "--mixture-only",
+            "--mixture-only", "--sq8-only",
         )
     ]
     # the -only modes run exactly one section; any other argument or
     # flag would be silently dead — reject those combinations outright
     # (same rule as the sf-list guard below)
-    if (tuned_only or grid_only or mixture_only) and argv:
+    only_modes = [m for m, on in (
+        ("--uniform-tuned-only", tuned_only), ("--grid-only", grid_only),
+        ("--mixture-only", mixture_only), ("--sq8-only", sq8_only),
+    ) if on]
+    if only_modes and argv:
         sys.exit("error: the -only modes ignore sf arguments; drop one side")
-    if grid_only and (tuned_only or mixture_only or include_uniform or include_uniform_tuned):
-        sys.exit("error: --grid-only runs only the grid point; drop the other synthetic flags")
-    if tuned_only and (include_uniform or mixture_only):
+    if len(only_modes) > 1:
+        sys.exit(f"error: {' and '.join(only_modes)} each run exactly one section; pick one")
+    if (grid_only or sq8_only or mixture_only) and (include_uniform or include_uniform_tuned):
+        sys.exit(f"error: {only_modes[0]} runs only its own point; drop the uniform flags")
+    if tuned_only and include_uniform:
         sys.exit("error: --uniform-tuned-only runs only the tuned point; drop the other flags")
-    if mixture_only and (include_uniform or include_uniform_tuned):
-        sys.exit("error: --mixture-only runs only the mixture point; drop the uniform flags")
-    sfs = [] if (tuned_only or grid_only or mixture_only) else (
-        argv or ["sf0.001", "sf0.01", "sf0.1"]
-    )
+    sfs = [] if only_modes else (argv or ["sf0.001", "sf0.01", "sf0.1"])
     # explicit sf list = corpus-only run; the synthetic flags would be
     # silently dead in that mode, so reject the combination outright
-    run_synthetic = (not argv or tuned_only or mixture_only) and not grid_only
+    run_synthetic = (not argv or tuned_only or mixture_only) and not (grid_only or sq8_only)
     if not (run_synthetic or grid_only) and (
         include_uniform or include_uniform_tuned or saw_synthetic_flag
     ):
@@ -277,7 +283,59 @@ def main() -> None:
         points.append(_grid_evidence(spark, synthetic_n))
         print(f"[scalability] {points[-1]}", file=sys.stderr)
 
+    if sq8_only:
+        points.append(_sq8_evidence(spark, synthetic_n))
+        print(f"[scalability] {points[-1]}", file=sys.stderr)
+
     print(json.dumps({"metric": "scalability_sweep", "points": points}))
+
+
+def _sq8_evidence(spark, n: int) -> dict:
+    """Execute the SQ8 quantized tier at design size and record what a
+    capacity planner needs: index bytes/row (1 byte/dim + id), the
+    candidate+rerank wall vs the exact grid scan on the SAME corpus,
+    and measured recall. The candidate gemm runs on 1-byte codes via
+    the exact float64-BLAS trick (operators/quantize.py), so the tier
+    trades a bounded recall loss for an 8× smaller working set — the
+    constraint that actually binds at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.operators.quantize import sq8_search
+    from pyspark_mrdf_spark.operators.similarity import knn_search_blocked
+
+    syn_dir = "/root/repo/.scalability_synth_sq8"
+    n_q = n // 10
+    out: dict = {
+        "sf": f"synthetic-{n}-sq8", "n": n, "n_queries": n_q,
+        "distribution": "mixture",
+    }
+    try:
+        _write_synthetic(syn_dir, n)
+        emb = spark.read.parquet(os.path.join(syn_dir, "embeddings.parquet"))
+        emb = emb.localCheckpoint(eager=True)
+        # external-search shape (the operator's bounded-query contract —
+        # sq8_candidates broadcasts the query codes): 10% of the corpus
+        # queries the full corpus, same shape as the grid-evidence row
+        queries = emb.filter(F.col("vec_id") < n_q)
+
+        t0 = time.time()
+        g_exact = knn_search_blocked(
+            queries, emb, K, n_blocks=32, n_query_blocks=16, include_self=False
+        ).localCheckpoint(eager=True)
+        out["knn_exact_s"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        g_sq8 = sq8_search(
+            queries, emb, K, k_candidates=4 * K, include_self=False
+        ).localCheckpoint(eager=True)
+        out["sq8_s"] = round(time.time() - t0, 2)
+        out["sq8_recall"] = round(recall(g_exact, g_sq8), 4)
+        out["k_candidates"] = 4 * K
+        out["index_bytes_per_row"] = 64 + 8  # d uint8 codes + int64 id
+        out["float32_bytes_per_row"] = 64 * 4 + 8
+    finally:
+        shutil.rmtree(syn_dir, ignore_errors=True)
+    return out
 
 
 def _grid_evidence(spark, n: int) -> dict:
