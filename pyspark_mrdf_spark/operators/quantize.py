@@ -255,3 +255,231 @@ def sq8_search(
         .filter(F.col("rnk") <= k)
         .select("src", "dst", "dist_sq", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def pq_train(
+    df: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Product-quantization codebooks → (n_subspaces, n_codes, d_sub)
+    float64: the d dims split into ``n_subspaces`` contiguous slices,
+    each with its own Lloyd-trained codebook.
+
+    Training reuses the engine's deterministic-sample discipline
+    (``ivf_train_centroids``): the ``sample_size`` rows with the
+    smallest md5(seed:id) — same rows on any engine — through
+    ``lloyd_centroids`` per subspace, so an oracle can replay the
+    arithmetic and inline bit-identical codebooks (q92)."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    pdf = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", h)
+        .orderBy("_h")
+        .limit(sample_size)
+        .select(vec_col)
+    ).toPandas()
+    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    return pq_codebooks(x, n_subspaces, n_codes, iters)
+
+
+def pq_codebooks(x: np.ndarray, n_subspaces: int, n_codes: int, iters: int) -> np.ndarray:
+    """Pure-NumPy codebook core of ``pq_train`` (same exposure contract
+    as ``lloyd_centroids``): given the sample matrix — reproducible in
+    SQL via the md5 ordering — this function is the single source of
+    truth for the arithmetic, so q92's oracle replays it on
+    DuckDB-loaded rows and inlines bit-identical codebooks."""
+    from pyspark_mrdf_spark.operators.similarity import lloyd_centroids
+
+    d = x.shape[1]
+    if d % n_subspaces:
+        raise ValueError(f"d={d} not divisible by n_subspaces={n_subspaces}")
+    ds = d // n_subspaces
+    return np.stack(
+        [
+            lloyd_centroids(x[:, m * ds : (m + 1) * ds], n_codes, iters)
+            for m in range(n_subspaces)
+        ]
+    )
+
+
+def pq_assign(mat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """Codes (n, n_subspaces) uint8 for a float matrix: per subspace,
+    argmin squared distance to the codebook, ties to the LOWEST code
+    (np.argmin first occurrence — matching the SQL oracle's
+    ORDER BY dist, code)."""
+    n_sub, _, ds = codebooks.shape
+    mat = mat.astype(np.float64)
+    out = np.empty((len(mat), n_sub), dtype=np.uint8)
+    for m in range(n_sub):
+        sub = mat[:, m * ds : (m + 1) * ds]
+        d2 = ((sub[:, None, :] - codebooks[m][None, :, :]) ** 2).sum(axis=2)
+        out[:, m] = np.argmin(d2, axis=1)
+    return out
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code binary): one byte per subspace — with the default
+    8 subspaces that is 8 B/row against 256 B of float32 parquet, the
+    32× compression tier of the similarity stack."""
+    cb = codebooks.copy()
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = pq_assign(np.stack(pdf[vec_col].to_numpy()), cb)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "code": [c.tobytes() for c in codes],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_enc, "vec_id long, code binary")
+
+
+def pq_candidates(
+    queries: DataFrame,
+    codes: DataFrame,
+    k: int,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Top-k candidates per query by ASYMMETRIC PQ distance (ADC):
+    (src, dst, adc_dist). Per query, one (n_subspaces × n_codes)
+    distance table; each corpus row costs n_subspaces table lookups +
+    adds instead of d multiplies — PQ's flop advantage over both the
+    exact scan and SQ8, on top of its 8 B/row stored index.
+
+    Determinism: every table entry is a fixed-order 8-element float64
+    sum and the per-row total accumulates subspaces left-to-right, so
+    a SQL twin computing the same nesting derives bit-identical ADC
+    values (q92 inlines the codebooks and mirrors the nesting with
+    ordered list_sums); exact float ties break to the lowest dst via
+    the same two-scan boundary redo as the SQ8 kernel."""
+    spark = queries.sparkSession
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
+    q_mat = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    n_sub, n_codes, ds = codebooks.shape
+    # (n_q, n_subspaces, n_codes) ADC tables: fixed-order 8-element sums
+    tables = np.empty((len(q_mat), n_sub, n_codes), dtype=np.float64)
+    for m in range(n_sub):
+        sub = q_mat[:, m * ds : (m + 1) * ds]
+        tables[:, m, :] = ((sub[:, None, :] - codebooks[m][None, :, :]) ** 2).sum(axis=2)
+    b = spark.sparkContext.broadcast((q_ids, tables))
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qi, tbl = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_codes = np.stack([np.frombuffer(x, dtype=np.uint8) for x in pdf["code"]])
+            c_order = np.argsort(c_ids, kind="stable")
+            c_ids = c_ids[c_order]
+            c_codes = c_codes[c_order]
+            # left-to-right subspace accumulation — the nesting the SQL
+            # twin mirrors with list_sum(list(term ORDER BY m))
+            g = tbl[:, 0, :][:, c_codes[:, 0]]
+            for m in range(1, tbl.shape[1]):
+                g = g + tbl[:, m, :][:, c_codes[:, m]]
+            if not include_self:
+                g[qi[:, None] == c_ids[None, :]] = np.inf
+            n_c = g.shape[1]
+            kk = min(k, n_c)
+            if kk < n_c:
+                sel = np.argpartition(g, kk - 1, axis=1)[:, :kk]
+                # float ADC values tie exactly whenever two corpus rows
+                # share a code tuple — adjudicate boundary ties with the
+                # SQ8 kernel's two-scan redo (columns are id-ordered)
+                t = np.take_along_axis(g, sel, axis=1).max(axis=1)
+                tied = np.flatnonzero((g <= t[:, None]).sum(axis=1) > kk)
+                for i in tied:
+                    gi, ti = g[i], t[i]
+                    lt = np.flatnonzero(gi < ti)
+                    eq = np.flatnonzero(gi == ti)[: kk - len(lt)]
+                    sel[i] = np.concatenate([lt, eq])
+            else:
+                sel = np.broadcast_to(np.arange(n_c), (g.shape[0], n_c)).copy()
+            gs = np.take_along_axis(g, sel, axis=1)
+            m_fin = np.isfinite(gs)
+            src = np.repeat(qi, sel.shape[1]).reshape(sel.shape)[m_fin]
+            yield pd.DataFrame(
+                {"src": src, "dst": c_ids[sel][m_fin], "adc_dist": gs[m_fin]}
+            )
+
+    if n_parts is not None and n_parts != codes.rdd.getNumPartitions():
+        codes = codes.repartition(n_parts)
+    cand = codes.mapInPandas(_scan, "src long, dst long, adc_dist double")
+    wk = Window.partitionBy("src").orderBy("adc_dist", "dst")
+    return (
+        cand.withColumn("crnk", F.row_number().over(wk))
+        .filter(F.col("crnk") <= k)
+        .drop("crnk")
+    )
+
+
+def pq_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    k_candidates: int | None = None,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 2048,
+    iters: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """End-to-end PQ search: train codebooks on the md5-ordered corpus
+    sample, encode to n_subspaces-byte codes, ADC candidates, then
+    full-precision rerank — (src, dst, dist_sq, rnk), rnk 1..k by
+    (exact dist_sq, dst). The approximate tier of the quantization
+    stack (SQ8 loses ≤ rng/255 per dim; PQ trades more recall for
+    8 B/row storage and table-lookup scan cost)."""
+    if k_candidates is None:
+        k_candidates = 4 * k
+    cb = pq_train(
+        corpus, n_subspaces, n_codes, sample_size, iters, seed, id_col, vec_col
+    )
+    codes = pq_encode(corpus, cb, id_col, vec_col).localCheckpoint(eager=False)
+    n_parts = max(
+        corpus.sparkSession.sparkContext.defaultParallelism,
+        -(-codes.count() // 16_384),
+    )
+    cand = pq_candidates(
+        queries, codes, k_candidates, cb, id_col, vec_col, include_self,
+        n_parts=n_parts,
+    )
+    from pyspark_mrdf_spark.functions.vector import l2_sq
+
+    qv = queries.select(F.col(id_col).alias("src"), F.col(vec_col).alias("q_vec"))
+    cv = corpus.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("c_vec"))
+    rr = (
+        cand.join(F.broadcast(qv), "src")
+        .join(cv, "dst")
+        .withColumn("dist_sq", l2_sq("q_vec", "c_vec"))
+    )
+    wk = Window.partitionBy("src").orderBy("dist_sq", "dst")
+    return (
+        rr.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select("src", "dst", "dist_sq", F.col("rnk").cast("int").alias("rnk"))
+    )

@@ -269,9 +269,37 @@ def q85_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chunk_documents(d: DataFrame, window: int = 50, stride: int = 40) -> DataFrame:
+    """Overlapping token-window chunks of a (doc_id, text) frame:
+    (doc_id, chunk_idx, start_tok, n_chunk_toks, chunk_fp). Shared by
+    q90 (the chunk table itself) and q91 (chunk-level dedup rate) so
+    the two queries cannot drift; pure per-doc array exprs."""
+    W, S = window, stride
+    d = d.select("doc_id", F.split("text", " ").alias("toks"))
+    ch = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"sequence(0, ((size(toks) - 1) div {S}) * {S}, {S})")
+        ).alias("chunk_idx", "start_tok"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.expr(f"slice(toks, start_tok + 1, {W})").alias("chunk"),
+    )
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        F.size("chunk").cast("bigint").alias("n_chunk_toks"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_fp"),
+    )
+
+
 @register(
     "q90_chunk_documents",
-    driver=False,  # pytest-only: 50-slot driver cap (new r7; rotation owed next round)
+    # new r7, promoted same-round: q10/q13/q27/q65 (6x driver-green) ceded slots
     oracle="""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -302,26 +330,66 @@ FROM c
     tags=("text", "pipeline", "chunking"),
 )
 def q90_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    W, S = 50, 40
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+
+@register(
+    "q91_chunk_dup_rate",
+    driver=False,  # pytest-only: 50-slot driver cap (new r7; rotation owed next round)
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+c0 AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, ((len(toks) - 1) // 40) * 40, 40)) AS start
+  FROM t),
+ch AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[start + 1 : least(start + 50, len(toks))], ' ')) AS chunk_fp
+  FROM c0),
+fp AS (SELECT chunk_fp, CAST(COUNT(*) AS BIGINT) AS n_occ FROM ch GROUP BY 1)
+SELECT ch.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN fp.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(SUM(CASE WHEN fp.n_occ > 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         AS dup_chunk_frac_e6,
+       (SUM(CASE WHEN fp.n_occ > 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)) <= 300000
+         AS quality_pass
+FROM ch JOIN fp USING (chunk_fp)
+GROUP BY ch.doc_id
+""",
+    description=(
+        "chunk-level duplication rate (C4/RefinedWeb-style boilerplate "
+        "signal): fraction of a doc's 50/40 token-window chunks whose md5 "
+        "fingerprint occurs elsewhere in the corpus, with the <=0.30 pass "
+        "flag — sub-document dedup that doc-level q40 cannot see. Scale "
+        "shape: chunk fingerprints are one per-doc array pass (q90's "
+        "operator), the occurrence count is an equi-key agg on 16-byte "
+        "fps with map-side partials, and the join back is fp-keyed — "
+        "every step is per-doc or an equi-join, nothing corpus-crossed"
+    ),
+    tags=("text", "dedup", "pipeline", "chunking"),
+)
+def q91_chunk_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = chunk_documents(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "chunk_fp"
     )
-    ch = d.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(f"sequence(0, ((size(toks) - 1) div {S}) * {S}, {S})")
-        ).alias("chunk_idx", "start_tok"),
-        F.col("toks"),
-    ).select(
-        "doc_id",
-        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
-        F.col("start_tok").cast("bigint").alias("start_tok"),
-        F.expr(f"slice(toks, start_tok + 1, {W})").alias("chunk"),
-    )
-    return ch.select(
-        "doc_id",
-        "chunk_idx",
-        "start_tok",
-        F.size("chunk").cast("bigint").alias("n_chunk_toks"),
-        F.md5(F.array_join("chunk", " ")).alias("chunk_fp"),
+    fp = ch.groupBy("chunk_fp").agg(F.count(F.lit(1)).alias("n_occ"))
+    j = ch.join(fp, "chunk_fp")
+    dup = F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+    frac = F.expr("n_dup_chunks * 1000000 div n_chunks")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            dup.cast("bigint").alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            frac.alias("dup_chunk_frac_e6"),
+            (frac <= 300_000).alias("quality_pass"),
+        )
     )

@@ -282,6 +282,7 @@ def q09_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q10_top_lineitems_per_order",
+    driver=False,  # r7 rotation: 6x driver-green, cedes its slot to the new q87-q90 (family keeps q19 for windows; top-k-per-key also verified through q50/q80)
     oracle="""
 SELECT l_orderkey, l_linenumber, l_extendedprice, rk FROM (
   SELECT l_orderkey, l_linenumber, l_extendedprice,
@@ -365,6 +366,7 @@ def q12_top10_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q13_setops_customers",
+    driver=False,  # r7 rotation: 6x driver-green, cedes its slot to the new q87-q90 (family keeps q68 for set ops)
     oracle="""
 SELECT c_custkey, 'both' AS tag FROM (
   SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -584,6 +586,7 @@ def q26_pivot_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q27_above_customer_avg",
+    driver=False,  # r7 rotation: 6x driver-green, cedes its slot to the new q87-q90 (family keeps q05/q07/q28/q29/q76 for joins)
     oracle="""
 SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
 FROM orders o
@@ -675,6 +678,7 @@ def q39_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q65_profile_lineitem",
+    driver=False,  # r7 rotation: 6x driver-green, cedes its slot to the new q87-q90 (family keeps q01/q67 for aggregations)
     oracle="""
 SELECT 'l_quantity' AS col_name, COUNT(*) AS n,
        COUNT(*) - COUNT(l_quantity) AS n_nulls,

@@ -348,7 +348,7 @@ def q83_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q87_repetition_filter",
-    driver=False,  # pytest-only: 50-slot driver cap (new r7; rotation owed next round)
+    # new r7, promoted same-round: q10/q13/q27/q65 (6x driver-green) ceded slots
     oracle="""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -418,7 +418,7 @@ def q87_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q88_bm25_retrieval",
-    driver=False,  # pytest-only: 50-slot driver cap (new r7; rotation owed next round)
+    # new r7, promoted same-round: q10/q13/q27/q65 (6x driver-green) ceded slots
     oracle="""
 WITH d AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),

@@ -440,7 +440,7 @@ def q80_knn_search_external(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q89_sq8_quantized_knn",
-    driver=False,  # pytest-only: 50-slot driver cap (new r7; rotation owed next round)
+    # new r7, promoted same-round: q10/q13/q27/q65 (6x driver-green) ceded slots
     oracle="""
 WITH mm AS (
   SELECT i, MIN(embedding[i]) AS mn, MAX(embedding[i]) AS mx
@@ -497,4 +497,107 @@ def q89_sq8_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 30)
     return sq8_search(
         queries, emb, 5, k_candidates=20, include_self=False
+    ).select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))
+
+
+_PQ_CFG = dict(n_subspaces=8, n_codes=16, sample_size=2048, iters=10, seed=42)
+
+
+def _q92_oracle(sf_dir: str) -> str:
+    """Data-dependent oracle (q57's discipline): replay PQ codebook
+    training on DuckDB-loaded rows through the same ``pq_codebooks``
+    NumPy code and inline the bit-identical codebooks as SQL literals.
+    Encoding, the ADC tables, and the left-to-right subspace
+    accumulation are all mirrored with fixed-order list_sums, so the
+    candidate stage derives bit-identical float ADC values — only the
+    final rerank leans on the q50-proven (dist, id) rank portability."""
+    import duckdb
+
+    import numpy as np
+
+    from pyspark_mrdf_spark.operators.quantize import pq_codebooks
+
+    cfg = _PQ_CFG
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY md5('{cfg['seed']}:' || CAST(vec_id AS VARCHAR)) "
+        f"LIMIT {cfg['sample_size']}"
+    ).fetchall()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    cb = pq_codebooks(x, cfg["n_subspaces"], cfg["n_codes"], cfg["iters"])
+    n_sub, n_codes, ds = cb.shape
+    vals = ",\n  ".join(
+        "({}, {}, CAST([{}] AS DOUBLE[]))".format(
+            m + 1, c, ", ".join(repr(float(v)) for v in cb[m, c])
+        )
+        for m in range(n_sub)
+        for c in range(n_codes)
+    )
+    return f"""
+WITH cb(m, code, cvec) AS (VALUES
+  {vals}),
+sub AS (
+  SELECT vec_id, unnest(generate_series(1, {n_sub})) AS m, embedding
+  FROM embeddings),
+sub2 AS (
+  SELECT vec_id, m,
+         CAST(embedding[(m - 1) * {ds} + 1 : m * {ds}] AS DOUBLE[]) AS svec
+  FROM sub),
+enc AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY list_distance(s.svec, c.cvec), c.code) AS rn
+    FROM sub2 s JOIN cb c USING (m)) WHERE rn = 1),
+terms AS (
+  SELECT q.vec_id AS src, e.vec_id AS dst, q.m,
+         list_sum(list_transform(generate_series(1, {ds}),
+                  i -> (q.svec[i] - c.cvec[i]) * (q.svec[i] - c.cvec[i]))) AS term
+  FROM (SELECT * FROM sub2 WHERE vec_id < 30) q
+  JOIN enc e ON e.vec_id <> q.vec_id AND e.m = q.m
+  JOIN cb c ON c.m = q.m AND c.code = e.code),
+adc AS (
+  SELECT src, dst, list_sum(list(term ORDER BY m)) AS adc
+  FROM terms GROUP BY src, dst),
+topc AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY adc, dst) AS crnk
+  FROM adc),
+rr AS (
+  SELECT t.src, t.dst,
+         ROW_NUMBER() OVER (PARTITION BY t.src
+           ORDER BY list_distance(CAST(qe.embedding AS DOUBLE[]),
+                                  CAST(ce.embedding AS DOUBLE[])), t.dst) AS rnk
+  FROM topc AS t
+  JOIN embeddings qe ON qe.vec_id = t.src
+  JOIN embeddings ce ON ce.vec_id = t.dst
+  WHERE t.crnk <= 20)
+SELECT src, dst, rnk FROM rr WHERE rnk <= 5
+"""
+
+
+@register(
+    "q92_pq_quantized_knn",
+    driver=False,  # pytest-only: 50-slot driver cap (new r7; rotation owed next round)
+    oracle=_q92_oracle,
+    description=(
+        "product-quantization (PQ) search: 8 subspaces x 16 Lloyd-trained "
+        "codes -> 8 B/row packed index (32x smaller than float32 parquet) "
+        "-> top-20 candidates by asymmetric ADC distance (per query one "
+        "8x16 table, each corpus row costs 8 lookups+adds instead of 64 "
+        "multiplies — the flop-advantaged tier SQ8 is not) -> "
+        "full-precision rerank, top-5 of 30 queries. The oracle replays "
+        "codebook training bit-identically (md5-ordered sample through "
+        "the shared pq_codebooks core, literals inlined) and mirrors the "
+        "kernel's exact float nesting with ordered list_sums"
+    ),
+    tags=("vector", "knn", "quantize", "pipeline"),
+)
+def q92_pq_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.quantize import pq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 30)
+    return pq_search(
+        queries, emb, 5, k_candidates=20, include_self=False, **_PQ_CFG
     ).select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))

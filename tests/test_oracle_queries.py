@@ -57,7 +57,13 @@ DRIVER_SURFACE = [
     # path q81 now hash-verifies directly; multimodal keeps q61/q81).
     # Also r7: q86 (payload→embed→knn pipeline under one hash verdict —
     # r6 ask #8) takes the slot of the 6×-green q21 (events family keeps
-    # q22/q24/q25/q28/q29/q63). The grading driver records at
+    # q22/q24/q25/q28/q29/q63). Second r7 rotation (same round, new
+    # ops): q87 repetition filter, q88 BM25 retrieval, q89 SQ8
+    # quantized search, and q90 chunking take the slots of the
+    # 6×-green q10 (windows keep q19; top-k-per-key also verified via
+    # q50/q80), q13 (set ops keep q68), q27 (joins keep
+    # q05/q07/q28/q29/q76), and q65 (aggregations keep q01/q67).
+    # The grading driver records at
     # most 50 verdicts in registration order — changing this list is a
     # deliberate decision, not a side effect of adding a query (new
     # queries default into the pytest-only overflow unless they take a
@@ -67,11 +73,12 @@ DRIVER_SURFACE = [
     "q63_stream_stream_join", "q66_variant_props", "q76_salted_hot_user_join",
     "q61_payload_features", "q81_bmp_pixel_stats", "q86_payload_embed_knn",
     "q01_pricing_summary", "q05_local_supplier_volume",
-    "q07_semi_join_urgent", "q10_top_lineitems_per_order",
-    "q12_top10_revenue_orders", "q13_setops_customers", "q19_moving_avg",
-    "q27_above_customer_avg", "q65_profile_lineitem", "q67_grouping_sets",
+    "q07_semi_join_urgent",
+    "q12_top10_revenue_orders", "q19_moving_avg",
+    "q67_grouping_sets",
     "q68_array_set_ops", "q75_unpivot_lineitem", "q32_quality_score",
-    "q64_clean_corpus", "q83_pii_scrub",
+    "q64_clean_corpus", "q83_pii_scrub", "q87_repetition_filter",
+    "q88_bm25_retrieval",
     "q40_exact_dup_groups", "q41_jaccard_near_dups", "q42_minhash_signatures",
     "q43_lsh_candidates",
     "q45_simhash_near_pairs", "q72_dup_clusters", "q73_canonical_corpus",
@@ -79,10 +86,11 @@ DRIVER_SURFACE = [
     "q78_incremental_near_dedup", "q79_simhash_band_candidates",
     "q82_decontamination",
     "q70_shard_packing", "q74_kmv_distinct_sketch", "q71_mixture_sample",
-    "q84_train_val_test_split", "q85_shuffle_shards",
+    "q84_train_val_test_split", "q85_shuffle_shards", "q90_chunk_documents",
     "q50_knn_exact", "q51_ann_ivf", "q53_cosine_topk_same_label",
     "q56_mrdf_recall", "q57_ivf_recall",
     "q58_lsh_hyperplane_candidates", "q80_knn_search_external",
+    "q89_sq8_quantized_knn",
 ]
 
 

@@ -302,3 +302,34 @@ def test_sq8_search_near_exact_recall(spark, sf_dir):
 
     per = approx.groupBy("src").count().agg(SF.min("count"), SF.max("count")).collect()[0]
     assert per[0] == per[1] == 5
+
+
+def test_pq_search_recall_and_determinism(spark, sf_dir):
+    import numpy as np
+    from pyspark_mrdf_spark.algorithms.recall import recall
+    from pyspark_mrdf_spark.operators.quantize import pq_assign, pq_train, pq_search
+    from pyspark_mrdf_spark.operators.similarity import knn_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb1 = pq_train(emb, n_subspaces=8, n_codes=16, sample_size=256, iters=5, seed=7)
+    cb2 = pq_train(emb, n_subspaces=8, n_codes=16, sample_size=256, iters=5, seed=7)
+    assert cb1.shape == (8, 16, 8)
+    assert np.array_equal(cb1, cb2)  # seeded determinism
+    # encode roundtrip: codes in range, deterministic
+    x = np.stack(
+        emb.limit(50).toPandas()["embedding"].to_numpy()
+    ).astype(np.float64)
+    codes = pq_assign(x, cb1)
+    assert codes.shape == (50, 8) and codes.max() < 16
+
+    exact = knn_exact(emb, 5).localCheckpoint()
+    approx = pq_search(emb, emb, 5, k_candidates=80, include_self=False)
+    # 8x16 PQ is COARSE (8 B/row): measured candidate sweep on this
+    # corpus is 0.68@40 / 0.85@80 / 0.95@160 — recall is bought with
+    # the (cheap, table-lookup) candidate budget, as PQ intends
+    r = recall(exact, approx)
+    assert r >= 0.8, r
+    from pyspark.sql import functions as SF
+
+    per = approx.groupBy("src").count().agg(SF.min("count"), SF.max("count")).collect()[0]
+    assert per[0] == per[1] == 5
