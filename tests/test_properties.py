@@ -192,3 +192,72 @@ def test_shuffle_shards_is_a_permutation(spark, sf_dir):
     ).collect()
     for r in per_shard:
         assert (r["lo"], r["hi"]) == (1, r["n"])  # dense 1..n positions
+
+
+@given(
+    arrays(np.float32, (40, 16), elements=st.floats(-5, 5, width=32)),
+    st.integers(1, 12),
+)
+@settings(max_examples=25, deadline=None)
+def test_sq8_codes_bounded_and_monotone(mat, k):
+    """Codes stay in [0, 255]; per dimension they are monotone in the
+    input value (quantization preserves order up to tie-bucketing)."""
+    from pyspark_mrdf_spark.operators.quantize import sq8_codes
+
+    mn = mat.min(axis=0).astype(np.float64)
+    mx = mat.max(axis=0).astype(np.float64)
+    codes = sq8_codes(mat, mn, mx)
+    assert codes.min() >= 0 and codes.max() <= 255
+    d0 = mat[:, 0].astype(np.float64)
+    order = np.argsort(d0, kind="stable")
+    assert (np.diff(codes[order, 0].astype(int)) >= 0).all()
+
+
+def test_sq8_candidates_partition_invariant(spark, sf_dir):
+    """The merged candidate set is EXACTLY the same for any scan
+    partitioning (local top-k by (dist, id) is associative and the
+    unique-key selection makes local ties deterministic)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.io import load_table
+    from pyspark_mrdf_spark.operators.quantize import sq8_candidates, sq8_encode, sq8_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 25)
+    mn, mx = sq8_train(emb)
+    codes = sq8_encode(emb, mn, mx).localCheckpoint(eager=True)
+    outs = []
+    for p in (1, 3, 8):
+        rows = sorted(
+            map(
+                tuple,
+                sq8_candidates(
+                    queries, codes, 7, mn, mx, include_self=False, n_parts=p
+                ).collect(),
+            )
+        )
+        outs.append(rows)
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_pq_adc_equals_decoded_distance():
+    """ADC distance (per-subspace table lookups) must equal the L2
+    distance to the DECODED (reconstructed) vector — the identity
+    Σ_m ||q_m − c_m||² = ||q − concat(c_m)||² that makes ADC a real
+    distance, up to float nesting (allclose, not bitwise)."""
+    from pyspark_mrdf_spark.operators.quantize import pq_assign, pq_codebooks
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((200, 32))
+    cb = pq_codebooks(x, n_subspaces=4, n_codes=8, iters=4)
+    q = x[:5]
+    codes = pq_assign(x, cb)
+    decoded = np.concatenate(
+        [cb[m][codes[:, m]] for m in range(4)], axis=1
+    )
+    exact_to_decoded = ((q[:, None, :] - decoded[None, :, :]) ** 2).sum(axis=2)
+    adc = np.zeros((5, 200))
+    for m in range(4):
+        tbl = ((q[:, None, m * 8 : (m + 1) * 8] - cb[m][None, :, :]) ** 2).sum(axis=2)
+        adc += tbl[:, codes[:, m]]
+    assert np.allclose(adc, exact_to_decoded, rtol=1e-12, atol=1e-9)
