@@ -318,9 +318,24 @@ def pq_assign(mat: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
     out = np.empty((len(mat), n_sub), dtype=np.uint8)
     for m in range(n_sub):
         sub = mat[:, m * ds : (m + 1) * ds]
-        d2 = ((sub[:, None, :] - codebooks[m][None, :, :]) ** 2).sum(axis=2)
+        d2 = _seq_sq_dists(sub, codebooks[m])
         out[:, m] = np.argmin(d2, axis=1)
     return out
+
+
+def _seq_sq_dists(sub: np.ndarray, cb_m: np.ndarray) -> np.ndarray:
+    """(n, n_codes) squared distances with STRICTLY SEQUENTIAL
+    accumulation over the subspace dims. NumPy's ``.sum`` tree-reduces
+    even 8-element axes (measured: disagrees with a left fold on ~52%
+    of random 8-double inputs in the last ulp), while DuckDB's
+    ``list_sum`` is a left fold (measured 200/200) — so the PQ
+    determinism contract requires this explicit loop, in both encoding
+    and the ADC tables."""
+    d2 = np.zeros((sub.shape[0], cb_m.shape[0]), dtype=np.float64)
+    for i in range(sub.shape[1]):
+        diff = sub[:, None, i] - cb_m[None, :, i]
+        d2 = d2 + diff * diff
+    return d2
 
 
 def pq_encode(
@@ -365,8 +380,9 @@ def pq_candidates(
     adds instead of d multiplies — PQ's flop advantage over both the
     exact scan and SQ8, on top of its 8 B/row stored index.
 
-    Determinism: every table entry is a fixed-order 8-element float64
-    sum and the per-row total accumulates subspaces left-to-right, so
+    Determinism: every table entry is a strictly SEQUENTIAL (left-fold)
+    float64 sum and the per-row total accumulates subspaces
+    left-to-right, so
     a SQL twin computing the same nesting derives bit-identical ADC
     values (q92 inlines the codebooks and mirrors the nesting with
     ordered list_sums); exact float ties break to the lowest dst via
@@ -376,11 +392,11 @@ def pq_candidates(
     q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
     q_mat = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
     n_sub, n_codes, ds = codebooks.shape
-    # (n_q, n_subspaces, n_codes) ADC tables: fixed-order 8-element sums
+    # (n_q, n_subspaces, n_codes) ADC tables — sequential-fold sums
+    # (see _seq_sq_dists: numpy tree-reduces, the SQL twin left-folds)
     tables = np.empty((len(q_mat), n_sub, n_codes), dtype=np.float64)
     for m in range(n_sub):
-        sub = q_mat[:, m * ds : (m + 1) * ds]
-        tables[:, m, :] = ((sub[:, None, :] - codebooks[m][None, :, :]) ** 2).sum(axis=2)
+        tables[:, m, :] = _seq_sq_dists(q_mat[:, m * ds : (m + 1) * ds], codebooks[m])
     b = spark.sparkContext.broadcast((q_ids, tables))
 
     def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -112,7 +112,15 @@ def knn_exact(
     return knn_search(df, df, k, id_col=id_col, vec_col=vec_col, include_self=include_self)
 
 
-_SCAN_NODES = ("Relation", "Project", "Filter", "LocalRelation", "InMemoryRelation")
+# LogicalRDD = an already-materialized lineage (localCheckpoint /
+# RDD-backed frame): re-reading it is exactly as cheap as a scan, and
+# re-checkpointing it would duplicate a full corpus copy — the very
+# cost the guard exists to avoid. Union-of-scans and Range likewise
+# re-evaluate for free.
+_SCAN_NODES = (
+    "Relation", "Project", "Filter", "LocalRelation", "InMemoryRelation",
+    "LogicalRDD", "Range", "Union",
+)
 
 
 def _scan_shaped(df: DataFrame) -> bool:

@@ -144,7 +144,12 @@ def q81_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # family keeps q22/q24/q25/q28/q29/q63)
     oracle="""
 WITH bytes AS (
-  SELECT doc_id, list_transform(string_split(text, ''), c -> unicode(c)) AS bs
+  -- true UTF-8 BYTES via hex decode (a per-character unicode() would
+  -- diverge from the byte histogram on any non-ASCII text)
+  SELECT doc_id,
+         list_transform(generate_series(1, octet_length(encode(text))), i ->
+           strpos('0123456789ABCDEF', substr(hex(encode(text)), 2 * i - 1, 1)) * 16
+           + strpos('0123456789ABCDEF', substr(hex(encode(text)), 2 * i, 1)) - 17) AS bs
   FROM documents),
 hist AS (
   SELECT doc_id,
@@ -152,9 +157,15 @@ hist AS (
                         j -> CAST(len(list_filter(bs, b -> b % 32 = j)) AS DOUBLE)) AS h
   FROM bytes),
 emb AS (
+  -- zero-norm guard mirrors embed_payloads: empty payload -> zero
+  -- vector, not a division by zero. The norm itself is a sum of
+  -- INTEGER squares — exact in any summation order on both engines
   SELECT doc_id,
-         list_transform(h, v -> CAST(CAST(
-             v / sqrt(list_sum(list_transform(h, x -> x * x))) AS FLOAT) AS DOUBLE)) AS e
+         CASE WHEN list_sum(list_transform(h, x -> x * x)) = 0
+              THEN list_transform(h, v -> 0.0)
+              ELSE list_transform(h, v -> CAST(CAST(
+                  v / sqrt(list_sum(list_transform(h, x -> x * x))) AS FLOAT) AS DOUBLE))
+         END AS e
   FROM hist)
 SELECT src, dst, rnk FROM (
   SELECT q.doc_id AS src, c.doc_id AS dst,
@@ -181,9 +192,18 @@ def q86_payload_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_mrdf_spark.operators.multimodal import embed_payloads
     from pyspark_mrdf_spark.operators.similarity import knn_search
 
-    emb = embed_payloads(
-        attach_payloads(load_table(spark, sf_dir, "documents")), dim=32
-    ).withColumnRenamed("doc_id", "vec_id")
+    # ONE inference pass: checkpoint the embedded corpus and derive
+    # both sides from it (the query filter cannot push below the
+    # mapInPandas, so a separate lineage would re-embed the whole
+    # corpus just to extract 30 query rows); knn_search recognizes the
+    # LogicalRDD as already-materialized and does not re-checkpoint
+    emb = (
+        embed_payloads(
+            attach_payloads(load_table(spark, sf_dir, "documents")), dim=32
+        )
+        .withColumnRenamed("doc_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
     queries = emb.filter(F.col("vec_id") < 30)
     return knn_search(queries, emb, 5, include_self=False).select(
         F.col("src"), F.col("dst"), F.col("rnk").cast("bigint").alias("rnk")

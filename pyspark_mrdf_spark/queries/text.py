@@ -431,11 +431,16 @@ tf AS (
   GROUP BY 1, 2),
 df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
 scored AS (
+  -- IEEE-double components in PINNED op order (int64->double, *, -,
+  -- +, / are all IEEE-determined, so both engines derive bit-identical
+  -- values at ANY corpus scale; the previous integer fixed-point form
+  -- overflowed int64 once tf*total_toks passed ~2.1e11)
   SELECT tf.doc_id,
-         ((2 * s.n_docs - 2 * df.df + 1) * 1000000 // (2 * df.df + 1)
-          * ((44 * tf.tf * s.total_toks * 1000000)
-             // (20 * tf.tf * s.total_toks + 6 * s.total_toks + 18 * dl.dl * s.n_docs)))
-         // 1000000 AS term_score_e6
+         CAST(floor(
+           ((2e0 * s.n_docs - 2e0 * df.df + 1e0) / (2e0 * df.df + 1e0))
+           * (44e0 * tf.tf * s.total_toks
+              / (20e0 * tf.tf * s.total_toks + 6e0 * s.total_toks + 18e0 * dl.dl * s.n_docs))
+           * 1000000e0) AS BIGINT) AS term_score_e6
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN s)
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
@@ -446,11 +451,13 @@ ORDER BY bm25_e6 DESC, doc_id LIMIT 20
     description=(
         "BM25 top-20 retrieval for the query {vector, join, spark} over the "
         "documents corpus — the text-relevance scorer a curation pipeline "
-        "uses to mine topic-matched training data. Exact integer fixed-point "
-        "throughout: the idf is the rational (N-df+.5)/(df+.5) (no ln, so "
-        "the DuckDB twin is bit-identical) and the k1=1.2/b=0.75 saturation "
-        "term is cleared to one integer division, 44·tf·T / "
-        "(20·tf·T + 6·T + 18·dl·N). Scale shape: one per-doc tokenize pass, "
+        "uses to mine topic-matched training data. Engine-portable scoring: "
+        "the idf is the rational (N-df+.5)/(df+.5) (no ln) and the "
+        "k1=1.2/b=0.75 saturation term is 44·tf·T / (20·tf·T + 6·T + "
+        "18·dl·N), both evaluated as IEEE doubles (e-notation literals — `44.0` parses as DECIMAL on both engines, with dialect-divergent arithmetic) in pinned op order — "
+        "bit-identical cross-engine at ANY corpus scale (the integer "
+        "fixed-point form overflowed int64 past tf·T ~ 2.1e11). "
+        "Scale shape: one per-doc tokenize pass, "
         "the explode is pre-filtered to the query's own terms (map-side, "
         "output ~|Q|·n_docs not corpus tokens), df and the corpus stats are "
         "O(|Q|) / O(1) broadcast sides, and the top-20 is orderBy+limit — "
@@ -487,10 +494,11 @@ def q88_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.expr(
-                "(2 * n_docs - 2 * df + 1) * 1000000 div (2 * df + 1)"
-                " * ((44 * tf * total_toks * 1000000)"
-                "    div (20 * tf * total_toks + 6 * total_toks + 18 * dl * n_docs))"
-                " div 1000000"
+                "CAST(floor("
+                "  ((2e0 * n_docs - 2e0 * df + 1e0) / (2e0 * df + 1e0))"
+                "  * (44e0 * tf * total_toks"
+                "     / (20e0 * tf * total_toks + 6e0 * total_toks + 18e0 * dl * n_docs))"
+                "  * 1000000e0) AS BIGINT)"
             ).alias("term_score_e6"),
         )
     )

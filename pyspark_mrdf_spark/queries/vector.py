@@ -544,10 +544,15 @@ sub2 AS (
          CAST(embedding[(m - 1) * {ds} + 1 : m * {ds}] AS DOUBLE[]) AS svec
   FROM sub),
 enc AS (
+  -- order by the UN-sqrted sequential-fold d² (exactly the kernel's
+  -- _seq_sq_dists values; list_distance's sqrt could collapse two
+  -- distinct d² into one double and tie-break differently)
   SELECT vec_id, m, code FROM (
     SELECT s.vec_id, s.m, c.code,
            ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-             ORDER BY list_distance(s.svec, c.cvec), c.code) AS rn
+             ORDER BY list_sum(list_transform(generate_series(1, {ds}),
+                      i -> (s.svec[i] - c.cvec[i]) * (s.svec[i] - c.cvec[i]))),
+                      c.code) AS rn
     FROM sub2 s JOIN cb c USING (m)) WHERE rn = 1),
 terms AS (
   SELECT q.vec_id AS src, e.vec_id AS dst, q.m,

@@ -198,6 +198,14 @@ def test_knn_search_checkpoints_computed_corpus_once(spark, sf_dir):
         assert _scan_shaped(cached.select("n_nationkey"))
     finally:
         cached.unpersist()
+    # an already-materialized lineage (LogicalRDD from localCheckpoint)
+    # re-reads for free — re-checkpointing it would duplicate a full
+    # corpus copy, so it must count as scan-shaped; same for a union
+    # of scans
+    ckpt = emb.groupBy("label").count().localCheckpoint(eager=True)
+    assert _scan_shaped(ckpt)
+    assert _scan_shaped(ckpt.filter(F.col("count") > 0))
+    assert _scan_shaped(emb.unionByName(emb))
 
     acc = spark.sparkContext.accumulator(0)
 
