@@ -499,3 +499,233 @@ def pq_search(
         .filter(F.col("rnk") <= k)
         .select("src", "dst", "dist_sq", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def ivfpq_train(
+    df: DataFrame,
+    n_centroids: int = 8,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 2048,
+    iters_coarse: int = 10,
+    iters_pq: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """IVF-PQ index parameters: (coarse centroids (n_centroids, d),
+    residual PQ codebooks (n_subspaces, n_codes, d_sub)).
+
+    ONE md5-ordered deterministic sample trains both stages: Lloyd
+    coarse cells, then per-subspace codebooks on the RESIDUALS
+    (vector − its cell centroid) — residual quantization is what makes
+    PQ codes sharp inside a cell (the cell explains the coarse
+    position; the codes only need the local offset). Every step is a
+    pure function of the sample (``_ivfpq_params_from_sample``), so an
+    oracle replays it bit-identically on its own engine's rows."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    pdf = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", h)
+        .orderBy("_h")
+        .limit(sample_size)
+        .select(vec_col)
+    ).toPandas()
+    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    return _ivfpq_params_from_sample(
+        x, n_centroids, n_subspaces, n_codes, iters_coarse, iters_pq
+    )
+
+
+def _ivfpq_params_from_sample(
+    x: np.ndarray,
+    n_centroids: int,
+    n_subspaces: int,
+    n_codes: int,
+    iters_coarse: int,
+    iters_pq: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pure-NumPy core of ``ivfpq_train`` (oracle-replayable, the
+    ``lloyd_centroids``/``pq_codebooks`` exposure contract)."""
+    from pyspark_mrdf_spark.functions.vector import pairwise_l2_sq
+    from pyspark_mrdf_spark.operators.similarity import lloyd_centroids
+
+    coarse = lloyd_centroids(x, n_centroids, iters_coarse)
+    assign = np.argsort(pairwise_l2_sq(x, coarse), axis=1, kind="stable")[:, 0]
+    residuals = x - coarse[assign]
+    return coarse, pq_codebooks(residuals, n_subspaces, n_codes, iters_pq)
+
+
+def ivfpq_encode(
+    df: DataFrame,
+    coarse: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, code binary): each vector stored in its nearest
+    coarse cell with the PQ code of its RESIDUAL — n_subspaces bytes +
+    a cell id per row, the IVF-PQ stored index. Ties in the coarse
+    assignment break to the lower cell id (stable argsort — the q51
+    oracle discipline)."""
+    from pyspark_mrdf_spark.functions.vector import pairwise_l2_sq
+
+    cb = codebooks.copy()
+    cm = coarse.copy()
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cell = np.argsort(pairwise_l2_sq(mat, cm), axis=1, kind="stable")[:, 0]
+            codes = pq_assign(mat - cm[cell], cb)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "cell": cell.astype(np.int64),
+                    "code": [c.tobytes() for c in codes],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _enc, "vec_id long, cell long, code binary"
+    )
+
+
+def ivfpq_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    k_candidates: int | None = None,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 2048,
+    iters_coarse: int = 10,
+    iters_pq: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF-PQ search — the composition that IS the large-corpus ANN
+    architecture: the coarse quantizer prunes the scan to
+    ~n_probe/n_centroids of the corpus (IVF), the pruned scan runs on
+    n_subspaces-byte residual codes via ADC table lookups (PQ), and
+    only the surviving ``k_candidates`` rows per query are reranked at
+    full precision. Cost per query ≈ (n_probe/n_centroids)·n corpus
+    rows × 8 lookups each, touching 8 B/row — against d multiplies ×
+    256 B/row for the exact scan.
+
+    Scale shape: corpus encoding is one mapInPandas pass; the
+    candidate stage cogroups probe rows with code rows PER CELL (task
+    memory = one cell's codes at 8 B/row + that cell's probing
+    queries); the merge window and rerank join are candidate-sized.
+    Determinism: coarse assignment follows the q51 stable-argsort
+    discipline, residual/ADC sums are strictly sequential (q92's
+    ``_seq_sq_dists``), exact ADC ties break to the lowest dst via the
+    two-scan boundary redo, so the q95 oracle derives the identical
+    candidate set; the rerank rides the q50-proven (dist, id) rank
+    portability. Returns (src, dst, dist_sq, rnk), rnk 1..k."""
+    from pyspark_mrdf_spark.functions.vector import pairwise_l2_sq
+
+    if k_candidates is None:
+        k_candidates = 4 * k
+    spark = queries.sparkSession
+    coarse, cb = ivfpq_train(
+        corpus, n_centroids, n_subspaces, n_codes, sample_size,
+        iters_coarse, iters_pq, seed, id_col, vec_col,
+    )
+    codes = ivfpq_encode(corpus, coarse, cb, id_col, vec_col)
+
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
+    q_mat = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    probe = np.argsort(pairwise_l2_sq(q_mat, coarse), axis=1, kind="stable")[
+        :, :n_probe
+    ]
+    n_sub, n_cd, ds = cb.shape
+    # per (query, probed cell): ADC tables over the RESIDUAL q − cent —
+    # (n_q, n_probe, n_subspaces, n_codes), O(parameters) broadcast
+    tables = np.empty((len(q_mat), n_probe, n_sub, n_cd), dtype=np.float64)
+    for j in range(n_probe):
+        res = q_mat - coarse[probe[:, j]]
+        for m in range(n_sub):
+            tables[:, j, m, :] = _seq_sq_dists(res[:, m * ds : (m + 1) * ds], cb[m])
+    b = spark.sparkContext.broadcast((q_ids, probe, tables))
+    probes_df = spark.createDataFrame(
+        [(int(q_ids[i]), int(probe[i, j])) for i in range(len(q_ids)) for j in range(n_probe)],
+        "q_id long, cell long",
+    )
+
+    def _scan(key: tuple, ppdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(ppdf) == 0 or len(cpdf) == 0:
+            return pd.DataFrame(columns=["src", "dst", "adc_dist"])
+        qi_all, probe_all, tbl_all = b.value
+        cell = int(key[0])
+        c_ids = cpdf["vec_id"].to_numpy(dtype=np.int64)
+        c_codes = np.stack([np.frombuffer(x, dtype=np.uint8) for x in cpdf["code"]])
+        c_order = np.argsort(c_ids, kind="stable")
+        c_ids = c_ids[c_order]
+        c_codes = c_codes[c_order]
+        out = []
+        pos = {int(q): i for i, q in enumerate(qi_all)}
+        for q in ppdf["q_id"].to_numpy(dtype=np.int64):
+            i = pos[int(q)]
+            j = int(np.flatnonzero(probe_all[i] == cell)[0])
+            tbl = tbl_all[i, j]
+            g = tbl[0, c_codes[:, 0]].astype(np.float64)
+            for m in range(1, n_sub):
+                g = g + tbl[m, c_codes[:, m]]
+            if not include_self:
+                g[c_ids == q] = np.inf
+            n_c = len(g)
+            kk = min(k_candidates, n_c)
+            if kk < n_c:
+                sel = np.argpartition(g, kk - 1)[:kk]
+                t = g[sel].max()
+                if (g <= t).sum() > kk:
+                    lt = np.flatnonzero(g < t)
+                    eq = np.flatnonzero(g == t)[: kk - len(lt)]
+                    sel = np.concatenate([lt, eq])
+            else:
+                sel = np.arange(n_c)
+            fin = np.isfinite(g[sel])
+            sel = sel[fin]
+            out.append(
+                pd.DataFrame(
+                    {"src": np.full(len(sel), q), "dst": c_ids[sel], "adc_dist": g[sel]}
+                )
+            )
+        if not out:
+            return pd.DataFrame(columns=["src", "dst", "adc_dist"])
+        return pd.concat(out, ignore_index=True)
+
+    cand = (
+        probes_df.groupby("cell")
+        .cogroup(codes.groupby("cell"))
+        .applyInPandas(_scan, "src long, dst long, adc_dist double")
+    )
+    wk = Window.partitionBy("src").orderBy("adc_dist", "dst")
+    cand = (
+        cand.withColumn("crnk", F.row_number().over(wk))
+        .filter(F.col("crnk") <= k_candidates)
+        .drop("crnk")
+    )
+    from pyspark_mrdf_spark.functions.vector import l2_sq
+
+    qv = queries.select(F.col(id_col).alias("src"), F.col(vec_col).alias("q_vec"))
+    cv = corpus.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("c_vec"))
+    rr = (
+        cand.join(F.broadcast(qv), "src")
+        .join(cv, "dst")
+        .withColumn("dist_sq", l2_sq("q_vec", "c_vec"))
+    )
+    wk2 = Window.partitionBy("src").orderBy("dist_sq", "dst")
+    return (
+        rr.withColumn("rnk", F.row_number().over(wk2))
+        .filter(F.col("rnk") <= k)
+        .select("src", "dst", "dist_sq", F.col("rnk").cast("int").alias("rnk"))
+    )

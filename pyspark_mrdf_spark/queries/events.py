@@ -338,3 +338,119 @@ def q76_salted_hot_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast(DEC6)).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "q93_funnel_analysis",
+    driver=False,  # pytest-only: 50-slot driver cap (new r7; rotation owed next round)
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS ts_view_us
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS ts_click_us
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.ts_view_us
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS ts_purchase_us
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.ts_click_us
+  GROUP BY e.user_id)
+SELECT v.user_id, v.ts_view_us, c.ts_click_us, p.ts_purchase_us,
+       CAST(1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT AS BIGINT)
+         AS funnel_stage
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+""",
+    description=(
+        "ordered-funnel analysis (view -> click -> purchase, strict "
+        "event-time order): per user the first view, the first click AFTER "
+        "that view, the first purchase AFTER that click, and the funnel "
+        "stage reached — the conversion query every event warehouse runs. "
+        "Exact integer epoch-micros end to end. Scale shape: three "
+        "filtered scans each collapsing map-side to one MIN per user, "
+        "user-keyed equi-joins in between (the per-stage frames are "
+        "users-with-stage sized, monotonically shrinking down the funnel) "
+        "— no windows over raw events, nothing corpus-crossed"
+    ),
+    tags=("events", "funnel", "agg", "join"),
+)
+def q93_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("ts_view_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_us") > F.col("ts_view_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("ts_click_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("ts_click_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("ts_purchase_us"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "ts_view_us",
+            "ts_click_us",
+            "ts_purchase_us",
+            (
+                F.lit(1)
+                + F.col("ts_click_us").isNotNull().cast("int")
+                + F.col("ts_purchase_us").isNotNull().cast("int")
+            ).cast("bigint").alias("funnel_stage"),
+        )
+    )
+
+
+@register(
+    "q94_cohort_retention",
+    driver=False,  # pytest-only: 50-slot driver cap (new r7; rotation owed next round)
+    oracle="""
+WITH first_ev AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS first_us FROM events GROUP BY user_id)
+SELECT first_us // 86400000000 AS cohort_day,
+       (epoch_us(e.ts) - first_us) // 604800000000 AS week_offset,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+FROM events e JOIN first_ev f ON e.user_id = f.user_id
+GROUP BY 1, 2
+""",
+    description=(
+        "cohort retention matrix: users grouped by first-activity day, "
+        "activity counted per whole-week offset from each user's OWN first "
+        "event (integer epoch-micros division — no calendar-week dialect "
+        "drift between engines, partition-independent). Scale shape: one "
+        "map-side MIN per user, a user-keyed equi-join (broadcastable dim "
+        "— one row per user), and a (cohort, offset)-keyed distinct-count "
+        "with map-side partials; the matrix output is O(days x weeks)"
+    ),
+    tags=("events", "cohort", "agg", "join"),
+)
+def q94_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    first_ev = ev.groupBy("user_id").agg(F.min("ts_us").alias("first_us"))
+    return (
+        ev.join(first_ev, "user_id")
+        .select(
+            F.expr("first_us div 86400000000").alias("cohort_day"),
+            F.expr("(ts_us - first_us) div 604800000000").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )

@@ -606,3 +606,143 @@ def q92_pq_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_search(
         queries, emb, 5, k_candidates=20, include_self=False, **_PQ_CFG
     ).select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))
+
+
+_IVFPQ_CFG = dict(
+    n_centroids=8, n_probe=2, n_subspaces=8, n_codes=16,
+    sample_size=512, iters_coarse=8, iters_pq=8, seed=42,
+)
+
+
+def _q95_oracle(sf_dir: str) -> str:
+    """Callable oracle for IVF-PQ: replay BOTH training stages on
+    DuckDB-loaded rows through the shared ``_ivfpq_params_from_sample``
+    core, inline coarse centroids + residual codebooks as literals,
+    then mirror assignment (q51's rank-portable float ordering),
+    residual encoding and the ADC accumulation (q92's sequential-fold
+    discipline) in SQL."""
+    import duckdb
+
+    import numpy as np
+
+    from pyspark_mrdf_spark.operators.quantize import _ivfpq_params_from_sample
+
+    cfg = _IVFPQ_CFG
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY md5('{cfg['seed']}:' || CAST(vec_id AS VARCHAR)) "
+        f"LIMIT {cfg['sample_size']}"
+    ).fetchall()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    coarse, cb = _ivfpq_params_from_sample(
+        x, cfg["n_centroids"], cfg["n_subspaces"], cfg["n_codes"],
+        cfg["iters_coarse"], cfg["iters_pq"],
+    )
+    n_sub, n_codes, ds = cb.shape
+    cent_vals = ",\n  ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(
+            i, ", ".join(repr(float(v)) for v in coarse[i])
+        )
+        for i in range(len(coarse))
+    )
+    cb_vals = ",\n  ".join(
+        "({}, {}, CAST([{}] AS DOUBLE[]))".format(
+            m + 1, c, ", ".join(repr(float(v)) for v in cb[m, c])
+        )
+        for m in range(n_sub)
+        for c in range(n_codes)
+    )
+    return f"""
+WITH cent(cent_id, cent_vec) AS (VALUES
+  {cent_vals}),
+cb(m, code, cvec) AS (VALUES
+  {cb_vals}),
+ms AS (SELECT unnest(generate_series(1, {n_sub})) AS m),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cent_vec),
+                      c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+res AS (
+  SELECT e.vec_id, a.cell, ms.m,
+         list_transform(generate_series(1, {ds}), i ->
+            CAST(e.embedding[(ms.m - 1) * {ds} + i] AS DOUBLE)
+            - c.cent_vec[(ms.m - 1) * {ds} + i]) AS svec
+  FROM embeddings e JOIN assigned a USING (vec_id)
+  JOIN cent c ON c.cent_id = a.cell CROSS JOIN ms),
+enc AS (
+  SELECT vec_id, cell, m, code FROM (
+    SELECT r.vec_id, r.cell, r.m, b.code,
+           ROW_NUMBER() OVER (PARTITION BY r.vec_id, r.m
+             ORDER BY list_sum(list_transform(generate_series(1, {ds}),
+                      i -> (r.svec[i] - b.cvec[i]) * (r.svec[i] - b.cvec[i]))),
+                      b.code) AS rn
+    FROM res r JOIN cb b USING (m)) WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS q_id, cell, embedding FROM (
+    SELECT e.vec_id, c.cent_id AS cell, e.embedding,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cent_vec),
+                      c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 30)
+  WHERE rn <= {cfg["n_probe"]}),
+qres AS (
+  SELECT p.q_id, p.cell, ms.m,
+         list_transform(generate_series(1, {ds}), i ->
+            CAST(p.embedding[(ms.m - 1) * {ds} + i] AS DOUBLE)
+            - c.cent_vec[(ms.m - 1) * {ds} + i]) AS svec
+  FROM qprobe p JOIN cent c ON c.cent_id = p.cell CROSS JOIN ms),
+terms AS (
+  SELECT qr.q_id AS src, e.vec_id AS dst, qr.m,
+         list_sum(list_transform(generate_series(1, {ds}),
+                  i -> (qr.svec[i] - b.cvec[i]) * (qr.svec[i] - b.cvec[i]))) AS term
+  FROM qres qr
+  JOIN enc e ON e.cell = qr.cell AND e.m = qr.m AND e.vec_id <> qr.q_id
+  JOIN cb b ON b.m = qr.m AND b.code = e.code),
+adc AS (
+  SELECT src, dst, list_sum(list(term ORDER BY m)) AS adc
+  FROM terms GROUP BY src, dst),
+topc AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY adc, dst) AS crnk
+  FROM adc),
+rr AS (
+  SELECT t.src, t.dst,
+         ROW_NUMBER() OVER (PARTITION BY t.src
+           ORDER BY list_distance(CAST(qe.embedding AS DOUBLE[]),
+                                  CAST(ce.embedding AS DOUBLE[])), t.dst) AS rnk
+  FROM topc AS t
+  JOIN embeddings qe ON qe.vec_id = t.src
+  JOIN embeddings ce ON ce.vec_id = t.dst
+  WHERE t.crnk <= 40)
+SELECT src, dst, rnk FROM rr WHERE rnk <= 5
+"""
+
+
+@register(
+    "q95_ivfpq_knn",
+    driver=False,  # pytest-only: 50-slot driver cap (new r7; rotation owed next round)
+    oracle=_q95_oracle,
+    description=(
+        "IVF-PQ search — the composition that IS large-corpus ANN: coarse "
+        "cells prune the scan to ~n_probe/n_centroids of the corpus, the "
+        "pruned scan runs on 8-byte residual PQ codes via ADC lookups, and "
+        "only candidate rows rerank at full precision (cost per query ~ "
+        "(2/8)·n rows x 8 lookups at 8 B/row, vs n x 64 multiplies at "
+        "256 B/row exact). Both training stages replay bit-identically in "
+        "the oracle (one md5-ordered sample -> Lloyd cells -> residual "
+        "codebooks); assignment rides q51's rank-portable ordering, every "
+        "residual/ADC sum is a strict sequential fold (q92's discipline)"
+    ),
+    tags=("vector", "knn", "quantize", "ann", "pipeline"),
+)
+def q95_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.quantize import ivfpq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 30)
+    return ivfpq_search(
+        queries, emb, 5, k_candidates=40, include_self=False, **_IVFPQ_CFG
+    ).select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))

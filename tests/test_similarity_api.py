@@ -341,3 +341,30 @@ def test_pq_search_recall_and_determinism(spark, sf_dir):
 
     per = approx.groupBy("src").count().agg(SF.min("count"), SF.max("count")).collect()[0]
     assert per[0] == per[1] == 5
+
+
+def test_ivfpq_search_recall_and_contract(spark, sf_dir):
+    import numpy as np
+    from pyspark_mrdf_spark.algorithms.recall import recall
+    from pyspark_mrdf_spark.operators.quantize import ivfpq_search, ivfpq_train
+    from pyspark_mrdf_spark.operators.similarity import knn_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1, b1 = ivfpq_train(emb, n_centroids=8, sample_size=256, iters_coarse=5, iters_pq=5, seed=3)
+    c2, b2 = ivfpq_train(emb, n_centroids=8, sample_size=256, iters_coarse=5, iters_pq=5, seed=3)
+    assert np.array_equal(c1, c2) and np.array_equal(b1, b2)  # seeded determinism
+    assert c1.shape == (8, 64) and b1.shape == (8, 16, 8)
+
+    exact = knn_exact(emb, 5).localCheckpoint()
+    approx = ivfpq_search(
+        emb, emb, 5, k_candidates=120, n_probe=4, include_self=False
+    )
+    # recall is bounded by the IVF probe-miss rate AND the PQ code
+    # coarseness; the measured (probe, candidates) dial on this corpus:
+    # 0.66@(3, 80) / 0.78@(4, 120) / 0.86@(5, 160)
+    r = recall(exact, approx)
+    assert r >= 0.75, r
+    from pyspark.sql import functions as SF
+
+    per = approx.groupBy("src").count().agg(SF.min("count"), SF.max("count")).collect()[0]
+    assert per[0] == per[1] == 5
