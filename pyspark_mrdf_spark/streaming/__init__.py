@@ -14,7 +14,12 @@ from pyspark_mrdf_spark.streaming.windows import (
     stream_events_from_json,
     run_available_now,
 )
-from pyspark_mrdf_spark.streaming.stateful import dedup_stream, running_user_totals
+from pyspark_mrdf_spark.streaming.stateful import (
+    dedup_stream,
+    funnel_advance,
+    funnel_stream,
+    running_user_totals,
+)
 from pyspark_mrdf_spark.streaming.joins import purchases_with_recent_clicks
 from pyspark_mrdf_spark.streaming.sinks import upsert_stream_to_parquet
 
@@ -25,6 +30,8 @@ __all__ = [
     "stream_events_from_json",
     "run_available_now",
     "running_user_totals",
+    "funnel_stream",
+    "funnel_advance",
     "purchases_with_recent_clicks",
     "upsert_stream_to_parquet",
     "dedup_stream",

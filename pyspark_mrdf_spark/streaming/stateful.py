@@ -73,3 +73,97 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+FUNNEL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts_view_us", LongType()),
+        StructField("ts_click_us", LongType()),
+        StructField("ts_purchase_us", LongType()),
+        StructField("funnel_stage", LongType()),
+    ]
+)
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("v", LongType()),
+        StructField("c", LongType()),
+        StructField("p", LongType()),
+    ]
+)
+_UNSET = -1
+
+
+def funnel_advance(
+    v: int, c: int, p: int, ts_us: list[int], event_type: list[str]
+) -> tuple[int, int, int]:
+    """Pure funnel state transition (view -> click -> purchase, strict
+    event-time order), processing this chunk's events in ts order:
+
+      v = first view ever seen; c = first click with ts > v;
+      p = first purchase with ts > c;  _UNSET (-1) = stage not reached.
+
+    Chunking is transparent: applying chunks of a ts-sorted event
+    sequence through this function yields the same final state as one
+    pass over the whole sequence (each stage only ever moves from
+    _UNSET to a final value) — the property that makes the streaming
+    operator agree with the batch q93 when events arrive in order.
+    Late (out-of-order) events can be missed by streaming; the batch
+    twin is the reconciler, the standard lambda split."""
+    order = sorted(range(len(ts_us)), key=lambda i: ts_us[i])
+    for i in order:
+        et, ts = event_type[i], ts_us[i]
+        if v == _UNSET:
+            if et == "view":
+                v = ts
+        elif c == _UNSET:
+            if et == "click" and ts > v:
+                c = ts
+        elif p == _UNSET:
+            if et == "purchase" and ts > c:
+                p = ts
+    return v, c, p
+
+
+def _funnel_update(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    v, c, p = state.get if state.exists else (_UNSET, _UNSET, _UNSET)
+    for pdf in pdfs:
+        v, c, p = funnel_advance(
+            v, c, p, pdf["ts_us"].tolist(), pdf["event_type"].tolist()
+        )
+    state.update((v, c, p))
+    if v == _UNSET:
+        return  # user has no view yet: not in the funnel output
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "ts_view_us": [v],
+            "ts_click_us": [None if c == _UNSET else c],
+            "ts_purchase_us": [None if p == _UNSET else p],
+            "funnel_stage": [1 + (c != _UNSET) + (p != _UNSET and c != _UNSET)],
+        }
+    )
+
+
+def funnel_stream(events: DataFrame) -> DataFrame:
+    """Streaming funnel (the stateful twin of batch q93): per-user
+    view -> click -> purchase progression maintained in 3 longs of
+    state per user, re-emitted on every micro-batch the user appears
+    in. State is O(users), never O(events); within a batch events are
+    ts-sorted, so the operator matches the batch query exactly for
+    in-order arrival (tested), and the batch twin reconciles late
+    data."""
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _funnel_update,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -326,3 +326,72 @@ def test_upsert_stream_sink_matches_batch(spark, sf_dir, events_json_dir, tmp_pa
         for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events")).collect()
     }
     assert got == want
+
+
+def test_funnel_advance_chunking_transparent():
+    """Applying ts-ordered chunks through the pure state transition
+    equals one pass over the whole sequence — the property that lets
+    micro-batches compose. Also covers: clicks before any view are
+    ignored, purchases before the first click are ignored, and
+    same-timestamp events do NOT advance (strict > ordering)."""
+    from pyspark_mrdf_spark.streaming.stateful import _UNSET, funnel_advance
+
+    seq = [
+        (100, "click"),      # ignored: no view yet
+        (110, "view"),       # v=110
+        (110, "click"),      # ignored: not strictly after the view
+        (120, "purchase"),   # ignored: no click yet
+        (130, "click"),      # c=130
+        (125, "view"),       # ignored: v already set
+        (140, "purchase"),   # p=140
+        (150, "click"),      # ignored: c already set
+    ]
+    one_pass = funnel_advance(
+        _UNSET, _UNSET, _UNSET, [t for t, _ in seq], [e for _, e in seq]
+    )
+    assert one_pass == (110, 130, 140)
+    for cut1 in range(len(seq) + 1):
+        for cut2 in range(cut1, len(seq) + 1):
+            st = (_UNSET, _UNSET, _UNSET)
+            for chunk in (seq[:cut1], seq[cut1:cut2], seq[cut2:]):
+                st = funnel_advance(
+                    *st, [t for t, _ in chunk], [e for _, e in chunk]
+                )
+            assert st == one_pass, (cut1, cut2)
+
+
+def test_funnel_stream_matches_batch_q93(spark, sf_dir, events_json_dir):
+    """The streaming funnel's final state per user equals batch q93 on
+    the same events (in-order arrival: availableNow over the json dump
+    delivers every file before the final emission)."""
+    from pyspark_mrdf_spark.queries import load_all
+    from pyspark_mrdf_spark.streaming import funnel_stream, stream_events_from_json
+
+    batch = load_all()["q93_funnel_analysis"].builder(spark, sf_dir).collect()
+    stream = stream_events_from_json(spark, events_json_dir)
+    q = (
+        funnel_stream(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode re-emits a user's row each batch they appear in —
+    # keep the LAST emission per user (max stage/timestamps are final)
+    got_rows = spark.sql(
+        """
+        SELECT user_id, ts_view_us, ts_click_us, ts_purchase_us, funnel_stage
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id
+            ORDER BY funnel_stage DESC,
+                     ts_purchase_us DESC NULLS LAST,
+                     ts_click_us DESC NULLS LAST) AS rn
+          FROM funnel_test) WHERE rn = 1
+        """
+    ).collect()
+    q.stop()
+    cols = ["user_id", "ts_view_us", "ts_click_us", "ts_purchase_us", "funnel_stage"]
+    assert _rows_set(got_rows, cols) == _rows_set(batch, cols)
