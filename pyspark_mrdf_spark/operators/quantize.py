@@ -240,21 +240,7 @@ def sq8_search(
         queries, codes, k_candidates, mn, mx, id_col, vec_col, include_self,
         n_parts=n_parts,
     )
-    qv = queries.select(F.col(id_col).alias("src"), F.col(vec_col).alias("q_vec"))
-    cv = corpus.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("c_vec"))
-    from pyspark_mrdf_spark.functions.vector import l2_sq
-
-    rr = (
-        cand.join(F.broadcast(qv), "src")
-        .join(cv, "dst")
-        .withColumn("dist_sq", l2_sq("q_vec", "c_vec"))
-    )
-    wk = Window.partitionBy("src").orderBy("dist_sq", "dst")
-    return (
-        rr.withColumn("rnk", F.row_number().over(wk))
-        .filter(F.col("rnk") <= k)
-        .select("src", "dst", "dist_sq", F.col("rnk").cast("int").alias("rnk"))
-    )
+    return _rerank_exact(cand, queries, corpus, k, id_col, vec_col)
 
 
 def pq_train(
@@ -338,6 +324,56 @@ def _seq_sq_dists(sub: np.ndarray, cb_m: np.ndarray) -> np.ndarray:
     return d2
 
 
+def _select_topk_ties(g: np.ndarray, kk: int) -> np.ndarray:
+    """Per-row indices of the kk smallest entries of ``g`` (2-D,
+    columns pre-sorted by id) with EXACT ties at the selection boundary
+    broken to the lowest column: strictly-below-boundary columns plus
+    the first boundary-valued columns. The single source of truth for
+    the float-keyed quantized kernels (PQ ADC, IVF-PQ ADC) — a
+    tie-break fix lands once, not per kernel. (SQ8's integer keys use
+    the faster fold-the-column-index-into-the-key selection instead.)
+    """
+    n_c = g.shape[1]
+    sel = np.argpartition(g, kk - 1, axis=1)[:, :kk]
+    t = np.take_along_axis(g, sel, axis=1).max(axis=1)
+    tied = np.flatnonzero((g <= t[:, None]).sum(axis=1) > kk)
+    for i in tied:
+        gi, ti = g[i], t[i]
+        lt = np.flatnonzero(gi < ti)
+        eq = np.flatnonzero(gi == ti)[: kk - len(lt)]
+        sel[i] = np.concatenate([lt, eq])
+    return sel
+
+
+def _rerank_exact(
+    cand: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Full-precision rerank of a candidate edge table (src, dst, ...):
+    broadcast the (bounded) query vectors, join corpus vectors on the
+    candidate-sized dst side, exact JVM dist, top-k by (dist_sq, dst).
+    Shared tail of sq8_search / pq_search / ivfpq_search."""
+    from pyspark_mrdf_spark.functions.vector import l2_sq
+
+    qv = queries.select(F.col(id_col).alias("src"), F.col(vec_col).alias("q_vec"))
+    cv = corpus.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("c_vec"))
+    rr = (
+        cand.join(F.broadcast(qv), "src")
+        .join(cv, "dst")
+        .withColumn("dist_sq", l2_sq("q_vec", "c_vec"))
+    )
+    wk = Window.partitionBy("src").orderBy("dist_sq", "dst")
+    return (
+        rr.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= k)
+        .select("src", "dst", "dist_sq", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: np.ndarray,
@@ -419,17 +455,10 @@ def pq_candidates(
             n_c = g.shape[1]
             kk = min(k, n_c)
             if kk < n_c:
-                sel = np.argpartition(g, kk - 1, axis=1)[:, :kk]
                 # float ADC values tie exactly whenever two corpus rows
-                # share a code tuple — adjudicate boundary ties with the
-                # SQ8 kernel's two-scan redo (columns are id-ordered)
-                t = np.take_along_axis(g, sel, axis=1).max(axis=1)
-                tied = np.flatnonzero((g <= t[:, None]).sum(axis=1) > kk)
-                for i in tied:
-                    gi, ti = g[i], t[i]
-                    lt = np.flatnonzero(gi < ti)
-                    eq = np.flatnonzero(gi == ti)[: kk - len(lt)]
-                    sel[i] = np.concatenate([lt, eq])
+                # share a code tuple — _select_topk_ties adjudicates the
+                # boundary (columns are id-ordered)
+                sel = _select_topk_ties(g, kk)
             else:
                 sel = np.broadcast_to(np.arange(n_c), (g.shape[0], n_c)).copy()
             gs = np.take_along_axis(g, sel, axis=1)
@@ -484,21 +513,7 @@ def pq_search(
         queries, codes, k_candidates, cb, id_col, vec_col, include_self,
         n_parts=n_parts,
     )
-    from pyspark_mrdf_spark.functions.vector import l2_sq
-
-    qv = queries.select(F.col(id_col).alias("src"), F.col(vec_col).alias("q_vec"))
-    cv = corpus.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("c_vec"))
-    rr = (
-        cand.join(F.broadcast(qv), "src")
-        .join(cv, "dst")
-        .withColumn("dist_sq", l2_sq("q_vec", "c_vec"))
-    )
-    wk = Window.partitionBy("src").orderBy("dist_sq", "dst")
-    return (
-        rr.withColumn("rnk", F.row_number().over(wk))
-        .filter(F.col("rnk") <= k)
-        .select("src", "dst", "dist_sq", F.col("rnk").cast("int").alias("rnk"))
-    )
+    return _rerank_exact(cand, queries, corpus, k, id_col, vec_col)
 
 
 def ivfpq_train(
@@ -684,12 +699,7 @@ def ivfpq_search(
             n_c = len(g)
             kk = min(k_candidates, n_c)
             if kk < n_c:
-                sel = np.argpartition(g, kk - 1)[:kk]
-                t = g[sel].max()
-                if (g <= t).sum() > kk:
-                    lt = np.flatnonzero(g < t)
-                    eq = np.flatnonzero(g == t)[: kk - len(lt)]
-                    sel = np.concatenate([lt, eq])
+                sel = _select_topk_ties(g[None, :], kk)[0]
             else:
                 sel = np.arange(n_c)
             fin = np.isfinite(g[sel])
@@ -714,18 +724,4 @@ def ivfpq_search(
         .filter(F.col("crnk") <= k_candidates)
         .drop("crnk")
     )
-    from pyspark_mrdf_spark.functions.vector import l2_sq
-
-    qv = queries.select(F.col(id_col).alias("src"), F.col(vec_col).alias("q_vec"))
-    cv = corpus.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("c_vec"))
-    rr = (
-        cand.join(F.broadcast(qv), "src")
-        .join(cv, "dst")
-        .withColumn("dist_sq", l2_sq("q_vec", "c_vec"))
-    )
-    wk2 = Window.partitionBy("src").orderBy("dist_sq", "dst")
-    return (
-        rr.withColumn("rnk", F.row_number().over(wk2))
-        .filter(F.col("rnk") <= k)
-        .select("src", "dst", "dist_sq", F.col("rnk").cast("int").alias("rnk"))
-    )
+    return _rerank_exact(cand, queries, corpus, k, id_col, vec_col)

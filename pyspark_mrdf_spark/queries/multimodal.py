@@ -143,14 +143,20 @@ def q81_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # under one hash verdict; slot ceded by q21 (6x driver-green, events
     # family keeps q22/q24/q25/q28/q29/q63)
     oracle="""
-WITH bytes AS (
+WITH hx AS (
+  -- hex of the whole payload computed ONCE per doc: DuckDB does not
+  -- hoist loop invariants out of lambdas, so hex(encode(text)) inside
+  -- the per-byte transform would re-encode the document 2n times
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents),
+bytes AS (
   -- true UTF-8 BYTES via hex decode (a per-character unicode() would
   -- diverge from the byte histogram on any non-ASCII text)
   SELECT doc_id,
-         list_transform(generate_series(1, octet_length(encode(text))), i ->
-           strpos('0123456789ABCDEF', substr(hex(encode(text)), 2 * i - 1, 1)) * 16
-           + strpos('0123456789ABCDEF', substr(hex(encode(text)), 2 * i, 1)) - 17) AS bs
-  FROM documents),
+         list_transform(generate_series(1, n), i ->
+           strpos('0123456789ABCDEF', substr(h, 2 * i - 1, 1)) * 16
+           + strpos('0123456789ABCDEF', substr(h, 2 * i, 1)) - 17) AS bs
+  FROM hx),
 hist AS (
   SELECT doc_id,
          list_transform(generate_series(0, 31),

@@ -129,13 +129,23 @@ def _funnel_update(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     v, c, p = state.get if state.exists else (_UNSET, _UNSET, _UNSET)
-    for pdf in pdfs:
+    # gather the WHOLE group before advancing: Spark hands the group
+    # over as multiple Arrow chunks (maxRecordsPerBatch) in arbitrary
+    # shuffle order, and funnel_advance's chunk-composition property
+    # holds only for ts-ordered chunk boundaries — one sorted pass
+    # over the concatenation is the correct in-batch order
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        allp = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
         v, c, p = funnel_advance(
-            v, c, p, pdf["ts_us"].tolist(), pdf["event_type"].tolist()
+            v, c, p, allp["ts_us"].tolist(), allp["event_type"].tolist()
         )
-    state.update((v, c, p))
     if v == _UNSET:
-        return  # user has no view yet: not in the funnel output
+        # nothing reached the funnel: persisting (-1,-1,-1) would be
+        # semantically identical to no state but lives forever under
+        # NoTimeout — keep the store at O(funnel users), not O(keys)
+        return
+    state.update((v, c, p))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
