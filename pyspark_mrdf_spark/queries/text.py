@@ -511,3 +511,62 @@ def q88_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25_e6"), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "q96_rare_token_filter",
+    driver=False,  # pytest-only: 50-slot driver cap (new r7; rotation owed next round)
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+freq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occ FROM tok GROUP BY tok)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN f.n_occ <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(SUM(CASE WHEN f.n_occ <= 2 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+         AS rare_frac_e6,
+       CAST(SUM(f.n_occ) // COUNT(*) AS BIGINT) AS mean_tok_freq,
+       (SUM(CASE WHEN f.n_occ <= 2 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)) <= 100000
+         AS quality_pass
+FROM tok t JOIN freq f USING (tok)
+GROUP BY t.doc_id
+""",
+    description=(
+        "frequency-dictionary quality filter: per-doc share of CORPUS-rare "
+        "tokens (occurring <=2 times overall) and mean corpus frequency of "
+        "the doc's tokens, with the <=0.10 rare-share pass flag — the "
+        "dictionary-based pass that catches OCR garbage, mojibake, and "
+        "gibberish that per-doc heuristics (q32/q87) cannot see, because "
+        "its signal is the whole corpus's vocabulary. Exact integers "
+        "throughout. Scale shape: one explode pass, a token-keyed count "
+        "with map-side partials (vocabulary-sized output), a token-keyed "
+        "equi-join back, one doc-keyed agg — every step per-doc or "
+        "equi-key, the 100 TB-safe shape"
+    ),
+    tags=("text", "quality", "pipeline"),
+)
+def q96_rare_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n_occ"))
+    j = tok.join(freq, "tok")
+    rare = F.sum(F.when(F.col("n_occ") <= 2, 1).otherwise(0))
+    frac = F.expr("n_rare * 1000000 div n_tokens")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            rare.cast("bigint").alias("n_rare"),
+            F.sum("n_occ").alias("freq_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_rare",
+            frac.alias("rare_frac_e6"),
+            F.expr("freq_sum div n_tokens").cast("bigint").alias("mean_tok_freq"),
+            (frac <= 100_000).alias("quality_pass"),
+        )
+    )
