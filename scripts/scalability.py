@@ -367,6 +367,22 @@ def _sq8_evidence(spark, n: int) -> dict:
         out["pq_recall"] = round(recall(g_exact, g_pq), 4)
         out["pq_k_candidates"] = 16 * K
         out["pq_index_bytes_per_row"] = 8 + 8  # 8 subspace codes + id
+
+        # IVF-PQ at size: 64 cells / probe 8 scans ~12.5% of the corpus
+        # on 8 B/row residual codes — scan-fraction × compression, the
+        # composition a 100 TB deployment actually ships
+        from pyspark_mrdf_spark.operators.quantize import ivfpq_search
+
+        ivfpq_kw = dict(
+            k_candidates=16 * K, n_centroids=64, n_probe=8,
+            sample_size=4096, include_self=False,
+        )
+        g_ivfpq, cold = _timed(lambda: ivfpq_search(queries, emb, K, **ivfpq_kw))
+        _, warm = _timed(lambda: ivfpq_search(queries, emb, K, **ivfpq_kw))
+        out["ivfpq_cold_s"], out["ivfpq_warm_s"] = cold, warm
+        out["ivfpq_recall"] = round(recall(g_exact, g_ivfpq), 4)
+        out["ivfpq_cells"], out["ivfpq_probe"] = 64, 8
+        out["ivfpq_scan_fraction"] = 8 / 64
     finally:
         shutil.rmtree(syn_dir, ignore_errors=True)
     return out
