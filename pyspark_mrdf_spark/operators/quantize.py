@@ -685,33 +685,33 @@ def ivfpq_search(
         c_order = np.argsort(c_ids, kind="stable")
         c_ids = c_ids[c_order]
         c_codes = c_codes[c_order]
-        out = []
+        # ONE vectorized pass over all queries probing this cell: stack
+        # their per-cell ADC tables, then accumulate the 8 per-subspace
+        # gathers across the whole (n_q_cell, n_c) matrix — a per-query
+        # Python loop here measured ~20s at n=50k (5000 queries × 8
+        # probes = 40k small-iteration bodies); this form is ~8 gathers
         pos = {int(q): i for i, q in enumerate(qi_all)}
-        for q in ppdf["q_id"].to_numpy(dtype=np.int64):
-            i = pos[int(q)]
-            j = int(np.flatnonzero(probe_all[i] == cell)[0])
-            tbl = tbl_all[i, j]
-            g = tbl[0, c_codes[:, 0]].astype(np.float64)
-            for m in range(1, n_sub):
-                g = g + tbl[m, c_codes[:, m]]
-            if not include_self:
-                g[c_ids == q] = np.inf
-            n_c = len(g)
-            kk = min(k_candidates, n_c)
-            if kk < n_c:
-                sel = _select_topk_ties(g[None, :], kk)[0]
-            else:
-                sel = np.arange(n_c)
-            fin = np.isfinite(g[sel])
-            sel = sel[fin]
-            out.append(
-                pd.DataFrame(
-                    {"src": np.full(len(sel), q), "dst": c_ids[sel], "adc_dist": g[sel]}
-                )
-            )
-        if not out:
-            return pd.DataFrame(columns=["src", "dst", "adc_dist"])
-        return pd.concat(out, ignore_index=True)
+        qs = ppdf["q_id"].to_numpy(dtype=np.int64)
+        qidx = np.fromiter((pos[int(q)] for q in qs), dtype=np.int64, count=len(qs))
+        jidx = np.argmax(probe_all[qidx] == cell, axis=1)
+        tbl = tbl_all[qidx, jidx]  # (n_q_cell, n_sub, n_codes)
+        g = tbl[:, 0, :][:, c_codes[:, 0]]
+        for m in range(1, n_sub):
+            g = g + tbl[:, m, :][:, c_codes[:, m]]
+        if not include_self:
+            g[qs[:, None] == c_ids[None, :]] = np.inf
+        n_c = g.shape[1]
+        kk = min(k_candidates, n_c)
+        if kk < n_c:
+            sel = _select_topk_ties(g, kk)
+        else:
+            sel = np.broadcast_to(np.arange(n_c), (g.shape[0], n_c)).copy()
+        gs = np.take_along_axis(g, sel, axis=1)
+        fin = np.isfinite(gs)
+        src = np.repeat(qs, sel.shape[1]).reshape(sel.shape)[fin]
+        return pd.DataFrame(
+            {"src": src, "dst": c_ids[sel][fin], "adc_dist": gs[fin]}
+        )
 
     cand = (
         probes_df.groupby("cell")
