@@ -133,9 +133,13 @@ def pii_counts(col: str | Column = "text") -> dict[str, Column]:
 
 def scrub_pii(col: str | Column = "text") -> Column:
     """Masked text: every PII match replaced by its <KIND> tag, in the
-    fixed PII_PATTERNS order (email → phone → ipv4; order matters —
-    phone masking must not see digits an email already consumed).
-    Pure JVM regexp_replace chain: no UDF, full codegen."""
+    fixed PII_PATTERNS order (email → apikey → ccard → ssn → phone →
+    ipv4). The order is load-bearing for byte-identical masking:
+    email/apikey run first so a digit-bearing local-part or key is
+    consumed whole; ccard before ssn/phone so a long digit run is
+    never partially eaten as a phone; ipv4 last (needs dots the digit
+    patterns never consume) — see the PII_PATTERNS comment. Pure JVM
+    regexp_replace chain: no UDF, full codegen."""
     c = F.col(col) if isinstance(col, str) else col
     for kind, pat in PII_PATTERNS.items():
         c = F.regexp_replace(c, pat, f"<{kind.upper()}>")

@@ -51,6 +51,8 @@ def sq8_train(df: DataFrame, vec_col: str = "embedding") -> tuple[np.ndarray, np
         .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
         .collect()
     )
+    if not rows:
+        raise ValueError("sq8_train: empty corpus (no vectors to train the quantizer on)")
     d = max(r["pos"] for r in rows) + 1
     mn = np.zeros(d, dtype=np.float64)
     mx = np.zeros(d, dtype=np.float64)
@@ -134,6 +136,8 @@ def sq8_candidates(
     the merge, not the scan."""
     spark = queries.sparkSession
     qpdf = queries.select(id_col, vec_col).toPandas()
+    if len(qpdf) == 0:
+        raise ValueError("sq8_candidates: empty query set")
     q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
     q_codes = sq8_codes(np.stack(qpdf[vec_col].to_numpy()), mn, mx).astype(np.int32)
     b = spark.sparkContext.broadcast((q_ids, q_codes))
@@ -270,6 +274,8 @@ def pq_train(
         .limit(sample_size)
         .select(vec_col)
     ).toPandas()
+    if len(pdf) == 0:
+        raise ValueError("pq_train: empty corpus (no vectors to train codebooks on)")
     x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     return pq_codebooks(x, n_subspaces, n_codes, iters)
 
@@ -425,6 +431,8 @@ def pq_candidates(
     the same two-scan boundary redo as the SQ8 kernel."""
     spark = queries.sparkSession
     qpdf = queries.select(id_col, vec_col).toPandas()
+    if len(qpdf) == 0:
+        raise ValueError("pq_candidates: empty query set")
     q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
     q_mat = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
     n_sub, n_codes, ds = codebooks.shape
@@ -546,6 +554,8 @@ def ivfpq_train(
         .limit(sample_size)
         .select(vec_col)
     ).toPandas()
+    if len(pdf) == 0:
+        raise ValueError("ivfpq_train: empty corpus (no vectors to train the index on)")
     x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
     return _ivfpq_params_from_sample(
         x, n_centroids, n_subspaces, n_codes, iters_coarse, iters_pq
@@ -643,19 +653,65 @@ def ivfpq_search(
     ``_seq_sq_dists``), exact ADC ties break to the lowest dst via the
     two-scan boundary redo, so the q95 oracle derives the identical
     candidate set; the rerank rides the q50-proven (dist, id) rank
-    portability. Returns (src, dst, dist_sq, rnk), rnk 1..k."""
+    portability. Returns (src, dst, dist_sq, rnk), rnk 1..k.
+
+    Per-call training is the convenience path; a deployment trains and
+    encodes ONCE (``ivfpq_train`` + ``ivfpq_encode`` +
+    ``write_ivfpq_index``) and serves query batches through
+    ``ivfpq_search_encoded`` over the loaded index — bit-identical to
+    this path (train-once/search-many equivalence-tested)."""
+    from pyspark_mrdf_spark.operators.similarity import _scan_shaped
+
+    # a COMPUTED corpus lineage (UDF embeds, joins) would re-evaluate
+    # for the training sample, the encode pass AND the rerank join —
+    # materialize it once (knn_search's guard discipline; scan-shaped
+    # inputs re-read for free and skip the checkpoint copy)
+    if not _scan_shaped(corpus):
+        corpus = corpus.localCheckpoint(eager=False)
+    coarse, cb = ivfpq_train(
+        corpus, n_centroids, n_subspaces, n_codes, sample_size,
+        iters_coarse, iters_pq, seed, id_col, vec_col,
+    )
+    # the code table IS the stored index — materialize it so the
+    # cogroup scan doesn't re-run the encode mapInPandas per action
+    # (sq8_search/pq_search discipline)
+    codes = ivfpq_encode(corpus, coarse, cb, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
+    return ivfpq_search_encoded(
+        queries, codes, coarse, cb, corpus, k,
+        k_candidates=k_candidates, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col, include_self=include_self,
+    )
+
+
+def ivfpq_search_encoded(
+    queries: DataFrame,
+    codes: DataFrame,
+    coarse: np.ndarray,
+    codebooks: np.ndarray,
+    corpus: DataFrame,
+    k: int,
+    k_candidates: int | None = None,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Serve a query batch against an ALREADY-ENCODED IVF-PQ index —
+    the train-once/search-many path (``read_ivfpq_index`` supplies
+    (coarse, codebooks, codes); ``corpus`` supplies full-precision
+    vectors for the rerank join only). Bit-identical output to the
+    per-call ``ivfpq_search``, which delegates here after training."""
     from pyspark_mrdf_spark.functions.vector import pairwise_l2_sq
 
     if k_candidates is None:
         k_candidates = 4 * k
     spark = queries.sparkSession
-    coarse, cb = ivfpq_train(
-        corpus, n_centroids, n_subspaces, n_codes, sample_size,
-        iters_coarse, iters_pq, seed, id_col, vec_col,
-    )
-    codes = ivfpq_encode(corpus, coarse, cb, id_col, vec_col)
-
+    cb = codebooks
     qpdf = queries.select(id_col, vec_col).toPandas()
+    if len(qpdf) == 0:
+        raise ValueError("ivfpq_search: empty query set")
     q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
     q_mat = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
     probe = np.argsort(pairwise_l2_sq(q_mat, coarse), axis=1, kind="stable")[
@@ -670,9 +726,27 @@ def ivfpq_search(
         for m in range(n_sub):
             tables[:, j, m, :] = _seq_sq_dists(res[:, m * ds : (m + 1) * ds], cb[m])
     b = spark.sparkContext.broadcast((q_ids, probe, tables))
-    probes_df = spark.createDataFrame(
-        [(int(q_ids[i]), int(probe[i, j])) for i in range(len(q_ids)) for j in range(n_probe)],
-        "q_id long, cell long",
+    # probe fan-out built EXECUTOR-side off the broadcast — a driver
+    # list comprehension here materializes n_queries·n_probe Python
+    # rows on the driver (at 100k queries × 8 probes, an 800k-row
+    # driver object) where a Range + pandas map stays distributed
+    n_probe_b = int(probe.shape[1])
+
+    def _emit_probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qi, pr, _ = b.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            idx = pdf["id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "q_id": qi[idx // n_probe_b],
+                    "cell": pr[idx // n_probe_b, idx % n_probe_b].astype(np.int64),
+                }
+            )
+
+    probes_df = spark.range(len(q_ids) * n_probe_b).mapInPandas(
+        _emit_probes, "q_id long, cell long"
     )
 
     def _scan(key: tuple, ppdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:

@@ -98,6 +98,7 @@ def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q41_jaccard_near_dups",
+    driver=False,  # r8 rotation: 7x driver-green, cedes its slot to q91-q98 (family keeps q40/q42/q46/q77/q78/q79/q82)
     oracle=f"""
 WITH post AS (
   SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
@@ -164,6 +165,7 @@ def _minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q43_lsh_candidates",
+    driver=False,  # r8 rotation: 7x driver-green, cedes its slot to q91-q98 (family keeps q42 minhash + q58/q79 band candidates)
     oracle=f"""
 WITH post AS (
   SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
@@ -225,6 +227,7 @@ def _simhash48(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q45_simhash_near_pairs",
+    driver=False,  # r8 rotation: 7x driver-green, cedes its slot to q91-q98 (family keeps q79 simhash bands)
     oracle="""
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
 sums AS (
@@ -300,6 +303,7 @@ def q72_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q73_canonical_corpus",
+    driver=False,  # r8 rotation: 5x driver-green, cedes its slot to q91-q98 (family keeps q72 clustering)
     # promoted r3: rotated into the driver surface for a hard verdict
     oracle=f"""
 WITH RECURSIVE {_PAIRS_CTE}

@@ -266,6 +266,7 @@ def q29_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q63_stream_stream_join",
+    driver=False,  # r8 rotation: 6x driver-green, cedes its slot to q91-q98 (streaming twins keep q24/q25 windows)
     oracle="""
 SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
        epoch_us(c.ts) AS click_ts_us, c.value AS click_value
@@ -342,7 +343,7 @@ def q76_salted_hot_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q93_funnel_analysis",
-    driver=False,  # pytest-only: 50-slot driver cap (new r7; rotation owed next round)
+    # promoted r8: rotated into the driver surface for a hard verdict
     oracle="""
 WITH v AS (
   SELECT user_id, MIN(epoch_us(ts)) AS ts_view_us
@@ -418,7 +419,7 @@ def q93_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q94_cohort_retention",
-    driver=False,  # pytest-only: 50-slot driver cap (new r7; rotation owed next round)
+    # promoted r8: rotated into the driver surface for a hard verdict
     oracle="""
 WITH first_ev AS (
   SELECT user_id, MIN(epoch_us(ts)) AS first_us FROM events GROUP BY user_id)

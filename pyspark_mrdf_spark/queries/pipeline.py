@@ -159,6 +159,7 @@ def q74_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q71_mixture_sample",
+    driver=False,  # r8 rotation: 5x driver-green, cedes its slot to q91-q98 (sampling keeps q84/q85)
     # promoted r3: rotated into the driver surface for a hard verdict
     oracle="""
 SELECT doc_id, lang, source
@@ -336,7 +337,7 @@ def q90_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q91_chunk_dup_rate",
-    driver=False,  # pytest-only: 50-slot driver cap (new r7; rotation owed next round)
+    # promoted r8: rotated into the driver surface for a hard verdict
     oracle="""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

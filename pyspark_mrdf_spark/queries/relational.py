@@ -782,6 +782,7 @@ def q68_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q75_unpivot_lineitem",
+    driver=False,  # r8 rotation: 5x driver-green, cedes its slot to q91-q98 (Expand op pytest-covered; aggs keep q01/q67)
     # promoted r3: rotated into the driver surface for a hard verdict
     oracle="""
 SELECT l_orderkey, l_linenumber, metric,

@@ -515,7 +515,7 @@ def q88_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q96_rare_token_filter",
-    driver=False,  # pytest-only: 50-slot driver cap (new r7; rotation owed next round)
+    # promoted r8: rotated into the driver surface for a hard verdict
     oracle="""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

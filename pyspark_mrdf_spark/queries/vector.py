@@ -155,6 +155,7 @@ def q52_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q53_cosine_topk_same_label",
+    driver=False,  # r8 rotation: 7x driver-green, cedes its slot to q91-q98 (knn family keeps q50/q80/q86/q89)
     oracle="""
 SELECT src, dst, rnk FROM (
   SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -583,7 +584,7 @@ SELECT src, dst, rnk FROM rr WHERE rnk <= 5
 
 @register(
     "q92_pq_quantized_knn",
-    driver=False,  # pytest-only: 50-slot driver cap (new r7; rotation owed next round)
+    # promoted r8: rotated into the driver surface for a hard verdict
     oracle=_q92_oracle,
     description=(
         "product-quantization (PQ) search: 8 subspaces x 16 Lloyd-trained "
@@ -659,10 +660,16 @@ cb(m, code, cvec) AS (VALUES
   {cb_vals}),
 ms AS (SELECT unnest(generate_series(1, {n_sub})) AS m),
 assigned AS (
+  -- rank cells by the UN-sqrted squared L2 (the kernel's
+  -- pairwise_l2_sq domain): list_distance's sqrt could collapse two
+  -- distinct d² values into one double and flip the cent_id tie-break,
+  -- changing a cell assignment and thus the candidate set
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.cent_id AS cell,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
-             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cent_vec),
+             ORDER BY list_sum(list_transform(generate_series(1, {n_sub * ds}),
+                      i -> (CAST(e.embedding[i] AS DOUBLE) - c.cent_vec[i])
+                         * (CAST(e.embedding[i] AS DOUBLE) - c.cent_vec[i]))),
                       c.cent_id) AS rn
     FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
 res AS (
@@ -681,10 +688,13 @@ enc AS (
                       b.code) AS rn
     FROM res r JOIN cb b USING (m)) WHERE rn = 1),
 qprobe AS (
+  -- same un-sqrted ordering discipline as `assigned` above
   SELECT vec_id AS q_id, cell, embedding FROM (
     SELECT e.vec_id, c.cent_id AS cell, e.embedding,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
-             ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), c.cent_vec),
+             ORDER BY list_sum(list_transform(generate_series(1, {n_sub * ds}),
+                      i -> (CAST(e.embedding[i] AS DOUBLE) - c.cent_vec[i])
+                         * (CAST(e.embedding[i] AS DOUBLE) - c.cent_vec[i]))),
                       c.cent_id) AS rn
     FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 30)
   WHERE rn <= {cfg["n_probe"]}),
@@ -723,7 +733,7 @@ SELECT src, dst, rnk FROM rr WHERE rnk <= 5
 
 @register(
     "q95_ivfpq_knn",
-    driver=False,  # pytest-only: 50-slot driver cap (new r7; rotation owed next round)
+    # promoted r8: rotated into the driver surface for a hard verdict
     oracle=_q95_oracle,
     description=(
         "IVF-PQ search — the composition that IS large-corpus ANN: coarse "

@@ -377,7 +377,10 @@ def test_funnel_stream_matches_batch_q93(spark, sf_dir, events_json_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # availableNow terminates on its own once all input is processed —
+    # assert it actually finished, else the batch comparison below runs
+    # on partial emissions and the test is flaky instead of clear
+    assert q.awaitTermination(120), "funnel stream did not drain in 120s"
     # update mode re-emits a user's row each batch they appear in —
     # keep the LAST emission per user (max stage/timestamps are final)
     got_rows = spark.sql(
