@@ -235,6 +235,31 @@ def sq8_search(
     # ~2s at n=50k; the 6.4M-row merge those 32 slabs produce is ~1s),
     # so parallelism is the binding constraint, not merge input
     codes = sq8_encode(corpus, mn, mx, id_col, vec_col).localCheckpoint(eager=False)
+    return sq8_search_encoded(
+        queries, codes, mn, mx, corpus, k,
+        k_candidates=k_candidates, id_col=id_col, vec_col=vec_col,
+        include_self=include_self,
+    )
+
+
+def sq8_search_encoded(
+    queries: DataFrame,
+    codes: DataFrame,
+    mn: np.ndarray,
+    mx: np.ndarray,
+    corpus: DataFrame,
+    k: int,
+    k_candidates: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Serve a query batch against an ALREADY-ENCODED SQ8 index
+    (``read_sq8_index`` supplies (mn, mx, codes); ``corpus`` supplies
+    full-precision vectors for the rerank join only). Bit-identical
+    output to the per-call ``sq8_search``, which delegates here."""
+    if k_candidates is None:
+        k_candidates = 4 * k
     n_codes = codes.count()
     n_parts = max(
         corpus.sparkSession.sparkContext.defaultParallelism,
@@ -513,12 +538,35 @@ def pq_search(
         corpus, n_subspaces, n_codes, sample_size, iters, seed, id_col, vec_col
     )
     codes = pq_encode(corpus, cb, id_col, vec_col).localCheckpoint(eager=False)
+    return pq_search_encoded(
+        queries, codes, cb, corpus, k,
+        k_candidates=k_candidates, id_col=id_col, vec_col=vec_col,
+        include_self=include_self,
+    )
+
+
+def pq_search_encoded(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    corpus: DataFrame,
+    k: int,
+    k_candidates: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """Serve a query batch against an ALREADY-ENCODED PQ index
+    (``read_pq_index`` supplies (codebooks, codes)). Bit-identical
+    output to the per-call ``pq_search``, which delegates here."""
+    if k_candidates is None:
+        k_candidates = 4 * k
     n_parts = max(
         corpus.sparkSession.sparkContext.defaultParallelism,
         -(-codes.count() // 16_384),
     )
     cand = pq_candidates(
-        queries, codes, k_candidates, cb, id_col, vec_col, include_self,
+        queries, codes, k_candidates, codebooks, id_col, vec_col, include_self,
         n_parts=n_parts,
     )
     return _rerank_exact(cand, queries, corpus, k, id_col, vec_col)
@@ -799,3 +847,198 @@ def ivfpq_search_encoded(
         .drop("crnk")
     )
     return _rerank_exact(cand, queries, corpus, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Index persistence — train once, search many.
+#
+# A production corpus trains and encodes ONCE, then serves query batch
+# after query batch across jobs; retraining per search call (the
+# convenience *_search entry points) re-pays the full encode pass every
+# time. The stored index is two parts:
+#
+#   <path>/params.parquet — O(parameters) quantizer state written
+#       driver-side with pyarrow: float64 survives the parquet DOUBLE
+#       roundtrip bit-exactly, so a loaded index reproduces the inline
+#       path's results BIT-IDENTICALLY (equivalence-tested).
+#   <path>/codes/ — the per-row code table written by Spark
+#       (distributed, partition-count preserved by the scan that reads
+#       it back): (vec_id, code) for SQ8/PQ, (vec_id, cell, code) for
+#       IVF-PQ. uint8 codes ride in BINARY cells — 1 B/dim (SQ8) or
+#       1 B/subspace (PQ) on disk, the same 8-33x storage advantage
+#       the in-memory tier has.
+#
+# Search results are partition-independent (deterministic local-top-k
+# merges), so a reloaded code table — whatever its file split — yields
+# the same rows as the just-encoded lineage.
+# ---------------------------------------------------------------------------
+
+
+def _write_params(path: str, parts: dict[str, np.ndarray]) -> None:
+    """Write named float64 arrays (1-D or 2-D or 3-D) to one parquet
+    file as (name, idx0, idx1, vec double[]) rows — small, driver-side,
+    bit-exact."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    names: list[str] = []
+    i0: list[int] = []
+    i1: list[int] = []
+    vecs: list[list[float]] = []
+    for name, arr in parts.items():
+        a = np.asarray(arr, dtype=np.float64)
+        if a.ndim == 1:
+            a = a[None, None, :]
+        elif a.ndim == 2:
+            a = a[None, :, :]
+        elif a.ndim != 3:
+            raise ValueError(f"_write_params: {name} has ndim={arr.ndim} > 3")
+        for x in range(a.shape[0]):
+            for y in range(a.shape[1]):
+                names.append(name)
+                i0.append(x)
+                i1.append(y)
+                vecs.append(a[x, y].tolist())
+    os.makedirs(path, exist_ok=True)
+    tbl = pa.table(
+        {
+            "name": pa.array(names, pa.string()),
+            "idx0": pa.array(i0, pa.int32()),
+            "idx1": pa.array(i1, pa.int32()),
+            "vec": pa.array(vecs, pa.list_(pa.float64())),
+        }
+    )
+    papq.write_table(tbl, os.path.join(path, "params.parquet"))
+
+
+def _read_params(path: str) -> dict[str, np.ndarray]:
+    """Inverse of ``_write_params``: name -> float64 array with the
+    original leading dims squeezed back off."""
+    import os
+
+    import pyarrow.parquet as papq
+
+    tbl = papq.read_table(os.path.join(path, "params.parquet")).to_pydict()
+    by_name: dict[str, dict[tuple[int, int], np.ndarray]] = {}
+    for name, x, y, vec in zip(tbl["name"], tbl["idx0"], tbl["idx1"], tbl["vec"]):
+        by_name.setdefault(name, {})[(x, y)] = np.asarray(vec, dtype=np.float64)
+    out: dict[str, np.ndarray] = {}
+    for name, cells in by_name.items():
+        n0 = max(x for x, _ in cells) + 1
+        n1 = max(y for _, y in cells) + 1
+        d = len(next(iter(cells.values())))
+        a = np.empty((n0, n1, d), dtype=np.float64)
+        for (x, y), v in cells.items():
+            a[x, y] = v
+        if n0 == 1 and n1 == 1:
+            out[name] = a[0, 0]
+        elif n0 == 1:
+            out[name] = a[0]
+        else:
+            out[name] = a
+    return out
+
+
+def write_sq8_index(
+    path: str, mn: np.ndarray, mx: np.ndarray, codes: DataFrame
+) -> None:
+    """Persist an SQ8 index: quantizer (mn, mx) + the 1 B/dim code
+    table. ``codes`` is an ``sq8_encode`` output."""
+    import os
+
+    _write_params(path, {"mn": mn, "mx": mx})
+    codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+
+
+def read_sq8_index(spark, path: str) -> tuple[np.ndarray, np.ndarray, DataFrame]:
+    """(mn, mx, codes) — feed to ``sq8_search_encoded``."""
+    import os
+
+    p = _read_params(path)
+    return p["mn"], p["mx"], spark.read.parquet(os.path.join(path, "codes"))
+
+
+def write_pq_index(path: str, codebooks: np.ndarray, codes: DataFrame) -> None:
+    """Persist a PQ index: (n_subspaces, n_codes, d_sub) codebooks +
+    the n_subspaces-B/row code table (a ``pq_encode`` output)."""
+    import os
+
+    _write_params(path, {"codebooks": codebooks})
+    codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+
+
+def read_pq_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
+    """(codebooks, codes) — feed to ``pq_search_encoded``."""
+    import os
+
+    p = _read_params(path)
+    return p["codebooks"], spark.read.parquet(os.path.join(path, "codes"))
+
+
+def write_ivfpq_index(
+    path: str, coarse: np.ndarray, codebooks: np.ndarray, codes: DataFrame
+) -> None:
+    """Persist an IVF-PQ index: coarse centroids + residual codebooks +
+    the (vec_id, cell, code) table (an ``ivfpq_encode`` output). The
+    code table is written partitioned BY CELL so a serving scan of
+    n_probe cells prunes to exactly those directories — partition
+    pruning does the IVF inverted-list lookup at the storage layer."""
+    import os
+
+    _write_params(path, {"coarse": coarse, "codebooks": codebooks})
+    codes.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "codes")
+    )
+
+
+def read_ivfpq_index(
+    spark, path: str
+) -> tuple[np.ndarray, np.ndarray, DataFrame]:
+    """(coarse, codebooks, codes) — feed to ``ivfpq_search_encoded``.
+    ``codes.cell`` comes back as the partition column (long-castable);
+    cast keeps the pre-persistence schema."""
+    import os
+
+    p = _read_params(path)
+    codes = spark.read.parquet(os.path.join(path, "codes")).select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), "code"
+    )
+    return p["coarse"], p["codebooks"], codes
+
+
+def build_sq8_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train + encode + persist in one call; returns (mn, mx)."""
+    mn, mx = sq8_train(corpus, vec_col)
+    write_sq8_index(path, mn, mx, sq8_encode(corpus, mn, mx, id_col, vec_col))
+    return mn, mx
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    sample_size: int = 2048,
+    iters_coarse: int = 10,
+    iters_pq: int = 10,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train + encode + persist an IVF-PQ index; returns (coarse,
+    codebooks). The one-time cost a deployment amortizes over every
+    subsequent ``ivfpq_search_encoded`` batch."""
+    coarse, cb = ivfpq_train(
+        corpus, n_centroids, n_subspaces, n_codes, sample_size,
+        iters_coarse, iters_pq, seed, id_col, vec_col,
+    )
+    write_ivfpq_index(path, coarse, cb, ivfpq_encode(corpus, coarse, cb, id_col, vec_col))
+    return coarse, cb

@@ -102,6 +102,7 @@ DRIVER_SURFACE = [
     "q56_mrdf_recall", "q57_ivf_recall",
     "q58_lsh_hyperplane_candidates", "q80_knn_search_external",
     "q89_sq8_quantized_knn", "q92_pq_quantized_knn", "q95_ivfpq_knn",
+    "q97_recall_vs_ivecs_gt", "q98_ivfpq_persisted_index",
 ]
 
 

@@ -368,3 +368,99 @@ def test_ivfpq_search_recall_and_contract(spark, sf_dir):
 
     per = approx.groupBy("src").count().agg(SF.min("count"), SF.max("count")).collect()[0]
     assert per[0] == per[1] == 5
+
+
+def test_ivfpq_index_roundtrip_bit_identical(spark, sf_dir, tmp_path):
+    """Train-once/search-many: a persisted IVF-PQ index reloaded from
+    parquet serves results BIT-IDENTICAL to the inline train-per-call
+    path (float64 params survive the parquet DOUBLE roundtrip exactly;
+    codes are partition-independent)."""
+    import numpy as np
+    from pyspark_mrdf_spark.operators.quantize import (
+        build_ivfpq_index,
+        ivfpq_search,
+        ivfpq_search_encoded,
+        ivfpq_train,
+        read_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 40)
+    cfg = dict(n_centroids=8, n_subspaces=8, n_codes=16,
+               sample_size=256, iters_coarse=5, iters_pq=5, seed=3)
+
+    path = str(tmp_path / "ivfpq_idx")
+    coarse_w, cb_w = build_ivfpq_index(emb, path, **cfg)
+    coarse_r, cb_r, codes_r = read_ivfpq_index(spark, path)
+    assert np.array_equal(coarse_w, coarse_r)   # bit-exact roundtrip
+    assert np.array_equal(cb_w, cb_r)
+    # the persisted code table is complete and cell-partitioned
+    assert codes_r.count() == emb.count()
+    assert set(codes_r.columns) == {"vec_id", "cell", "code"}
+
+    inline = ivfpq_search(
+        queries, emb, 5, k_candidates=60, n_probe=3, include_self=False, **cfg
+    ).collect()
+    served = ivfpq_search_encoded(
+        queries, codes_r, coarse_r, cb_r, emb, 5,
+        k_candidates=60, n_probe=3, include_self=False,
+    ).collect()
+    key = lambda r: (r["src"], r["rnk"])
+    assert sorted(map(tuple, served), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, inline), key=lambda t: (t[0], t[3])
+    )  # full rows incl. float dist_sq — bit-identical
+
+
+def test_sq8_index_roundtrip_bit_identical(spark, sf_dir, tmp_path):
+    import numpy as np
+    from pyspark_mrdf_spark.operators.quantize import (
+        build_sq8_index,
+        read_sq8_index,
+        sq8_search,
+        sq8_search_encoded,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 40)
+    path = str(tmp_path / "sq8_idx")
+    mn_w, mx_w = build_sq8_index(emb, path)
+    mn_r, mx_r, codes_r = read_sq8_index(spark, path)
+    assert np.array_equal(mn_w, mn_r) and np.array_equal(mx_w, mx_r)
+    assert codes_r.count() == emb.count()
+
+    inline = sq8_search(queries, emb, 5, k_candidates=40, include_self=False).collect()
+    served = sq8_search_encoded(
+        queries, codes_r, mn_r, mx_r, emb, 5, k_candidates=40, include_self=False
+    ).collect()
+    assert sorted(map(tuple, served), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, inline), key=lambda t: (t[0], t[3])
+    )
+
+
+def test_pq_index_roundtrip_bit_identical(spark, sf_dir, tmp_path):
+    import numpy as np
+    from pyspark_mrdf_spark.operators.quantize import (
+        pq_encode,
+        pq_search,
+        pq_search_encoded,
+        pq_train,
+        read_pq_index,
+        write_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 40)
+    cfg = dict(n_subspaces=8, n_codes=16, sample_size=256, iters=5, seed=7)
+    cb_w = pq_train(emb, **cfg)
+    path = str(tmp_path / "pq_idx")
+    write_pq_index(path, cb_w, pq_encode(emb, cb_w))
+    cb_r, codes_r = read_pq_index(spark, path)
+    assert np.array_equal(cb_w, cb_r)
+
+    inline = pq_search(queries, emb, 5, k_candidates=80, include_self=False, **cfg).collect()
+    served = pq_search_encoded(
+        queries, codes_r, cb_r, emb, 5, k_candidates=80, include_self=False
+    ).collect()
+    assert sorted(map(tuple, served), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, inline), key=lambda t: (t[0], t[3])
+    )
