@@ -101,14 +101,19 @@ def session_windows(
 JSON_TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
 
-def stream_events_from_json(spark: SparkSession, path: str) -> DataFrame:
+def stream_events_from_json(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream of events (JSON lines, explicit schema —
-    streaming sources never infer)."""
-    return (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("timestampFormat", JSON_TS_FORMAT)
-        .json(path)
+    streaming sources never infer). ``max_files_per_trigger`` bounds
+    each micro-batch's input (backpressure; also what lets tests stop
+    a query mid-stream with work remaining)."""
+    rs = spark.readStream.schema(EVENT_SCHEMA).option(
+        "timestampFormat", JSON_TS_FORMAT
     )
+    if max_files_per_trigger is not None:
+        rs = rs.option("maxFilesPerTrigger", max_files_per_trigger)
+    return rs.json(path)
 
 
 def run_available_now(sdf: DataFrame, query_name: str) -> list:

@@ -148,11 +148,24 @@ def main() -> None:
     # sq8_search (1-byte/dim codes + integer candidates + rerank) vs
     # the exact grid scan, with measured recall
     sq8_only = "--sq8-only" in argv
+    # --serving-only: ONLY the persisted-index serving row — the
+    # memory-bound regime (default n=200k, d=512 via --synthetic-d)
+    # where the quantized tiers' bytes-moved advantage becomes a
+    # measured wall-clock win: exact blocked scan per query batch vs
+    # SQ8/IVF-PQ batches served off a train-once persisted index
+    serving_only = "--serving-only" in argv
+    synthetic_d = 512
+    if "--synthetic-d" in argv:
+        i = argv.index("--synthetic-d")
+        if i + 1 >= len(argv):
+            sys.exit("error: --synthetic-d needs a value")
+        synthetic_d = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
     argv = [
         a for a in argv
         if a not in (
             "--uniform", "--uniform-tuned", "--uniform-tuned-only", "--grid-only",
-            "--mixture-only", "--sq8-only",
+            "--mixture-only", "--sq8-only", "--serving-only",
         )
     ]
     # the -only modes run exactly one section; any other argument or
@@ -161,20 +174,23 @@ def main() -> None:
     only_modes = [m for m, on in (
         ("--uniform-tuned-only", tuned_only), ("--grid-only", grid_only),
         ("--mixture-only", mixture_only), ("--sq8-only", sq8_only),
+        ("--serving-only", serving_only),
     ) if on]
     if only_modes and argv:
         sys.exit("error: the -only modes ignore sf arguments; drop one side")
     if len(only_modes) > 1:
         sys.exit(f"error: {' and '.join(only_modes)} each run exactly one section; pick one")
-    if (grid_only or sq8_only or mixture_only) and (include_uniform or include_uniform_tuned):
+    if (grid_only or sq8_only or mixture_only or serving_only) and (include_uniform or include_uniform_tuned):
         sys.exit(f"error: {only_modes[0]} runs only its own point; drop the uniform flags")
     if tuned_only and include_uniform:
         sys.exit("error: --uniform-tuned-only runs only the tuned point; drop the other flags")
     sfs = [] if only_modes else (argv or ["sf0.001", "sf0.01", "sf0.1"])
     # explicit sf list = corpus-only run; the synthetic flags would be
     # silently dead in that mode, so reject the combination outright
-    run_synthetic = (not argv or tuned_only or mixture_only) and not (grid_only or sq8_only)
-    if not (run_synthetic or grid_only) and (
+    run_synthetic = (not argv or tuned_only or mixture_only) and not (
+        grid_only or sq8_only or serving_only
+    )
+    if not (run_synthetic or grid_only or sq8_only or serving_only) and (
         include_uniform or include_uniform_tuned or saw_synthetic_flag
     ):
         sys.exit(
@@ -285,6 +301,10 @@ def main() -> None:
 
     if sq8_only:
         points.append(_sq8_evidence(spark, synthetic_n))
+        print(f"[scalability] {points[-1]}", file=sys.stderr)
+
+    if serving_only:
+        points.append(_serving_evidence(spark, synthetic_n, synthetic_d))
         print(f"[scalability] {points[-1]}", file=sys.stderr)
 
     print(json.dumps({"metric": "scalability_sweep", "points": points}))
@@ -470,6 +490,143 @@ def _grid_evidence(spark, n: int) -> dict:
             "max_group_block_rows": int(mx2),
             "per_task_peak_rows_bound": f"~({n}/4)/{M2} + ({n}/4)/{B2}",
         }
+    finally:
+        shutil.rmtree(syn_dir, ignore_errors=True)
+    return out
+
+
+def _serving_evidence(spark, n: int, d: int) -> dict:
+    """The quantized-tier WIN regime, measured: at high dimension the
+    exact scan is memory-bound (the precision-safe (q-x)² kernel moves
+    n_q·n·d·16 bytes per batch — at n=200k, d=512, 2000 queries that is
+    ~3.3 TB), while the quantized tiers move 8-64× fewer bytes: SQ8
+    scans 1 B/dim codes through an expanded-form BLAS gemm (exact in
+    float64 BECAUSE the code domain is integer — the float kernel
+    cannot use that form without losing the trustworthy ordering), and
+    IVF-PQ scans ~n_probe/n_cells of the corpus at ds-byte residual
+    codes. Both serve off a PERSISTED index (train once, load, serve —
+    operators/quantize.py write/read_*_index), so the per-batch cost is
+    search alone; index build time is recorded separately as the
+    one-time cost a deployment amortizes.
+
+    Emits per-batch wall times for ``n_batches`` disjoint query batches
+    plus recall (batch 0, vs the exact grid scan) — the row VERDICT r7
+    ask #3 requires: a quantized tier faster than exact wall-clock at
+    recall ≥ 0.9."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.operators.quantize import (
+        build_ivfpq_index,
+        build_sq8_index,
+        ivfpq_search_encoded,
+        read_ivfpq_index,
+        read_sq8_index,
+        sq8_search_encoded,
+    )
+    from pyspark_mrdf_spark.operators.similarity import knn_search_blocked
+
+    syn_dir = "/root/repo/.scalability_synth_serving"
+    batch_size = 2_000
+    n_batches = 3
+    # IVF-PQ geometry at d: keep the measured-good ds=8 residual
+    # subspaces (so n_sub scales with d) and the 64-cell/8-probe coarse
+    # layer from the 50k row; ADC tables stay an O(parameters)
+    # broadcast (n_q·n_probe·n_sub·16 doubles ≈ 131 MB at d=512)
+    n_cells, n_probe, ds_sub = 64, 8, 8
+    n_sub = d // ds_sub
+    out: dict = {
+        "sf": f"synthetic-{n}x{d}-serving", "n": n, "d": d,
+        "batch_size": batch_size, "n_batches": n_batches,
+        "ivfpq_cells": n_cells, "ivfpq_probe": n_probe,
+        "ivfpq_subspaces": n_sub, "ivfpq_scan_fraction": n_probe / n_cells,
+    }
+    try:
+        _write_synthetic(syn_dir, n, d=d)
+        emb = spark.read.parquet(os.path.join(syn_dir, "embeddings.parquet"))
+        emb = emb.localCheckpoint(eager=True)
+        dp = spark.sparkContext.defaultParallelism
+
+        def _noop(batches):
+            yield from batches
+
+        spark.range(0, dp * 100, 1, dp).mapInPandas(_noop, "id long").count()
+
+        batches = [
+            emb.filter(
+                (F.col("vec_id") >= i * batch_size)
+                & (F.col("vec_id") < (i + 1) * batch_size)
+            )
+            for i in range(n_batches)
+        ]
+
+        def _timed(build):
+            t0 = time.time()
+            g = build().localCheckpoint(eager=True)
+            return g, round(time.time() - t0, 2)
+
+        exact_s, exact_g = [], None
+        for i, q in enumerate(batches):
+            g, dt = _timed(
+                lambda: knn_search_blocked(
+                    q, emb, K, n_blocks=32, n_query_blocks=8, include_self=False
+                )
+            )
+            exact_s.append(dt)
+            if i == 0:
+                exact_g = g
+        out["exact_batch_s"] = exact_s
+
+        idx_root = tempfile.mkdtemp(prefix="mrdf_serving_idx_")
+
+        # SQ8: build+persist once, then serve batches off the loaded codes
+        t0 = time.time()
+        build_sq8_index(emb, os.path.join(idx_root, "sq8"))
+        out["sq8_index_build_s"] = round(time.time() - t0, 2)
+        mn, mx, sq8_codes_df = read_sq8_index(spark, os.path.join(idx_root, "sq8"))
+        sq8_codes_df = sq8_codes_df.localCheckpoint(eager=True)
+        sq8_s, sq8_g = [], None
+        for i, q in enumerate(batches):
+            g, dt = _timed(
+                lambda: sq8_search_encoded(
+                    q, sq8_codes_df, mn, mx, emb, K,
+                    k_candidates=4 * K, include_self=False,
+                )
+            )
+            sq8_s.append(dt)
+            if i == 0:
+                sq8_g = g
+        out["sq8_batch_s"] = sq8_s
+        out["sq8_recall"] = round(recall(exact_g, sq8_g), 4)
+        out["sq8_index_bytes_per_row"] = d + 8
+
+        # IVF-PQ: train+encode+persist once (cell-partitioned codes),
+        # serve batches off the loaded index
+        t0 = time.time()
+        build_ivfpq_index(
+            emb, os.path.join(idx_root, "ivfpq"),
+            n_centroids=n_cells, n_subspaces=n_sub, n_codes=16,
+            sample_size=4096,
+        )
+        out["ivfpq_index_build_s"] = round(time.time() - t0, 2)
+        coarse, cb, codes = read_ivfpq_index(spark, os.path.join(idx_root, "ivfpq"))
+        codes = codes.localCheckpoint(eager=True)
+        ivfpq_s, ivfpq_g = [], None
+        for i, q in enumerate(batches):
+            g, dt = _timed(
+                lambda: ivfpq_search_encoded(
+                    q, codes, coarse, cb, emb, K,
+                    k_candidates=16 * K, n_probe=n_probe, include_self=False,
+                )
+            )
+            ivfpq_s.append(dt)
+            if i == 0:
+                ivfpq_g = g
+        out["ivfpq_batch_s"] = ivfpq_s
+        out["ivfpq_recall"] = round(recall(exact_g, ivfpq_g), 4)
+        out["ivfpq_index_bytes_per_row"] = n_sub + 8 + 8
+        shutil.rmtree(idx_root, ignore_errors=True)
     finally:
         shutil.rmtree(syn_dir, ignore_errors=True)
     return out

@@ -398,3 +398,77 @@ def test_funnel_stream_matches_batch_q93(spark, sf_dir, events_json_dir):
     q.stop()
     cols = ["user_id", "ts_view_us", "ts_click_us", "ts_purchase_us", "funnel_stage"]
     assert _rows_set(got_rows, cols) == _rows_set(batch, cols)
+
+
+def test_funnel_stream_checkpoint_restart(spark, sf_dir, events_json_dir, tmp_path_factory):
+    """Exactly-once across a mid-stream kill: run 1 reads one file per
+    micro-batch and is stop()ped as soon as a batch commits (work still
+    remaining); run 2 resumes from the SAME checkpoint and drains the
+    rest. The checkpoint must deliver (a) no event lost or duplicated —
+    run1 + run2 input rows == the corpus exactly — and (b) recovered
+    per-user state: the last emission per user equals batch q93."""
+    import time as _time
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    from pyspark_mrdf_spark.queries import load_all
+    from pyspark_mrdf_spark.streaming import funnel_stream, stream_events_from_json
+
+    ckpt = str(tmp_path_factory.mktemp("funnel_ckpt"))
+    out_dir = str(tmp_path_factory.mktemp("funnel_emissions"))
+    batch = load_all()["q93_funnel_analysis"].builder(spark, sf_dir).collect()
+    total_events = load_table(spark, sf_dir, "events").count()
+
+    def sink(bdf, bid):
+        # foreachBatch: the checkpoint records the batch as committed
+        # only after this returns, so an append-parquet emission log is
+        # exactly-once at the batch granularity (later batch_id wins)
+        bdf.withColumn("batch_id", SF.lit(bid)).write.mode("append").parquet(out_dir)
+
+    q1 = (
+        funnel_stream(
+            stream_events_from_json(spark, events_json_dir, max_files_per_trigger=1)
+        )
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .start()
+    )
+    deadline = _time.time() + 120
+    while (
+        _time.time() < deadline
+        and not any(p["numInputRows"] > 0 for p in q1.recentProgress)
+    ):
+        _time.sleep(0.1)
+    q1.stop()  # kill with (usually) files still unread
+    q1.awaitTermination(60)
+    run1_rows = sum(p["numInputRows"] for p in q1.recentProgress)
+
+    q2 = (
+        funnel_stream(stream_events_from_json(spark, events_json_dir))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(120), "restarted funnel did not drain in 120s"
+    run2_rows = sum(p["numInputRows"] for p in q2.recentProgress)
+    q2.stop()
+    # exactly-once file delivery across the kill/restart boundary
+    assert run1_rows + run2_rows == total_events, (run1_rows, run2_rows, total_events)
+
+    emitted = spark.read.parquet(out_dir)
+    got_rows = (
+        emitted.withColumn(
+            "rn",
+            SF.row_number().over(
+                W.partitionBy("user_id").orderBy(SF.col("batch_id").desc())
+            ),
+        )
+        .filter(SF.col("rn") == 1)
+        .collect()
+    )
+    cols = ["user_id", "ts_view_us", "ts_click_us", "ts_purchase_us", "funnel_stage"]
+    assert _rows_set(got_rows, cols) == _rows_set(batch, cols)
