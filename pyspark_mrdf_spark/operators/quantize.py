@@ -766,14 +766,17 @@ def ivfpq_search_encoded(
         :, :n_probe
     ]
     n_sub, n_cd, ds = cb.shape
-    # per (query, probed cell): ADC tables over the RESIDUAL q − cent —
-    # (n_q, n_probe, n_subspaces, n_codes), O(parameters) broadcast
-    tables = np.empty((len(q_mat), n_probe, n_sub, n_cd), dtype=np.float64)
-    for j in range(n_probe):
-        res = q_mat - coarse[probe[:, j]]
-        for m in range(n_sub):
-            tables[:, j, m, :] = _seq_sq_dists(res[:, m * ds : (m + 1) * ds], cb[m])
-    b = spark.sparkContext.broadcast((q_ids, probe, tables))
+    # Broadcast the RAW inputs (queries + coarse centroids + codebooks,
+    # O(n_q·d + parameters) ≈ MBs) and build each cell's ADC tables
+    # INSIDE the per-cell scan. Precomputing all (query, probe) tables
+    # driver-side is O(n_q · n_probe · n_subspaces · n_codes) doubles —
+    # at a 2000-query × 8-probe × 64-subspace serving batch that is a
+    # 2.1 GB broadcast every Python worker must unpickle (measured:
+    # it, not the gathers, dominated the 200k×512 serving scan).
+    # Each (query, cell) pair lands in exactly ONE cogroup, so the
+    # total table arithmetic is unchanged, and _seq_sq_dists on the
+    # same float64 inputs is bit-identical wherever it runs.
+    b = spark.sparkContext.broadcast((q_ids, probe, q_mat, coarse, cb))
     # probe fan-out built EXECUTOR-side off the broadcast — a driver
     # list comprehension here materializes n_queries·n_probe Python
     # rows on the driver (at 100k queries × 8 probes, an 800k-row
@@ -781,7 +784,7 @@ def ivfpq_search_encoded(
     n_probe_b = int(probe.shape[1])
 
     def _emit_probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qi, pr, _ = b.value
+        qi, pr = b.value[0], b.value[1]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -796,27 +799,39 @@ def ivfpq_search_encoded(
     probes_df = spark.range(len(q_ids) * n_probe_b).mapInPandas(
         _emit_probes, "q_id long, cell long"
     )
+    # restrict the code scan to the cells this batch actually probes:
+    # on a persisted index (codes partitioned BY CELL) this IS the IVF
+    # inverted-list lookup — the parquet scan prunes to the probed
+    # directories (PartitionFilters: cell IN (...)), so storage I/O is
+    # the scan fraction, not the corpus. Un-probed cells contribute
+    # nothing to the cogroup anyway; the filter only moves that fact
+    # from shuffle time to scan time. O(n_cells) literal list.
+    cells_probed = [int(c) for c in np.unique(probe)]
+    codes = codes.filter(F.col("cell").isin(cells_probed))
 
     def _scan(key: tuple, ppdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
         if len(ppdf) == 0 or len(cpdf) == 0:
             return pd.DataFrame(columns=["src", "dst", "adc_dist"])
-        qi_all, probe_all, tbl_all = b.value
+        qi_all, _probe_all, qm_all, coarse_all, cb_all = b.value
         cell = int(key[0])
         c_ids = cpdf["vec_id"].to_numpy(dtype=np.int64)
         c_codes = np.stack([np.frombuffer(x, dtype=np.uint8) for x in cpdf["code"]])
         c_order = np.argsort(c_ids, kind="stable")
         c_ids = c_ids[c_order]
         c_codes = c_codes[c_order]
-        # ONE vectorized pass over all queries probing this cell: stack
-        # their per-cell ADC tables, then accumulate the 8 per-subspace
-        # gathers across the whole (n_q_cell, n_c) matrix — a per-query
-        # Python loop here measured ~20s at n=50k (5000 queries × 8
-        # probes = 40k small-iteration bodies); this form is ~8 gathers
+        # ONE vectorized pass over all queries probing this cell: build
+        # their residual ADC tables here (see the broadcast note above),
+        # then accumulate the per-subspace gathers across the whole
+        # (n_q_cell, n_c) matrix — a per-query Python loop here measured
+        # ~20s at n=50k (5000 queries × 8 probes = 40k small-iteration
+        # bodies); this form is n_subspaces gathers
         pos = {int(q): i for i, q in enumerate(qi_all)}
         qs = ppdf["q_id"].to_numpy(dtype=np.int64)
         qidx = np.fromiter((pos[int(q)] for q in qs), dtype=np.int64, count=len(qs))
-        jidx = np.argmax(probe_all[qidx] == cell, axis=1)
-        tbl = tbl_all[qidx, jidx]  # (n_q_cell, n_sub, n_codes)
+        res = qm_all[qidx] - coarse_all[cell]  # residual q − cent, (n_q_cell, d)
+        tbl = np.empty((len(qidx), n_sub, n_cd), dtype=np.float64)
+        for m in range(n_sub):
+            tbl[:, m, :] = _seq_sq_dists(res[:, m * ds : (m + 1) * ds], cb_all[m])
         g = tbl[:, 0, :][:, c_codes[:, 0]]
         for m in range(1, n_sub):
             g = g + tbl[:, m, :][:, c_codes[:, m]]

@@ -612,17 +612,24 @@ def _serving_evidence(spark, n: int, d: int) -> dict:
         out["ivfpq_index_build_s"] = round(time.time() - t0, 2)
         coarse, cb, codes = read_ivfpq_index(spark, os.path.join(idx_root, "ivfpq"))
         codes = codes.localCheckpoint(eager=True)
+        # candidate budget 64·K: at d=512 same-cluster distances
+        # CONCENTRATE (all ≈ sqrt(2d)·σ, tiny margins), so ADC ranking
+        # inside a cell is noisy — recall is bought with the cheap
+        # (table-lookup) candidate stage, then the exact rerank fixes
+        # the order; 160 candidates measured 0.47 here, the budget is
+        # the dial (same lesson as the flat-PQ sweep at d=64)
         ivfpq_s, ivfpq_g = [], None
         for i, q in enumerate(batches):
             g, dt = _timed(
                 lambda: ivfpq_search_encoded(
                     q, codes, coarse, cb, emb, K,
-                    k_candidates=16 * K, n_probe=n_probe, include_self=False,
+                    k_candidates=64 * K, n_probe=n_probe, include_self=False,
                 )
             )
             ivfpq_s.append(dt)
             if i == 0:
                 ivfpq_g = g
+        out["ivfpq_k_candidates"] = 64 * K
         out["ivfpq_batch_s"] = ivfpq_s
         out["ivfpq_recall"] = round(recall(exact_g, ivfpq_g), 4)
         out["ivfpq_index_bytes_per_row"] = n_sub + 8 + 8
