@@ -394,3 +394,133 @@ def q91_chunk_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (frac <= 300_000).alias("quality_pass"),
         )
     )
+
+
+# per-language EPOCH weights for oversampling: >1 repeats a doc that
+# many epochs (the Llama/GPT "books x2, wiki x3" pretraining pattern),
+# <1 thins. All fractional parts are binary-exact (.5/.75/.25/0) so
+# the double-vs-decimal literal split between engines cannot flip a
+# keep decision.
+EPOCH_WEIGHTS = {"en": 2.5, "de": 1.5, "fr": 1.0, "es": 0.75, "zh": 0.25}
+
+
+@register(
+    "q99_epoch_oversample",
+    driver=False,  # registered r8; rotation owed next round
+    oracle="""
+WITH t AS (
+  SELECT doc_id, lang,
+         CASE lang {cases} ELSE 1.0 END AS w,
+         CAST(concat('0x', substr(md5('epoch:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         / 4294967296.0 AS u
+  FROM documents),
+c AS (
+  SELECT doc_id, lang,
+         CAST(floor(w) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+  FROM t)
+SELECT doc_id, lang, CAST(UNNEST(generate_series(1, n_copies)) AS BIGINT) AS epoch
+FROM c WHERE n_copies >= 1
+""".format(
+        cases=" ".join(f"WHEN '{k}' THEN {v}" for k, v in EPOCH_WEIGHTS.items())
+    ),
+    description=(
+        "epoch oversampling: per-language weights >1 REPEAT a doc that many "
+        "epochs (floor(w) copies + one more with probability frac(w) via a "
+        "salted md5 uniform) — the upsampling half of mixture construction "
+        "that q71's keep/drop sampling cannot express; deterministic, so "
+        "every engine and every rerun materializes the identical epoch table"
+    ),
+    tags=("pipeline", "sampling"),
+)
+def q99_epoch_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the training-mix epoch table: doc x epoch rows.
+
+    Scale shape: pure per-row arithmetic + an explode whose fan-out is
+    the mixture's mean epoch count (~1-3x) — no shuffle at all; the
+    output feeds q85's shard shuffle. The fractional epoch is decided
+    by a salted uniform ('epoch:') independent of the q71/q84 draws.
+    Guard rail: Spark's sequence(1, 0) is DESCENDING [1, 0], so docs
+    with n_copies = 0 are filtered out BEFORE the explode."""
+    d = load_table(spark, sf_dir, "documents")
+    w_ = F.lit(1.0)
+    for k, v in EPOCH_WEIGHTS.items():
+        w_ = F.when(F.col("lang") == k, F.lit(float(v))).otherwise(w_)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("epoch:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    n_copies = (
+        F.floor(w_) + F.when(u < (w_ - F.floor(w_)), F.lit(1)).otherwise(F.lit(0))
+    ).cast("bigint")
+    return (
+        d.select("doc_id", "lang", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("n_copies"))).alias(
+                "epoch"
+            ),
+        )
+    )
+
+
+@register(
+    "q100_length_quantiles",
+    driver=False,  # registered r8; rotation owed next round
+    oracle="""
+WITH r AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT lang,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.25 * n) AS BIGINT)) THEN n_chars END) AS p25,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN n_chars END) AS p50,
+       MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.75 * n) AS BIGINT)) THEN n_chars END) AS p75,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM r GROUP BY lang
+""",
+    description=(
+        "per-language document-length quantiles by NEAREST-RANK selection "
+        "(value at row ceil(q*n)) — integer row picks instead of float "
+        "interpolation, so the profile is bit-exact cross-engine; quantile "
+        "fractions are binary-exact (.25/.5/.75) so the double-vs-decimal "
+        "literal split cannot shift a rank"
+    ),
+    tags=("pipeline", "text", "window"),
+)
+def q100_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length profile per language — the curation dashboard
+    query behind min/max-length filter thresholds.
+
+    Scale shape: one hash partition per language (never a global
+    sort), a per-partition rank, and an equi-key final agg. At 100 TB
+    add more profile keys (lang x source x date) for more partition
+    parallelism — same plan."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    cw = Window.partitionBy("lang")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+
+    def pick(q: float, name: str):
+        tgt = F.greatest(F.lit(1).cast("bigint"), F.ceil(F.lit(q) * F.col("n")))
+        return F.max(F.when(F.col("rn") == tgt, F.col("n_chars"))).alias(name)
+
+    return ranked.groupBy("lang").agg(
+        pick(0.25, "p25"),
+        pick(0.5, "p50"),
+        pick(0.75, "p75"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )

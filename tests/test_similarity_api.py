@@ -464,3 +464,116 @@ def test_pq_index_roundtrip_bit_identical(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, served), key=lambda t: (t[0], t[3])) == sorted(
         map(tuple, inline), key=lambda t: (t[0], t[3])
     )
+
+
+def test_ivfpq_index_append_bit_identical(spark, sf_dir, tmp_path):
+    """Incremental ingest: build on the first half of the corpus,
+    append the second half with the persisted (frozen) params — the
+    grown index must serve BIT-IDENTICAL results to a code table
+    encoded from the full corpus with the same params, because
+    append changes no trained parameter and no existing code byte."""
+    from pyspark_mrdf_spark.operators.quantize import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        index_cell_stats,
+        ivfpq_encode,
+        ivfpq_search_encoded,
+        read_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") < 250)
+    new = emb.filter(F.col("vec_id") >= 250)
+    queries = emb.filter(F.col("vec_id") < 40)
+    cfg = dict(n_centroids=8, n_subspaces=8, n_codes=16,
+               sample_size=256, iters_coarse=5, iters_pq=5, seed=3)
+
+    path = str(tmp_path / "ivfpq_idx")
+    build_ivfpq_index(old, path, **cfg)
+    append_ivfpq_index(path, new)
+    coarse, cb, codes = read_ivfpq_index(spark, path)
+    assert codes.count() == emb.count()
+
+    grown = ivfpq_search_encoded(
+        queries, codes, coarse, cb, emb, 5,
+        k_candidates=60, n_probe=3, include_self=False,
+    ).collect()
+    full = ivfpq_search_encoded(
+        queries, ivfpq_encode(emb, coarse, cb), coarse, cb, emb, 5,
+        k_candidates=60, n_probe=3, include_self=False,
+    ).collect()
+    assert sorted(map(tuple, grown), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, full), key=lambda t: (t[0], t[3])
+    )
+
+    stats = index_cell_stats(spark, path).collect()
+    assert sum(r["n_vectors"] for r in stats) == emb.count()
+    assert all(r["skew_ratio"] >= 1.0 for r in stats)
+    # skew_ratio is corpus-wide: identical on every row
+    assert len({r["skew_ratio"] for r in stats}) == 1
+
+
+def test_sq8_index_append_bit_identical(spark, sf_dir, tmp_path):
+    from pyspark_mrdf_spark.operators.quantize import (
+        append_sq8_index,
+        build_sq8_index,
+        read_sq8_index,
+        sq8_encode,
+        sq8_search_encoded,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") < 250)
+    new = emb.filter(F.col("vec_id") >= 250)
+    queries = emb.filter(F.col("vec_id") < 40)
+
+    path = str(tmp_path / "sq8_idx")
+    build_sq8_index(old, path)
+    append_sq8_index(path, new)
+    mn, mx, codes = read_sq8_index(spark, path)
+    assert codes.count() == emb.count()
+
+    grown = sq8_search_encoded(
+        queries, codes, mn, mx, emb, 5, k_candidates=40, include_self=False
+    ).collect()
+    full = sq8_search_encoded(
+        queries, sq8_encode(emb, mn, mx), mn, mx, emb, 5,
+        k_candidates=40, include_self=False,
+    ).collect()
+    assert sorted(map(tuple, grown), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, full), key=lambda t: (t[0], t[3])
+    )
+
+
+def test_pq_index_append_bit_identical(spark, sf_dir, tmp_path):
+    from pyspark_mrdf_spark.operators.quantize import (
+        append_pq_index,
+        pq_encode,
+        pq_search_encoded,
+        pq_train,
+        read_pq_index,
+        write_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") < 250)
+    new = emb.filter(F.col("vec_id") >= 250)
+    queries = emb.filter(F.col("vec_id") < 40)
+    cb = pq_train(old, n_subspaces=8, n_codes=16, sample_size=256, iters=5, seed=7)
+
+    path = str(tmp_path / "pq_idx")
+    write_pq_index(path, cb, pq_encode(old, cb))
+    append_pq_index(path, new)
+    cb_r, codes = read_pq_index(spark, path)
+    assert codes.count() == emb.count()
+
+    grown = pq_search_encoded(
+        queries, codes, cb_r, emb, 5, k_candidates=80, include_self=False
+    ).collect()
+    full = pq_search_encoded(
+        queries, pq_encode(emb, cb_r), cb_r, emb, 5,
+        k_candidates=80, include_self=False,
+    ).collect()
+    assert sorted(map(tuple, grown), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, full), key=lambda t: (t[0], t[3])
+    )
