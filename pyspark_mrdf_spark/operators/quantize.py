@@ -405,42 +405,68 @@ def _rerank_exact(
       the determinism contract — ``np.sum`` tree-reduces and is NOT
       usable here).
 
-    Queries ride a broadcast: bounded by the external-query contract
-    (every caller here already materializes the query batch).
+    Shape: the candidate PAIR table (two longs per row, bounded by
+    n_queries × k_candidates — the external-query contract every
+    caller here already assumes) rides a broadcast, and the corpus is
+    scanned NARROWLY: no corpus shuffle, no corpus sort, each vector
+    decoded from parquet/cache exactly once per batch, and only the
+    pairs whose dst lands in a partition are scored there. The
+    previous shuffle-join shape sorted + exchanged the whole
+    corpus-vector side per query batch — measured ~800 MB (and the
+    dominant rerank slice) at n=200k, d=512.
     Shared tail of sq8_search / pq_search / ivfpq_search."""
     spark = cand.sparkSession
     qpdf = queries.select(id_col, vec_col).toPandas()
     q_ids_arr = qpdf[id_col].to_numpy(dtype=np.int64)
     q_mat = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
-    bq = spark.sparkContext.broadcast((q_ids_arr, q_mat))
+
+    # pairs sorted by dst so each corpus partition can range-slice its
+    # work with two searchsorted calls instead of a Python-dict probe
+    # per row
+    ppdf = cand.select("src", "dst").toPandas()
+    pair_src = ppdf["src"].to_numpy(dtype=np.int64)
+    pair_dst = ppdf["dst"].to_numpy(dtype=np.int64)
+    order = np.lexsort((pair_src, pair_dst))
+    pair_src = pair_src[order]
+    pair_dst = pair_dst[order]
+    bq = spark.sparkContext.broadcast((q_ids_arr, q_mat, pair_src, pair_dst))
 
     cv = corpus.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("c_vec"))
-    joined = cand.select("src", "dst").join(cv, "dst")
 
     def _dist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qi, qm = bq.value
+        qi, qm, psrc, pdst = bq.value
         pos = {int(x): i for i, x in enumerate(qi)}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            cm = np.stack(pdf["c_vec"].to_numpy()).astype(np.float64)
+            c_ids = pdf["dst"].to_numpy(dtype=np.int64)
+            lo = np.searchsorted(pdst, c_ids, side="left")
+            hi = np.searchsorted(pdst, c_ids, side="right")
+            counts = hi - lo
+            rows = np.flatnonzero(counts)
+            if len(rows) == 0:
+                continue
+            # pair indices for every local dst, concatenated in pair
+            # order; c_row maps each pair back to its (compacted) local
+            # vector — only rows that are somebody's candidate get
+            # decoded at all
+            pidx = np.concatenate([np.arange(lo[r], hi[r]) for r in rows])
+            c_row = np.repeat(np.arange(len(rows)), counts[rows])
+            cm = np.stack(pdf["c_vec"].to_numpy()[rows]).astype(np.float64)
+            srcs = psrc[pidx]
             qidx = np.fromiter(
-                (pos[int(s)] for s in pdf["src"]), dtype=np.int64, count=len(pdf)
+                (pos[int(s)] for s in srcs), dtype=np.int64, count=len(srcs)
             )
-            diff = qm[qidx] - cm
-            acc = np.zeros(len(pdf), dtype=np.float64)
+            diff = qm[qidx] - cm[c_row]
+            acc = np.zeros(len(srcs), dtype=np.float64)
             for j in range(diff.shape[1]):
                 dj = diff[:, j]
                 acc = acc + dj * dj
             yield pd.DataFrame(
-                {
-                    "src": pdf["src"].to_numpy(dtype=np.int64),
-                    "dst": pdf["dst"].to_numpy(dtype=np.int64),
-                    "dist_sq": acc,
-                }
+                {"src": srcs, "dst": pdst[pidx], "dist_sq": acc}
             )
 
-    rr = joined.mapInPandas(_dist, "src long, dst long, dist_sq double")
+    rr = cv.mapInPandas(_dist, "src long, dst long, dist_sq double")
     wk = Window.partitionBy("src").orderBy("dist_sq", "dst")
     return (
         rr.withColumn("rnk", F.row_number().over(wk))
@@ -820,29 +846,6 @@ def ivfpq_search_encoded(
     # Each (query, cell) pair lands in exactly ONE cogroup, so the
     # total table arithmetic is unchanged, and _seq_sq_dists on the
     # same float64 inputs is bit-identical wherever it runs.
-    b = spark.sparkContext.broadcast((q_ids, probe, q_mat, coarse, cb))
-    # probe fan-out built EXECUTOR-side off the broadcast — a driver
-    # list comprehension here materializes n_queries·n_probe Python
-    # rows on the driver (at 100k queries × 8 probes, an 800k-row
-    # driver object) where a Range + pandas map stays distributed
-    n_probe_b = int(probe.shape[1])
-
-    def _emit_probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qi, pr = b.value[0], b.value[1]
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            idx = pdf["id"].to_numpy(dtype=np.int64)
-            yield pd.DataFrame(
-                {
-                    "q_id": qi[idx // n_probe_b],
-                    "cell": pr[idx // n_probe_b, idx % n_probe_b].astype(np.int64),
-                }
-            )
-
-    probes_df = spark.range(len(q_ids) * n_probe_b).mapInPandas(
-        _emit_probes, "q_id long, cell long"
-    )
     # restrict the code scan to the cells this batch actually probes:
     # on a persisted index (codes partitioned BY CELL) this IS the IVF
     # inverted-list lookup — the parquet scan prunes to the probed
@@ -853,32 +856,93 @@ def ivfpq_search_encoded(
     cells_probed = [int(c) for c in np.unique(probe)]
     codes = codes.filter(F.col("cell").isin(cells_probed))
 
+    # SKEW SALTING, by query: a clustered corpus concentrates rows in
+    # few cells, and the biggest cell is also the most-probed — at
+    # n=200k/d=512 one 30k-row cell probed by all 2000 queries ran
+    # 126 s of ADC gathers in ONE task while 31 cores idled (≈ the
+    # whole scan wall). Splitting a hot cell's QUERIES across subtasks
+    # parallelizes exactly that work with no merge inflation: each
+    # query keeps ALL of the cell's rows in its one subtask (so the
+    # per-(query, cell) top-k and the final merge see identical
+    # inputs — bit-identical results), and only the cell's CODES are
+    # replicated per subtask, which at 8 B/row-scale is megabytes.
+    # Salt counts come from exact per-cell pair counts: probe counts
+    # are driver-local already; code counts are one O(n_cells)
+    # aggregate on the (checkpointed) code table.
+    cnt_rows = codes.groupBy("cell").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    cell_rows = {int(r["cell"]): int(r["cnt"]) for r in cnt_rows}
+    pc, pn = np.unique(probe, return_counts=True)
+    nq_cell = {int(c): int(n) for c, n in zip(pc, pn)}
+    PAIR_BUDGET = 8_000_000  # ~one second of gathers per subtask
+    n_salt = {
+        c: max(1, -(-(nq_cell[c] * cell_rows.get(c, 0)) // PAIR_BUDGET))
+        for c in cells_probed
+    }
+    b = spark.sparkContext.broadcast((q_ids, probe, q_mat, coarse, cb, n_salt))
+    # probe fan-out built EXECUTOR-side off the broadcast — a driver
+    # list comprehension here materializes n_queries·n_probe Python
+    # rows on the driver (at 100k queries × 8 probes, an 800k-row
+    # driver object) where a Range + pandas map stays distributed
+    n_probe_b = int(probe.shape[1])
+
+    def _emit_probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qi, pr, ns = b.value[0], b.value[1], b.value[5]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            idx = pdf["id"].to_numpy(dtype=np.int64)
+            q_id = qi[idx // n_probe_b]
+            cell = pr[idx // n_probe_b, idx % n_probe_b].astype(np.int64)
+            salt_mod = np.fromiter(
+                (ns[int(c)] for c in cell), dtype=np.int64, count=len(cell)
+            )
+            yield pd.DataFrame(
+                {"q_id": q_id, "cell": cell, "salt": q_id % salt_mod}
+            )
+
+    probes_df = spark.range(len(q_ids) * n_probe_b).mapInPandas(
+        _emit_probes, "q_id long, cell long, salt long"
+    )
+    salts_df = spark.createDataFrame(
+        [(c, s) for c in cells_probed for s in range(n_salt[c])],
+        "cell long, salt long",
+    )
+    codes = codes.join(F.broadcast(salts_df), "cell")
+
     def _scan(key: tuple, ppdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
         if len(ppdf) == 0 or len(cpdf) == 0:
             return pd.DataFrame(columns=["src", "dst", "adc_dist"])
-        qi_all, _probe_all, qm_all, coarse_all, cb_all = b.value
+        qi_all, _probe_all, qm_all, coarse_all, cb_all = b.value[:5]
         cell = int(key[0])
         c_ids = cpdf["vec_id"].to_numpy(dtype=np.int64)
         c_codes = np.stack([np.frombuffer(x, dtype=np.uint8) for x in cpdf["code"]])
         c_order = np.argsort(c_ids, kind="stable")
         c_ids = c_ids[c_order]
-        c_codes = c_codes[c_order]
-        # ONE vectorized pass over all queries probing this cell: build
-        # their residual ADC tables here (see the broadcast note above),
-        # then accumulate the per-subspace gathers across the whole
-        # (n_q_cell, n_c) matrix — a per-query Python loop here measured
-        # ~20s at n=50k (5000 queries × 8 probes = 40k small-iteration
-        # bodies); this form is n_subspaces gathers
+        c_codes = np.ascontiguousarray(c_codes[c_order])
+        # ONE vectorized pass over all queries probing this subtask:
+        # build their residual ADC tables here (see the broadcast note
+        # above), then accumulate the per-subspace gathers across the
+        # whole (n_q_cell, n_c) matrix — a per-query Python loop here
+        # measured ~20s at n=50k (5000 queries × 8 probes = 40k
+        # small-iteration bodies). Layout matters at hot-cell size:
+        # tables are built (n_sub, n_q, n_codes) so each subspace's
+        # gather source tbl[m] is CONTIGUOUS (a strided view measured
+        # ~4× slower on a 2000×30k cell), and the gather target is one
+        # preallocated buffer accumulated in place (same float64 adds
+        # in the same order — bit-identical — without 64 fresh
+        # hundreds-of-MB allocations).
         pos = {int(q): i for i, q in enumerate(qi_all)}
         qs = ppdf["q_id"].to_numpy(dtype=np.int64)
         qidx = np.fromiter((pos[int(q)] for q in qs), dtype=np.int64, count=len(qs))
         res = qm_all[qidx] - coarse_all[cell]  # residual q − cent, (n_q_cell, d)
-        tbl = np.empty((len(qidx), n_sub, n_cd), dtype=np.float64)
+        tbl = np.empty((n_sub, len(qidx), n_cd), dtype=np.float64)
         for m in range(n_sub):
-            tbl[:, m, :] = _seq_sq_dists(res[:, m * ds : (m + 1) * ds], cb_all[m])
-        g = tbl[:, 0, :][:, c_codes[:, 0]]
+            tbl[m] = _seq_sq_dists(res[:, m * ds : (m + 1) * ds], cb_all[m])
+        g = np.take(tbl[0], c_codes[:, 0], axis=1)
+        tmp = np.empty_like(g)
         for m in range(1, n_sub):
-            g = g + tbl[:, m, :][:, c_codes[:, m]]
+            np.take(tbl[m], c_codes[:, m], axis=1, out=tmp)
+            g += tmp
         if not include_self:
             g[qs[:, None] == c_ids[None, :]] = np.inf
         n_c = g.shape[1]
@@ -895,8 +959,8 @@ def ivfpq_search_encoded(
         )
 
     cand = (
-        probes_df.groupby("cell")
-        .cogroup(codes.groupby("cell"))
+        probes_df.groupby("cell", "salt")
+        .cogroup(codes.groupby("cell", "salt"))
         .applyInPandas(_scan, "src long, dst long, adc_dist double")
     )
     wk = Window.partitionBy("src").orderBy("adc_dist", "dst")
