@@ -22,6 +22,20 @@ dimensions (mx == mn) encode as 0.
 Reference parity note: the reference engine has no quantized tier —
 this extends its W3/J7 exact-search surface (reference knn.py:4-26)
 with the operator a memory-bound deployment needs.
+
+Measured win regime (SCALABILITY.json, synthetic-200000x512-serving,
+r8): serving 2000-query batches off a PERSISTED SQ8 index at
+n=200k/d=512 costs 6.8-9.8 s/batch vs 26.8-37.7 s/batch exact at
+recall 1.0 — ~3.9x faster at the memory-bound operating point, with
+the one-time index build (6.2 s) amortized across batches. That is
+the bytes-moved argument above converted into evidence: the exact
+scan moves ~n·d·16 B per query block where SQ8 moves n·(d+8) B.
+IVF-PQ at the same point matches exact wall-clock (28.9-35.4 s,
+recall 0.957 at a 640-candidate rerank budget): at d=512
+same-cluster distances concentrate, so recall must be bought with a
+larger candidate stage — its win regime is larger corpora (scan
+fraction n_probe/n_cells bites as n grows past what one executor's
+code scan covers), not higher d.
 """
 
 from __future__ import annotations
