@@ -799,3 +799,190 @@ def dedup_against(
         .join(corpus_fp, "fp", "left_anti")
         .drop("fp")
     )
+
+
+def dup_substring_spans(
+    df: DataFrame,
+    gram_len: int = 40,
+    sample_mod: int = 4,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Substring-level exact dedup: per-document duplicated-span stats
+    (the Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better" ExactSubstr operation, re-expressed Spark-first —
+    the reference has no counterpart; fingerprint-join design instead
+    of a distributed suffix array).
+
+    Every char ``gram_len``-gram is fingerprinted (md5); a gram is
+    SELECTED iff its fingerprint ≡ 0 mod ``sample_mod`` — CONTENT-
+    defined sampling (Manber 1994's mod-p fingerprint selection, the
+    winnowing family's trick), NOT positional striding: identical
+    substrings select identical gram offsets wherever they appear, so
+    detection is alignment-free. (A positional stride misses every
+    cross-document copy whose offsets disagree mod the stride — copies
+    land on disjoint sampling grids and share no sampled gram no
+    matter how long the run.) Selected grams whose fingerprint occurs
+    ≥ ``min_count`` times ANYWHERE in the corpus (across documents or
+    repeated within one — both count, as in ExactSubstr) mark their
+    positions duplicated; overlapping or contiguous marks merge into
+    maximal spans per document. Guarantees: ``sample_mod=1`` keeps
+    every gram — exact detection of every duplicated run ≥ gram_len
+    chars; ``sample_mod=S>1`` misses a duplicated run of length R with
+    probability ≈ (1-1/S)^(R-gram_len+1) (< 0.1% for R ≥ 64 at L=40,
+    S=4) and never reports a false span (selected-gram equality is
+    md5 equality of real corpus substrings). Returns
+    (id, n_spans, dup_chars) for documents with ≥ 1 span.
+
+    Scale shape: every position is hashed map-side (content-defined
+    selection must see each gram — the same single pass over corpus
+    bytes any dedup makes), but only ~1/sample_mod of fingerprints
+    survive into the shuffle; the occurrence table is 16-byte
+    fingerprints (no gram text survives the first select); "hot"
+    fingerprints come from one count aggregation, rejoin is a
+    fingerprint equi-join (AQE may broadcast the hot side — it is the
+    duplicated subset only), and the interval merge is two per-doc
+    window passes + one equi-key agg. Nothing is O(corpus²) and no
+    driver materialization anywhere."""
+    from pyspark.sql import Window
+
+    npos = (F.col(len_col) - gram_len + 1).cast("int")
+    occ = (
+        df.filter(F.col(len_col) >= gram_len)
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(F.sequence(F.lit(1), npos, F.lit(1))).alias("pos"),
+        )
+        .select(
+            id_col,
+            F.col("pos").cast("bigint").alias("pos"),
+            F.md5(F.expr(f"substring({text_col}, pos, {gram_len})")).alias("fp"),
+        )
+    )
+    if sample_mod > 1:
+        occ = occ.filter(
+            F.conv(F.substring("fp", 1, 8), 16, 10).cast("bigint") % sample_mod == 0
+        )
+    hot = occ.groupBy("fp").count().filter(F.col("count") >= min_count).select("fp")
+    marked = occ.join(hot, "fp").select(id_col, "pos")
+
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + (gram_len - 1)).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # a gram starting at prev_end + 1 is contiguous with the previous
+    # span (no uncovered char between them) — merge; any gap splits
+    flagged = marked.select(
+        id_col,
+        "pos",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1)
+        .otherwise(0)
+        .alias("new_span"),
+    )
+    islands = flagged.select(
+        id_col,
+        "pos",
+        F.sum("new_span").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias("span_id"),
+    )
+    spans = islands.groupBy(id_col, "span_id").agg(
+        F.min("pos").alias("s"), (F.max("pos") + (gram_len - 1)).alias("e")
+    )
+    return spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_chars"),
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    threshold_e6: int = 350000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster the embedding space, then
+    mark a row a semantic duplicate iff some SAME-CLUSTER row with a
+    smaller id has cosine ≥ threshold — clustering is what makes the
+    pairwise step tractable (within-cluster n², never corpus n²).
+
+    Returns (id, cluster, max_prev_cos_e6, keep): ``max_prev_cos_e6``
+    is the best cosine (fixed-point 1e6, q46's rounding rule) against
+    any smaller-id cluster-mate, -1 if none; ``keep`` marks the
+    canonical survivors (smallest id of every semantic-dup chain keeps
+    itself because no smaller-id neighbor exists).
+
+    Scale shape: assignment is one mapInPandas over a broadcast
+    O(parameters) centroid matrix; the pairwise step cogroups by
+    cluster, so task memory is one cluster's (size × d) block plus a
+    size² int64 cosine block. Cluster size is the dial: train k ≈
+    n / target_cluster_size centroids (``auto_n_centroids``) so blocks
+    stay executor-sized; sub-block the cosine matrix (the
+    ``embedding_near_dups`` triangle tiling) if clusters must be
+    larger. Ties in the cluster assignment break to the lowest
+    centroid id via stable argsort — the oracle's (distance, cent_id)
+    ordering, distances compared UN-sqrted."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark_mrdf_spark.functions.vector import pairwise_l2_sq
+
+    spark = df.sparkSession
+    c_mat = np.asarray(centroids, dtype=np.float64)
+    bcent = spark.sparkContext.broadcast(c_mat)
+    vec_type = df.schema[vec_col].dataType
+
+    from pyspark.sql.types import ArrayType  # noqa: F401  (vec passthrough)
+
+    def _assign(batches):
+        cm = bcent.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = pairwise_l2_sq(mat, cm)
+            cell = np.argsort(d2, axis=1, kind="stable")[:, 0]
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].to_numpy(dtype=np.int64),
+                    "vec": pdf[vec_col],
+                    "cluster": cell.astype(np.int64),
+                }
+            )
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    assign_schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("vec", vec_type, False),
+            StructField("cluster", LongType(), False),
+        ]
+    )
+    assigned = df.select(id_col, vec_col).mapInPandas(_assign, assign_schema)
+
+    def _mark(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        ce = _cos_e6_block(mat, mat)
+        mask = ids[:, None] > ids[None, :]
+        # the "no smaller-id neighbor" sentinel must sit BELOW the
+        # cosine domain [-1e6, 1e6] — a cluster-mate at cosine -0.0078
+        # is a real best neighbor, not absence
+        none = -(2 * 10**6)
+        best = np.where(mask, ce, none).max(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cluster": pdf["cluster"].to_numpy(dtype=np.int64),
+                "max_prev_cos_e6": np.where(best == none, -1, best),
+                "keep": best < threshold_e6,
+            }
+        )
+
+    out_schema = (
+        f"{id_col} long, cluster long, max_prev_cos_e6 long, keep boolean"
+    )
+    return assigned.groupBy("cluster").applyInPandas(_mark, out_schema)

@@ -41,6 +41,7 @@ def _simhash_vote_sums(bits: int) -> str:
 
 @register(
     "q40_exact_dup_groups",
+    driver=False,  # r8 rotation: 7x driver-green, cedes its slot to q99-q104 (family keeps q42/q46/q77/q78/q79/q82/q91 driver reps)
     oracle="""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -537,3 +538,178 @@ def q82_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.contamination_pairs(d, eval_set, n=3).filter(
         F.col("containment_e6") >= 500_000
     )
+
+
+# q101: substring-level exact dedup (ExactSubstr). Selection is
+# CONTENT-defined (fingerprint mod _SSD_S == 0 — Manber's mod-p
+# sampling), never positional: copies of a run select the same gram
+# offsets wherever they sit, so detection is alignment-free; a
+# duplicated run of length R is missed with prob ~(3/4)^(R-39)
+# (<0.1% at R >= 64) and false spans are impossible. The corpus has
+# dozens of documents with repeated runs at every sf, so the stats
+# are non-trivial.
+_SSD_L, _SSD_S = 40, 4
+
+
+@register(
+    "q101_substring_dedup",
+    # registered r8, promoted immediately: the marquee dedup addition
+    # of the round takes a slot freed by the 7x-green q40
+    oracle=f"""
+WITH occ AS (
+  SELECT doc_id, CAST(p AS BIGINT) AS pos, fp FROM (
+    SELECT doc_id, p, md5(substr(text, CAST(p AS INTEGER), {_SSD_L})) AS fp
+    FROM documents, UNNEST(generate_series(1, n_chars - {_SSD_L} + 1)) AS t(p)
+    WHERE n_chars >= {_SSD_L})
+  WHERE CAST(concat('0x', substr(fp, 1, 8)) AS BIGINT) % {_SSD_S} = 0),
+hot AS (SELECT fp FROM occ GROUP BY fp HAVING COUNT(*) >= 2),
+m AS (SELECT o.doc_id, o.pos FROM occ o JOIN hot USING (fp)),
+flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > COALESCE(MAX(pos + {_SSD_L} - 1) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+              THEN 1 ELSE 0 END AS new_span
+  FROM m),
+islands AS (
+  SELECT doc_id, pos,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM flagged),
+spans AS (
+  SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + {_SSD_L} - 1 AS e
+  FROM islands GROUP BY doc_id, span_id),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.dup_chars, 0) AS dup_chars,
+       CAST(COALESCE(p.dup_chars, 0) * 1000000 // d.n_chars AS BIGINT) AS dup_frac_e6
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
+    description=(
+        "substring-level exact dedup (Lee et al. 2022 ExactSubstr, "
+        "fingerprint-join design): every char 40-gram is md5-fingerprinted, "
+        "grams with fp mod 4 == 0 are selected (CONTENT-defined sampling - "
+        "alignment-free, copies select identical offsets), corpus-wide "
+        "counts mark positions whose selected gram repeats anywhere "
+        "(cross- or within-document), overlapping marks merge into maximal "
+        "spans per document; emits per-doc span count / duplicated chars / "
+        "integer-exact duplicated fraction"
+    ),
+    tags=("dedup", "text", "pipeline"),
+)
+def q101_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape (vs the paper's suffix array, which needs a global
+    sort of every suffix): one count agg on 16-byte fingerprints + one
+    fingerprint equi-join + two per-doc window passes. The gram TEXT
+    never leaves the first projection — only fingerprints shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    spans = D.dup_substring_spans(d, gram_len=_SSD_L, sample_mod=_SSD_S)
+    dup_chars = F.coalesce("dup_chars", F.lit(0)).cast("bigint")
+    return (
+        d.select("doc_id", "n_chars")
+        .join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            dup_chars.alias("dup_chars"),
+            F.expr(
+                "CAST(coalesce(dup_chars, 0) * 1000000 div n_chars AS BIGINT)"
+            ).alias("dup_frac_e6"),
+        )
+    )
+
+
+# q102 SemDeDup config. Seed 7 decorrelates the training sample from
+# q57's IVF sample (seed 42); 8 clusters over the 500-row corpus give
+# ~60-row cells; tau = q46's 0.35 fixed-point gate (85/500 rows marked
+# dup at every sf — non-trivial both ways).
+_SEMDEDUP_CFG = dict(n_clusters=8, sample_size=512, iters=8, seed=7, threshold_e6=350000)
+
+
+def _q102_oracle(sf_dir: str) -> str:
+    """Replays the engine's EXACT centroid training (md5-ordered
+    sample through the same ``lloyd_centroids`` NumPy code on
+    DuckDB-loaded rows — q57's technique) and inlines the bit-identical
+    centroids as literals; cluster assignment uses the un-sqrted
+    squared-L2 ordering with cent_id tie-break (q95's discipline),
+    cosine uses q46's fixed-point 1e6 rounding rule."""
+    import duckdb
+
+    import numpy as np
+
+    from pyspark_mrdf_spark.operators.similarity import lloyd_centroids
+
+    cfg = _SEMDEDUP_CFG
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY md5('{cfg['seed']}:' || CAST(vec_id AS VARCHAR)) "
+        f"LIMIT {cfg['sample_size']}"
+    ).fetchall()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    cents = lloyd_centroids(x, cfg["n_clusters"], cfg["iters"])
+    d = x.shape[1]
+    vals = ",\n  ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(
+            i, ", ".join(repr(float(v)) for v in cents[i])
+        )
+        for i in range(len(cents))
+    )
+    return f"""
+WITH cent(cent_id, cent_vec) AS (VALUES
+  {vals}),
+asgn AS (
+  SELECT vec_id, cell AS cluster, embedding FROM (
+    SELECT e.vec_id, c.cent_id AS cell, e.embedding,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(generate_series(1, {d}),
+                      i -> (CAST(e.embedding[i] AS DOUBLE) - c.cent_vec[i])
+                         * (CAST(e.embedding[i] AS DOUBLE) - c.cent_vec[i]))),
+                      c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+prev AS (
+  SELECT a.vec_id,
+         MAX(CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])) * 1000000, 0) AS BIGINT)) AS best
+  FROM asgn a JOIN asgn b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+  GROUP BY a.vec_id)
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       CAST(COALESCE(p.best, -1) AS BIGINT) AS max_prev_cos_e6,
+       COALESCE(p.best, -1) < {cfg["threshold_e6"]} AS keep
+FROM asgn a LEFT JOIN prev p ON a.vec_id = p.vec_id
+"""
+
+
+@register(
+    "q102_semantic_dedup",
+    # registered r8, promoted immediately: takes a slot freed by the
+    # 7x-green q51 (vector family keeps q50/q56/q57/q80/q86/q89/q92/
+    # q95/q97/q98 driver reps; q57 is q51's trained superset)
+    oracle=_q102_oracle,
+    description=(
+        "SemDeDup (Abbas et al. 2023) semantic dedup: Lloyd-cluster the "
+        "embedding space (8 cells, seeded md5-ordered sample), then mark "
+        "rows with a smaller-id SAME-CLUSTER neighbor at cosine >= 0.35 "
+        "as semantic duplicates — clustering bounds the pairwise step to "
+        "within-cluster n2; training replays bit-identically in the "
+        "oracle, assignment rides the un-sqrted rank-portable ordering, "
+        "cosine the q46 fixed-point gate"
+    ),
+    tags=("dedup", "vector", "cluster", "pipeline"),
+)
+def q102_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.similarity import ivf_train_centroids
+
+    cfg = _SEMDEDUP_CFG
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_train_centroids(
+        emb,
+        n_centroids=cfg["n_clusters"],
+        sample_size=cfg["sample_size"],
+        iters=cfg["iters"],
+        seed=cfg["seed"],
+    )
+    return D.semantic_dedup(emb, cents, threshold_e6=cfg["threshold_e6"])

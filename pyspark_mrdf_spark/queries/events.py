@@ -113,6 +113,7 @@ def q22_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q24_session_windows",
+    driver=False,  # r8 rotation: 7x driver-green, cedes its slot to q99-q104 (windows keep q25 sliding + q19 moving-avg driver reps)
     oracle="""
 WITH flagged AS (
   SELECT user_id, ts, value,
@@ -200,6 +201,7 @@ def q23_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q28_asof_prev_click",
+    driver=False,  # r8 rotation: 7x driver-green, cedes its slot to q99-q104 (join family keeps q29 band + q76 salted driver reps)
     oracle="""
 SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
        epoch_us(r.ts) AS asof_ts_us, r.value AS asof_value

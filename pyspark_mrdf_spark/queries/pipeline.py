@@ -61,6 +61,7 @@ def mixture_rate_col(lang_col: str = "lang") -> Column:
 
 @register(
     "q70_shard_packing",
+    driver=False,  # r8 rotation: driver-green since r3, cedes its slot to q99-q104 — q103 concat-and-chunk packing is its production superset
     # promoted r3: rotated into the driver surface for a hard verdict
     oracle=f"""
 SELECT doc_id, source, {_N_TOK_SQL} AS n_tok,
@@ -406,7 +407,7 @@ EPOCH_WEIGHTS = {"en": 2.5, "de": 1.5, "fr": 1.0, "es": 0.75, "zh": 0.25}
 
 @register(
     "q99_epoch_oversample",
-    driver=False,  # registered r8; rotation owed next round
+    # promoted r8 (same round as registration): takes a slot freed by the multi-green rotation set
     oracle="""
 WITH t AS (
   SELECT doc_id, lang,
@@ -473,7 +474,7 @@ def q99_epoch_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q100_length_quantiles",
-    driver=False,  # registered r8; rotation owed next round
+    # promoted r8 (same round as registration): takes a slot freed by the multi-green rotation set
     oracle="""
 WITH r AS (
   SELECT lang, n_chars,
@@ -523,4 +524,200 @@ def q100_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(0.5, "p50"),
         pick(0.75, "p75"),
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+
+
+# q103 concat-and-chunk packing: the context-window assembly step of
+# every LLM pretraining pipeline (docs shuffled, concatenated, chopped
+# into fixed SEQ_LEN-token training sequences; a doc near a boundary
+# splits across two sequences). q70's bin packing never splits a doc
+# (shard assembly); this is the sequence-level twin that actually
+# feeds the trainer.
+PACK_SEQ_LEN = 256
+PACK_N_SHARDS = 8
+
+
+@register(
+    "q103_pack_sequences",
+    # registered r8, promoted immediately: takes the slot its
+    # predecessor q70 (driver-green since r3) ceded
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+         md5('pack:' || CAST(doc_id AS VARCHAR)) AS u
+  FROM documents),
+s AS (
+  SELECT doc_id, tok, u,
+         CAST(concat('0x', substr(u, 1, 8)) AS BIGINT) % {PACK_N_SHARDS} AS shard
+  FROM t),
+c AS (
+  SELECT doc_id, shard,
+         CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY u, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS BIGINT) AS c0,
+         CAST(SUM(tok) OVER (PARTITION BY shard ORDER BY u, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1
+  FROM s)
+SELECT CAST(shard AS BIGINT) AS shard, CAST(seq AS BIGINT) AS seq, doc_id,
+       CAST(GREATEST(c0, seq * {PACK_SEQ_LEN}) - seq * {PACK_SEQ_LEN} AS BIGINT) AS offset_in_seq,
+       CAST(LEAST(c1, (seq + 1) * {PACK_SEQ_LEN}) - GREATEST(c0, seq * {PACK_SEQ_LEN}) AS BIGINT) AS n_tok
+FROM c, UNNEST(generate_series(c0 // {PACK_SEQ_LEN}, (c1 - 1) // {PACK_SEQ_LEN})) AS g(seq)
+""",
+    description=(
+        "concat-and-chunk sequence packing: docs are md5-shuffled into "
+        f"{PACK_N_SHARDS} shards, concatenated per shard in hash order, and "
+        f"chopped into {PACK_SEQ_LEN}-token training sequences — one row per "
+        "(doc, sequence) overlap with the doc's offset and token count in "
+        "that sequence; boundary docs split across two rows. Pure integer "
+        "window arithmetic, bit-exact cross-engine"
+    ),
+    tags=("pipeline", "sampling", "window"),
+)
+def q103_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: shard hash-partitions the corpus, the running token
+    count is a per-shard window (never a global sort — q85's design),
+    and the explode emits at most ceil(tok/SEQ_LEN)+1 rows per doc.
+    More shards = more partition parallelism, same plan."""
+    d = load_table(spark, sf_dir, "documents")
+    u = F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")))
+    t = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("tok"),
+        u.alias("u"),
+    ).withColumn(
+        "shard",
+        (F.conv(F.substring("u", 1, 8), 16, 10).cast("bigint") % PACK_N_SHARDS),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("u", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = t.select(
+        "doc_id",
+        "shard",
+        (F.sum("tok").over(w) - F.col("tok")).alias("c0"),
+        F.sum("tok").over(w).alias("c1"),
+    )
+    L = PACK_SEQ_LEN
+    return c.select(
+        F.col("shard").cast("bigint").alias("shard"),
+        F.explode(
+            F.sequence(F.expr(f"c0 div {L}"), F.expr(f"(c1 - 1) div {L}"))
+        ).alias("seq"),
+        "doc_id",
+        "c0",
+        "c1",
+    ).select(
+        "shard",
+        F.col("seq").cast("bigint").alias("seq"),
+        "doc_id",
+        (F.greatest(F.col("c0"), F.col("seq") * L) - F.col("seq") * L)
+        .cast("bigint")
+        .alias("offset_in_seq"),
+        (
+            F.least(F.col("c1"), (F.col("seq") + 1) * L)
+            - F.greatest(F.col("c0"), F.col("seq") * L)
+        )
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+
+
+# q104 DSIR-style hashed importance weights (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling"): score
+# every doc by how target-like its hashed unigram distribution is,
+# then keep the top fraction. Integer-exact variant: the score is the
+# ratio of two integer sums (target-bucket hits over raw-bucket hits),
+# fixed-point e6 via integer division — no float logs, so the verdict
+# is a hash match, not a tolerance.
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+DSIR_KEEP_FRAC = 0.25  # binary-exact fraction
+
+
+@register(
+    "q104_dsir_importance",
+    # registered r8, promoted immediately: takes a slot freed by the
+    # multi-green rotation set (q24/q28/q32/q40/q51/q70)
+    oracle=f"""
+WITH tk AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+b AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % {DSIR_BUCKETS} AS bucket
+  FROM tk),
+rawc AS (SELECT bucket, COUNT(*) AS cr FROM b GROUP BY bucket),
+tgtc AS (SELECT bucket, COUNT(*) AS ct FROM b WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket),
+per AS (
+  SELECT doc_id, lang,
+         CAST(SUM(COALESCE(ct, 0)) AS BIGINT) AS dsir_num,
+         CAST(SUM(cr) AS BIGINT) AS dsir_den,
+         CAST(SUM(COALESCE(ct, 0)) * 1000000 // SUM(cr) AS BIGINT) AS ratio_e6
+  FROM b JOIN rawc USING (bucket) LEFT JOIN tgtc USING (bucket)
+  GROUP BY doc_id, lang),
+rk AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY ratio_e6 DESC, doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM per)
+SELECT doc_id, lang, dsir_num, dsir_den, ratio_e6,
+       rn <= CAST(ceil({DSIR_KEEP_FRAC} * n) AS BIGINT) AS selected
+FROM rk
+""",
+    description=(
+        "DSIR-style importance resampling (hashed unigram features, "
+        f"{DSIR_BUCKETS} md5 buckets): per-doc target-likeness = sum of "
+        f"target-corpus (lang='{DSIR_TARGET_LANG}') bucket hits over raw "
+        "bucket hits — an integer-exact ratio instead of the float "
+        "log-likelihood (hash-verifiable); selects the top 25% by "
+        "(ratio, doc_id) nearest-rank"
+    ),
+    tags=("pipeline", "text", "sampling"),
+)
+def q104_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: token explode -> two bucket aggregations (1024-row
+    dictionaries) -> BROADCAST joins back -> one per-doc agg. The only
+    non-equi step is the final top-fraction rank over the doc-level
+    score table (2 longs/doc); at 100 TB replace it with a sampled
+    quantile threshold (q100's nearest-rank on a sketch) broadcast as
+    a literal — the score computation is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+        % DSIR_BUCKETS,
+    )
+    rawc = tk.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgtc = (
+        tk.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    per = (
+        tk.join(F.broadcast(rawc), "bucket")
+        .join(F.broadcast(tgtc), "bucket", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.coalesce("ct", F.lit(0))).cast("bigint").alias("dsir_num"),
+            F.sum("cr").cast("bigint").alias("dsir_den"),
+        )
+        .withColumn(
+            "ratio_e6",
+            F.expr("CAST(dsir_num * 1000000 div dsir_den AS BIGINT)"),
+        )
+    )
+    w = Window.orderBy(F.col("ratio_e6").desc(), "doc_id")
+    cw = Window.partitionBy()
+    return per.select(
+        "doc_id",
+        "lang",
+        "dsir_num",
+        "dsir_den",
+        "ratio_e6",
+        (
+            F.row_number().over(w)
+            <= F.ceil(F.lit(DSIR_KEEP_FRAC) * F.count(F.lit(1)).over(cw))
+        ).alias("selected"),
     )

@@ -70,6 +70,7 @@ def q31_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q32_quality_score",
+    driver=False,  # r8 rotation: 7x driver-green, cedes its slot to q99-q104 (text family keeps q64/q83/q87/q88/q96 driver reps)
     oracle=f"""
 SELECT doc_id, lang,
        CAST(len(list_filter(string_split(text, ' '),

@@ -93,6 +93,7 @@ def q50_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q51_ann_ivf",
+    driver=False,  # r8 rotation: 7x driver-green, cedes its slot to q99-q104 (q57 is its trained superset; vector family keeps 10 driver reps)
     oracle=f"""
 WITH cent AS (
   SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS cent_vec

@@ -1,0 +1,199 @@
+"""Round-8 corpus operators: substring-level exact dedup (q101),
+SemDeDup (q102), concat-and-chunk sequence packing (q103), DSIR
+importance weights (q104) — structural laws beyond the DuckDB-oracle
+hash gate (tests/test_oracle_queries.py covers value equality).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+
+from pyspark_mrdf_spark.io import load_table
+from pyspark_mrdf_spark.operators.dedup import dup_substring_spans, semantic_dedup
+from pyspark_mrdf_spark.operators.similarity import ivf_train_centroids
+from pyspark_mrdf_spark.queries import load_all
+from pyspark_mrdf_spark.queries.pipeline import PACK_SEQ_LEN
+
+
+def _chain(seed: str, n_chars: int) -> str:
+    """Deterministic filler with no repeated 40-gram anywhere: an md5
+    hex chain never cycles within test sizes."""
+    out = []
+    h = seed
+    while sum(len(s) for s in out) < n_chars:
+        h = hashlib.md5(h.encode()).hexdigest()
+        out.append(h)
+    return "".join(out)[:n_chars]
+
+
+PLANT = "".join(chr(97 + i % 26) for i in range(64))  # 64-char shared run
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows = [
+        (1, _chain("a", 100) + PLANT + _chain("b", 100)),
+        (2, _chain("c", 50) + PLANT + _chain("d", 150)),
+        (3, _chain("e", 300)),  # no duplicated substring anywhere
+        (4, _chain("f", 80) + PLANT + PLANT + _chain("g", 80)),  # adjacent reps
+    ]
+    return spark.createDataFrame(
+        [(i, t, len(t)) for i, t in rows], "doc_id long, text string, n_chars long"
+    )
+
+
+def _spans_reference(texts: dict[int, str], L: int, S: int, min_count: int = 2):
+    """Pure-Python replica of the operator definition: content-defined
+    mod-S fingerprint selection, corpus-wide counts, interval merge."""
+    occ = []
+    for doc, t in texts.items():
+        for p in range(len(t) - L + 1):
+            fp = hashlib.md5(t[p : p + L].encode()).hexdigest()
+            if S == 1 or int(fp[:8], 16) % S == 0:
+                occ.append((doc, p, fp))
+    from collections import Counter
+
+    cnt = Counter(fp for _, _, fp in occ)
+    marked = {}
+    for doc, p, fp in occ:
+        if cnt[fp] >= min_count:
+            marked.setdefault(doc, []).append(p)
+    out = {}
+    for doc, ps in marked.items():
+        spans = []
+        for p in sorted(ps):
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], p + L - 1)
+            else:
+                spans.append([p, p + L - 1])
+        out[doc] = (len(spans), sum(e - s + 1 for s, e in spans))
+    return out
+
+
+def test_substring_spans_planted(planted):
+    texts = {r["doc_id"]: r["text"] for r in planted.collect()}
+    for S in (1, 4):
+        got = {
+            r["doc_id"]: (r["n_spans"], r["dup_chars"])
+            for r in dup_substring_spans(planted, gram_len=40, sample_mod=S).collect()
+        }
+        want = _spans_reference(texts, 40, S)
+        assert got == want, f"sample_mod={S}"
+        # doc 3 has no duplicated 40-gram anywhere: never reported
+        assert 3 not in got
+        # the 64-char plant shared by docs 1/2/4 is detected (content-
+        # defined selection is alignment-free, so differing offsets
+        # cannot hide it), covering most of the run
+        for doc in (1, 2):
+            n_spans, dup_chars = got[doc]
+            assert n_spans == 1 and dup_chars >= 40
+        # doc 4's back-to-back repeat is found; at S>1 the sampled
+        # marks may resolve the 128-char run as 1-2 spans
+        n_spans, dup_chars = got[4]
+        assert 1 <= n_spans <= 2 and dup_chars >= 100
+
+
+def test_substring_spans_exact_at_mod1(planted):
+    # sample_mod=1 keeps every gram: the span over a planted 64-char
+    # run is EXACTLY the run (detection guarantee with no sampling)
+    got = {
+        r["doc_id"]: (r["n_spans"], r["dup_chars"])
+        for r in dup_substring_spans(planted, gram_len=40, sample_mod=1).collect()
+    }
+    assert got[1] == (1, 64)
+    assert got[2] == (1, 64)
+    assert got[4] == (1, 128)
+    assert 3 not in got
+
+
+def test_semantic_dedup_matches_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_train_centroids(emb, n_centroids=8, sample_size=512, iters=8, seed=7)
+    got = {
+        r["vec_id"]: (r["cluster"], r["max_prev_cos_e6"], r["keep"])
+        for r in semantic_dedup(emb, cents, threshold_e6=350000).collect()
+    }
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    from pyspark_mrdf_spark.functions.vector import pairwise_l2_sq
+    from pyspark_mrdf_spark.operators.dedup import _cos_e6_block
+
+    assign = np.argsort(pairwise_l2_sq(mat, cents), axis=1, kind="stable")[:, 0]
+    want = {}
+    for j in range(len(cents)):
+        sel = assign == j
+        cids, cmat = ids[sel], mat[sel]
+        ce = _cos_e6_block(cmat, cmat)
+        mask = cids[:, None] > cids[None, :]
+        none = -(2 * 10**6)
+        best = np.where(mask, ce, none).max(axis=1)
+        for i, vid in enumerate(cids):
+            want[int(vid)] = (
+                j,
+                int(best[i]) if best[i] != none else -1,
+                bool(best[i] < 350000),
+            )
+    assert got == want
+    # non-vacuous: the corpus has planted semantic dups
+    assert sum(1 for _, _, k in got.values() if not k) > 0
+
+
+def test_semantic_dedup_keeps_cluster_minimum(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf_train_centroids(emb, n_centroids=8, sample_size=512, iters=8, seed=7)
+    rows = semantic_dedup(emb, cents, threshold_e6=350000).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for members in by_cluster.values():
+        lowest = min(members, key=lambda r: r["vec_id"])
+        assert lowest["keep"] and lowest["max_prev_cos_e6"] == -1
+
+
+def test_pack_sequences_conservation(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    q = load_all()["q103_pack_sequences"]
+    out = q.builder(spark, sf_dir).cache()
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("tok")
+    )
+    # every doc's pieces sum to its token count
+    per_doc = out.groupBy("doc_id").agg(F.sum("n_tok").alias("s"))
+    bad = per_doc.join(d, "doc_id").filter(F.col("s") != F.col("tok")).count()
+    assert bad == 0
+    # every sequence except the last of its shard holds exactly SEQ_LEN
+    per_seq = out.groupBy("shard", "seq").agg(F.sum("n_tok").alias("s"))
+    last = per_seq.groupBy("shard").agg(F.max("seq").alias("seq"))
+    full = per_seq.join(last, ["shard", "seq"], "left_anti")
+    assert full.filter(F.col("s") != PACK_SEQ_LEN).count() == 0
+    # pieces tile each sequence: offsets are disjoint and contiguous
+    rows = out.orderBy("shard", "seq", "offset_in_seq").collect()
+    pos = {}
+    for r in rows:
+        key = (r["shard"], r["seq"])
+        expect = pos.get(key, 0)
+        assert r["offset_in_seq"] == expect, key
+        assert r["n_tok"] >= 1
+        pos[key] = expect + r["n_tok"]
+    out.unpersist()
+
+
+def test_dsir_selects_top_fraction(spark, sf_dir):
+    rows = load_all()["q104_dsir_importance"].builder(spark, sf_dir).collect()
+    n = len(rows)
+    n_sel = sum(1 for r in rows if r["selected"])
+    assert n_sel == math.ceil(0.25 * n)
+    for r in rows:
+        assert 0 <= r["dsir_num"] <= r["dsir_den"]
+        assert r["ratio_e6"] == r["dsir_num"] * 1000000 // r["dsir_den"]
+    # the selected set is exactly the top-(ratio, doc_id) prefix
+    order = sorted(rows, key=lambda r: (-r["ratio_e6"], r["doc_id"]))
+    assert all(r["selected"] for r in order[:n_sel])
+    assert not any(r["selected"] for r in order[n_sel:])

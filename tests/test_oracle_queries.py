@@ -73,13 +73,23 @@ DRIVER_SURFACE = [
     # (streaming twins keep q24/q25), q71 (sampling keeps q84/q85),
     # q73 (clustering keeps q72), q75 (Expand pytest-covered; aggs keep
     # q01/q67).
+    # Second r8 rotation (same round, new ops): the six round-8
+    # training-pipeline operators — q99 epoch oversampling, q100
+    # length quantiles, q101 substring-level exact dedup, q102
+    # SemDeDup, q103 concat-and-chunk sequence packing, q104 DSIR
+    # importance weights — take the slots of six 7×-green siblings:
+    # q24 (windows keep q19/q25), q28 (joins keep q29/q76), q32 (text
+    # keeps q64/q83/q87/q88/q96), q40 (dedup keeps q42/q46/q72/
+    # q77-q79/q82/q91), q51 (q57 is its trained superset; vector keeps
+    # 10 driver reps), q70 (q103 is its production superset; sampling
+    # keeps q84/q85).
     # The grading driver records at
     # most 50 verdicts in registration order — changing this list is a
     # deliberate decision, not a side effect of adding a query (new
     # queries default into the pytest-only overflow unless they take a
     # slot explicitly).
-    "q22_event_gaps", "q24_session_windows",
-    "q25_sliding_windows", "q28_asof_prev_click", "q29_price_band_join",
+    "q22_event_gaps",
+    "q25_sliding_windows", "q29_price_band_join",
     "q66_variant_props", "q76_salted_hot_user_join",
     "q93_funnel_analysis", "q94_cohort_retention",
     "q61_payload_features", "q81_bmp_pixel_stats", "q86_payload_embed_knn",
@@ -87,18 +97,19 @@ DRIVER_SURFACE = [
     "q07_semi_join_urgent",
     "q12_top10_revenue_orders", "q19_moving_avg",
     "q67_grouping_sets",
-    "q68_array_set_ops", "q32_quality_score",
+    "q68_array_set_ops",
     "q64_clean_corpus", "q83_pii_scrub", "q87_repetition_filter",
     "q88_bm25_retrieval", "q96_rare_token_filter",
-    "q40_exact_dup_groups", "q42_minhash_signatures",
+    "q42_minhash_signatures",
     "q72_dup_clusters",
     "q46_embedding_near_dups", "q77_incremental_dedup",
     "q78_incremental_near_dedup", "q79_simhash_band_candidates",
-    "q82_decontamination",
-    "q70_shard_packing", "q74_kmv_distinct_sketch",
+    "q82_decontamination", "q101_substring_dedup", "q102_semantic_dedup",
+    "q74_kmv_distinct_sketch",
     "q84_train_val_test_split", "q85_shuffle_shards", "q90_chunk_documents",
-    "q91_chunk_dup_rate",
-    "q50_knn_exact", "q51_ann_ivf",
+    "q91_chunk_dup_rate", "q99_epoch_oversample", "q100_length_quantiles",
+    "q103_pack_sequences", "q104_dsir_importance",
+    "q50_knn_exact",
     "q56_mrdf_recall", "q57_ivf_recall",
     "q58_lsh_hyperplane_candidates", "q80_knn_search_external",
     "q89_sq8_quantized_knn", "q92_pq_quantized_knn", "q95_ivfpq_knn",
