@@ -676,11 +676,13 @@ FROM rk
 )
 def q104_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: token explode -> two bucket aggregations (1024-row
-    dictionaries) -> BROADCAST joins back -> one per-doc agg. The only
-    non-equi step is the final top-fraction rank over the doc-level
-    score table (2 longs/doc); at 100 TB replace it with a sampled
-    quantile threshold (q100's nearest-rank on a sketch) broadcast as
-    a literal — the score computation is unchanged."""
+    dictionaries) -> BROADCAST joins back -> one per-doc agg. The
+    top-fraction threshold is found by distributed partial top-k
+    (TakeOrderedAndProject — never an unpartitioned Window) and
+    broadcast as two scalars; its k grows with the corpus, so at
+    100 TB replace that one step with a sampled quantile threshold
+    (q100's nearest-rank on a sketch) — the score computation and the
+    broadcast-compare are unchanged."""
     d = load_table(spark, sf_dir, "documents")
     tk = d.select(
         "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
@@ -708,8 +710,23 @@ def q104_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(dsir_num * 1000000 div dsir_den AS BIGINT)"),
         )
     )
-    w = Window.orderBy(F.col("ratio_e6").desc(), "doc_id")
-    cw = Window.partitionBy()
+    # top-fraction selection WITHOUT a global window: the k-th key
+    # tuple comes from two TakeOrderedAndProject passes (distributed
+    # partial top-k, k rows never landing anywhere as one partition),
+    # then every row compares against that broadcast O(1) threshold —
+    # exactly rank <= k under the (ratio desc, doc_id) order, ties
+    # decided by doc_id in the tuple compare
+    import math as _math
+
+    per = per.localCheckpoint(eager=False)
+    k = _math.ceil(DSIR_KEEP_FRAC * per.count())
+    thr = (
+        per.select("ratio_e6", "doc_id")
+        .orderBy(F.col("ratio_e6").desc(), "doc_id")
+        .limit(k)
+        .orderBy("ratio_e6", F.col("doc_id").desc())
+        .first()
+    )
     return per.select(
         "doc_id",
         "lang",
@@ -717,7 +734,10 @@ def q104_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dsir_den",
         "ratio_e6",
         (
-            F.row_number().over(w)
-            <= F.ceil(F.lit(DSIR_KEEP_FRAC) * F.count(F.lit(1)).over(cw))
+            (F.col("ratio_e6") > thr["ratio_e6"])
+            | (
+                (F.col("ratio_e6") == thr["ratio_e6"])
+                & (F.col("doc_id") <= thr["doc_id"])
+            )
         ).alias("selected"),
     )
