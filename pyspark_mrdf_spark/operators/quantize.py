@@ -1266,12 +1266,15 @@ def index_cell_stats(spark, path: str) -> DataFrame:
     per_cell = codes.groupBy(F.col("cell").cast("long").alias("cell")).agg(
         F.count("*").alias("n_vectors")
     )
-    w = Window.partitionBy()
-    return per_cell.select(
-        "cell",
-        "n_vectors",
+    # corpus-wide skew as a broadcast 1-row aggregate, not a window:
+    # per_cell is O(n_cells) rows, but an unpartitioned Window is the
+    # plan shape the audit forbids everywhere — no exceptions to police
+    stats = per_cell.agg(
         (
-            F.max("n_vectors").over(w)
-            / (F.sum("n_vectors").over(w) / F.count("*").over(w))
-        ).alias("skew_ratio"),
+            F.max("n_vectors")
+            / (F.sum("n_vectors") / F.count(F.lit(1)))
+        ).alias("skew_ratio")
+    )
+    return per_cell.crossJoin(F.broadcast(stats)).select(
+        "cell", "n_vectors", "skew_ratio"
     ).orderBy("cell")

@@ -895,6 +895,25 @@ def _q98_oracle(sf_dir: str) -> str:
 _Q98_IDX_DIR: dict[str, str] = {}
 
 
+def _q98_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """The per-(process, sf) persisted IVF-PQ index of the embeddings
+    corpus (q95's config): built on first use, reused by q98 serving
+    and q105 monitoring — one stored artifact, many readers, as
+    deployed."""
+    import tempfile
+
+    from pyspark_mrdf_spark.operators.quantize import build_ivfpq_index
+
+    path = _Q98_IDX_DIR.get(sf_dir)
+    if path is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="mrdf_q98_ivfpq_idx_")
+        train_cfg = {k: v for k, v in _IVFPQ_CFG.items() if k != "n_probe"}
+        build_ivfpq_index(emb, path, **train_cfg)
+        _Q98_IDX_DIR[sf_dir] = path
+    return path
+
+
 @register(
     "q98_ivfpq_persisted_index",
     # promoted r8: train-once/search-many is how a 100 TB deployment
@@ -914,24 +933,86 @@ _Q98_IDX_DIR: dict[str, str] = {}
     tags=("vector", "knn", "quantize", "ann", "pipeline", "sink"),
 )
 def q98_ivfpq_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from pyspark_mrdf_spark.operators.quantize import (
-        build_ivfpq_index,
         ivfpq_search_encoded,
         read_ivfpq_index,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = _Q98_IDX_DIR.get(sf_dir)
-    if path is None:
-        path = tempfile.mkdtemp(prefix="mrdf_q98_ivfpq_idx_")
-        train_cfg = {k: v for k, v in _IVFPQ_CFG.items() if k != "n_probe"}
-        build_ivfpq_index(emb, path, **train_cfg)
-        _Q98_IDX_DIR[sf_dir] = path
-    coarse, cb, codes = read_ivfpq_index(spark, path)
+    coarse, cb, codes = read_ivfpq_index(spark, _q98_index_path(spark, sf_dir))
     queries = emb.filter((F.col("vec_id") >= 30) & (F.col("vec_id") < 60))
     return ivfpq_search_encoded(
         queries, codes, coarse, cb, emb, 5,
         k_candidates=40, n_probe=_IVFPQ_CFG["n_probe"], include_self=False,
     ).select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))
+
+
+def _q105_oracle(sf_dir: str) -> str:
+    """Cell-occupancy oracle: replay the training + assignment of the
+    q95/q98 index config (the `assigned` CTE of `_ivfpq_oracle`,
+    un-sqrted ordering discipline) and aggregate per cell."""
+    import duckdb
+
+    import numpy as np
+
+    from pyspark_mrdf_spark.operators.quantize import _ivfpq_params_from_sample
+
+    cfg = _IVFPQ_CFG
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY md5('{cfg['seed']}:' || CAST(vec_id AS VARCHAR)) "
+        f"LIMIT {cfg['sample_size']}"
+    ).fetchall()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    coarse, cb = _ivfpq_params_from_sample(
+        x, cfg["n_centroids"], cfg["n_subspaces"], cfg["n_codes"],
+        cfg["iters_coarse"], cfg["iters_pq"],
+    )
+    n_sub, _, ds = cb.shape
+    cent_vals = ",\n  ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(
+            i, ", ".join(repr(float(v)) for v in coarse[i])
+        )
+        for i in range(len(coarse))
+    )
+    return f"""
+WITH cent(cent_id, cent_vec) AS (VALUES
+  {cent_vals}),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cent_id AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY list_sum(list_transform(generate_series(1, {n_sub * ds}),
+                      i -> (CAST(e.embedding[i] AS DOUBLE) - c.cent_vec[i])
+                         * (CAST(e.embedding[i] AS DOUBLE) - c.cent_vec[i]))),
+                      c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+per_cell AS (
+  SELECT CAST(cell AS BIGINT) AS cell, CAST(COUNT(*) AS BIGINT) AS n_vectors
+  FROM assigned GROUP BY cell)
+SELECT cell, n_vectors,
+       (SELECT MAX(n_vectors) FROM per_cell)
+       / ((SELECT CAST(SUM(n_vectors) AS DOUBLE) FROM per_cell)
+          / (SELECT COUNT(*) FROM per_cell)) AS skew_ratio
+FROM per_cell ORDER BY cell
+"""
+
+
+@register(
+    "q105_index_cell_stats",
+    driver=False,  # registered r8; rotation owed next round
+    oracle=_q105_oracle,
+    description=(
+        "persisted-index occupancy monitoring: per-cell code counts + "
+        "corpus skew ratio of the q98 IVF-PQ index — THE retrain trigger "
+        "for an incrementally grown index (n_probe/n_cells is only a "
+        "scan-fraction bound while cells stay balanced); reads only the "
+        "cell partition column, no code bytes. Oracle replays the "
+        "training + assignment bit-identically and aggregates per cell"
+    ),
+    tags=("vector", "quantize", "ann", "agg", "pipeline"),
+)
+def q105_index_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.quantize import index_cell_stats
+
+    return index_cell_stats(spark, _q98_index_path(spark, sf_dir))

@@ -161,6 +161,21 @@ def main() -> None:
             sys.exit("error: --synthetic-d needs a value")
         synthetic_d = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
+    # IVF-PQ operating point for --serving-only: recall is bought with
+    # coarse-cell granularity (cells/probe at fixed scan fraction),
+    # codebook size, and the rerank candidate budget — the three dials
+    # a deployment turns per corpus
+    serving_ivfpq = {}
+    for flag, key in (
+        ("--ivfpq-cells", "n_cells"), ("--ivfpq-probe", "n_probe"),
+        ("--ivfpq-codes", "n_codes"), ("--ivfpq-cand", "k_cand"),
+    ):
+        if flag in argv:
+            i = argv.index(flag)
+            if i + 1 >= len(argv):
+                sys.exit(f"error: {flag} needs a value")
+            serving_ivfpq[key] = int(argv[i + 1])
+            argv = argv[:i] + argv[i + 2 :]
     argv = [
         a for a in argv
         if a not in (
@@ -304,7 +319,7 @@ def main() -> None:
         print(f"[scalability] {points[-1]}", file=sys.stderr)
 
     if serving_only:
-        points.append(_serving_evidence(spark, synthetic_n, synthetic_d))
+        points.append(_serving_evidence(spark, synthetic_n, synthetic_d, **serving_ivfpq))
         print(f"[scalability] {points[-1]}", file=sys.stderr)
 
     print(json.dumps({"metric": "scalability_sweep", "points": points}))
@@ -495,7 +510,9 @@ def _grid_evidence(spark, n: int) -> dict:
     return out
 
 
-def _serving_evidence(spark, n: int, d: int) -> dict:
+def _serving_evidence(spark, n: int, d: int, n_cells: int = 64,
+                      n_probe: int = 8, n_codes: int = 16,
+                      k_cand: int | None = None) -> dict:
     """The quantized-tier WIN regime, measured: at high dimension the
     exact scan is memory-bound (the precision-safe (q-x)² kernel moves
     n_q·n·d·16 bytes per batch — at n=200k, d=512, 2000 queries that is
@@ -534,8 +551,10 @@ def _serving_evidence(spark, n: int, d: int) -> dict:
     # subspaces (so n_sub scales with d) and the 64-cell/8-probe coarse
     # layer from the 50k row; ADC tables stay an O(parameters)
     # broadcast (n_q·n_probe·n_sub·16 doubles ≈ 131 MB at d=512)
-    n_cells, n_probe, ds_sub = 64, 8, 8
+    ds_sub = 8
     n_sub = d // ds_sub
+    if k_cand is None:
+        k_cand = 64 * K
     out: dict = {
         "sf": f"synthetic-{n}x{d}-serving", "n": n, "d": d,
         "batch_size": batch_size, "n_batches": n_batches,
@@ -606,8 +625,8 @@ def _serving_evidence(spark, n: int, d: int) -> dict:
         t0 = time.time()
         build_ivfpq_index(
             emb, os.path.join(idx_root, "ivfpq"),
-            n_centroids=n_cells, n_subspaces=n_sub, n_codes=16,
-            sample_size=4096,
+            n_centroids=n_cells, n_subspaces=n_sub, n_codes=n_codes,
+            sample_size=max(4096, 16 * n_cells, 16 * n_codes),
         )
         out["ivfpq_index_build_s"] = round(time.time() - t0, 2)
         coarse, cb, codes = read_ivfpq_index(spark, os.path.join(idx_root, "ivfpq"))
@@ -623,13 +642,14 @@ def _serving_evidence(spark, n: int, d: int) -> dict:
             g, dt = _timed(
                 lambda: ivfpq_search_encoded(
                     q, codes, coarse, cb, emb, K,
-                    k_candidates=64 * K, n_probe=n_probe, include_self=False,
+                    k_candidates=k_cand, n_probe=n_probe, include_self=False,
                 )
             )
             ivfpq_s.append(dt)
             if i == 0:
                 ivfpq_g = g
-        out["ivfpq_k_candidates"] = 64 * K
+        out["ivfpq_k_candidates"] = k_cand
+        out["ivfpq_n_codes"] = n_codes
         out["ivfpq_batch_s"] = ivfpq_s
         out["ivfpq_recall"] = round(recall(exact_g, ivfpq_g), 4)
         out["ivfpq_index_bytes_per_row"] = n_sub + 8 + 8
