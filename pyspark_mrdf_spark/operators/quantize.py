@@ -33,9 +33,16 @@ scan moves ~n·d·16 B per query block where SQ8 moves n·(d+8) B.
 IVF-PQ at the same point matches exact wall-clock (28.9-35.4 s,
 recall 0.957 at a 640-candidate rerank budget): at d=512
 same-cluster distances concentrate, so recall must be bought with a
-larger candidate stage — its win regime is larger corpora (scan
-fraction n_probe/n_cells bites as n grows past what one executor's
-code scan covers), not higher d.
+larger candidate stage. A second point (synthetic-500000x128-serving)
+repeats the SQ8 win (6.1-7.7 s warm vs 21-24 s exact, recall 1.0)
+and pins down IVF-PQ's honest tradeoff: 256 cells / probe 32 /
+256-code books reach recall 0.9967 at a 12.5% scan fraction on a
+32 B/row index — 32× below the float64 working set — but cost
+29-59 s/batch, because at in-memory BLAS speeds the exact gemm beats
+ADC gathers per candidate. IVF-PQ's measured value is therefore
+index BYTES and scan pruning — the I/O-bound regime where the corpus
+does not fit executor memory and 1/8th of 32 B/row is what gets read
+— not local-mode CPU wall-clock.
 """
 
 from __future__ import annotations
