@@ -741,3 +741,102 @@ def q104_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("selected"),
     )
+
+
+# q106: the sampled-quantile path that q100/q104's scale notes promise
+# — at 100 TB you don't global-rank the full score table, you take a
+# deterministic hash sample, nearest-rank the sample, and broadcast
+# the threshold. This query runs BOTH and emits the error, so the
+# substitution's cost is a measured number, not an assumption.
+QSK_SAMPLE_RATE = 0.25  # binary-exact fraction
+
+
+@register(
+    "q106_sampled_quantile",
+    driver=False,  # registered r8; rotation owed next round
+    oracle=f"""
+WITH ranked AS (
+  SELECT lang, n_chars, doc_id,
+         CAST(concat('0x', substr(md5('qsk:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+         / 4294967296.0 < {QSK_SAMPLE_RATE} AS in_sample
+  FROM documents),
+ex AS (
+  SELECT lang,
+         MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN n_chars END) AS p50_exact
+  FROM (
+    SELECT lang, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS n
+    FROM ranked)
+  GROUP BY lang),
+sm AS (
+  SELECT lang,
+         MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN n_chars END) AS p50_sampled,
+         CAST(MAX(n) AS BIGINT) AS n_sampled
+  FROM (
+    SELECT lang, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY lang) AS n
+    FROM ranked WHERE in_sample)
+  GROUP BY lang)
+SELECT e.lang, s.p50_sampled, e.p50_exact,
+       ABS(s.p50_sampled - e.p50_exact) AS abs_err, s.n_sampled
+FROM ex e JOIN sm s ON e.lang = s.lang
+""",
+    description=(
+        "sampled-quantile threshold vs exact: per-language median length "
+        "by nearest-rank on a deterministic 25% md5 sample ('qsk:' salt) "
+        "side-by-side with the exact median, emitting the absolute error "
+        "— the measured cost of the sketch substitution q100/q104's "
+        "scale notes prescribe; all picks are integer rows, hash-exact"
+    ),
+    tags=("pipeline", "sketch", "window"),
+)
+def q106_sampled_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the sample side ranks ~rate x n rows per language
+    partition; at 100 TB the sample lands in memory while the exact
+    side is what you are avoiding — here both run so the error column
+    is evidence. The hash sample is doc_id-deterministic ('qsk:'
+    salt, decorrelated from the q71/q84 draws), so the 'sketch' is
+    reproducible on any engine — which is what makes it oracle-able."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("qsk:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    ranked = d.select(
+        "lang", "n_chars", "doc_id", (u < QSK_SAMPLE_RATE).alias("in_sample")
+    )
+
+    def p50(df: DataFrame, out: str) -> DataFrame:
+        w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+        cw = Window.partitionBy("lang")
+        r = df.select(
+            "lang",
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(cw).alias("n"),
+        )
+        tgt = F.greatest(F.lit(1).cast("bigint"), F.ceil(F.lit(0.5) * F.col("n")))
+        return r.groupBy("lang").agg(
+            F.max(F.when(F.col("rn") == tgt, F.col("n_chars"))).alias(out),
+            F.max("n").cast("bigint").alias(f"_n_{out}"),
+        )
+
+    ex = p50(ranked, "p50_exact").drop("_n_p50_exact")
+    sm = p50(ranked.filter("in_sample"), "p50_sampled").withColumnRenamed(
+        "_n_p50_sampled", "n_sampled"
+    )
+    return ex.join(sm, "lang").select(
+        "lang",
+        "p50_sampled",
+        "p50_exact",
+        F.abs(F.col("p50_sampled") - F.col("p50_exact")).alias("abs_err"),
+        "n_sampled",
+    )

@@ -571,3 +571,172 @@ def q96_rare_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             (frac <= 100_000).alias("quality_pass"),
         )
     )
+
+
+# q107/q108: BPE tokenizer training + application — the tokenizer half
+# of a pretraining pipeline. The pure merge arithmetic lives in
+# functions/bpe.py (one source of truth, lloyd_centroids-style); the
+# Spark side distributes the corpus-sized passes (word counting,
+# re-tokenization) and runs the O(|vocab| * k) merge loop on the
+# BOUNDED word-frequency dictionary — exactly how production BPE
+# trainers are structured.
+BPE_K = 12
+
+
+def _bpe_merge_rows(sf_dir: str) -> list[tuple[int, str, str, int]]:
+    """Oracle-side replica: word counts via DuckDB, merges via the
+    shared sequential core."""
+    import duckdb
+
+    from pyspark_mrdf_spark.functions.bpe import bpe_merges
+
+    rows = duckdb.sql(
+        f"SELECT tok, COUNT(*) AS c FROM (SELECT unnest(string_split(text, ' ')) AS tok "
+        f"FROM '{sf_dir}/documents.parquet') GROUP BY tok"
+    ).fetchall()
+    merges = bpe_merges({r[0]: r[1] for r in rows}, BPE_K)
+    return [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)]
+
+
+def _q107_oracle(sf_dir: str) -> str:
+    vals = ",\n  ".join(
+        "({}, '{}', '{}', {})".format(rk, l.replace("'", "''"), r.replace("'", "''"), c)
+        for rk, l, r, c in _bpe_merge_rows(sf_dir)
+    )
+    return f"""
+SELECT CAST(rank AS BIGINT) AS rank, left_sym, right_sym, CAST(pair_count AS BIGINT) AS pair_count
+FROM (VALUES
+  {vals}) AS t(rank, left_sym, right_sym, pair_count)
+"""
+
+
+@register(
+    "q107_bpe_train",
+    driver=False,  # registered r8; rotation owed next round
+    oracle=_q107_oracle,
+    description=(
+        f"BPE tokenizer training (Sennrich et al. 2016), {BPE_K} merges: "
+        "the corpus-sized work is ONE distributed word-count aggregation; "
+        "the merge loop then runs on the bounded word-frequency dictionary "
+        "(O(|vocab| x k) — how every production BPE trainer is built). "
+        "Deterministic tie-break (max count, then lexicographically "
+        "smallest pair) makes the merge table bit-identical to the "
+        "oracle's sequential replay of the shared functions/bpe.py core "
+        "over SQL-computed word counts"
+    ),
+    tags=("text", "tokenizer", "pipeline"),
+)
+def q107_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the collect is bounded by |vocabulary| (Zipf-small
+    vs the corpus; the same legitimate sample-to-driver pattern as IVF
+    centroid training — O(parameters) driver state), and everything
+    corpus-sized stays a distributed agg."""
+    from pyspark_mrdf_spark.functions.bpe import bpe_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    wc_rows = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    merges = bpe_merges({r["tok"]: r["c"] for r in wc_rows}, BPE_K)
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "rank long, left_sym string, right_sym string, pair_count long",
+    )
+
+
+def _q108_oracle(sf_dir: str) -> str:
+    """Independent sequential implementation inlined as literals: BPE
+    application is not SQL-expressible (per-word iterative rewriting),
+    so the oracle computes the expected per-doc subword stats with the
+    shared core over DuckDB-loaded text — an independent replica, the
+    same upgrade-from-rows-only pattern as the inlined centroids."""
+    import duckdb
+
+    from pyspark_mrdf_spark.functions.bpe import bpe_segment
+
+    merges = [(l, r, c) for _, l, r, c in _bpe_merge_rows(sf_dir)]
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    seg_cache: dict[str, int] = {}
+    out = []
+    for doc_id, text in rows:
+        words = text.split(" ")
+        n_sub = 0
+        for w in words:
+            if w not in seg_cache:
+                seg_cache[w] = len(bpe_segment(w, merges))
+            n_sub += seg_cache[w]
+        out.append((doc_id, len(words), n_sub))
+    vals = ",\n  ".join(f"({d}, {w}, {s})" for d, w, s in out)
+    return f"""
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, CAST(n_subwords AS BIGINT) AS n_subwords
+FROM (VALUES
+  {vals}) AS t(doc_id, n_words, n_subwords)
+"""
+
+
+@register(
+    "q108_bpe_tokenize",
+    driver=False,  # registered r8; rotation owed next round
+    oracle=_q108_oracle,
+    description=(
+        "BPE application: re-tokenize every document with the q107-trained "
+        "merge table (broadcast O(k) state, greedy rank-order application "
+        "per word, per-word memoized inside each Arrow batch) and emit "
+        "per-doc word/subword counts; oracle = the shared sequential core "
+        "replayed independently and inlined as literals (BPE application "
+        "is per-word iterative rewriting — not SQL-expressible, so the "
+        "replica is what upgrades this from a rows-only verdict)"
+    ),
+    tags=("text", "tokenizer", "pipeline"),
+)
+def q108_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: one mapInPandas over documents with broadcast O(k)
+    merge state; per-word segmentation memoizes within each batch, so
+    cost tracks DISTINCT words per batch (Zipf ≪ tokens). Zero
+    shuffle — output is per-doc."""
+    import pandas as pd
+
+    from pyspark_mrdf_spark.functions.bpe import bpe_merges, bpe_segment
+
+    d = load_table(spark, sf_dir, "documents")
+    wc_rows = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    merges = bpe_merges({r["tok"]: r["c"] for r in wc_rows}, BPE_K)
+    bmerges = spark.sparkContext.broadcast(merges)
+
+    def _tok(batches):
+        ms = bmerges.value
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n_words, n_sub = [], []
+            for text in pdf["text"]:
+                ws = text.split(" ")
+                total = 0
+                for w in ws:
+                    if w not in cache:
+                        cache[w] = len(bpe_segment(w, ms))
+                    total += cache[w]
+                n_words.append(len(ws))
+                n_sub.append(total)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": pd.Series(n_words, dtype="int64"),
+                    "n_subwords": pd.Series(n_sub, dtype="int64"),
+                }
+            )
+
+    return d.select("doc_id", "text").mapInPandas(
+        _tok, "doc_id long, n_words long, n_subwords long"
+    )

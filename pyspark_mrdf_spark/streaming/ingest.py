@@ -1,0 +1,72 @@
+"""Continuous corpus ingestion with exact dedup — the streaming twin
+of the q77 daily-ingest batch path (`operators/dedup.dedup_against`):
+documents arrive as a stream, each micro-batch drops what the stored
+corpus already has (and in-batch duplicates, lowest id winning), and
+the survivors append to the corpus — so later batches dedupe against
+everything earlier batches admitted.
+
+Exactly-once without a table format: each batch writes its survivors
+to a batch-id-named partition directory (`batch=<id>`), so a replayed
+batch after a crash OVERWRITES its own directory instead of
+double-appending — the write is idempotent per batch id, and the
+corpus is the union of committed partitions. At production scale the
+same logic targets Delta/Iceberg `MERGE INTO` where the commit is a
+metadata operation; the fingerprint semi-join shape is identical.
+
+Scale shape: the corpus side of the dedup join reduces to DISTINCT
+16-byte fingerprints (never documents), the batch side is
+micro-batch-sized, and the append touches only the new partition —
+per-batch cost is O(batch + corpus fingerprints), with the
+fingerprint scan pruned to the `fp` column by parquet column pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyspark_mrdf_spark.streaming.sinks import _hadoop_fs
+
+
+def ingest_dedup_stream(
+    docs: DataFrame,
+    corpus_path: str,
+    checkpoint: str,
+    query_name: str = "ingest_dedup",
+):
+    """Start the ingestion query (caller awaits termination).
+
+    ``docs`` is a streaming DataFrame with at least (doc_id, text);
+    every column is carried through to the corpus. Returns the
+    StreamingQuery."""
+    from pyspark_mrdf_spark.operators.dedup import dedup_against
+
+    spark = docs.sparkSession
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        fs, base = _hadoop_fs(spark, corpus_path)
+        part_path = f"{corpus_path.rstrip('/')}/batch={batch_id}"
+        if fs.exists(base) and len(fs.listStatus(base)) > 0:
+            corpus = spark.read.option("basePath", corpus_path).parquet(corpus_path)
+            survivors = dedup_against(batch_df, corpus)
+        else:
+            # first batch: in-batch dedup only (lowest id per text)
+            first = batch_df.groupBy(F.md5("text").alias("_fp")).agg(
+                F.min("doc_id").alias("doc_id")
+            )
+            survivors = (
+                batch_df.withColumn("_fp", F.md5("text"))
+                .join(first, ["doc_id", "_fp"], "left_semi")
+                .drop("_fp")
+            )
+        # idempotent append: a replayed batch overwrites ITS OWN
+        # partition directory — never double-admits
+        survivors.write.mode("overwrite").parquet(part_path)
+
+    return (
+        docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -197,3 +197,44 @@ def test_dsir_selects_top_fraction(spark, sf_dir):
     order = sorted(rows, key=lambda r: (-r["ratio_e6"], r["doc_id"]))
     assert all(r["selected"] for r in order[:n_sel])
     assert not any(r["selected"] for r in order[n_sel:])
+
+
+def test_bpe_core_textbook():
+    """Sennrich et al.'s canonical example: corpus {low:5, lower:2,
+    newest:6, widest:3} — first merges must join the frequent 'es't'
+    suffix pair family deterministically."""
+    from pyspark_mrdf_spark.functions.bpe import bpe_merges, bpe_segment
+
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = bpe_merges(wc, 10)
+    # 'e','s' occurs in newest+widest = 9 — the unambiguous top pair
+    assert merges[0][:2] == ("e", "s") and merges[0][2] == 9
+    assert merges[1][:2] == ("es", "t") and merges[1][2] == 9
+    # after enough merges the most frequent full words become single
+    # tokens ending in </w>
+    seg = bpe_segment("newest", merges)
+    assert "".join(seg) == "newest</w>"
+    assert len(seg) < len("newest") + 1  # merging actually happened
+    # determinism: same input, same table
+    assert bpe_merges(dict(reversed(list(wc.items()))), 10) == merges
+
+
+def test_bpe_segment_consistency(spark, sf_dir):
+    """q108's per-doc subword counts equal segmenting the raw text
+    with q107's trained table, word by word."""
+    from pyspark_mrdf_spark.functions.bpe import bpe_segment
+    from pyspark_mrdf_spark.queries import load_all
+
+    merges_rows = load_all()["q107_bpe_train"].builder(spark, sf_dir).collect()
+    merges = [
+        (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in sorted(merges_rows, key=lambda r: r["rank"])
+    ]
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_subwords"])
+        for r in load_all()["q108_bpe_tokenize"].builder(spark, sf_dir).collect()
+    }
+    for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50).collect():
+        ws = r["text"].split(" ")
+        want = sum(len(bpe_segment(w, merges)) for w in ws)
+        assert got[r["doc_id"]] == (len(ws), want)

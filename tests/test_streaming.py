@@ -472,3 +472,77 @@ def test_funnel_stream_checkpoint_restart(spark, sf_dir, events_json_dir, tmp_pa
     )
     cols = ["user_id", "ts_view_us", "ts_click_us", "ts_purchase_us", "funnel_stage"]
     assert _rows_set(got_rows, cols) == _rows_set(batch, cols)
+
+
+def test_ingest_dedup_stream_grows_corpus_exactly_once(spark, tmp_path):
+    """Continuous corpus ingestion (streaming twin of q77): batch 2's
+    copies of batch-1 texts are dropped against the GROWN corpus,
+    in-batch dups keep the lowest id, and replaying from the same
+    checkpoint admits nothing twice (idempotent per-batch partition
+    writes)."""
+    import json as _json
+
+    from pyspark_mrdf_spark.streaming.ingest import ingest_dedup_stream
+
+    src = tmp_path / "docs_json"
+    src.mkdir()
+    # file 1: four docs, one in-batch duplicate pair (11/13 same text)
+    with open(src / "f1.json", "w") as f:
+        for doc_id, text in [
+            (10, "alpha beta"),
+            (11, "gamma delta"),
+            (12, "epsilon zeta"),
+            (13, "gamma delta"),
+        ]:
+            f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    # file 2: one copy of an admitted text (drop), one novel (keep),
+    # and a HIGHER-id copy of a batch-1 text under a new id (drop)
+    with open(src / "f2.json", "w") as f:
+        for doc_id, text in [
+            (20, "alpha beta"),
+            (21, "eta theta"),
+            (22, "epsilon zeta"),
+        ]:
+            f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    # the file source orders batches by modification time — pin it so
+    # f1 is provably batch 0 (same-second writes could tie)
+    import os as _os
+
+    _os.utime(src / "f1.json", (1_000_000_000, 1_000_000_000))
+    _os.utime(src / "f2.json", (1_000_000_100, 1_000_000_100))
+
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = ingest_dedup_stream(docs, corpus, ckpt, query_name="ingest_test")
+    assert q.awaitTermination(120), "ingest stream did not drain"
+
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(corpus).select("doc_id", "text").collect()
+    }
+    assert got == {
+        10: "alpha beta",
+        11: "gamma delta",
+        12: "epsilon zeta",
+        21: "eta theta",
+    }
+
+    # restart from the same checkpoint with no new input: nothing
+    # re-admitted, corpus unchanged
+    docs2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q2 = ingest_dedup_stream(docs2, corpus, ckpt, query_name="ingest_test2")
+    assert q2.awaitTermination(120)
+    again = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(corpus).select("doc_id", "text").collect()
+    }
+    assert again == got
