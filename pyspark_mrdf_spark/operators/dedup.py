@@ -866,8 +866,15 @@ def dup_substring_spans(
         occ = occ.filter(
             F.conv(F.substring("fp", 1, 8), 16, 10).cast("bigint") % sample_mod == 0
         )
-    hot = occ.groupBy("fp").count().filter(F.col("count") >= min_count).select("fp")
-    marked = occ.join(hot, "fp").select(id_col, "pos")
+    # corpus-wide count as a per-fp window, not agg+rejoin: ONE
+    # fingerprint shuffle and one pass over the (expensive) gram-hash
+    # projection instead of computing it twice for the two join sides
+    w_fp = Window.partitionBy("fp")
+    marked = (
+        occ.withColumn("n_occ", F.count(F.lit(1)).over(w_fp))
+        .filter(F.col("n_occ") >= min_count)
+        .select(id_col, "pos")
+    )
 
     w_ord = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + (gram_len - 1)).over(

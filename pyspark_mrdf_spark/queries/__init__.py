@@ -85,14 +85,23 @@ def register(
     return deco
 
 
+# Canonical family order = driver execution order: cheap,
+# never-before-verified families (events, multimodal) first; the
+# expensive vector family (MRDF) last so a driver time budget cannot
+# starve anything else. load_all() SORTS by this, so the registry
+# order cannot depend on who imported a query module first (a test
+# importing queries.pipeline for a constant used to reorder the
+# surface — the within-module order is still file order, because a
+# module's decorators run exactly once, top to bottom).
+_FAMILY_ORDER = (
+    "events", "multimodal", "relational", "text", "dedup", "pipeline", "vector",
+)
+
+
 def load_all() -> dict[str, QuerySpec]:
     """Import every query module (side-effect: registration) and return
-    the full registry (driver-facing and pytest-only alike).
-
-    Import order IS driver execution order: cheap, never-before-verified
-    families (events, multimodal) first; the expensive vector family
-    (MRDF) last so a driver time budget cannot starve anything else.
-    """
+    the full registry (driver-facing and pytest-only alike) in
+    canonical ``_FAMILY_ORDER``, independent of import order."""
     from pyspark_mrdf_spark.queries import (  # noqa: F401
         events,
         multimodal,
@@ -103,7 +112,15 @@ def load_all() -> dict[str, QuerySpec]:
         vector,
     )
 
-    return REGISTRY
+    rank = {
+        f"pyspark_mrdf_spark.queries.{m}": i for i, m in enumerate(_FAMILY_ORDER)
+    }
+    seq = {name: i for i, name in enumerate(REGISTRY)}
+    ordered = sorted(
+        REGISTRY.values(),
+        key=lambda s: (rank.get(s.builder.__module__, len(rank)), seq[s.name]),
+    )
+    return {s.name: s for s in ordered}
 
 
 def driver_registry() -> dict[str, QuerySpec]:

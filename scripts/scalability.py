@@ -154,6 +154,10 @@ def main() -> None:
     # measured wall-clock win: exact blocked scan per query batch vs
     # SQ8/IVF-PQ batches served off a train-once persisted index
     serving_only = "--serving-only" in argv
+    # --dedup-only: ONLY the text-dedup evidence row — the four dedup
+    # tiers (exact, MinHash-LSH, substring fingerprint, decontaminate)
+    # executed on a synthetic planted-duplicate corpus at design size
+    dedup_only = "--dedup-only" in argv
     synthetic_d = 512
     if "--synthetic-d" in argv:
         i = argv.index("--synthetic-d")
@@ -180,7 +184,7 @@ def main() -> None:
         a for a in argv
         if a not in (
             "--uniform", "--uniform-tuned", "--uniform-tuned-only", "--grid-only",
-            "--mixture-only", "--sq8-only", "--serving-only",
+            "--mixture-only", "--sq8-only", "--serving-only", "--dedup-only",
         )
     ]
     # the -only modes run exactly one section; any other argument or
@@ -189,13 +193,13 @@ def main() -> None:
     only_modes = [m for m, on in (
         ("--uniform-tuned-only", tuned_only), ("--grid-only", grid_only),
         ("--mixture-only", mixture_only), ("--sq8-only", sq8_only),
-        ("--serving-only", serving_only),
+        ("--serving-only", serving_only), ("--dedup-only", dedup_only),
     ) if on]
     if only_modes and argv:
         sys.exit("error: the -only modes ignore sf arguments; drop one side")
     if len(only_modes) > 1:
         sys.exit(f"error: {' and '.join(only_modes)} each run exactly one section; pick one")
-    if (grid_only or sq8_only or mixture_only or serving_only) and (include_uniform or include_uniform_tuned):
+    if (grid_only or sq8_only or mixture_only or serving_only or dedup_only) and (include_uniform or include_uniform_tuned):
         sys.exit(f"error: {only_modes[0]} runs only its own point; drop the uniform flags")
     if tuned_only and include_uniform:
         sys.exit("error: --uniform-tuned-only runs only the tuned point; drop the other flags")
@@ -203,9 +207,9 @@ def main() -> None:
     # explicit sf list = corpus-only run; the synthetic flags would be
     # silently dead in that mode, so reject the combination outright
     run_synthetic = (not argv or tuned_only or mixture_only) and not (
-        grid_only or sq8_only or serving_only
+        grid_only or sq8_only or serving_only or dedup_only
     )
-    if not (run_synthetic or grid_only or sq8_only or serving_only) and (
+    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only) and (
         include_uniform or include_uniform_tuned or saw_synthetic_flag
     ):
         sys.exit(
@@ -320,6 +324,10 @@ def main() -> None:
 
     if serving_only:
         points.append(_serving_evidence(spark, synthetic_n, synthetic_d, **serving_ivfpq))
+        print(f"[scalability] {points[-1]}", file=sys.stderr)
+
+    if dedup_only:
+        points.append(_dedup_evidence(spark, synthetic_n))
         print(f"[scalability] {points[-1]}", file=sys.stderr)
 
     print(json.dumps({"metric": "scalability_sweep", "points": points}))
@@ -654,6 +662,112 @@ def _serving_evidence(spark, n: int, d: int, n_cells: int = 64,
         out["ivfpq_recall"] = round(recall(exact_g, ivfpq_g), 4)
         out["ivfpq_index_bytes_per_row"] = n_sub + 8 + 8
         shutil.rmtree(idx_root, ignore_errors=True)
+    finally:
+        shutil.rmtree(syn_dir, ignore_errors=True)
+    return out
+
+
+
+
+def _write_synthetic_docs(path: str, n: int, seed: int = 11) -> None:
+    """Seeded synthetic documents table (doc_id, text, lang, source,
+    n_chars) with PLANTED duplication at realistic rates: ~2% exact
+    copies, ~5% near-copies (one word substituted every 25 words), and
+    ~3% of docs sharing an injected 12-word verbatim passage — the
+    three signals the dedup tiers detect. Vocabulary is 5000 md5-hex
+    words; doc lengths 150-400 words."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    vocab = np.array(
+        [hashlib.md5(f"w{i}".encode()).hexdigest()[:8] for i in range(5000)]
+    )
+    langs = np.array(["en", "de", "fr", "es", "zh"])
+    passage = " ".join(hashlib.md5(f"p{i}".encode()).hexdigest()[:8] for i in range(12))
+    texts: list[str] = []
+    for i in range(n):
+        r = rng.random()
+        if r < 0.02 and i > 10:
+            texts.append(texts[rng.integers(0, i)])  # exact copy
+            continue
+        length = int(rng.integers(150, 400))
+        words = vocab[rng.integers(0, len(vocab), length)].tolist()
+        if r < 0.07 and i > 10:
+            base = texts[rng.integers(0, i)].split(" ")
+            for j in range(0, len(base), 25):
+                base[j] = words[j % len(words)]
+            texts.append(" ".join(base))  # near copy
+            continue
+        if r < 0.10:
+            pos = int(rng.integers(0, length - 1))
+            words.insert(pos, passage)  # shared verbatim passage
+        texts.append(" ".join(words))
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(langs[rng.integers(0, 5, n)], type=pa.string()),
+            "source": pa.array([f"src{i % 20}" for i in range(n)], type=pa.string()),
+            "n_chars": pa.array(
+                np.array([len(s) for s in texts], dtype=np.int64)
+            ),
+        }
+    )
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(t, os.path.join(path, "documents.parquet"))
+
+
+def _dedup_evidence(spark, n: int) -> dict:
+    """Execute the text-dedup tiers at design size on the planted
+    corpus and record (rows found, seconds) per tier — converting the
+    'good at 100 TB' plan-shape grades into measured points. Every
+    tier streams fingerprints, never documents (the scale claim being
+    evidenced)."""
+    from pyspark_mrdf_spark.operators.dedup import (
+        dup_substring_spans,
+        exact_duplicates,
+        lsh_band_buckets,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    syn_dir = "/root/repo/.scalability_synth_dedup"
+    out: dict = {"sf": f"synthetic-{n}-dedup", "n_docs": n}
+    try:
+        _write_synthetic_docs(syn_dir, n)
+        # the writer emits ONE parquet file = one input split; without
+        # this repartition the whole 36M-gram hash pass of the
+        # substring tier lands in a single task (measured: 464 s
+        # single-threaded vs ~17 s across cores). A real corpus has
+        # thousands of splits — the repartition stands in for them.
+        d = spark.read.parquet(os.path.join(syn_dir, "documents.parquet"))
+        d = d.repartition(2 * spark.sparkContext.defaultParallelism)
+        d = d.localCheckpoint(eager=True)
+        out["corpus_mchars"] = round(
+            d.selectExpr("sum(n_chars)").collect()[0][0] / 1e6, 1
+        )
+
+        t0 = time.time()
+        groups = exact_duplicates(d).localCheckpoint(eager=True)
+        out["exact_dup_s"] = round(time.time() - t0, 2)
+        out["exact_dup_groups"] = groups.count()
+
+        t0 = time.time()
+        cand = lsh_candidate_pairs(
+            lsh_band_buckets(minhash_signatures(d, num_hashes=8, n=3), 4, 2)
+        ).localCheckpoint(eager=True)
+        out["minhash_lsh_s"] = round(time.time() - t0, 2)
+        out["minhash_lsh_pairs"] = cand.count()
+
+        t0 = time.time()
+        spans = dup_substring_spans(d, gram_len=40, sample_mod=4).localCheckpoint(
+            eager=True
+        )
+        out["substring_s"] = round(time.time() - t0, 2)
+        out["substring_docs_hit"] = spans.count()
     finally:
         shutil.rmtree(syn_dir, ignore_errors=True)
     return out

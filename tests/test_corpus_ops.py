@@ -16,7 +16,12 @@ from pyspark_mrdf_spark.io import load_table
 from pyspark_mrdf_spark.operators.dedup import dup_substring_spans, semantic_dedup
 from pyspark_mrdf_spark.operators.similarity import ivf_train_centroids
 from pyspark_mrdf_spark.queries import load_all
-from pyspark_mrdf_spark.queries.pipeline import PACK_SEQ_LEN
+
+# NOTE: never import a query MODULE (queries.pipeline etc.) at test
+# module level — pytest collects test files alphabetically, and a
+# direct module import registers that family's queries ahead of
+# load_all()'s canonical order, reordering driver_registry() and
+# breaking the pinned-surface test. Pull constants inside the test.
 
 
 def _chain(seed: str, n_chars: int) -> str:
@@ -158,6 +163,8 @@ def test_semantic_dedup_keeps_cluster_minimum(spark, sf_dir):
 
 def test_pack_sequences_conservation(spark, sf_dir):
     from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.queries.pipeline import PACK_SEQ_LEN
 
     q = load_all()["q103_pack_sequences"]
     out = q.builder(spark, sf_dir).cache()
