@@ -801,7 +801,7 @@ def dedup_against(
     )
 
 
-def dup_substring_spans(
+def dup_substring_span_table(
     df: DataFrame,
     gram_len: int = 40,
     sample_mod: int = 4,
@@ -810,7 +810,9 @@ def dup_substring_spans(
     text_col: str = "text",
     len_col: str = "n_chars",
 ) -> DataFrame:
-    """Substring-level exact dedup: per-document duplicated-span stats
+    """Substring-level exact dedup, span-level output (id, span_id,
+    s, e inclusive char bounds) — the table q101's stats aggregate
+    and q109's scrub consumes. Substring-level exact dedup: per-document duplicated-span stats
     (the Lee et al. 2022 "Deduplicating Training Data Makes Language
     Models Better" ExactSubstr operation, re-expressed Spark-first —
     the reference has no counterpart; fingerprint-join design instead
@@ -894,12 +896,74 @@ def dup_substring_spans(
         "pos",
         F.sum("new_span").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias("span_id"),
     )
-    spans = islands.groupBy(id_col, "span_id").agg(
+    return islands.groupBy(id_col, "span_id").agg(
         F.min("pos").alias("s"), (F.max("pos") + (gram_len - 1)).alias("e")
+    )
+
+
+def dup_substring_spans(
+    df: DataFrame,
+    gram_len: int = 40,
+    sample_mod: int = 4,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Per-document duplicated-span STATS (id, n_spans, dup_chars)
+    over ``dup_substring_span_table`` — see that docstring for the
+    detection semantics and scale shape."""
+    spans = dup_substring_span_table(
+        df, gram_len, sample_mod, min_count, id_col, text_col, len_col
     )
     return spans.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_chars"),
+    )
+
+
+def scrub_dup_substrings(
+    df: DataFrame,
+    gram_len: int = 40,
+    sample_mod: int = 4,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """The REMOVE half of ExactSubstr dedup (Lee et al. 2022 drop the
+    duplicated spans from training text): every char covered by a
+    detected duplicated span is deleted; returns (id, clean_text,
+    clean_chars). Documents with no spans pass through unchanged.
+
+    Scale shape: span detection as in ``dup_substring_span_table``;
+    the scrub itself is pure per-doc higher-order array expressions
+    (collect the doc's few spans, keep chars whose position no span
+    covers) — zero Python, zero extra shuffle beyond the span table's
+    per-doc agg, cost O(n_chars · n_spans) per doc with n_spans
+    small by construction (spans are maximal merged intervals)."""
+    spans = dup_substring_span_table(
+        df, gram_len, sample_mod, min_count, id_col, text_col, len_col
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("s", "e")).alias("_spans")
+    )
+    joined = df.select(id_col, text_col).join(per_doc, id_col, "left")
+    chars = F.split(F.col(text_col), "")
+    keep = F.filter(
+        F.arrays_zip(chars, F.sequence(F.lit(1), F.length(text_col))),
+        lambda x: ~F.exists(
+            F.col("_spans"),
+            lambda sp: (x["1"] >= sp["s"]) & (x["1"] <= sp["e"]),
+        ),
+    )
+    clean = F.when(
+        F.col("_spans").isNull(), F.col(text_col)
+    ).otherwise(F.array_join(F.transform(keep, lambda x: x["0"]), ""))
+    return joined.select(
+        id_col,
+        clean.alias("clean_text"),
+        F.length(clean).cast("bigint").alias("clean_chars"),
     )
 
 

@@ -550,13 +550,9 @@ def q82_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are non-trivial.
 _SSD_L, _SSD_S = 40, 4
 
-
-@register(
-    "q101_substring_dedup",
-    # registered r8, promoted immediately: the marquee dedup addition
-    # of the round takes a slot freed by the 7x-green q40
-    oracle=f"""
-WITH occ AS (
+# shared span-detection CTE chain (q101 stats + q109 scrub): one
+# textual source so the two oracles cannot drift
+_SSD_SPANS_CTE = f"""occ AS (
   SELECT doc_id, CAST(p AS BIGINT) AS pos, fp FROM (
     SELECT doc_id, p, md5(substr(text, CAST(p AS INTEGER), {_SSD_L})) AS fp
     FROM documents, UNNEST(generate_series(1, n_chars - {_SSD_L} + 1)) AS t(p)
@@ -578,7 +574,15 @@ islands AS (
   FROM flagged),
 spans AS (
   SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + {_SSD_L} - 1 AS e
-  FROM islands GROUP BY doc_id, span_id),
+  FROM islands GROUP BY doc_id, span_id)"""
+
+
+@register(
+    "q101_substring_dedup",
+    # registered r8, promoted immediately: the marquee dedup addition
+    # of the round takes a slot freed by the 7x-green q40
+    oracle=f"""
+WITH {_SSD_SPANS_CTE},
 per_doc AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
          CAST(SUM(e - s + 1) AS BIGINT) AS dup_chars
@@ -713,3 +717,45 @@ def q102_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed=cfg["seed"],
     )
     return D.semantic_dedup(emb, cents, threshold_e6=cfg["threshold_e6"])
+
+
+@register(
+    "q109_substring_scrub",
+    driver=False,  # registered r8; rotation owed next round
+    oracle=f"""
+WITH {_SSD_SPANS_CTE},
+sps AS (
+  SELECT doc_id, list(struct_pack(s := s, e := e)) AS sp_list FROM spans GROUP BY doc_id),
+scrubbed AS (
+  SELECT d.doc_id,
+         CASE WHEN sp.doc_id IS NULL THEN d.text
+              -- COALESCE: DuckDB's array_to_string of an EMPTY list is
+              -- NULL, and a fully-duplicated doc keeps zero chars
+              ELSE COALESCE(array_to_string(list_transform(
+                     list_filter(generate_series(1, d.n_chars),
+                       p -> NOT list_aggregate(list_transform(sp.sp_list,
+                              x -> p >= x.s AND p <= x.e), 'bool_or')),
+                     p -> substr(d.text, CAST(p AS INTEGER), 1)), ''), '')
+         END AS clean_text
+  FROM documents d LEFT JOIN sps sp USING (doc_id))
+SELECT doc_id, md5(clean_text) AS clean_md5,
+       CAST(length(clean_text) AS BIGINT) AS clean_chars
+FROM scrubbed
+""",
+    description=(
+        "the REMOVE half of ExactSubstr dedup: delete every char covered "
+        "by a detected duplicated span (q101's span table, shared CTE so "
+        "the oracles cannot drift) and emit the cleaned text's md5 + "
+        "length — pure per-doc higher-order array exprs after the span "
+        "agg, zero Python; hashing the scrubbed text makes the verdict "
+        "byte-level"
+    ),
+    tags=("dedup", "text", "pipeline"),
+)
+def q109_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return D.scrub_dup_substrings(d, gram_len=_SSD_L, sample_mod=_SSD_S).select(
+        "doc_id",
+        F.md5("clean_text").alias("clean_md5"),
+        "clean_chars",
+    )

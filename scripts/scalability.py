@@ -768,6 +768,29 @@ def _dedup_evidence(spark, n: int) -> dict:
         )
         out["substring_s"] = round(time.time() - t0, 2)
         out["substring_docs_hit"] = spans.count()
+
+        # SemDeDup tier at design size: 50k mixture embeddings, k =
+        # n/1000 clusters (the cluster-size dial that bounds the
+        # within-cluster pairwise block)
+        from pyspark_mrdf_spark.operators.dedup import semantic_dedup
+        from pyspark_mrdf_spark.operators.similarity import ivf_train_centroids
+
+        n_emb, n_cells = 50_000, 50
+        _write_synthetic(syn_dir, n_emb)
+        emb = spark.read.parquet(os.path.join(syn_dir, "embeddings.parquet"))
+        emb = emb.repartition(2 * spark.sparkContext.defaultParallelism)
+        emb = emb.localCheckpoint(eager=True)
+        t0 = time.time()
+        cents = ivf_train_centroids(
+            emb, n_centroids=n_cells, sample_size=4096, iters=8, seed=7
+        )
+        sem = semantic_dedup(emb, cents, threshold_e6=950_000).localCheckpoint(
+            eager=True
+        )
+        out["semantic_s"] = round(time.time() - t0, 2)
+        out["semantic_n"] = n_emb
+        out["semantic_cells"] = n_cells
+        out["semantic_dups"] = sem.filter("NOT keep").count()
     finally:
         shutil.rmtree(syn_dir, ignore_errors=True)
     return out

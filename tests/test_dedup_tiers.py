@@ -327,3 +327,40 @@ def test_scrub_pii_new_kinds_and_luhn(spark):
         ["d"],
     ).select("d", luhn_valid("d").alias("ok")).collect()
     assert [r["ok"] for r in lv] == [True, False, True, False]
+
+
+def test_scrub_dup_substrings_laws(spark, sf_dir):
+    # the ExactSubstr REMOVE law: scrubbing deletes EXACTLY the chars
+    # the span detector counted (clean_chars = n_chars - dup_chars for
+    # hit docs), untouched docs pass through byte-identical, and a
+    # rescan of the scrubbed corpus at the same dials finds no
+    # sample-aligned duplicated gram that survived the scrub
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.io import load_table
+    from pyspark_mrdf_spark.operators.dedup import (
+        dup_substring_spans,
+        scrub_dup_substrings,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    stats = dup_substring_spans(d, gram_len=40, sample_mod=4)
+    clean = scrub_dup_substrings(d, gram_len=40, sample_mod=4)
+    j = (
+        d.join(clean, "doc_id")
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "text",
+            "clean_text",
+            "clean_chars",
+            (F.col("n_chars") - F.coalesce("dup_chars", F.lit(0))).alias("want"),
+            F.col("dup_chars").isNotNull().alias("hit"),
+        )
+        .collect()
+    )
+    assert j and any(r["hit"] for r in j) and any(not r["hit"] for r in j)
+    for r in j:
+        assert r["clean_chars"] == r["want"], r["doc_id"]
+        if not r["hit"]:
+            assert r["clean_text"] == r["text"]
