@@ -740,3 +740,85 @@ def q108_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").mapInPandas(
         _tok, "doc_id long, n_words long, n_subwords long"
     )
+
+
+# q110's keep threshold: mean per-token backoff score >= 0.02 in e6
+# fixed point — the "language-model band" dial a deployment sweeps
+_LM_KEEP_E6 = 20_000
+
+
+@register(
+    "q110_lm_quality_filter",
+    driver=False,  # registered r8; rotation owed next round
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, list_concat(['<s>', '<s>'], string_split(text, ' ')) AS t
+  FROM documents),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+bi AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i))
+  GROUP BY w1, w2),
+tri AS (
+  SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3 FROM (
+    SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+    FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i))
+  GROUP BY w1, w2, w3),
+grams AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)),
+scored AS (
+  SELECT s.doc_id,
+         CASE WHEN tr.c3 IS NOT NULL THEN (1000000 * tr.c3) // bc.c2
+              WHEN b.c2 IS NOT NULL THEN (400000 * b.c2) // u2.c1
+              WHEN u3.c1 IS NOT NULL THEN (160000 * u3.c1) // tot.n
+              ELSE 0 END AS sc,
+         u3.c1 IS NULL AS oov
+  FROM grams s
+  LEFT JOIN tri tr ON tr.w1 = s.w1 AND tr.w2 = s.w2 AND tr.w3 = s.w3
+  LEFT JOIN bi bc ON bc.w1 = s.w1 AND bc.w2 = s.w2
+  LEFT JOIN bi b ON b.w1 = s.w2 AND b.w2 = s.w3
+  LEFT JOIN uni u2 ON u2.w = s.w2
+  LEFT JOIN uni u3 ON u3.w = s.w3
+  CROSS JOIN tot)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(sc) AS BIGINT) AS sum_score_e6,
+       CAST(SUM(sc) // COUNT(*) AS BIGINT) AS mean_score_e6,
+       CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       (SUM(sc) // COUNT(*)) >= {_LM_KEEP_E6} AS keep
+FROM scored GROUP BY doc_id
+""",
+    description=(
+        "CCNet-style language-model quality filter (Wenzek et al. 2020), "
+        "re-expressed with a trigram STUPID-BACKOFF model (Brants et al. "
+        "2007) in integer fixed point: three distributed n-gram count "
+        "aggs train the model, per-token scores are single integer "
+        "divisions of exact counts with the 0.4-per-backoff-level "
+        "penalty premultiplied into the scale (1e6/4e5/1.6e5), and the "
+        "per-doc mean score ranks documents by reference-likeness (the "
+        "inverse-perplexity band CCNet filters on) — no logs, no "
+        "floats, hash-exact across engines"
+    ),
+    tags=("text", "pipeline", "lm"),
+)
+def q110_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-scoring configuration (model trained on the corpus being
+    scored — the in-domain ranking); a production run trains on a
+    clean reference corpus and scores the raw crawl, which is the same
+    plan with a different `lm_train` input."""
+    from pyspark_mrdf_spark.operators.lm import lm_score, lm_train
+
+    d = load_table(spark, sf_dir, "documents")
+    tri, bi, uni = lm_train(d)
+    return lm_score(d, tri, bi, uni).select(
+        "doc_id",
+        "n_tokens",
+        "sum_score_e6",
+        "mean_score_e6",
+        "n_oov",
+        (F.col("mean_score_e6") >= _LM_KEEP_E6).alias("keep"),
+    )

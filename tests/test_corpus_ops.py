@@ -245,3 +245,94 @@ def test_bpe_segment_consistency(spark, sf_dir):
         ws = r["text"].split(" ")
         want = sum(len(bpe_segment(w, merges)) for w in ws)
         assert got[r["doc_id"]] == (len(ws), want)
+
+
+def _sb_reference(train_texts, score_texts):
+    """Driver-side stupid-backoff replica (dict counts, same integer
+    fixed point) — the independent implementation the distributed
+    scorer must match token-for-token."""
+    from collections import Counter
+
+    uni, bi, tri = Counter(), Counter(), Counter()
+    for txt in train_texts:
+        t = ["<s>", "<s>"] + txt.split(" ")
+        uni.update(t)
+        bi.update(zip(t, t[1:]))
+        tri.update(zip(t, t[1:], t[2:]))
+    n = sum(uni.values())
+    out = {}
+    for i, txt in enumerate(score_texts):
+        t = ["<s>", "<s>"] + txt.split(" ")
+        sc, oov = [], 0
+        for j in range(2, len(t)):
+            w1, w2, w3 = t[j - 2], t[j - 1], t[j]
+            if tri[(w1, w2, w3)]:
+                sc.append(1_000_000 * tri[(w1, w2, w3)] // bi[(w1, w2)])
+            elif bi[(w2, w3)]:
+                sc.append(400_000 * bi[(w2, w3)] // uni[w2])
+            elif uni[w3]:
+                sc.append(160_000 * uni[w3] // n)
+            else:
+                sc.append(0)
+                oov += 1
+        out[i] = (len(sc), sum(sc), sum(sc) // len(sc), oov)
+    return out
+
+
+def test_lm_score_matches_bruteforce_and_ranks(spark):
+    # the stupid-backoff laws: (1) the distributed scorer equals an
+    # independent driver-side replica exactly (integer fixed point ⇒
+    # no tolerance); (2) an in-domain doc outranks a noise doc and
+    # OOV tokens are counted, the property the CCNet band filter uses
+    from pyspark_mrdf_spark.operators.lm import lm_score, lm_train
+
+    train = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox sleeps under the old tree",
+        "a quick brown fox jumps over a lazy dog",
+    ]
+    score = [
+        "the quick brown fox jumps over the lazy dog",  # in-domain
+        "fox the over quick dog brown lazy the jumps",  # shuffled
+        "zzq qqz xxv unseen tokens only here vvx",      # OOV-heavy
+    ]
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], ["doc_id", "text"]
+    )
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(score)], ["doc_id", "text"]
+    )
+    tri, bi, uni = lm_train(tdf)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["sum_score_e6"], r["mean_score_e6"], r["n_oov"])
+        for r in lm_score(sdf, tri, bi, uni).collect()
+    }
+    want = _sb_reference(train, score)
+    assert got == want
+    assert got[0][2] > got[1][2] > got[2][2]
+    assert got[2][3] >= 5 and got[0][3] == 0
+
+
+def test_lm_min_count_prunes_only_rare_ngrams(spark):
+    # pruning law: min_count=2 removes singleton bi/trigrams (backing
+    # those tokens off to a lower tier — score can only drop) and
+    # never changes unigrams, so OOV is pruning-invariant
+    from pyspark_mrdf_spark.operators.lm import lm_score, lm_train
+
+    train = [
+        "alpha beta gamma delta",
+        "alpha beta gamma epsilon",
+        "alpha beta zeta eta",
+    ]
+    tdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], ["doc_id", "text"]
+    )
+    full = lm_score(tdf, *lm_train(tdf))
+    pruned = lm_score(tdf, *lm_train(tdf, min_count=2))
+    f = {r["doc_id"]: r for r in full.collect()}
+    p = {r["doc_id"]: r for r in pruned.collect()}
+    for i in f:
+        assert p[i]["sum_score_e6"] <= f[i]["sum_score_e6"]
+        assert p[i]["n_oov"] == f[i]["n_oov"]
+    # "alpha beta" (3x) survives pruning: doc scores stay > 0
+    assert all(p[i]["sum_score_e6"] > 0 for i in p)
