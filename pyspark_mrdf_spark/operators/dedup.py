@@ -1005,8 +1005,6 @@ def semantic_dedup(
     bcent = spark.sparkContext.broadcast(c_mat)
     vec_type = df.schema[vec_col].dataType
 
-    from pyspark.sql.types import ArrayType  # noqa: F401  (vec passthrough)
-
     def _assign(batches):
         cm = bcent.value
         for pdf in batches:

@@ -158,8 +158,16 @@ def lm_score(
     ``sum div n_tokens``. Higher = more reference-corpus-like (the
     inverse-perplexity ranking CCNet's band filter consumes).
     """
-    t = _padded_tokens(docs, text_col)
-    grams = docs.select(
+    # project the token array ONCE before the higher-order transform:
+    # subexpression elimination does not reach inside HOF lambdas, so
+    # an inline split expression would re-tokenize the document at
+    # every element_at — O(n_tok * n_chars) per doc instead of
+    # O(n_chars)
+    toks = docs.select(
+        F.col(id_col), _padded_tokens(docs, text_col).alias("t")
+    )
+    t = F.col("t")
+    grams = toks.select(
         F.col(id_col),
         F.explode(
             F.transform(

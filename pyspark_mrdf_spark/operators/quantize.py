@@ -98,6 +98,21 @@ def sq8_codes(mat: np.ndarray, mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
     return np.clip(t, 0.0, 255.0).astype(np.uint8)
 
 
+def _collect_queries(
+    queries: DataFrame, id_col: str, vec_col: str, op: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """ONE driver materialization of the bounded query batch —
+    (q_ids int64, raw stacked vector matrix) — shared by a search
+    call's candidate stage and its rerank tail. Collecting in each
+    stage separately would run the query DataFrame's lineage twice per
+    batch (a full duplicate scan when the queries are computed, e.g.
+    an embed_payloads output) and hold two driver copies."""
+    qpdf = queries.select(id_col, vec_col).toPandas()
+    if len(qpdf) == 0:
+        raise ValueError(f"{op}: empty query set")
+    return qpdf[id_col].to_numpy(dtype=np.int64), np.stack(qpdf[vec_col].to_numpy())
+
+
 def sq8_encode(
     df: DataFrame,
     mn: np.ndarray,
@@ -137,6 +152,7 @@ def sq8_candidates(
     vec_col: str = "embedding",
     include_self: bool = False,
     n_parts: int | None = None,
+    q_arrays: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DataFrame:
     """Top-k candidates per query by symmetric code-space L2:
     (src, dst, code_dist) with integer ``code_dist`` = Σ_d (q_code_d −
@@ -156,11 +172,10 @@ def sq8_candidates(
     code-slab tasks are cheap and an oversplit corpus pays its cost in
     the merge, not the scan."""
     spark = queries.sparkSession
-    qpdf = queries.select(id_col, vec_col).toPandas()
-    if len(qpdf) == 0:
-        raise ValueError("sq8_candidates: empty query set")
-    q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
-    q_codes = sq8_codes(np.stack(qpdf[vec_col].to_numpy()), mn, mx).astype(np.int32)
+    if q_arrays is None:
+        q_arrays = _collect_queries(queries, id_col, vec_col, "sq8_candidates")
+    q_ids, q_raw = q_arrays
+    q_codes = sq8_codes(q_raw, mn, mx).astype(np.int32)
     b = spark.sparkContext.broadcast((q_ids, q_codes))
 
     def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -286,11 +301,12 @@ def sq8_search_encoded(
         corpus.sparkSession.sparkContext.defaultParallelism,
         -(-n_codes // 16_384),
     )
+    qa = _collect_queries(queries, id_col, vec_col, "sq8_search")
     cand = sq8_candidates(
         queries, codes, k_candidates, mn, mx, id_col, vec_col, include_self,
-        n_parts=n_parts,
+        n_parts=n_parts, q_arrays=qa,
     )
-    return _rerank_exact(cand, queries, corpus, k, id_col, vec_col)
+    return _rerank_exact(cand, queries, corpus, k, id_col, vec_col, q_arrays=qa)
 
 
 def pq_train(
@@ -404,6 +420,7 @@ def _rerank_exact(
     k: int,
     id_col: str,
     vec_col: str,
+    q_arrays: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DataFrame:
     """Full-precision rerank of a candidate edge table (src, dst, ...):
     shuffle-join corpus vectors on the candidate-sized dst side (the
@@ -437,9 +454,10 @@ def _rerank_exact(
     dominant rerank slice) at n=200k, d=512.
     Shared tail of sq8_search / pq_search / ivfpq_search."""
     spark = cand.sparkSession
-    qpdf = queries.select(id_col, vec_col).toPandas()
-    q_ids_arr = qpdf[id_col].to_numpy(dtype=np.int64)
-    q_mat = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    if q_arrays is None:
+        q_arrays = _collect_queries(queries, id_col, vec_col, "_rerank_exact")
+    q_ids_arr, q_raw = q_arrays
+    q_mat = q_raw.astype(np.float64)
 
     # pairs sorted by dst so each corpus partition can range-slice its
     # work with two searchsorted calls instead of a Python-dict probe
@@ -531,6 +549,7 @@ def pq_candidates(
     vec_col: str = "embedding",
     include_self: bool = False,
     n_parts: int | None = None,
+    q_arrays: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DataFrame:
     """Top-k candidates per query by ASYMMETRIC PQ distance (ADC):
     (src, dst, adc_dist). Per query, one (n_subspaces × n_codes)
@@ -546,11 +565,10 @@ def pq_candidates(
     ordered list_sums); exact float ties break to the lowest dst via
     the same two-scan boundary redo as the SQ8 kernel."""
     spark = queries.sparkSession
-    qpdf = queries.select(id_col, vec_col).toPandas()
-    if len(qpdf) == 0:
-        raise ValueError("pq_candidates: empty query set")
-    q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
-    q_mat = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    if q_arrays is None:
+        q_arrays = _collect_queries(queries, id_col, vec_col, "pq_candidates")
+    q_ids, q_raw = q_arrays
+    q_mat = q_raw.astype(np.float64)
     n_sub, n_codes, ds = codebooks.shape
     # (n_q, n_subspaces, n_codes) ADC tables — sequential-fold sums
     # (see _seq_sq_dists: numpy tree-reduces, the SQL twin left-folds)
@@ -656,11 +674,12 @@ def pq_search_encoded(
         corpus.sparkSession.sparkContext.defaultParallelism,
         -(-codes.count() // 16_384),
     )
+    qa = _collect_queries(queries, id_col, vec_col, "pq_search")
     cand = pq_candidates(
         queries, codes, k_candidates, codebooks, id_col, vec_col, include_self,
-        n_parts=n_parts,
+        n_parts=n_parts, q_arrays=qa,
     )
-    return _rerank_exact(cand, queries, corpus, k, id_col, vec_col)
+    return _rerank_exact(cand, queries, corpus, k, id_col, vec_col, q_arrays=qa)
 
 
 def ivfpq_train(
@@ -848,11 +867,8 @@ def ivfpq_search_encoded(
         k_candidates = 4 * k
     spark = queries.sparkSession
     cb = codebooks
-    qpdf = queries.select(id_col, vec_col).toPandas()
-    if len(qpdf) == 0:
-        raise ValueError("ivfpq_search: empty query set")
-    q_ids = qpdf[id_col].to_numpy(dtype=np.int64)
-    q_mat = np.stack(qpdf[vec_col].to_numpy()).astype(np.float64)
+    q_ids, q_raw = _collect_queries(queries, id_col, vec_col, "ivfpq_search")
+    q_mat = q_raw.astype(np.float64)
     probe = np.argsort(pairwise_l2_sq(q_mat, coarse), axis=1, kind="stable")[
         :, :n_probe
     ]
@@ -917,9 +933,18 @@ def ivfpq_search_encoded(
             salt_mod = np.fromiter(
                 (ns[int(c)] for c in cell), dtype=np.int64, count=len(cell)
             )
-            yield pd.DataFrame(
-                {"q_id": q_id, "cell": cell, "salt": q_id % salt_mod}
-            )
+            # splitmix64-mix the id before the modulo: raw q_id %
+            # n_salt degenerates when the batch's ids share a stride
+            # or parity (e.g. ids from an upstream mod-2 split would
+            # all land in salt 0, restoring the single-task hot-cell
+            # stall). Deterministic, so the subtask assignment — and
+            # with it every per-(query, cell) input — is stable.
+            h = q_id.astype(np.uint64)
+            h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            h = h ^ (h >> np.uint64(31))
+            salt = (h % salt_mod.astype(np.uint64)).astype(np.int64)
+            yield pd.DataFrame({"q_id": q_id, "cell": cell, "salt": salt})
 
     probes_df = spark.range(len(q_ids) * n_probe_b).mapInPandas(
         _emit_probes, "q_id long, cell long, salt long"
@@ -990,7 +1015,9 @@ def ivfpq_search_encoded(
         .filter(F.col("crnk") <= k_candidates)
         .drop("crnk")
     )
-    return _rerank_exact(cand, queries, corpus, k, id_col, vec_col)
+    return _rerank_exact(
+        cand, queries, corpus, k, id_col, vec_col, q_arrays=(q_ids, q_raw)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1030,9 +1057,11 @@ def _write_params(path: str, parts: dict[str, np.ndarray]) -> None:
     names: list[str] = []
     i0: list[int] = []
     i1: list[int] = []
+    ndims: list[int] = []
     vecs: list[list[float]] = []
     for name, arr in parts.items():
         a = np.asarray(arr, dtype=np.float64)
+        nd = a.ndim
         if a.ndim == 1:
             a = a[None, None, :]
         elif a.ndim == 2:
@@ -1044,6 +1073,7 @@ def _write_params(path: str, parts: dict[str, np.ndarray]) -> None:
                 names.append(name)
                 i0.append(x)
                 i1.append(y)
+                ndims.append(nd)
                 vecs.append(a[x, y].tolist())
     os.makedirs(path, exist_ok=True)
     tbl = pa.table(
@@ -1051,6 +1081,11 @@ def _write_params(path: str, parts: dict[str, np.ndarray]) -> None:
             "name": pa.array(names, pa.string()),
             "idx0": pa.array(i0, pa.int32()),
             "idx1": pa.array(i1, pa.int32()),
+            # the ORIGINAL rank, so the reader restores shape from
+            # metadata instead of inferring it from max indices (a
+            # size-1 leading dim — n_subspaces=1, n_centroids=1 —
+            # would otherwise round-trip squeezed to the wrong rank)
+            "ndim": pa.array(ndims, pa.int8()),
             "vec": pa.array(vecs, pa.list_(pa.float64())),
         }
     )
@@ -1065,9 +1100,16 @@ def _read_params(path: str) -> dict[str, np.ndarray]:
     import pyarrow.parquet as papq
 
     tbl = papq.read_table(os.path.join(path, "params.parquet")).to_pydict()
+    # pre-ndim-column indexes (written before r8's fix) fall back to
+    # max-index inference, which was only wrong for size-1 leading dims
+    nd_col = tbl.get("ndim") or [None] * len(tbl["name"])
     by_name: dict[str, dict[tuple[int, int], np.ndarray]] = {}
-    for name, x, y, vec in zip(tbl["name"], tbl["idx0"], tbl["idx1"], tbl["vec"]):
+    nd_of: dict[str, int | None] = {}
+    for name, x, y, nd, vec in zip(
+        tbl["name"], tbl["idx0"], tbl["idx1"], nd_col, tbl["vec"]
+    ):
         by_name.setdefault(name, {})[(x, y)] = np.asarray(vec, dtype=np.float64)
+        nd_of[name] = nd
     out: dict[str, np.ndarray] = {}
     for name, cells in by_name.items():
         n0 = max(x for x, _ in cells) + 1
@@ -1076,9 +1118,12 @@ def _read_params(path: str) -> dict[str, np.ndarray]:
         a = np.empty((n0, n1, d), dtype=np.float64)
         for (x, y), v in cells.items():
             a[x, y] = v
-        if n0 == 1 and n1 == 1:
+        nd = nd_of[name]
+        if nd is None:
+            nd = 1 if (n0 == 1 and n1 == 1) else (2 if n0 == 1 else 3)
+        if nd == 1:
             out[name] = a[0, 0]
-        elif n0 == 1:
+        elif nd == 2:
             out[name] = a[0]
         else:
             out[name] = a

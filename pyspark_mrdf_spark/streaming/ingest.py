@@ -9,7 +9,11 @@ Exactly-once without a table format: each batch writes its survivors
 to a batch-id-named partition directory (`batch=<id>`), so a replayed
 batch after a crash OVERWRITES its own directory instead of
 double-appending — the write is idempotent per batch id, and the
-corpus is the union of committed partitions. At production scale the
+corpus is the union of committed partitions. The replayed batch also
+EXCLUDES its own partition from the dedup corpus (it may exist from
+the crashed attempt; deduping against it would empty the survivor set
+and the overwrite would lose the batch) — so a rerun sees exactly the
+corpus the original run saw. At production scale the
 same logic targets Delta/Iceberg `MERGE INTO` where the commit is a
 metadata operation; the fingerprint semi-join shape is identical.
 
@@ -48,6 +52,14 @@ def ingest_dedup_stream(
         part_path = f"{corpus_path.rstrip('/')}/batch={batch_id}"
         if fs.exists(base) and len(fs.listStatus(base)) > 0:
             corpus = spark.read.option("basePath", corpus_path).parquet(corpus_path)
+            # a REPLAYED batch (crash between the parquet write and the
+            # checkpoint commit) must not dedupe against its own
+            # partially/fully written partition — that would drop every
+            # row as already-admitted and then overwrite the partition
+            # with the empty survivor set, losing the batch. Excluding
+            # batch=<id> makes replay truly idempotent: the rerun sees
+            # exactly the corpus the original run saw.
+            corpus = corpus.filter(F.col("batch") != batch_id).drop("batch")
             survivors = dedup_against(batch_df, corpus)
         else:
             # first batch: in-batch dedup only (lowest id per text)

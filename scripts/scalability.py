@@ -154,17 +154,20 @@ def main() -> None:
     # measured wall-clock win: exact blocked scan per query batch vs
     # SQ8/IVF-PQ batches served off a train-once persisted index
     serving_only = "--serving-only" in argv
-    # --dedup-only: ONLY the text-dedup evidence row — the four dedup
-    # tiers (exact, MinHash-LSH, substring fingerprint, decontaminate)
-    # executed on a synthetic planted-duplicate corpus at design size
+    # --dedup-only: ONLY the text-dedup evidence row — the four
+    # measured tiers (exact, MinHash-LSH, substring fingerprint, and
+    # SemDeDup over a synthetic embedding set) on planted-duplicate
+    # corpora at design size
     dedup_only = "--dedup-only" in argv
     synthetic_d = 512
+    saw_d_flag = False
     if "--synthetic-d" in argv:
         i = argv.index("--synthetic-d")
         if i + 1 >= len(argv):
             sys.exit("error: --synthetic-d needs a value")
         synthetic_d = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
+        saw_d_flag = True
     # IVF-PQ operating point for --serving-only: recall is bought with
     # coarse-cell granularity (cells/probe at fixed scan fraction),
     # codebook size, and the rerank candidate budget — the three dials
@@ -197,6 +200,22 @@ def main() -> None:
     ) if on]
     if only_modes and argv:
         sys.exit("error: the -only modes ignore sf arguments; drop one side")
+    # --synthetic-d / --ivfpq-* parameterize ONLY the serving point;
+    # anywhere else they'd be consumed and silently dead — the exact
+    # wrong-provenance hazard the sf-list guard below rejects (a row
+    # measured at the defaults while its flags claim otherwise)
+    if not serving_only and (saw_d_flag or serving_ivfpq):
+        flag_of = {
+            "n_cells": "--ivfpq-cells", "n_probe": "--ivfpq-probe",
+            "n_codes": "--ivfpq-codes", "k_cand": "--ivfpq-cand",
+        }
+        dead = (["--synthetic-d"] if saw_d_flag else []) + [
+            flag_of[k] for k in serving_ivfpq
+        ]
+        sys.exit(
+            f"error: {' '.join(dead)} only apply to --serving-only; "
+            "drop the flags or run that mode"
+        )
     if len(only_modes) > 1:
         sys.exit(f"error: {' and '.join(only_modes)} each run exactly one section; pick one")
     if (grid_only or sq8_only or mixture_only or serving_only or dedup_only) and (include_uniform or include_uniform_tuned):
@@ -721,11 +740,14 @@ def _write_synthetic_docs(path: str, n: int, seed: int = 11) -> None:
 
 
 def _dedup_evidence(spark, n: int) -> dict:
-    """Execute the text-dedup tiers at design size on the planted
-    corpus and record (rows found, seconds) per tier — converting the
-    'good at 100 TB' plan-shape grades into measured points. Every
-    tier streams fingerprints, never documents (the scale claim being
-    evidenced)."""
+    """Execute the dedup tiers at design size and record (rows found,
+    seconds) per tier — converting the 'good at 100 TB' plan-shape
+    grades into measured points. The three TEXT tiers (exact,
+    MinHash-LSH, substring) run on the planted-duplicate corpus and
+    stream fingerprints, never documents (the scale claim being
+    evidenced); the SEMANTIC tier (SemDeDup) runs on a synthetic
+    embedding set, where the bounded quantity is the largest
+    cluster's within-cell pairwise block (the n/k dial)."""
     from pyspark_mrdf_spark.operators.dedup import (
         dup_substring_spans,
         exact_duplicates,

@@ -577,3 +577,24 @@ def test_pq_index_append_bit_identical(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, grown), key=lambda t: (t[0], t[3])) == sorted(
         map(tuple, full), key=lambda t: (t[0], t[3])
     )
+
+
+def test_params_roundtrip_preserves_size1_leading_dims(tmp_path):
+    # rank survives the parquet roundtrip even when a leading dim is 1
+    # (n_subspaces=1 codebooks, n_centroids=1 coarse tables): shape
+    # comes from the stored ndim column, not max-index inference
+    import numpy as np
+
+    from pyspark_mrdf_spark.operators.quantize import _read_params, _write_params
+
+    parts = {
+        "v1": np.arange(4.0),                      # (4,)
+        "m_one_row": np.arange(6.0).reshape(1, 6), # (1, 6)
+        "t_one_sub": np.arange(12.0).reshape(1, 4, 3),  # (1, 4, 3)
+        "t_full": np.arange(24.0).reshape(2, 4, 3),
+    }
+    _write_params(str(tmp_path / "p"), parts)
+    got = _read_params(str(tmp_path / "p"))
+    for name, arr in parts.items():
+        assert got[name].shape == arr.shape, name
+        assert np.array_equal(got[name], arr), name

@@ -546,3 +546,60 @@ def test_ingest_dedup_stream_grows_corpus_exactly_once(spark, tmp_path):
         for r in spark.read.parquet(corpus).select("doc_id", "text").collect()
     }
     assert again == got
+
+
+def test_ingest_dedup_stream_replay_preserves_batch(spark, tmp_path):
+    """Crash-replay law: a batch whose parquet write landed but whose
+    checkpoint commit did NOT (simulated by deleting the last commit
+    file) is re-executed on restart — and must re-admit its own rows
+    rather than dedupe against its own crashed-attempt partition and
+    overwrite it with an empty survivor set (the data-loss mode the
+    self-exclusion in ingest.py guards against)."""
+    import json as _json
+    import os as _os
+
+    from pyspark_mrdf_spark.streaming.ingest import ingest_dedup_stream
+
+    src = tmp_path / "docs_json"
+    src.mkdir()
+    with open(src / "f1.json", "w") as f:
+        for doc_id, text in [(10, "alpha beta"), (11, "gamma delta")]:
+            f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    with open(src / "f2.json", "w") as f:
+        for doc_id, text in [(20, "alpha beta"), (21, "eta theta")]:
+            f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    _os.utime(src / "f1.json", (1_000_000_000, 1_000_000_000))
+    _os.utime(src / "f2.json", (1_000_000_100, 1_000_000_100))
+
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+
+    q = ingest_dedup_stream(_stream(), corpus, ckpt, query_name="ingest_rp1")
+    assert q.awaitTermination(120), "ingest stream did not drain"
+    q.stop()  # release the checkpoint dir before the replay run opens it
+    want = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(corpus).select("doc_id", "text").collect()
+    }
+    assert want == {10: "alpha beta", 11: "gamma delta", 21: "eta theta"}
+
+    # simulate the crash window: batch 1's partition is on disk, its
+    # commit is not — the restart replays batch 1 against that state
+    _os.remove(_os.path.join(ckpt, "commits", "1"))
+    crc = _os.path.join(ckpt, "commits", ".1.crc")
+    if _os.path.exists(crc):  # Hadoop ChecksumFs sidecar blocks re-commit
+        _os.remove(crc)
+    q2 = ingest_dedup_stream(_stream(), corpus, ckpt, query_name="ingest_rp2")
+    assert q2.awaitTermination(120), "replayed stream did not drain"
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(corpus).select("doc_id", "text").collect()
+    }
+    assert got == want, "replayed batch lost or duplicated rows"
