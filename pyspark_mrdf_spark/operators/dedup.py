@@ -909,13 +909,19 @@ def dup_substring_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     len_col: str = "n_chars",
+    span_table: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document duplicated-span STATS (id, n_spans, dup_chars)
     over ``dup_substring_span_table`` — see that docstring for the
-    detection semantics and scale shape."""
-    spans = dup_substring_span_table(
-        df, gram_len, sample_mod, min_count, id_col, text_col, len_col
-    )
+    detection semantics and scale shape. ``span_table`` short-circuits
+    detection with an already-built (id, span_id, s, e) table (the
+    session materialization registry shares one build between the
+    stats and scrub consumers)."""
+    spans = span_table
+    if spans is None:
+        spans = dup_substring_span_table(
+            df, gram_len, sample_mod, min_count, id_col, text_col, len_col
+        )
     return spans.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_spans"),
         F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_chars"),
@@ -930,21 +936,26 @@ def scrub_dup_substrings(
     id_col: str = "doc_id",
     text_col: str = "text",
     len_col: str = "n_chars",
+    span_table: DataFrame | None = None,
 ) -> DataFrame:
     """The REMOVE half of ExactSubstr dedup (Lee et al. 2022 drop the
     duplicated spans from training text): every char covered by a
     detected duplicated span is deleted; returns (id, clean_text,
     clean_chars). Documents with no spans pass through unchanged.
 
-    Scale shape: span detection as in ``dup_substring_span_table``;
-    the scrub itself is pure per-doc higher-order array expressions
-    (collect the doc's few spans, keep chars whose position no span
-    covers) — zero Python, zero extra shuffle beyond the span table's
-    per-doc agg, cost O(n_chars · n_spans) per doc with n_spans
-    small by construction (spans are maximal merged intervals)."""
-    spans = dup_substring_span_table(
-        df, gram_len, sample_mod, min_count, id_col, text_col, len_col
-    )
+    Scale shape: span detection as in ``dup_substring_span_table``
+    (or an already-built ``span_table``, shared with the stats
+    consumer via the session materialization registry); the scrub
+    itself is pure per-doc higher-order array expressions (collect the
+    doc's few spans, keep chars whose position no span covers) — zero
+    Python, zero extra shuffle beyond the span table's per-doc agg,
+    cost O(n_chars · n_spans) per doc with n_spans small by
+    construction (spans are maximal merged intervals)."""
+    spans = span_table
+    if spans is None:
+        spans = dup_substring_span_table(
+            df, gram_len, sample_mod, min_count, id_col, text_col, len_col
+        )
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("s", "e")).alias("_spans")
     )

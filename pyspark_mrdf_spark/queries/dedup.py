@@ -577,6 +577,24 @@ spans AS (
   FROM islands GROUP BY doc_id, span_id)"""
 
 
+def _ssd_span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The detected (doc_id, span_id, s, e) table at the registry
+    dials, built once per session and shared by q101 (stats) and q109
+    (scrub) — the span table is output-sized (docs with duplicated
+    runs), exactly what the materialization registry is for."""
+    from pyspark_mrdf_spark.cache import memoized_df
+
+    def build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        return D.dup_substring_span_table(
+            d, gram_len=_SSD_L, sample_mod=_SSD_S
+        )
+
+    return memoized_df(
+        spark, ("ssd_span_table", sf_dir, _SSD_L, _SSD_S), build
+    )
+
+
 @register(
     "q101_substring_dedup",
     # registered r8, promoted immediately: the marquee dedup addition
@@ -611,7 +629,10 @@ def q101_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint equi-join + two per-doc window passes. The gram TEXT
     never leaves the first projection — only fingerprints shuffle."""
     d = load_table(spark, sf_dir, "documents")
-    spans = D.dup_substring_spans(d, gram_len=_SSD_L, sample_mod=_SSD_S)
+    spans = D.dup_substring_spans(
+        d, gram_len=_SSD_L, sample_mod=_SSD_S,
+        span_table=_ssd_span_table(spark, sf_dir),
+    )
     dup_chars = F.coalesce("dup_chars", F.lit(0)).cast("bigint")
     return (
         d.select("doc_id", "n_chars")
@@ -721,7 +742,7 @@ def q102_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q109_substring_scrub",
-    driver=False,  # registered r8; rotation owed next round
+    # promoted r8 (third rotation): hard verdict for the ExactSubstr REMOVE half
     oracle=f"""
 WITH {_SSD_SPANS_CTE},
 sps AS (
@@ -754,7 +775,10 @@ FROM scrubbed
 )
 def q109_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return D.scrub_dup_substrings(d, gram_len=_SSD_L, sample_mod=_SSD_S).select(
+    return D.scrub_dup_substrings(
+        d, gram_len=_SSD_L, sample_mod=_SSD_S,
+        span_table=_ssd_span_table(spark, sf_dir),
+    ).select(
         "doc_id",
         F.md5("clean_text").alias("clean_md5"),
         "clean_chars",

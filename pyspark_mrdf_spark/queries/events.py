@@ -87,6 +87,7 @@ def q21_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q22_event_gaps",
+    driver=False,  # r8 third rotation: green r5-r7, cedes its slot to q105-q110
     # promoted r5: rotated into the driver surface for a hard verdict
     # (took q23's slot — q23 was driver-green rounds 1-4)
     oracle="""
@@ -147,6 +148,7 @@ def q24_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q25_sliding_windows",
+    driver=False,  # r8 third rotation: multi-round green, windows keep q19; cedes to q105-q110
     oracle="""
 SELECT epoch_us(window_start) AS window_start_us, event_type,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value,

@@ -64,6 +64,7 @@ def q60_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q61_payload_features",
+    driver=False,  # r8 third rotation: multi-round green, multimodal keeps q81/q86; cedes to q105-q110
     oracle="""
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -103,6 +103,7 @@ KMV_K = 16  # small: the synthetic corpus has ~31 distinct tokens per lang
 
 @register(
     "q74_kmv_distinct_sketch",
+    driver=False,  # r8 third rotation: green r3-r7, sketch coverage keeps q106; cedes to q105-q110
     # promoted r3: rotated into the driver surface for a hard verdict
     oracle=f"""
 WITH h AS (
@@ -753,7 +754,7 @@ QSK_SAMPLE_RATE = 0.25  # binary-exact fraction
 
 @register(
     "q106_sampled_quantile",
-    driver=False,  # registered r8; rotation owed next round
+    # promoted r8 (third rotation): hard verdict for the sketch-substitution row
     oracle=f"""
 WITH ranked AS (
   SELECT lang, n_chars, doc_id,

@@ -744,6 +744,7 @@ def q67_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q68_array_set_ops",
+    driver=False,  # r8 third rotation: multi-round green (E1-E4 reps); cedes to q105-q110
     oracle="""
 WITH per_user AS (
   SELECT user_id,

@@ -612,7 +612,7 @@ FROM (VALUES
 
 @register(
     "q107_bpe_train",
-    driver=False,  # registered r8; rotation owed next round
+    # promoted r8 (third rotation): hard verdict for tokenizer training
     oracle=_q107_oracle,
     description=(
         f"BPE tokenizer training (Sennrich et al. 2016), {BPE_K} merges: "
@@ -681,7 +681,7 @@ FROM (VALUES
 
 @register(
     "q108_bpe_tokenize",
-    driver=False,  # registered r8; rotation owed next round
+    # promoted r8 (third rotation): hard verdict for tokenizer application
     oracle=_q108_oracle,
     description=(
         "BPE application: re-tokenize every document with the q107-trained "
@@ -749,7 +749,7 @@ _LM_KEEP_E6 = 20_000
 
 @register(
     "q110_lm_quality_filter",
-    driver=False,  # registered r8; rotation owed next round
+    # promoted r8 (third rotation): hard verdict for the CCNet-style LM filter
     oracle=f"""
 WITH toks AS (
   SELECT doc_id, list_concat(['<s>', '<s>'], string_split(text, ' ')) AS t

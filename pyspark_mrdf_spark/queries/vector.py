@@ -384,6 +384,7 @@ def q57_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q58_lsh_hyperplane_candidates",
+    driver=False,  # r8 third rotation: multi-round green, LSH covered by q46's tier; cedes to q105-q110
     oracle="""
 WITH hp AS (
   SELECT h, ROW_NUMBER() OVER (ORDER BY h_id) AS rnk FROM (
@@ -1000,7 +1001,7 @@ FROM per_cell ORDER BY cell
 
 @register(
     "q105_index_cell_stats",
-    driver=False,  # registered r8; rotation owed next round
+    # promoted r8 (third rotation): hard verdict for index monitoring
     oracle=_q105_oracle,
     description=(
         "persisted-index occupancy monitoring: per-cell code counts + "

@@ -88,32 +88,65 @@ DRIVER_SURFACE = [
     # deliberate decision, not a side effect of adding a query (new
     # queries default into the pytest-only overflow unless they take a
     # slot explicitly).
-    "q22_event_gaps",
-    "q25_sliding_windows", "q29_price_band_join",
-    "q66_variant_props", "q76_salted_hot_user_join",
-    "q93_funnel_analysis", "q94_cohort_retention",
-    "q61_payload_features", "q81_bmp_pixel_stats", "q86_payload_embed_knn",
-    "q01_pricing_summary", "q05_local_supplier_volume",
+    # Third r8 rotation (same round, new ops): the six round-8
+    # operators registered after the second rotation — q105 index-cell
+    # occupancy monitoring, q106 sampled-quantile-vs-exact, q107 BPE
+    # training, q108 BPE application, q109 ExactSubstr scrub, q110
+    # CCNet-style LM quality filter — take the slots of six multi-green
+    # siblings: q22 (green r5-r7; events keep q29/q66/q76/q93/q94),
+    # q25 (windows keep q19), q58 (LSH covered by q46's hyperplane
+    # tier), q61 (multimodal keeps q81/q86), q68 (set-op reps green
+    # r1-r7), q74 (sketch coverage keeps q106's measured-error row).
+    "q29_price_band_join",
+    "q66_variant_props",
+    "q76_salted_hot_user_join",
+    "q93_funnel_analysis",
+    "q94_cohort_retention",
+    "q81_bmp_pixel_stats",
+    "q86_payload_embed_knn",
+    "q01_pricing_summary",
+    "q05_local_supplier_volume",
     "q07_semi_join_urgent",
-    "q12_top10_revenue_orders", "q19_moving_avg",
+    "q12_top10_revenue_orders",
+    "q19_moving_avg",
     "q67_grouping_sets",
-    "q68_array_set_ops",
-    "q64_clean_corpus", "q83_pii_scrub", "q87_repetition_filter",
-    "q88_bm25_retrieval", "q96_rare_token_filter",
+    "q64_clean_corpus",
+    "q83_pii_scrub",
+    "q87_repetition_filter",
+    "q88_bm25_retrieval",
+    "q96_rare_token_filter",
+    "q107_bpe_train",
+    "q108_bpe_tokenize",
+    "q110_lm_quality_filter",
     "q42_minhash_signatures",
     "q72_dup_clusters",
-    "q46_embedding_near_dups", "q77_incremental_dedup",
-    "q78_incremental_near_dedup", "q79_simhash_band_candidates",
-    "q82_decontamination", "q101_substring_dedup", "q102_semantic_dedup",
-    "q74_kmv_distinct_sketch",
-    "q84_train_val_test_split", "q85_shuffle_shards", "q90_chunk_documents",
-    "q91_chunk_dup_rate", "q99_epoch_oversample", "q100_length_quantiles",
-    "q103_pack_sequences", "q104_dsir_importance",
+    "q46_embedding_near_dups",
+    "q77_incremental_dedup",
+    "q78_incremental_near_dedup",
+    "q79_simhash_band_candidates",
+    "q82_decontamination",
+    "q101_substring_dedup",
+    "q102_semantic_dedup",
+    "q109_substring_scrub",
+    "q84_train_val_test_split",
+    "q85_shuffle_shards",
+    "q90_chunk_documents",
+    "q91_chunk_dup_rate",
+    "q99_epoch_oversample",
+    "q100_length_quantiles",
+    "q103_pack_sequences",
+    "q104_dsir_importance",
+    "q106_sampled_quantile",
     "q50_knn_exact",
-    "q56_mrdf_recall", "q57_ivf_recall",
-    "q58_lsh_hyperplane_candidates", "q80_knn_search_external",
-    "q89_sq8_quantized_knn", "q92_pq_quantized_knn", "q95_ivfpq_knn",
-    "q97_recall_vs_ivecs_gt", "q98_ivfpq_persisted_index",
+    "q56_mrdf_recall",
+    "q57_ivf_recall",
+    "q80_knn_search_external",
+    "q89_sq8_quantized_knn",
+    "q92_pq_quantized_knn",
+    "q95_ivfpq_knn",
+    "q97_recall_vs_ivecs_gt",
+    "q98_ivfpq_persisted_index",
+    "q105_index_cell_stats",
 ]
 
 
