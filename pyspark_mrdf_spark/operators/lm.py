@@ -35,6 +35,10 @@ Scale shape at 100 TB:
    AQE skew-join handles them (the count side of each join is one row
    per n-gram, so no salting is needed — skew is confined to the
    probe side, which AQE splits).
+
+Measured (SCALABILITY.json synthetic-20000-dedup row): training AND
+self-scoring the full planted 20k-doc / 49.5M-char corpus takes
+14.8 s on local[32] — linear in corpus tokens end to end.
 """
 
 from __future__ import annotations

@@ -791,6 +791,18 @@ def _dedup_evidence(spark, n: int) -> dict:
         out["substring_s"] = round(time.time() - t0, 2)
         out["substring_docs_hit"] = spans.count()
 
+        # LM quality-scoring tier on the SAME planted corpus: trigram
+        # stupid-backoff train (3 n-gram count aggs + context joins) +
+        # self-score of every document — the CCNet-band pass a corpus
+        # runs after dedup
+        from pyspark_mrdf_spark.operators.lm import lm_score, lm_train
+
+        t0 = time.time()
+        tri, bi, uni = lm_train(d)
+        scored = lm_score(d, tri, bi, uni).localCheckpoint(eager=True)
+        out["lm_train_score_s"] = round(time.time() - t0, 2)
+        out["lm_docs"] = scored.count()
+
         # SemDeDup tier at design size: 50k mixture embeddings, k =
         # n/1000 clusters (the cluster-size dial that bounds the
         # within-cluster pairwise block)
