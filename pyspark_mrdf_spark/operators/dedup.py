@@ -812,7 +812,7 @@ def dup_substring_span_table(
 ) -> DataFrame:
     """Substring-level exact dedup, span-level output (id, span_id,
     s, e inclusive char bounds) — the table q101's stats aggregate
-    and q109's scrub consumes. Substring-level exact dedup: per-document duplicated-span stats
+    and q109's scrub consume
     (the Lee et al. 2022 "Deduplicating Training Data Makes Language
     Models Better" ExactSubstr operation, re-expressed Spark-first —
     the reference has no counterpart; fingerprint-join design instead
@@ -835,8 +835,10 @@ def dup_substring_span_table(
     chars; ``sample_mod=S>1`` misses a duplicated run of length R with
     probability ≈ (1-1/S)^(R-gram_len+1) (< 0.1% for R ≥ 64 at L=40,
     S=4) and never reports a false span (selected-gram equality is
-    md5 equality of real corpus substrings). Returns
-    (id, n_spans, dup_chars) for documents with ≥ 1 span.
+    md5 equality of real corpus substrings). Returns the SPAN table
+    (id, span_id, s, e) — one row per maximal merged duplicated span,
+    inclusive char bounds — for documents with ≥ 1 span; the stats
+    and scrub consumers aggregate/apply it.
 
     Scale shape: every position is hashed map-side (content-defined
     selection must see each gram — the same single pass over corpus

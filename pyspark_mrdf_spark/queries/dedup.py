@@ -549,6 +549,9 @@ def q82_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dozens of documents with repeated runs at every sf, so the stats
 # are non-trivial.
 _SSD_L, _SSD_S = 40, 4
+# min occurrences for a selected gram to mark its positions (the
+# oracle CTE's cnt >= 2) — part of the span-table memo key
+_SSD_MC = 2
 
 # shared span-detection CTE chain (q101 stats + q109 scrub): one
 # textual source so the two oracles cannot drift
@@ -587,11 +590,13 @@ def _ssd_span_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         d = load_table(spark, sf_dir, "documents")
         return D.dup_substring_span_table(
-            d, gram_len=_SSD_L, sample_mod=_SSD_S
+            d, gram_len=_SSD_L, sample_mod=_SSD_S, min_count=_SSD_MC
         )
 
+    # key captures EVERY detection dial (cache.py safety rule) — the
+    # column names stay at the documents-table defaults by contract
     return memoized_df(
-        spark, ("ssd_span_table", sf_dir, _SSD_L, _SSD_S), build
+        spark, ("ssd_span_table", sf_dir, _SSD_L, _SSD_S, _SSD_MC), build
     )
 
 
@@ -629,9 +634,11 @@ def q101_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint equi-join + two per-doc window passes. The gram TEXT
     never leaves the first projection — only fingerprints shuffle."""
     d = load_table(spark, sf_dir, "documents")
+    # span_table supplies the detection result, so the gram dials
+    # live in ONE place (_ssd_span_table) — passing them here too
+    # would read as if they were in effect
     spans = D.dup_substring_spans(
-        d, gram_len=_SSD_L, sample_mod=_SSD_S,
-        span_table=_ssd_span_table(spark, sf_dir),
+        d, span_table=_ssd_span_table(spark, sf_dir)
     )
     dup_chars = F.coalesce("dup_chars", F.lit(0)).cast("bigint")
     return (
@@ -776,8 +783,7 @@ FROM scrubbed
 def q109_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return D.scrub_dup_substrings(
-        d, gram_len=_SSD_L, sample_mod=_SSD_S,
-        span_table=_ssd_span_table(spark, sf_dir),
+        d, span_table=_ssd_span_table(spark, sf_dir)
     ).select(
         "doc_id",
         F.md5("clean_text").alias("clean_md5"),

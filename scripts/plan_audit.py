@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # algorithm, not an accident.
 QUADRATIC_OK = {
     "q41_jaccard_near_dups",
+    "aux_jaccard_pairs",
     "q43_lsh_candidates",
     # q45 moved to the pigeonhole-banded plan in round 3 — no longer
     # exempt: its plan must not contain an all-pairs join.
@@ -42,13 +43,37 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
 
+    # Memoized sub-results (the session materialization registry)
+    # surface in their consumers' plans as a LogicalRDD — the
+    # DETECTION/BUILD plan behind them would otherwise escape the
+    # audit entirely. Audit those raw builders explicitly, before any
+    # consumer query memoizes them.
+    from pyspark_mrdf_spark.io import load_table
+    from pyspark_mrdf_spark.operators import dedup as D
+    from pyspark_mrdf_spark.queries.dedup import _SSD_L, _SSD_MC, _SSD_S
+
+    aux = {
+        "aux_ssd_span_table": lambda sp, sf: D.dup_substring_span_table(
+            load_table(sp, sf, "documents"),
+            gram_len=_SSD_L, sample_mod=_SSD_S, min_count=_SSD_MC,
+        ),
+        "aux_jaccard_pairs": lambda sp, sf: D.jaccard_pairs(
+            load_table(sp, sf, "documents"), n=3
+        ),
+        "aux_minhash_buckets": lambda sp, sf: D.lsh_band_buckets(
+            D.minhash_signatures(load_table(sp, sf, "documents"), 8, 3), 4, 2
+        ),
+    }
+
     failures: list[str] = []
-    for name in sorted(specs):
+    builders = {n: s.builder for n, s in specs.items()}
+    builders.update(aux)
+    for name in sorted(builders):
         # iterative/randomized algorithms run many plans; audit the
         # relational/single-plan queries
         if name.startswith("q55") or name.startswith("q56"):
             continue
-        df = specs[name].builder(spark, sf_dir)
+        df = builders[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         issues = []
         if "CartesianProduct" in plan and name not in QUADRATIC_OK:
