@@ -747,26 +747,31 @@ def q108_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_KEEP_E6 = 20_000
 
 
-@register(
-    "q110_lm_quality_filter",
-    # promoted r8 (third rotation): hard verdict for the CCNet-style LM filter
-    oracle=f"""
-WITH toks AS (
+# shared LM-scoring CTE chain, parameterized by the TRAINING corpus
+# predicate: q110 trains on the full corpus (in-domain self-scoring),
+# q111 trains on the lang='en' reference subset and scores everything
+# (the actual CCNet configuration). One textual source so the two
+# oracles cannot drift.
+def _lm_scored_cte(train_pred: str) -> str:
+    return f"""toks AS (
   SELECT doc_id, list_concat(['<s>', '<s>'], string_split(text, ' ')) AS t
   FROM documents),
+ttoks AS (
+  SELECT list_concat(['<s>', '<s>'], string_split(text, ' ')) AS t
+  FROM documents WHERE {train_pred}),
 uni AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
-  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+  FROM (SELECT unnest(t) AS w FROM ttoks) GROUP BY w),
 tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni),
 bi AS (
   SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM (
     SELECT t[i] AS w1, t[i + 1] AS w2
-    FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i))
+    FROM ttoks, UNNEST(generate_series(1, len(t) - 1)) AS g(i))
   GROUP BY w1, w2),
 tri AS (
   SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3 FROM (
     SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
-    FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i))
+    FROM ttoks, UNNEST(generate_series(1, len(t) - 2)) AS g(i))
   GROUP BY w1, w2, w3),
 grams AS (
   SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
@@ -784,7 +789,14 @@ scored AS (
   LEFT JOIN bi b ON b.w1 = s.w2 AND b.w2 = s.w3
   LEFT JOIN uni u2 ON u2.w = s.w2
   LEFT JOIN uni u3 ON u3.w = s.w3
-  CROSS JOIN tot)
+  CROSS JOIN tot)"""
+
+
+@register(
+    "q110_lm_quality_filter",
+    # promoted r8 (third rotation): hard verdict for the CCNet-style LM filter
+    oracle=f"""
+WITH {_lm_scored_cte("TRUE")}
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(SUM(sc) AS BIGINT) AS sum_score_e6,
        CAST(SUM(sc) // COUNT(*) AS BIGINT) AS mean_score_e6,
@@ -821,4 +833,42 @@ def q110_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_score_e6",
         "n_oov",
         (F.col("mean_score_e6") >= _LM_KEEP_E6).alias("keep"),
+    )
+
+
+@register(
+    "q111_lm_crosscorpus_filter",
+    driver=False,  # registered r8; rotation owed next round
+    oracle=f"""
+WITH {_lm_scored_cte("lang = 'en'")},
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(sc) // COUNT(*) AS BIGINT) AS mean_score_e6,
+         CAST(SUM(CASE WHEN oov THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM scored GROUP BY doc_id)
+SELECT d.doc_id, d.lang, a.n_tokens, a.mean_score_e6, a.n_oov
+FROM documents d JOIN agg a USING (doc_id)
+""",
+    description=(
+        "the actual CCNet deployment shape of q110: the trigram "
+        "stupid-backoff model trains on the CLEAN REFERENCE subset "
+        "(lang='en') and scores the WHOLE corpus — in-domain documents "
+        "outrank out-of-domain ones and OOV counts spike off-reference, "
+        "which is the band signal CCNet partitions CommonCrawl by; same "
+        "integer fixed-point discipline, so the cross-corpus verdict is "
+        "a hash match"
+    ),
+    tags=("text", "pipeline", "lm"),
+)
+def q111_lm_crosscorpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same operators as q110 with a different `lm_train` input — the
+    point of separating train from score in `operators/lm.py`."""
+    from pyspark_mrdf_spark.operators.lm import lm_score, lm_train
+
+    d = load_table(spark, sf_dir, "documents")
+    tri, bi, uni = lm_train(d.filter(F.col("lang") == "en"))
+    return (
+        lm_score(d, tri, bi, uni)
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_tokens", "mean_score_e6", "n_oov")
     )
