@@ -336,3 +336,33 @@ def test_lm_min_count_prunes_only_rare_ngrams(spark):
         assert p[i]["n_oov"] == f[i]["n_oov"]
     # "alpha beta" (3x) survives pruning: doc scores stay > 0
     assert all(p[i]["sum_score_e6"] > 0 for i in p)
+
+
+def test_lm_crosscorpus_ranks_reference_language(spark, sf_dir):
+    # the CCNet band signal: under a model trained ONLY on the
+    # lang='en' subset, en documents score higher and carry fewer OOV
+    # tokens than the other languages — in aggregate, which is how the
+    # band filter consumes the scores
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.io import load_table
+    from pyspark_mrdf_spark.operators.lm import lm_score, lm_train
+
+    d = load_table(spark, sf_dir, "documents")
+    tri, bi, uni = lm_train(d.filter(F.col("lang") == "en"))
+    per_lang = {
+        r["lang"]: (r["m"], r["oov"])
+        for r in (
+            lm_score(d, tri, bi, uni)
+            .join(d.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(
+                F.avg("mean_score_e6").alias("m"),
+                F.avg(F.col("n_oov") / F.col("n_tokens")).alias("oov"),
+            )
+            .collect()
+        )
+    }
+    others = [l for l in per_lang if l != "en"]
+    assert others and all(per_lang["en"][0] > per_lang[l][0] for l in others)
+    assert all(per_lang["en"][1] <= per_lang[l][1] for l in others)
