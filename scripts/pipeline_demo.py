@@ -5,7 +5,9 @@ line of stage-by-stage counts.
 
     ingest (parquet scan)
       → quality filter           (functions.text scoring, q32 semantics)
+      → LM band filter           (operators.lm stupid-backoff, q110)
       → exact dedup              (operators.dedup.dedup_against / exact_duplicates, q40)
+      → ExactSubstr scrub        (operators.dedup.scrub_dup_substrings, q109)
       → near-dup pairs           (jaccard_pairs + max_df stoplist, q41)
       → duplicate clusters       (connected_components, q72)
       → canonical selection      (cluster-min + unpaired, q73)
@@ -53,10 +55,35 @@ def main(sf_dir: str, out_dir: str) -> None:
     quality = docs.filter((nt >= 20) & (T.stopword_hits("text") > 0)).localCheckpoint()
     stages["quality_pass"] = quality.count()
 
+    # LM band filter (CCNet-style, q110 semantics): trigram
+    # stupid-backoff trained on the heuristically-clean docs, keep
+    # the reference-like band by integer fixed-point mean score
+    from pyspark_mrdf_spark.operators.lm import lm_score, lm_train
+
+    tri, bi, uni = lm_train(quality)
+    in_band = lm_score(quality, tri, bi, uni).filter(
+        F.col("mean_score_e6") >= 20_000
+    )
+    banded = quality.join(in_band.select("doc_id"), "doc_id").localCheckpoint()
+    stages["lm_band_pass"] = banded.count()
+
     # exact dedup: lowest id per fingerprint survives
-    keep = quality.groupBy(F.md5("text").alias("fp")).agg(F.min("doc_id").alias("doc_id"))
-    exact = quality.join(keep.select("doc_id"), "doc_id").localCheckpoint()
+    keep = banded.groupBy(F.md5("text").alias("fp")).agg(F.min("doc_id").alias("doc_id"))
+    exact = banded.join(keep.select("doc_id"), "doc_id").localCheckpoint()
     stages["after_exact_dedup"] = exact.count()
+
+    # ExactSubstr scrub (q109 semantics): delete duplicated runs the
+    # doc-level dedup cannot see; downstream stages consume the
+    # scrubbed text
+    scrub = D.scrub_dup_substrings(exact)
+    exact = (
+        exact.drop("text")
+        .join(scrub.select("doc_id", F.col("clean_text").alias("text")), "doc_id")
+        .localCheckpoint()
+    )
+    stages["scrubbed_chars_removed"] = int(
+        exact.selectExpr("sum(n_chars - length(text))").collect()[0][0]
+    )
 
     # near-dup pairs -> clusters -> canonical member per cluster
     pairs = D.jaccard_pairs(exact, n=3, max_df=1000).filter(F.col("jaccard") >= 0.1)

@@ -55,5 +55,7 @@ def test_pipeline_demo_end_to_end(tmp_path):
     rec = json.loads(out.stdout.strip().splitlines()[-1])
     s = rec["stages"]
     # monotone pipeline: each stage keeps a subset
-    assert s["ingested"] >= s["quality_pass"] >= s["after_exact_dedup"] >= s["canonical"] >= s["mixture_sampled"] == s["rows_written"]
+    assert s["ingested"] >= s["quality_pass"] >= s["lm_band_pass"] >= s["after_exact_dedup"] >= s["canonical"] >= s["mixture_sampled"] == s["rows_written"]
     assert s["rows_written"] > 0 and s["shards_written"] > 0
+    # the ExactSubstr scrub did real work on the planted duplicates
+    assert s["scrubbed_chars_removed"] > 0
