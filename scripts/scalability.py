@@ -142,7 +142,12 @@ def main() -> None:
     grid_only = "--grid-only" in argv
     # --mixture-only: ONLY the synthetic mixture row at --synthetic-n —
     # the crossover probe (measured at n=200k: MRDF 585.7s < exact
-    # 680.7s, the r6 verdict's ask #2; rerun at other n to extend)
+    # 680.7s, the r6 verdict's ask #2; rerun at other n to extend).
+    # Box bound, measured r8: at n=300k the exact scan completes
+    # (1476.6 s) but the MRDF phase is kernel-OOM-killed on the
+    # 125 GB box (28 GB JVM + 32 concurrent ~5 GB Python workers) —
+    # extend beyond 200k with SPARK_GRAFT_CPUS<=16 to halve worker
+    # residency, and budget ~2x the wall
     mixture_only = "--mixture-only" in argv
     # --sq8-only: ONLY the quantized-tier evidence row at design size —
     # sq8_search (1-byte/dim codes + integer candidates + rerank) vs
