@@ -1,0 +1,104 @@
+"""Link-graph centrality operators (north-star training-pipeline
+extension).
+
+Web-scale corpus curation weights documents by the link structure of
+their hosts: Common Crawl publishes host-level centrality rankings,
+and CCNet/RefinedWeb-style pipelines consume them as a quality prior.
+The operator here is the classic of that family — PageRank (Page,
+Brin, Motwani, Winograd 1999) — expressed as the engine expresses all
+iteration (SURVEY §2A O4/W1): a driver loop over DataFrame
+transformations with a lazy ``localCheckpoint`` per round, shuffles
+keyed on node id only.
+
+Arithmetic discipline: INTEGER fixed-point throughout (``scale``
+units of rank mass, default 1e12). Every per-edge contribution is one
+integer division ``p div outdeg`` and every update is
+``base + (damping · Σcontrib) div 100`` — integer sums are
+associative, so the result is bit-identical on any engine, any
+partitioning, any schedule; the q113 oracle replays all rounds in
+SQL and the driver hash-checks the ranks exactly. (Float PageRank
+sums in nondeterministic order and could never be hash-checked.)
+
+Mass accounting: a dangling node (no out-edges) simply does not emit
+its mass — the deterministic choice; redistributing dangling mass
+uniformly would add a global aggregate per round for no extra
+verification value. Total mass therefore shrinks slightly when
+danglers exist; rankings are unaffected for the quality-weighting use
+case, and the q113 edge synthesis gives every node out-degree 3 so
+the checked configuration conserves mass up to ``div`` truncation.
+
+Scale: per round, one equi-join of the edge table against the O(n)
+rank table (shuffle on node id) + one groupBy-sum on dst. At 100 TB
+the edge table dwarfs ranks — pre-partition both on the join key
+(AQE handles skewed hubs); round count is the small fixed dial.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    n_iter: int = 5,
+    damping_e2: int = 85,
+    scale: int = 10**12,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration integer PageRank → (node, p) with ``p`` the
+    rank in ``scale`` fixed-point units.
+
+    ``nodes`` (single-column) pins the node universe — pass it when
+    isolated nodes must receive the teleport base; defaults to the
+    distinct edge endpoints. ``damping_e2`` is the damping factor in
+    hundredths (85 = the canonical 0.85). Fixed ``n_iter`` rounds
+    (no convergence test) keep the computation closed-form so an SQL
+    oracle can replay it; rank movement after 5 rounds is far below
+    quality-weighting resolution on bounded-diameter web graphs.
+
+    Parallel edges are honored (each contributes separately) and
+    self-loops feed a node's own next-round rank — both deterministic
+    and mirrored by the oracle."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if nodes is None:
+        node_df = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    else:
+        node_df = nodes.select(F.col(nodes.columns[0]).alias("node"))
+    node_df = node_df.localCheckpoint(eager=False)
+    n = node_df.count()
+    if n == 0:
+        raise ValueError("pagerank: empty node set")
+    if not 0 <= damping_e2 <= 100:
+        raise ValueError(f"pagerank: damping_e2={damping_e2} outside [0, 100]")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e_deg = e.join(deg, "src").localCheckpoint(eager=False)
+    base = (scale * (100 - damping_e2)) // (100 * n)
+    p = node_df.withColumn("p", F.lit(scale // n).cast("long"))
+    for _ in range(n_iter):
+        contrib = (
+            e_deg.join(p.select(F.col("node").alias("src"), "p"), "src")
+            .select("dst", F.expr("p div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("m"))
+        )
+        p = (
+            node_df.join(contrib.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_e2} * coalesce(m, cast(0 as bigint))) div 100"
+                    )
+                ).cast("long").alias("p"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return p

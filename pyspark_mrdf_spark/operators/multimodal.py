@@ -252,6 +252,187 @@ def decode_pixel_features(df: DataFrame, payload_col: str = "payload") -> DataFr
     return df.select("doc_id", payload_col).mapInPandas(_decode, PIXEL_FEATURE_SCHEMA)
 
 
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Real audio decode: dependency-free PCM16 RIFF/WAVE parser →
+    (samples int16 flat channel-interleaved, sample_rate, n_channels).
+
+    WAV/PCM is the audio analogue of 24bpp BMP — the one mainstream
+    container decodable without a codec library (which this container
+    does not ship); compressed formats (MP3/AAC/FLAC) slot into this
+    same function without touching the Spark plumbing. Walks the RIFF
+    chunk list honoring the format's word alignment (an odd-sized
+    chunk carries one pad byte — the quirk the synthesizer plants a
+    'junk' chunk to exercise, like q81's odd-width BMP rows exercise
+    4-byte padding). Raises ``ValueError`` on anything that is not
+    16-bit integer PCM."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        if pos + 8 + size > len(payload):
+            raise ValueError(f"truncated WAV chunk {tag!r} at offset {pos}")
+        if tag == b"fmt ":
+            fmt = payload[pos + 8 : pos + 8 + size]
+        elif tag == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"fmt chunk too short ({len(fmt)} bytes)")
+    audio_format, n_channels, sample_rate, _rate, _align, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"unsupported WAV variant (format={audio_format}, bits={bits}); "
+            "only 16-bit integer PCM is implemented"
+        )
+    if n_channels < 1:
+        raise ValueError(f"bad channel count {n_channels}")
+    if len(data) % (2 * n_channels):
+        raise ValueError(
+            f"data chunk ({len(data)} bytes) not a whole number of "
+            f"{n_channels}-channel 16-bit frames"
+        )
+    return np.frombuffer(data, dtype="<i2"), sample_rate, n_channels
+
+
+def encode_wav(
+    samples: np.ndarray,
+    sample_rate: int,
+    n_channels: int = 1,
+    junk: bytes | None = None,
+) -> bytes:
+    """Inverse of ``decode_wav`` for tests and payload synthesis:
+    int16 flat interleaved samples → PCM16 RIFF/WAVE bytes. ``junk``
+    inserts an extra chunk before ``data`` (odd lengths get the
+    mandated pad byte) so decoders must actually walk the chunk
+    list."""
+    import struct
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim != 1 or len(s) % n_channels:
+        raise ValueError(f"{len(s)} samples not divisible into {n_channels} channels")
+    data = s.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, sample_rate * 2 * n_channels, 2 * n_channels, 16
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if junk is not None:
+        chunks += b"junk" + struct.pack("<I", len(junk)) + junk + (b"\x00" * (len(junk) & 1))
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def synth_wav_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): a deterministic PCM16 WAV per document — the
+    binary-fixture synthesizer for the audio-path oracle (q112),
+    mirroring ``synth_bmp_payloads``.
+
+    Waveform values are pure integer arithmetic in ``doc_id`` so a SQL
+    oracle can recompute the decoded stats exactly:
+
+      m        = 64 + d % 64 total samples
+      channels = 2 if d even else 1   (m is even whenever d is)
+      rate     = 8000 + 1000·(d % 5)
+      s[i]     = (31·d + 297·i² + 17·i) mod 2048 − 1024,  i = 0..m−1
+
+    The quadratic term makes the waveform wrap the modulus every few
+    samples, so the zero-crossing count varies 26–67 across documents
+    (a linear ramp wraps ≤2 times and crossings degenerate to ~1 —
+    too weak a signal to verify a codec with).
+
+    Every third document carries an odd-length 'junk' chunk before
+    'data', putting RIFF word alignment on the decode path the query
+    exercises (the BMP analogue: odd widths → 4-byte row padding)."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids: list[int] = []
+            payloads: list[bytes] = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                m = 64 + d % 64
+                i = np.arange(m, dtype=np.int64)
+                s = (31 * d + 297 * i * i + 17 * i) % 2048 - 1024
+                ids.append(d)
+                payloads.append(
+                    encode_wav(
+                        s.astype(np.int16),
+                        sample_rate=8000 + 1000 * (d % 5),
+                        n_channels=2 if d % 2 == 0 else 1,
+                        junk=b"\x01\x02\x03" if d % 3 == 0 else None,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(_synth, schema)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), False),
+        StructField("n_channels", IntegerType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("min_amp", IntegerType(), False),
+        StructField("max_amp", IntegerType(), False),
+        StructField("sum_abs", LongType(), False),
+        StructField("zero_cross", LongType(), False),
+    ]
+)
+
+
+def decode_audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Per-clip features from ACTUALLY-DECODED PCM samples: header
+    fields (rate, channels, frame count) plus integer amplitude stats
+    (min/max, sum of |amplitude|, zero crossings over the interleaved
+    stream) — all int64-exact, so the values are engine-portable like
+    every other checked aggregate.
+
+    Same mapInPandas shape as ``decode_pixel_features`` but the kernel
+    body is the real ``decode_wav`` codec; payload bytes never leave
+    the executors and the work parallelizes per input partition."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                s, rate, nch = decode_wav(bytes(payload))
+                a = s.astype(np.int64)
+                nonneg = a >= 0
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(rate),
+                        int(nch),
+                        len(a) // nch,
+                        int(a.min()) if a.size else 0,
+                        int(a.max()) if a.size else 0,
+                        int(np.abs(a).sum()),
+                        int(np.count_nonzero(nonneg[:-1] != nonneg[1:])),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA.fields])
+
+    return df.select("doc_id", payload_col).mapInPandas(_decode, AUDIO_FEATURE_SCHEMA)
+
+
 def decode_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Deterministic-fake "decode": byte-level features per payload.
 

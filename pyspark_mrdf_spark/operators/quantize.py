@@ -1142,11 +1142,31 @@ def write_sq8_index(
 
 
 def read_sq8_index(spark, path: str) -> tuple[np.ndarray, np.ndarray, DataFrame]:
-    """(mn, mx, codes) — feed to ``sq8_search_encoded``."""
+    """(mn, mx, codes) — feed to ``sq8_search_encoded``.
+
+    Codes are the union of the base build (``codes/``) and any
+    partitions a running ``index_append_stream`` has committed
+    (``stream_codes/batch=<id>/``) — a streamed-into index serves
+    identically to one grown by batch ``append_sq8_index`` (the
+    quantizer is frozen either way; equivalence-tested)."""
     import os
 
     p = _read_params(path)
-    return p["mn"], p["mx"], spark.read.parquet(os.path.join(path, "codes"))
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    stream_dir = os.path.join(path, "stream_codes")
+    # existence via the path's own Hadoop filesystem, not os.path —
+    # hdfs:// and s3a:// index dirs must take this branch too
+    from pyspark_mrdf_spark.streaming.sinks import _hadoop_fs
+
+    fs, sc_path = _hadoop_fs(spark, stream_dir)
+    if fs.exists(sc_path):
+        streamed = (
+            spark.read.option("basePath", stream_dir)
+            .parquet(stream_dir)
+            .select("vec_id", "code")
+        )
+        codes = codes.unionByName(streamed)
+    return p["mn"], p["mx"], codes
 
 
 def write_pq_index(path: str, codebooks: np.ndarray, codes: DataFrame) -> None:

@@ -23,10 +23,12 @@ from pyspark.sql import functions as F
 from pyspark_mrdf_spark.io import load_table
 from pyspark_mrdf_spark.operators.multimodal import (
     attach_payloads,
+    decode_audio_features,
     decode_features,
     decode_pixel_features,
     frame_sample,
     synth_bmp_payloads,
+    synth_wav_payloads,
 )
 from pyspark_mrdf_spark.queries import register
 
@@ -136,6 +138,46 @@ FROM documents
 def q81_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return decode_pixel_features(synth_bmp_payloads(docs))
+
+
+@register(
+    "q112_wav_audio_stats",
+    driver=False,  # registered late r8; rotation owed next round
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         64 + doc_id % 64 AS m,
+         CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS c,
+         list_transform(generate_series(0, 64 + doc_id % 64 - 1),
+                        i -> (31 * doc_id + 297 * i * i + 17 * i) % 2048 - 1024) AS s
+  FROM documents)
+SELECT doc_id,
+       CAST(8000 + 1000 * (doc_id % 5) AS INT) AS sample_rate,
+       CAST(c AS INT) AS n_channels,
+       CAST(m // c AS BIGINT) AS n_frames,
+       CAST(list_min(s) AS INT) AS min_amp,
+       CAST(list_max(s) AS INT) AS max_amp,
+       CAST(list_sum(list_transform(s, v -> abs(v))) AS BIGINT) AS sum_abs,
+       CAST(len(list_filter(generate_series(1, m - 1),
+            i -> (s[i] >= 0) <> (s[i + 1] >= 0))) AS BIGINT) AS zero_cross
+FROM base
+""",
+    description=(
+        "REAL audio codec path (the WAV slot, filled): per-doc PCM16 "
+        "waveform synthesized (encode_wav) then decoded sample-for-sample "
+        "(decode_wav, a dependency-free RIFF/WAVE chunk walker) inside "
+        "mapInPandas; header fields + exact integer amplitude stats — "
+        "min/max, sum|amp|, zero crossings — checked against a pure-"
+        "arithmetic oracle. Every third payload carries an odd-length junk "
+        "chunk, so RIFF word alignment sits on the verified decode path "
+        "(the BMP analogue: q81's odd-width 4-byte row padding); even-id "
+        "docs are stereo, so channel handling is verified too"
+    ),
+    tags=("multimodal", "binary", "codec", "audio", "udf"),
+)
+def q112_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_audio_features(synth_wav_payloads(docs))
 
 
 @register(

@@ -841,3 +841,83 @@ def q106_sampled_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("p50_sampled") - F.col("p50_exact")).alias("abs_err"),
         "n_sampled",
     )
+
+
+# --- q113: link-graph quality weighting (PageRank) -------------------
+
+_PR_SCALE = 10**12
+_PR_ITER = 5
+
+
+def _pagerank_oracle() -> str:
+    """Replays the integer PageRank rounds (operators/graph.py) in
+    SQL: same synthesized edges, same fixed-point update, unrolled
+    ``_PR_ITER`` times. Every value is an integer sum/division, so the
+    replay is bit-identical regardless of join order."""
+    cte = [
+        "n AS (SELECT COUNT(*) AS c FROM documents)",
+        """e AS (
+  SELECT doc_id AS src, (7 * doc_id + 1) % c AS dst FROM documents, n
+  UNION ALL SELECT doc_id, (13 * doc_id + 2) % c FROM documents, n
+  UNION ALL SELECT doc_id, (29 * doc_id + 3) % c FROM documents, n)""",
+        "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)",
+        f"p0 AS (SELECT doc_id AS node, {_PR_SCALE} // c AS p FROM documents, n)",
+    ]
+    for i in range(1, _PR_ITER + 1):
+        cte.append(
+            f"""p{i} AS (
+  SELECT x.node,
+         ({_PR_SCALE} * 15) // (100 * (SELECT c FROM n))
+         + (85 * COALESCE(s.m, 0)) // 100 AS p
+  FROM p0 x LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.p // deg.d) AS m
+    FROM e JOIN p{i - 1} p ON e.src = p.node JOIN deg ON e.src = deg.src
+    GROUP BY e.dst) s ON x.node = s.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"\nSELECT node AS doc_id, CAST(p AS BIGINT) AS rank_e12 FROM p{_PR_ITER}"
+    )
+
+
+@register(
+    "q113_pagerank_quality",
+    driver=False,  # registered late r8; rotation owed next round
+    oracle=_pagerank_oracle(),
+    description=(
+        "link-graph quality weighting: 5 rounds of INTEGER fixed-point "
+        "PageRank (Page et al. 1999; the host-centrality prior "
+        "CommonCrawl-derived pipelines weight documents by) over a "
+        "deterministic synthesized citation graph (3 out-links per doc, "
+        "modular formulas — doc_ids are contiguous 0..n-1 at every sf). "
+        "Iteration is the engine's standard shape — driver loop + lazy "
+        "localCheckpoint, one rank-table equi-join + one dst-keyed "
+        "groupBy-sum per round — and because every update is integer "
+        "(p div outdeg, (85·Σ) div 100), the ranks hash-match an "
+        "unrolled-CTE SQL replay exactly; float PageRank could never be "
+        "hash-checked"
+    ),
+    tags=("pipeline", "graph", "iteration", "quality"),
+)
+def q113_pagerank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.graph import pagerank
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    did = F.col("doc_id")
+    edges = d.select(
+        did.alias("src"),
+        F.explode(
+            F.array(
+                (did * 7 + 1) % n, (did * 13 + 2) % n, (did * 29 + 3) % n
+            )
+        ).alias("dst"),
+    )
+    ranks = pagerank(
+        edges,
+        nodes=d.select(did.alias("node")),
+        n_iter=_PR_ITER,
+        scale=_PR_SCALE,
+    )
+    return ranks.select(F.col("node").alias("doc_id"), F.col("p").alias("rank_e12"))

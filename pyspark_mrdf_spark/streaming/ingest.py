@@ -82,3 +82,46 @@ def ingest_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def index_append_stream(
+    vectors: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    query_name: str = "index_append",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming ANN-index maintenance — the streaming twin of
+    ``append_sq8_index``: each micro-batch of newly embedded vectors
+    is encoded with the index's FROZEN persisted quantizer (no
+    retrain, no re-encode of the stored corpus) and lands as the
+    batch-id partition ``stream_codes/batch=<id>`` of the index
+    directory. Same exactly-once construction as
+    ``ingest_dedup_stream``: a replayed batch overwrites its own
+    partition instead of double-appending, so the stored index is the
+    union of committed partitions and ``read_sq8_index`` serves base
+    + streamed codes transparently.
+
+    Because the quantizer is frozen, a streamed index is bit-identical
+    to batch-appending the same vectors (equivalence-tested), and the
+    retrain trigger stays where it is for the batch path: watch
+    ``index_cell_stats``-style occupancy/clip-rate monitors and
+    rebuild on schedule. Per-batch cost is O(batch) encode + one
+    partition write — no corpus-sized work at any batch."""
+    from pyspark_mrdf_spark.operators.quantize import _read_params, sq8_encode
+
+    base = index_path.rstrip("/")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        p = _read_params(index_path)
+        codes = sq8_encode(batch_df, p["mn"], p["mx"], id_col, vec_col)
+        codes.write.mode("overwrite").parquet(f"{base}/stream_codes/batch={batch_id}")
+
+    return (
+        vectors.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -126,7 +126,9 @@ def run_available_now(sdf: DataFrame, query_name: str) -> list:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise TimeoutError(f"{query_name}: stream did not drain in 120s")
     rows = sdf.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
     q.stop()
     return rows

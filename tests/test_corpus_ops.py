@@ -366,3 +366,76 @@ def test_lm_crosscorpus_ranks_reference_language(spark, sf_dir):
     others = [l for l in per_lang if l != "en"]
     assert others and all(per_lang["en"][0] > per_lang[l][0] for l in others)
     assert all(per_lang["en"][1] <= per_lang[l][1] for l in others)
+
+
+# --- pagerank (q113 / operators/graph.py) ----------------------------
+
+
+def test_pagerank_ring_is_uniform(spark):
+    # a directed ring: perfect symmetry, so every node must hold
+    # exactly the same rank after any number of rounds
+    from pyspark_mrdf_spark.operators.graph import pagerank
+
+    n = 64
+    edges = spark.range(n).selectExpr("id AS src", f"(id + 1) % {n} AS dst")
+    ranks = pagerank(edges, n_iter=5).collect()
+    assert len(ranks) == n
+    assert len({r["p"] for r in ranks}) == 1
+
+
+def test_pagerank_star_center_dominates_and_mass_conserves(spark):
+    # star: leaves 1..n-1 -> 0, 0 -> 1. The center accumulates the
+    # leaves' mass; with every node having out-degree >= 1, total mass
+    # is conserved up to integer-division truncation (< 1 unit lost
+    # per node per round)
+    from pyspark_mrdf_spark.operators.graph import pagerank
+
+    n, scale, rounds = 50, 10**12, 5
+    leaves = spark.range(1, n).selectExpr("id AS src", "CAST(0 AS BIGINT) AS dst")
+    edges = leaves.unionByName(
+        spark.createDataFrame([(0, 1)], "src: bigint, dst: bigint")
+    )
+    ranks = {r["node"]: r["p"] for r in pagerank(edges, n_iter=rounds, scale=scale).collect()}
+    assert len(ranks) == n
+    assert ranks[0] == max(ranks.values())
+    assert ranks[0] > 10 * ranks[2]  # a leaf, far below the hub
+    total = sum(ranks.values())
+    assert scale - n * rounds <= total <= scale
+
+
+def test_pagerank_matches_numpy_float_reference(spark):
+    # the integer fixed-point iteration tracks the textbook float
+    # power iteration to within truncation error on a random graph
+    import numpy as np
+
+    from pyspark_mrdf_spark.operators.graph import pagerank
+
+    rng = np.random.default_rng(7)
+    n, scale = 40, 10**12
+    out = {u: rng.choice(n, size=rng.integers(1, 4), replace=True) for u in range(n)}
+    pairs = [(int(u), int(v)) for u, vs in out.items() for v in vs]
+    edges = spark.createDataFrame(pairs, "src: bigint, dst: bigint")
+    got = {r["node"]: r["p"] for r in pagerank(edges, n_iter=5, scale=scale).collect()}
+
+    p = np.full(n, 1.0 / n)
+    for _ in range(5):
+        nxt = np.full(n, 0.15 / n)
+        for u, vs in out.items():
+            for v in vs:
+                nxt[v] += 0.85 * p[u] / len(vs)
+        p = nxt
+    for u in range(n):
+        # <= 1 unit truncation per division per round, amplified < 2x
+        assert abs(got[u] / scale - p[u]) < 1e-8
+
+
+def test_pagerank_rejects_empty():
+    import pytest as _pytest
+
+    from pyspark_mrdf_spark.operators.graph import pagerank
+    from pyspark_mrdf_spark.session import get_spark
+
+    spark = get_spark()
+    empty = spark.createDataFrame([], "src: bigint, dst: bigint")
+    with _pytest.raises(ValueError, match="empty node set"):
+        pagerank(empty)

@@ -170,3 +170,77 @@ def test_embed_payloads_feeds_vector_ops(spark, sf_dir):
         emb, threshold=0.999999, id_col="doc_id", vec_col="embedding", n_blocks=4
     ).collect()
     assert any(r["src"] == 0 and r["dst"] == 100000 for r in pairs)
+
+
+def test_wav_roundtrip_mono_stereo_and_junk_chunk():
+    import numpy as np
+
+    from pyspark_mrdf_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(11)
+    mono = rng.integers(-32768, 32768, size=101, dtype=np.int16)
+    s, rate, nch = decode_wav(encode_wav(mono, 16000, 1))
+    assert rate == 16000 and nch == 1 and np.array_equal(s, mono)
+    stereo = rng.integers(-32768, 32768, size=240, dtype=np.int16)
+    s, rate, nch = decode_wav(encode_wav(stereo, 44100, 2))
+    assert rate == 44100 and nch == 2 and np.array_equal(s, stereo)
+    # odd-length junk chunk before data: the decoder must honor RIFF
+    # word alignment (1 pad byte) to find the data chunk at all
+    s, rate, nch = decode_wav(encode_wav(mono, 8000, 1, junk=b"\x01\x02\x03"))
+    assert rate == 8000 and np.array_equal(s, mono)
+
+
+def test_decode_wav_rejects_malformed():
+    import struct
+
+    import numpy as np
+
+    from pyspark_mrdf_spark.operators.multimodal import decode_wav, encode_wav
+
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        decode_wav(b"OggS\x00\x00\x00\x00\x00\x00\x00\x00")
+    good = encode_wav(np.arange(8, dtype=np.int16), 8000, 1)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(good[:-3])
+    # non-PCM format tag (fmt chunk starts at offset 12+8)
+    b = bytearray(good)
+    struct.pack_into("<H", b, 20, 3)  # IEEE float
+    with pytest.raises(ValueError, match="only 16-bit integer PCM"):
+        decode_wav(bytes(b))
+    # data not a whole number of stereo frames (7 samples = 14 bytes:
+    # patching the fmt chunk to claim 2 channels makes 14 % 4 != 0)
+    with pytest.raises(ValueError, match="frames"):
+        decode_wav(
+            encode_wav(np.arange(7, dtype=np.int16), 8000, 1).replace(
+                struct.pack("<HH", 1, 1), struct.pack("<HH", 1, 2), 1
+            )
+        )
+
+
+def test_synth_wav_payloads_decode_to_closed_form_stats(spark):
+    # the q112 contract end-to-end in-process: synthesize, REALLY
+    # decode, and compare against the closed-form integer arithmetic
+    # the oracle uses
+    import numpy as np
+
+    from pyspark_mrdf_spark.operators.multimodal import (
+        decode_audio_features,
+        synth_wav_payloads,
+    )
+
+    docs = spark.range(0, 40).selectExpr("id AS doc_id")
+    got = {r["doc_id"]: r for r in decode_audio_features(synth_wav_payloads(docs)).collect()}
+    assert len(got) == 40
+    for d in range(40):
+        m = 64 + d % 64
+        i = np.arange(m, dtype=np.int64)
+        s = (31 * d + 297 * i * i + 17 * i) % 2048 - 1024
+        nch = 2 if d % 2 == 0 else 1
+        nonneg = s >= 0
+        r = got[d]
+        assert r["sample_rate"] == 8000 + 1000 * (d % 5)
+        assert r["n_channels"] == nch
+        assert r["n_frames"] == m // nch
+        assert r["min_amp"] == s.min() and r["max_amp"] == s.max()
+        assert r["sum_abs"] == np.abs(s).sum()
+        assert r["zero_cross"] == np.count_nonzero(nonneg[:-1] != nonneg[1:])

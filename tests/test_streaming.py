@@ -45,7 +45,7 @@ def test_hourly_counts_stream_matches_batch(spark, sf_dir, events_json_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
     got = spark.sql("SELECT * FROM hourly_test").collect()
     q.stop()
     cols = ["window_start", "event_type", "n_events", "total_value"]
@@ -65,7 +65,7 @@ def test_sliding_windows_stream_matches_batch(spark, sf_dir, events_json_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
     got = spark.sql("SELECT * FROM sliding_test").collect()
     q.stop()
     cols = ["window_start", "event_type", "avg_value", "n_events"]
@@ -99,7 +99,7 @@ def test_parquet_sink_with_checkpoint(spark, sf_dir, events_json_dir, tmp_path_f
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not drain in 120s"
         q.stop()
 
     run_once()
@@ -119,7 +119,7 @@ def test_running_user_totals_stateful(spark, sf_dir, events_json_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
     got = {r["user_id"]: r for r in spark.sql(
         "SELECT user_id, max(n_events) AS n_events FROM totals_test GROUP BY user_id"
     ).collect()}
@@ -142,7 +142,7 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_json_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "stream did not drain in 120s"
     got = spark.sql("SELECT * FROM ssj_test").collect()
     q.stop()
     cols = ["event_id", "click_ts", "click_value"]
@@ -173,7 +173,7 @@ def test_dedup_stream_drops_duplicates(spark, sf_dir, tmp_path_factory):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain in 180s"
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_test").collect()[0]
     q.stop()
     assert got["n"] == got["d"] == ev.count()
@@ -218,7 +218,7 @@ def test_watermark_drops_late_events(spark, tmp_path_factory):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "stream did not drain in 180s"
         q.stop()
         rows = spark.read.parquet(out_dir).collect()
         return {(r["window_start"].hour, r["event_type"]): r["n_events"] for r in rows}
@@ -258,7 +258,7 @@ def test_upsert_sink_swaps_via_hadoop_fs_uri(spark, events_json_dir, tmp_path_fa
     stream = stream_events_from_json(spark, events_json_dir)
     agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     q = upsert_stream_to_parquet(agg, "user_id", base_uri, ckpt)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain in 180s"
     q.stop()
     got = {r["user_id"]: r["n_events"] for r in spark.read.parquet(base_uri).collect()}
     assert got[seed_user] == 7  # untouched key survives the swap
@@ -298,7 +298,7 @@ def test_upsert_sink_recovers_mid_swap_crash(spark, events_json_dir, tmp_path_fa
     stream = stream_events_from_json(spark, events_json_dir)
     agg = stream.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     q = upsert_stream_to_parquet(agg, "user_id", base_dir, ckpt)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain in 180s"
     q.stop()
     got = {r["user_id"]: r["n_events"] for r in spark.read.parquet(base_dir).collect()}
     assert got[seed_user] == 7  # parked data was restored, not clobbered
@@ -317,7 +317,7 @@ def test_upsert_stream_sink_matches_batch(spark, sf_dir, events_json_dir, tmp_pa
     base = str(tmp_path_factory.mktemp("upsert_base"))
     ckpt = str(tmp_path_factory.mktemp("upsert_ckpt"))
     q = upsert_stream_to_parquet(agg, "user_id", base, ckpt)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "stream did not drain in 180s"
     q.stop()
     got = {r["user_id"]: r["n_events"] for r in spark.read.parquet(base).collect()}
     ev = load_table(spark, sf_dir, "events")
@@ -442,7 +442,7 @@ def test_funnel_stream_checkpoint_restart(spark, sf_dir, events_json_dir, tmp_pa
     ):
         _time.sleep(0.1)
     q1.stop()  # kill with (usually) files still unread
-    q1.awaitTermination(60)
+    assert q1.awaitTermination(60), "killed stream did not shut down in 60s"
     run1_rows = sum(p["numInputRows"] for p in q1.recentProgress)
 
     q2 = (
@@ -603,3 +603,82 @@ def test_ingest_dedup_stream_replay_preserves_batch(spark, tmp_path):
         for r in spark.read.parquet(corpus).select("doc_id", "text").collect()
     }
     assert got == want, "replayed batch lost or duplicated rows"
+
+
+def test_index_append_stream_equals_batch_append(spark, sf_dir, tmp_path):
+    """Streaming ANN-index maintenance: vectors streamed through
+    index_append_stream land as batch-id partitions encoded with the
+    FROZEN quantizer, read_sq8_index serves base+streamed codes, and
+    the result is row-for-row identical to batch append_sq8_index of
+    the same vectors. Replaying from the same checkpoint with no new
+    input changes nothing (idempotent per-batch partition writes)."""
+    import json as _json
+    import os as _os
+
+    import numpy as np
+
+    from pyspark_mrdf_spark.io import load_table
+    from pyspark_mrdf_spark.operators.quantize import (
+        append_sq8_index,
+        build_sq8_index,
+        read_sq8_index,
+    )
+    from pyspark_mrdf_spark.streaming.ingest import index_append_stream
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter("vec_id < 300")
+    idx_stream = str(tmp_path / "idx_stream")
+    idx_batch = str(tmp_path / "idx_batch")
+    build_sq8_index(base, idx_stream)
+    build_sq8_index(base, idx_batch)
+
+    append_sq8_index(idx_batch, emb.filter("vec_id >= 300"))
+
+    src = tmp_path / "vec_json"
+    src.mkdir()
+    splits = [
+        ("f1.json", emb.filter("vec_id >= 300 AND vec_id < 400"), 1_000_000_000),
+        ("f2.json", emb.filter("vec_id >= 400"), 1_000_000_100),
+    ]
+    for fname, df, ts in splits:
+        with open(src / fname, "w") as f:
+            for r in df.collect():
+                f.write(
+                    _json.dumps(
+                        {
+                            "vec_id": r["vec_id"],
+                            "embedding": [float(x) for x in r["embedding"]],
+                        }
+                    )
+                    + "\n"
+                )
+        _os.utime(src / fname, (ts, ts))
+
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = index_append_stream(stream, idx_stream, ckpt, query_name="idx_append_test")
+    assert q.awaitTermination(120), "index append stream did not drain"
+
+    mn_s, mx_s, codes_s = read_sq8_index(spark, idx_stream)
+    mn_b, mx_b, codes_b = read_sq8_index(spark, idx_batch)
+    assert np.array_equal(mn_s, mn_b) and np.array_equal(mx_s, mx_b)
+    rows_s = {(r["vec_id"], bytes(r["code"])) for r in codes_s.collect()}
+    rows_b = {(r["vec_id"], bytes(r["code"])) for r in codes_b.collect()}
+    assert rows_s == rows_b
+    assert len(rows_s) == emb.count()
+
+    # restart from the same checkpoint, no new files: nothing re-lands
+    stream2 = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q2 = index_append_stream(stream2, idx_stream, ckpt, query_name="idx_append_test2")
+    assert q2.awaitTermination(120)
+    _, _, codes_again = read_sq8_index(spark, idx_stream)
+    again = {(r["vec_id"], bytes(r["code"])) for r in codes_again.collect()}
+    assert again == rows_s
