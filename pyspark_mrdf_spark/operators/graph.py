@@ -24,13 +24,17 @@ its mass — the deterministic choice; redistributing dangling mass
 uniformly would add a global aggregate per round for no extra
 verification value. Total mass therefore shrinks slightly when
 danglers exist; rankings are unaffected for the quality-weighting use
-case, and the q113 edge synthesis gives every node out-degree 3 so
-the checked configuration conserves mass up to ``div`` truncation.
+case, and the q113 edge synthesis gives every node out-degree
+1 + id%3 ≥ 1 so the checked configuration conserves mass up to
+``div`` truncation.
 
 Scale: per round, one equi-join of the edge table against the O(n)
 rank table (shuffle on node id) + one groupBy-sum on dst. At 100 TB
 the edge table dwarfs ranks — pre-partition both on the join key
 (AQE handles skewed hubs); round count is the small fixed dial.
+Measured (SCALABILITY.json ``synthetic-2000000-pagerank``): 2M nodes /
+4M edges run 5 rounds in 42.7 s on local[32] (~8.5 s/round) with rank
+mass conserved to 6e-6 — the truncation bound, not float drift.
 """
 
 from __future__ import annotations

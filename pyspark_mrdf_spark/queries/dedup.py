@@ -789,3 +789,63 @@ def q109_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("clean_text").alias("clean_md5"),
         "clean_chars",
     )
+
+
+@register(
+    "q115_contrastive_pairs",
+    driver=False,  # registered late r8; rotation owed next round
+    oracle=f"""
+WITH post AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+sig AS (
+  SELECT doc_id,
+         [min(md5('0:' || shingle)), min(md5('1:' || shingle)),
+          min(md5('2:' || shingle)), min(md5('3:' || shingle)),
+          min(md5('4:' || shingle)), min(md5('5:' || shingle)),
+          min(md5('6:' || shingle)), min(md5('7:' || shingle))] AS signature
+  FROM post GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, band, md5(array_to_string(signature[band*2+1:band*2+2], '|')) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS anchor, b.doc_id AS positive
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+n AS (SELECT COUNT(*) AS c FROM documents),
+g0 AS (
+  SELECT anchor, positive, (37 * anchor + 101 * positive + 7) % c AS g
+  FROM cand, n),
+g1 AS (
+  SELECT anchor, positive,
+         (g + CASE WHEN g = anchor OR g = positive THEN 1 ELSE 0 END)
+           % (SELECT c FROM n) AS g
+  FROM g0)
+SELECT anchor, positive,
+       CAST((g + CASE WHEN g = anchor OR g = positive THEN 1 ELSE 0 END)
+         % (SELECT c FROM n) AS BIGINT) AS negative
+FROM g1
+""",
+    description=(
+        "contrastive training-pair mining — the (anchor, positive, "
+        "negative) triples embedding-model fine-tuning data (DPR/E5-style) "
+        "is built from: positives are MinHash-LSH near-dup candidates "
+        "(the session-memoized q43 band buckets, an equi-join — no "
+        "all-pairs scan), negatives are a closed-form hash of the pair "
+        "over the contiguous id space with two +1 adjustment steps "
+        "guaranteeing the draw avoids both pair members — O(pairs) work, "
+        "no pairs-by-corpus join, bit-exact on any engine"
+    ),
+    tags=("dedup", "pipeline", "contrastive", "minhash"),
+)
+def q115_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cand = D.lsh_candidate_pairs(_minhash_buckets(spark, sf_dir)).select(
+        F.col("doc_a").alias("anchor"), F.col("doc_b").alias("positive")
+    )
+    n = load_table(spark, sf_dir, "documents").count()
+    a, p = F.col("anchor"), F.col("positive")
+
+    def adjust(g):
+        return (g + F.when((g == a) | (g == p), 1).otherwise(0)) % n
+
+    g = adjust(adjust((37 * a + 101 * p + 7) % n))
+    return cand.select("anchor", "positive", g.cast("bigint").alias("negative"))

@@ -459,3 +459,66 @@ def q94_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "week_offset")
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
     )
+
+
+# Sentinel for an open-ended SCD2 interval: int64 max. A NULL
+# valid_to would collect to pandas as float64 (dtype-sensitive hash
+# drift — the q33/q58 round-1 failure class); the sentinel keeps the
+# column int64 on both engines, and `is_current` carries the meaning.
+_SCD2_OPEN_US = (1 << 63) - 1
+
+
+@register(
+    "q114_scd2_history",
+    driver=False,  # registered late r8; rotation owed next round
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events),
+changes AS (
+  SELECT user_id, event_type, ts_us, event_id FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type),
+iv AS (
+  SELECT user_id, event_type, ts_us AS valid_from_us,
+         lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+           AS nxt
+  FROM changes)
+SELECT user_id, event_type, valid_from_us,
+       CAST(COALESCE(nxt, {_SCD2_OPEN_US}) AS BIGINT) AS valid_to_us,
+       (nxt IS NULL) AS is_current
+FROM iv
+""",
+    description=(
+        "SCD type-2 history build (the CDC/warehouse dimension shape): "
+        "collapse each user's event stream into [valid_from, valid_to) "
+        "intervals of their current event_type — a change row opens an "
+        "interval, the next change closes it, the last stays open "
+        "(is_current, int64-max sentinel so the column never goes float "
+        "under NULL). Two windows partitioned by user_id, no global "
+        "sort; ties broken by event_id so the interval chain is "
+        "deterministic on any engine"
+    ),
+    tags=("events", "windows", "cdc"),
+)
+def q114_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_type = F.lag("event_type").over(w)
+    changes = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        (prev_type.isNull() | (prev_type != F.col("event_type"))).alias("is_change"),
+    ).filter("is_change")
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    nxt = F.lead("ts_us").over(w2)
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        F.coalesce(nxt, F.lit(_SCD2_OPEN_US)).cast("bigint").alias("valid_to_us"),
+        nxt.isNull().alias("is_current"),
+    )

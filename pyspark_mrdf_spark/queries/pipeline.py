@@ -856,10 +856,17 @@ def _pagerank_oracle() -> str:
     replay is bit-identical regardless of join order."""
     cte = [
         "n AS (SELECT COUNT(*) AS c FROM documents)",
+        # variable out-degree 1 + (doc_id % 3): each modular formula
+        # alone is a bijection (multiplier coprime with n), so a
+        # 3-links-everywhere graph has in-degree exactly 3 everywhere
+        # and pagerank collapses to a constant — no verification power.
+        # Gating links 2/3 on doc_id%3 varies both degrees and ranks.
         """e AS (
   SELECT doc_id AS src, (7 * doc_id + 1) % c AS dst FROM documents, n
   UNION ALL SELECT doc_id, (13 * doc_id + 2) % c FROM documents, n
-  UNION ALL SELECT doc_id, (29 * doc_id + 3) % c FROM documents, n)""",
+    WHERE doc_id % 3 >= 1
+  UNION ALL SELECT doc_id, (29 * doc_id + 3) % c FROM documents, n
+    WHERE doc_id % 3 = 2)""",
         "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)",
         f"p0 AS (SELECT doc_id AS node, {_PR_SCALE} // c AS p FROM documents, n)",
     ]
@@ -889,8 +896,9 @@ def _pagerank_oracle() -> str:
         "link-graph quality weighting: 5 rounds of INTEGER fixed-point "
         "PageRank (Page et al. 1999; the host-centrality prior "
         "CommonCrawl-derived pipelines weight documents by) over a "
-        "deterministic synthesized citation graph (3 out-links per doc, "
-        "modular formulas — doc_ids are contiguous 0..n-1 at every sf). "
+        "deterministic synthesized citation graph (1 + doc_id%3 "
+        "out-links per doc, modular formulas — doc_ids are contiguous "
+        "0..n-1 at every sf; varying both degrees so ranks spread). "
         "Iteration is the engine's standard shape — driver loop + lazy "
         "localCheckpoint, one rank-table equi-join + one dst-keyed "
         "groupBy-sum per round — and because every update is integer "
@@ -909,8 +917,12 @@ def q113_pagerank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = d.select(
         did.alias("src"),
         F.explode(
-            F.array(
-                (did * 7 + 1) % n, (did * 13 + 2) % n, (did * 29 + 3) % n
+            F.slice(
+                F.array(
+                    (did * 7 + 1) % n, (did * 13 + 2) % n, (did * 29 + 3) % n
+                ),
+                1,
+                (did % 3 + 1).cast("int"),
             )
         ).alias("dst"),
     )

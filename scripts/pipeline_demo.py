@@ -11,6 +11,7 @@ line of stage-by-stage counts.
       → near-dup pairs           (jaccard_pairs + max_df stoplist, q41)
       → duplicate clusters       (connected_components, q72)
       → canonical selection      (cluster-min + unpaired, q73)
+      → link-quality prior       (operators.graph.pagerank, q113)
       → mixture sampling         (md5-uniform per-language rates, q71)
       → token-budget shard packing (windowed cumsum per source, q70)
       → shard write              (partitioned parquet sink)
@@ -97,9 +98,41 @@ def main(sf_dir: str, out_dir: str) -> None:
     )
     stages["canonical"] = canonical.count()
 
+    # link-graph quality prior (q113 semantics): integer fixed-point
+    # pagerank over the synthesized citation graph, drop the
+    # lowest-centrality decile — the CCNet/RefinedWeb-style
+    # host-quality weighting step, here at doc granularity
+    from pyspark_mrdf_spark.operators.graph import pagerank
+
+    n_docs = stages["ingested"]
+    did = F.col("doc_id")
+    edges = docs.select(
+        did.alias("src"),
+        F.explode(
+            F.slice(
+                F.array(
+                    (did * 7 + 1) % n_docs,
+                    (did * 13 + 2) % n_docs,
+                    (did * 29 + 3) % n_docs,
+                ),
+                1,
+                (did % 3 + 1).cast("int"),
+            )
+        ).alias("dst"),
+    )
+    ranks = pagerank(edges, nodes=docs.select(did.alias("node")), n_iter=5)
+    cut = ranks.approxQuantile("p", [0.1], 0.0)[0]  # exact decile
+    weighted = (
+        canonical.join(ranks.withColumnRenamed("node", "doc_id"), "doc_id")
+        .filter(F.col("p") >= cut)
+        .drop("p")
+        .localCheckpoint()
+    )
+    stages["link_quality_pass"] = weighted.count()
+
     # deterministic mixture sampling (portable md5 uniform) — the SAME
     # column expressions the oracle-checked q71 uses
-    mixed = canonical.filter(mixture_uniform_col() < mixture_rate_col())
+    mixed = weighted.filter(mixture_uniform_col() < mixture_rate_col())
     stages["mixture_sampled"] = mixed.count()
 
     # token-budget shard packing per source, then partitioned write

@@ -164,6 +164,13 @@ def main() -> None:
     # SemDeDup over a synthetic embedding set) on planted-duplicate
     # corpora at design size
     dedup_only = "--dedup-only" in argv
+    # --pagerank-only: ONLY the link-graph iteration row — 5 rounds of
+    # integer fixed-point pagerank (operators/graph.py, q113's kernel)
+    # over q113's synthetic citation graph (1 + id%3 out-links) of --synthetic-n nodes
+    # (default 2M nodes / 6M edges in this mode)
+    pagerank_only = "--pagerank-only" in argv
+    if pagerank_only and not saw_synthetic_flag:
+        synthetic_n = 2_000_000
     synthetic_d = 512
     saw_d_flag = False
     if "--synthetic-d" in argv:
@@ -193,6 +200,7 @@ def main() -> None:
         if a not in (
             "--uniform", "--uniform-tuned", "--uniform-tuned-only", "--grid-only",
             "--mixture-only", "--sq8-only", "--serving-only", "--dedup-only",
+            "--pagerank-only",
         )
     ]
     # the -only modes run exactly one section; any other argument or
@@ -202,6 +210,7 @@ def main() -> None:
         ("--uniform-tuned-only", tuned_only), ("--grid-only", grid_only),
         ("--mixture-only", mixture_only), ("--sq8-only", sq8_only),
         ("--serving-only", serving_only), ("--dedup-only", dedup_only),
+        ("--pagerank-only", pagerank_only),
     ) if on]
     if only_modes and argv:
         sys.exit("error: the -only modes ignore sf arguments; drop one side")
@@ -223,7 +232,7 @@ def main() -> None:
         )
     if len(only_modes) > 1:
         sys.exit(f"error: {' and '.join(only_modes)} each run exactly one section; pick one")
-    if (grid_only or sq8_only or mixture_only or serving_only or dedup_only) and (include_uniform or include_uniform_tuned):
+    if (grid_only or sq8_only or mixture_only or serving_only or dedup_only or pagerank_only) and (include_uniform or include_uniform_tuned):
         sys.exit(f"error: {only_modes[0]} runs only its own point; drop the uniform flags")
     if tuned_only and include_uniform:
         sys.exit("error: --uniform-tuned-only runs only the tuned point; drop the other flags")
@@ -231,9 +240,9 @@ def main() -> None:
     # explicit sf list = corpus-only run; the synthetic flags would be
     # silently dead in that mode, so reject the combination outright
     run_synthetic = (not argv or tuned_only or mixture_only) and not (
-        grid_only or sq8_only or serving_only or dedup_only
+        grid_only or sq8_only or serving_only or dedup_only or pagerank_only
     )
-    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only) and (
+    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only or pagerank_only) and (
         include_uniform or include_uniform_tuned or saw_synthetic_flag
     ):
         sys.exit(
@@ -354,7 +363,50 @@ def main() -> None:
         points.append(_dedup_evidence(spark, synthetic_n))
         print(f"[scalability] {points[-1]}", file=sys.stderr)
 
+    if pagerank_only:
+        points.append(_pagerank_evidence(spark, synthetic_n))
+        print(f"[scalability] {points[-1]}", file=sys.stderr)
+
     print(json.dumps({"metric": "scalability_sweep", "points": points}))
+
+
+def _pagerank_evidence(spark, n: int) -> dict:
+    """Execute q113's pagerank kernel at graph scale (n nodes, 3n
+    edges, 5 rounds) and record the wall plus the mass-conservation
+    sanity (every node has out-degree 3, so total rank stays ~scale up
+    to div truncation). The per-round cost is one edge-vs-rank
+    equi-join + one dst-keyed agg — linear shuffles, so the row pins
+    seconds-per-(edge·round) for capacity planning."""
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.operators.graph import pagerank
+
+    rounds, scale = 5, 10**12
+    nodes = spark.range(n).selectExpr("id AS node").localCheckpoint(eager=True)
+    nd = F.col("node")
+    edges = nodes.select(
+        nd.alias("src"),
+        F.explode(
+            F.slice(
+                F.array((nd * 7 + 1) % n, (nd * 13 + 2) % n, (nd * 29 + 3) % n),
+                1,
+                (nd % 3 + 1).cast("int"),
+            )
+        ).alias("dst"),
+    ).localCheckpoint(eager=True)
+    t0 = time.time()
+    ranks = pagerank(edges, nodes=nodes, n_iter=rounds, scale=scale)
+    total, n_out = ranks.agg(F.sum("p"), F.count(F.lit(1))).first()
+    t = time.time() - t0
+    assert n_out == n
+    return {
+        "sf": f"synthetic-{n}-pagerank",
+        "n_nodes": n,
+        "n_edges": 2 * n,  # avg out-degree (1 + id%3) = 2
+        "rounds": rounds,
+        "pagerank_s": round(t, 2),
+        "rank_mass_retained": round(total / scale, 6),
+    }
 
 
 def _sq8_evidence(spark, n: int) -> dict:
