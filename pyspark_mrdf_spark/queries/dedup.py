@@ -793,7 +793,7 @@ def q109_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q115_contrastive_pairs",
-    driver=False,  # registered late r8; rotation owed next round
+    # promoted r8 (fourth rotation): q07/q12/q19/q29/q64/q66 ceded slots
     oracle=f"""
 WITH post AS (
   SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),

@@ -233,6 +233,7 @@ def q28_asof_prev_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q29_price_band_join",
+    driver=False,  # r8 fourth rotation: 6x driver-green (joins keep q05/q76; as-of/band shapes stay pytest-covered via q28/q29); cedes its slot to q111-q116
     oracle="""
 SELECT band_id,
        COUNT(*) AS n_parts,
@@ -297,6 +298,7 @@ def q63_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q66_variant_props",
+    driver=False,  # r8 fourth rotation: 6x driver-green (JSON/Variant path stays pytest-covered via q20/q66); cedes its slot to q111-q116
     oracle="""
 SELECT event_type,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
@@ -470,7 +472,7 @@ _SCD2_OPEN_US = (1 << 63) - 1
 
 @register(
     "q114_scd2_history",
-    driver=False,  # registered late r8; rotation owed next round
+    # promoted r8 (fourth rotation): q07/q12/q19/q29/q64/q66 ceded slots
     oracle=f"""
 WITH ordered AS (
   SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,

@@ -142,7 +142,7 @@ def q81_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q112_wav_audio_stats",
-    driver=False,  # registered late r8; rotation owed next round
+    # promoted r8 (fourth rotation): q07/q12/q19/q29/q64/q66 ceded slots
     oracle="""
 WITH base AS (
   SELECT doc_id,

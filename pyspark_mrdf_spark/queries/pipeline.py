@@ -890,7 +890,7 @@ def _pagerank_oracle() -> str:
 
 @register(
     "q113_pagerank_quality",
-    driver=False,  # registered late r8; rotation owed next round
+    # promoted r8 (fourth rotation): q07/q12/q19/q29/q64/q66 ceded slots
     oracle=_pagerank_oracle(),
     description=(
         "link-graph quality weighting: 5 rounds of INTEGER fixed-point "

@@ -208,6 +208,7 @@ def q06_left_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q07_semi_join_urgent",
+    driver=False,  # r8 fourth rotation: 7x driver-green (semi-join also exercised by q82's broadcast semi shape); cedes its slot to q111-q116
     oracle="""
 SELECT c_custkey, c_name FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
@@ -335,6 +336,7 @@ def q11_customer_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q12_top10_revenue_orders",
+    driver=False,  # r8 fourth rotation: 7x driver-green (global sort/limit; distributed top-k stays verified via q88/q104's TakeOrdered plans); cedes its slot to q111-q116
     oracle="""
 SELECT o_orderkey, o_orderdate,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
@@ -522,6 +524,7 @@ def q18_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q19_moving_avg",
+    driver=False,  # r8 fourth rotation: 7x driver-green (windows keep q100/q114 partitioned-window driver reps); cedes its slot to q111-q116
     oracle="""
 SELECT o_orderkey, o_custkey,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)

@@ -220,6 +220,7 @@ def q36_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q64_clean_corpus",
+    driver=False,  # r8 fourth rotation: 7x driver-green (text keeps q83/q87/q88/q96/q107/q108/q110/q111 driver reps); cedes its slot to q111-q116
     oracle="""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
@@ -838,7 +839,7 @@ def q110_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q111_lm_crosscorpus_filter",
-    driver=False,  # registered r8; rotation owed next round
+    # promoted r8 (fourth rotation): q07/q12/q19/q29/q64/q66 ceded slots
     oracle=f"""
 WITH {_lm_scored_cte("lang = 'en'")},
 agg AS (

@@ -1017,3 +1017,67 @@ def q105_index_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_mrdf_spark.operators.quantize import index_cell_stats
 
     return index_cell_stats(spark, _q98_index_path(spark, sf_dir))
+
+
+@register(
+    "q116_binary_quantized_knn",
+    # new r8, promoted same-round (fourth rotation): q07/q12/q19/q29/
+    # q64/q66/q72/q80 (5-7x driver-green) ceded slots
+    oracle="""
+WITH med AS (
+  SELECT i, v AS thr FROM (
+    SELECT g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS v,
+           ROW_NUMBER() OVER (PARTITION BY g.i ORDER BY embedding[g.i]) AS rn,
+           COUNT(*) OVER (PARTITION BY g.i) AS n
+    FROM embeddings, generate_series(1, 64) AS g(i))
+  WHERE rn = (n - 1) // 2 + 1),
+thr AS (SELECT list(thr ORDER BY i) AS t FROM med),
+bits AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, 64), i ->
+           CASE WHEN CAST(embedding[i] AS DOUBLE) > t[i] THEN 1 ELSE 0 END) AS b
+  FROM embeddings CROSS JOIN thr),
+cand AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         CAST(list_sum(list_transform(generate_series(1, 64),
+              i -> CASE WHEN a.b[i] <> b.b[i] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+  FROM bits a JOIN bits b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id < 30),
+topc AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY hamming, dst) AS crnk
+  FROM cand),
+rr AS (
+  SELECT t.src, t.dst,
+         ROW_NUMBER() OVER (PARTITION BY t.src
+           ORDER BY list_distance(CAST(qe.embedding AS DOUBLE[]),
+                                  CAST(ce.embedding AS DOUBLE[])), t.dst) AS rnk
+  FROM topc AS t
+  JOIN embeddings qe ON qe.vec_id = t.src
+  JOIN embeddings ce ON ce.vec_id = t.dst
+  WHERE t.crnk <= 40)
+SELECT src, dst, rnk FROM rr WHERE rnk <= 5
+""",
+    description=(
+        "binary (1-bit) quantized search — the bottom of the quantization "
+        "ladder (float64 exact -> SQ8 1 B/dim -> PQ 8 B/row -> 1 BIT/dim "
+        "here, 32x below float32 parquet): per-dimension nearest-rank "
+        "MEDIAN thresholds (an element of the data, so any engine picks "
+        "the bit-identical value — no float mean drift) -> packed sign "
+        "bits -> top-40 candidates by XOR+popcount Hamming distance "
+        "(pure integer, bit-reproducible) -> full-precision rerank of "
+        "candidates only, top-5 of 30 queries. The oracle re-derives "
+        "thresholds, bits, and Hamming candidates bit-identically in "
+        "SQL; only the rerank compares floats, through the q50-proven "
+        "(dist, id) rank portability"
+    ),
+    tags=("vector", "knn", "quantize", "pipeline"),
+)
+def q116_binary_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.quantize import bq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 30)
+    return bq_search(
+        queries, emb, 5, k_candidates=40, include_self=False
+    ).select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))

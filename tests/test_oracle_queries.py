@@ -97,20 +97,26 @@ DRIVER_SURFACE = [
     # q25 (windows keep q19), q58 (LSH covered by q46's hyperplane
     # tier), q61 (multimodal keeps q81/q86), q68 (set-op reps green
     # r1-r7), q74 (sketch coverage keeps q106's measured-error row).
-    "q29_price_band_join",
-    "q66_variant_props",
+    # Fourth r8 rotation (same round, new ops): the six operators
+    # registered after the third rotation — q111 cross-corpus LM
+    # filter, q112 WAV audio codec, q113 integer PageRank, q114 SCD2
+    # history, q115 contrastive pair mining, q116 binary (1-bit)
+    # Hamming-quantized search — take the slots of six 6-7x-green
+    # siblings: q07 (semi-join; q82 keeps a broadcast-semi driver
+    # shape), q12 (global sort/limit; distributed top-k verified via
+    # q88/q104), q19 (windows keep q100/q114), q29 (joins keep
+    # q05/q76), q64 (text keeps 8 driver reps), q66 (JSON/Variant
+    # pytest-covered via q20/q66).
     "q76_salted_hot_user_join",
     "q93_funnel_analysis",
     "q94_cohort_retention",
+    "q114_scd2_history",
     "q81_bmp_pixel_stats",
+    "q112_wav_audio_stats",
     "q86_payload_embed_knn",
     "q01_pricing_summary",
     "q05_local_supplier_volume",
-    "q07_semi_join_urgent",
-    "q12_top10_revenue_orders",
-    "q19_moving_avg",
     "q67_grouping_sets",
-    "q64_clean_corpus",
     "q83_pii_scrub",
     "q87_repetition_filter",
     "q88_bm25_retrieval",
@@ -118,6 +124,7 @@ DRIVER_SURFACE = [
     "q107_bpe_train",
     "q108_bpe_tokenize",
     "q110_lm_quality_filter",
+    "q111_lm_crosscorpus_filter",
     "q42_minhash_signatures",
     "q72_dup_clusters",
     "q46_embedding_near_dups",
@@ -128,6 +135,7 @@ DRIVER_SURFACE = [
     "q101_substring_dedup",
     "q102_semantic_dedup",
     "q109_substring_scrub",
+    "q115_contrastive_pairs",
     "q84_train_val_test_split",
     "q85_shuffle_shards",
     "q90_chunk_documents",
@@ -137,6 +145,7 @@ DRIVER_SURFACE = [
     "q103_pack_sequences",
     "q104_dsir_importance",
     "q106_sampled_quantile",
+    "q113_pagerank_quality",
     "q50_knn_exact",
     "q56_mrdf_recall",
     "q57_ivf_recall",
@@ -147,6 +156,7 @@ DRIVER_SURFACE = [
     "q97_recall_vs_ivecs_gt",
     "q98_ivfpq_persisted_index",
     "q105_index_cell_stats",
+    "q116_binary_quantized_knn",
 ]
 
 

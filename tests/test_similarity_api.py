@@ -598,3 +598,80 @@ def test_params_roundtrip_preserves_size1_leading_dims(tmp_path):
     for name, arr in parts.items():
         assert got[name].shape == arr.shape, name
         assert np.array_equal(got[name], arr), name
+
+
+def test_bq_bits_median_and_hamming_kernel():
+    """Thresholds are nearest-rank medians (elements of the data), the
+    strict-> rule sends the median itself to 0, and the packed XOR+LUT
+    Hamming matches a per-bit brute force."""
+    import numpy as np
+    from pyspark_mrdf_spark.operators.quantize import _POPCOUNT, bq_bits
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(51, 9))  # ODD n: numpy median IS an element
+    thr = np.median(mat, axis=0)
+    bits = bq_bits(mat, thr)
+    assert bits.shape == (51, 9) and set(np.unique(bits)) <= {0, 1}
+    assert np.array_equal(bits, (mat > thr).astype(np.uint8))
+    # median row encodes 0 in its own dimension
+    med_rows = mat.argsort(axis=0)[mat.shape[0] // 2, :]
+    for j, r in enumerate(med_rows):
+        assert bits[r, j] == 0
+    # packed Hamming == per-bit mismatch count
+    a, b = np.packbits(bits[0]), np.packbits(bits[1])
+    ham = int(_POPCOUNT[np.bitwise_xor(a, b)].sum())
+    assert ham == int((bits[0] != bits[1]).sum())
+
+
+def test_bq_search_recall_and_contract(spark, sf_dir):
+    from pyspark_mrdf_spark.algorithms.recall import recall
+    from pyspark_mrdf_spark.operators.quantize import bq_search
+    from pyspark_mrdf_spark.operators.similarity import knn_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = knn_exact(emb, 5).localCheckpoint()
+    approx = bq_search(emb, emb, 5, k_candidates=160, include_self=False)
+    # 1 bit/dim keeps far less metric information than SQ8, so recall
+    # is bought with candidate budget: measured on this corpus
+    # 0.64@40 / 0.81@80 / 0.93@160 / 0.995@320 candidates
+    r = recall(exact, approx)
+    assert r >= 0.88, r
+    from pyspark.sql import functions as SF
+
+    per = approx.groupBy("src").count().agg(SF.min("count"), SF.max("count")).collect()[0]
+    assert per[0] == per[1] == 5
+    # determinism: a second run is row-identical
+    again = bq_search(emb, emb, 5, k_candidates=160, include_self=False)
+    assert sorted(map(tuple, approx.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_bq_index_roundtrip_bit_identical(spark, sf_dir, tmp_path):
+    import numpy as np
+    from pyspark_mrdf_spark.operators.quantize import (
+        bq_encode,
+        bq_search,
+        bq_search_encoded,
+        bq_train,
+        read_bq_index,
+        write_bq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 40)
+    path = str(tmp_path / "bq_idx")
+    thr_w = bq_train(emb)
+    write_bq_index(path, thr_w, bq_encode(emb, thr_w))
+    thr_r, codes_r = read_bq_index(spark, path)
+    assert np.array_equal(thr_w, thr_r)
+    assert codes_r.count() == emb.count()
+    # 1 bit/dim: stored code cell is ceil(d/8) bytes
+    d = len(emb.select("embedding").first()[0])
+    assert len(codes_r.select("code").first()[0]) == -(-d // 8)
+
+    inline = bq_search(queries, emb, 5, k_candidates=40, include_self=False).collect()
+    served = bq_search_encoded(
+        queries, codes_r, thr_r, emb, 5, k_candidates=40, include_self=False
+    ).collect()
+    assert sorted(map(tuple, served), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, inline), key=lambda t: (t[0], t[3])
+    )
