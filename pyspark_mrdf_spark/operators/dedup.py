@@ -1068,3 +1068,109 @@ def semantic_dedup(
         f"{id_col} long, cluster long, max_prev_cos_e6 long, keep boolean"
     )
     return assigned.groupBy("cluster").applyInPandas(_mark, out_schema)
+
+
+BLOOM_M_BITS = 1 << 17
+BLOOM_K = 4
+
+
+def _bloom_pos(fp, j: int, m_bits: int):
+    """Bit position j for a fingerprint: first 8 md5 hex chars of
+    ``j:fp`` mod m — the engine's portable-hash discipline, so an SQL
+    oracle derives the identical position set."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{j}:"), fp)), 1, 8), 16, 10
+    ).cast("bigint") % m_bits
+
+
+def bloom_dedup_against(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = BLOOM_M_BITS,
+    k_hashes: int = BLOOM_K,
+) -> DataFrame:
+    """Incremental exact dedup with a BLOOM-FILTER membership prefilter:
+    (id, bloom_hit, is_dup) per batch row — ``is_dup`` is EXACT (the
+    filter only prunes, never decides), ``bloom_hit`` exposes the
+    pruning decision so callers and tests can see the filter work.
+
+    The 100 TB shape this demonstrates: ``dedup_against`` shuffles the
+    whole batch's fingerprints into a join against the corpus
+    fingerprint set. When the corpus is 10^11 docs and today's batch is
+    mostly NOVEL (the common crawl-ingest case), almost every shuffled
+    row finds no match — wasted exchange. Here the corpus side compacts
+    to m/8 bytes of Bloom bitmap (a bounded, broadcastable summary: m
+    defaults to 128 Ki bits = 16 KiB regardless of corpus size; size m
+    to ~10 bits/fingerprint at deployment), the batch probes it with
+    pure JVM hash/shift arithmetic — no shuffle, no Python — and ONLY
+    the bloom-hit rows (true dups + the filter's false-positive rate,
+    (set_bits/m)^k) enter the exact semi-join. Definite-new rows never
+    shuffle at all. This is Spark's runtime-filter/bloom-join pattern
+    made explicit and portable: positions are md5-derived, so the
+    filter's accept set is deterministic on any engine — even
+    ``bloom_hit`` itself is oracle-checkable, not just the final
+    verdict.
+
+    The bitmap build is one distinct + one 32-bit-word bit_or aggregate
+    over ≤ k·|corpus_fp| positions, collected at ≤ m/32 rows; words
+    ride a broadcast array literal. False positives cost only wasted
+    join rows, never correctness.
+    """
+    corpus_fp = corpus.select(fingerprint(text_col).alias("fp")).distinct()
+    pos = corpus_fp.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("fp"), j, m_bits) for j in range(1, k_hashes + 1)])
+        ).alias("pos")
+    ).distinct()
+    # 32-bit words sidestep int64 sign/overflow corners in both the
+    # shift arithmetic and any SQL twin
+    word_rows = (
+        pos.select(
+            F.shiftright("pos", 5).alias("w"),
+            F.expr("shiftleft(1, CAST(pos % 32 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("bits"))
+        .collect()
+    )
+    words = [0] * ((m_bits + 31) // 32)
+    for r in word_rows:
+        words[r["w"]] = int(r["bits"])
+
+    batch = new_docs.withColumn("fp", fingerprint(text_col))
+
+    # probe in SQL-expr form: Spark SQL's shift builtins take column
+    # expressions there (the Python F.shiftleft/shiftright API only
+    # takes int literals)
+    def _pos_sql(j: int) -> str:
+        return (
+            f"CAST(conv(substring(md5(concat('{j}:', fp)), 1, 8), 16, 10) "
+            f"AS BIGINT) % {m_bits}"
+        )
+
+    hit_sql = " AND ".join(
+        f"(shiftright(element_at(_bloom, CAST(shiftright({_pos_sql(j)}, 5) AS INT) + 1), "
+        f"CAST({_pos_sql(j)} % 32 AS INT)) & 1) = 1"
+        for j in range(1, k_hashes + 1)
+    )
+    probed = (
+        batch.withColumn("_bloom", F.lit(words))
+        .withColumn("bloom_hit", F.expr(hit_sql))
+        .drop("_bloom")
+    )
+    hits_dup = (
+        probed.filter("bloom_hit")
+        .join(corpus_fp, "fp", "left_semi")
+        .select(id_col)
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        probed.join(hits_dup, id_col, "left")
+        .select(
+            id_col,
+            "bloom_hit",
+            F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
+        )
+    )

@@ -326,6 +326,7 @@ def q73_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q46_embedding_near_dups",
+    driver=False,  # r8 fourth rotation: 7x driver-green (embedding near-dup semantics also driver-verified via q102 SemDeDup; dedup keeps q42/q77/q78/q79/q82/q91/q101/q102/q115); cedes its slot to q117
     oracle="""
 SELECT src, dst, cos_e6 FROM (
   SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -849,3 +850,55 @@ def q115_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = adjust(adjust((37 * a + 101 * p + 7) % n))
     return cand.select("anchor", "positive", g.cast("bigint").alias("negative"))
+
+
+@register(
+    "q118_bloom_incremental_dedup",
+    # new r8, promoted same-round (fourth rotation): see DRIVER_SURFACE
+    oracle="""
+WITH batch AS (
+  SELECT doc_id + 200000 AS doc_id,
+         CASE WHEN doc_id < 50 THEN text ELSE text || ' novelsuffix' END AS text
+  FROM documents WHERE doc_id < 100),
+corpus_fp AS (SELECT DISTINCT md5(text) AS fp FROM documents),
+setbits AS (
+  SELECT DISTINCT
+         CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || ':' || fp), 1, 8)) AS BIGINT)
+           % 131072 AS pos
+  FROM corpus_fp, generate_series(1, 4) AS g(j)),
+probe AS (
+  SELECT b.doc_id, md5(b.text) AS fp,
+         CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || ':' || md5(b.text)), 1, 8)) AS BIGINT)
+           % 131072 AS pos
+  FROM batch b, generate_series(1, 4) AS g(j)),
+hits AS (
+  SELECT p.doc_id, p.fp,
+         SUM(CASE WHEN s.pos IS NOT NULL THEN 1 ELSE 0 END) = 4 AS bloom_hit
+  FROM probe p LEFT JOIN setbits s ON p.pos = s.pos
+  GROUP BY p.doc_id, p.fp)
+SELECT h.doc_id, h.bloom_hit,
+       h.bloom_hit AND c.fp IS NOT NULL AS is_dup
+FROM hits h LEFT JOIN corpus_fp c ON h.fp = c.fp
+""",
+    description=(
+        "incremental exact dedup with a BLOOM-FILTER membership "
+        "prefilter (operators/dedup.bloom_dedup_against): the corpus "
+        "fingerprint set compacts to a 16 KiB bitmap (md5-derived "
+        "positions, 4 hashes — deterministic on any engine), the batch "
+        "probes it with pure JVM shift arithmetic and ONLY bloom-hit "
+        "rows enter the exact semi-join — definite-new rows never "
+        "shuffle. The pruning decision itself (bloom_hit) is part of "
+        "the verdict, not just the final is_dup: Spark's runtime "
+        "bloom-join pattern made explicit and cross-engine-checkable"
+    ),
+    tags=("dedup", "incremental", "sketch"),
+)
+def q118_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.when(F.col("doc_id") < 50, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" novelsuffix")))
+        .alias("text"),
+    )
+    return D.bloom_dedup_against(batch, d)

@@ -873,3 +873,182 @@ def q111_lm_crosscorpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(d.select("doc_id", "lang"), "doc_id")
         .select("doc_id", "lang", "n_tokens", "mean_score_e6", "n_oov")
     )
+
+
+# q117: the supervised "quality classifier" of the GPT-3/CCNet data
+# pipelines (Brown et al. 2020 §A; Wenzek et al. 2020) — train a
+# linear token-weight model on labeled reference data, score every
+# candidate document, gate on the score. Training reduces the corpus
+# to integer token counts (one distributed groupBy — the only
+# corpus-sized pass); the O(vocabulary) weight table is computed once
+# driver-side in functions/nb.py (shared with the oracle generator,
+# the lloyd_centroids one-source-of-truth discipline) and joined back
+# broadcast. At test scale the vocab table broadcasts; at 100 TB with
+# a web-scale vocabulary the same plan runs as a token-keyed shuffle
+# join (the q110 note) and the weight table would be min_count-pruned.
+#
+# Labels: the synthetic corpus carries NO organic class signal — every
+# lang/source draws from one shared token distribution (measured:
+# per-lang unigram frequencies agree to ~1%, same-token bigram rates
+# to ~0.1%; a lang-vs-rest NB scored 0.50-0.58 against a 0.64 majority
+# baseline). So the classifier is demonstrated the way filter models
+# are validated when no labeled quality data exists: a PAIRED corpus
+# of clean docs vs boilerplate-injected twins (every 5th token
+# replaced — the repetitive-template signature of low-quality crawl
+# text). Both engines construct the pair corpus bit-identically; the
+# split keys on the SOURCE doc id so a pair never straddles
+# train/held-out (that leak measured as a fake 1.0 baseline).
+# Measured held-out accuracy: 0.996 vs 0.5 majority baseline.
+_NB_TRAIN_PRED = "src_id % 4 <> 0"
+_NB_HELD_PRED = "src_id % 4 = 0"
+_NB_PAIR_SQL = """
+  SELECT doc_id * 2 AS doc_id, doc_id AS src_id, TRUE AS clean,
+         string_split(text, ' ') AS toks
+  FROM {docs}
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS doc_id, doc_id AS src_id, FALSE AS clean,
+         list_transform(generate_series(1, len(string_split(text, ' '))),
+                        i -> CASE WHEN i % 5 = 0 THEN 'the'
+                                  ELSE string_split(text, ' ')[i] END) AS toks
+  FROM {docs}"""
+
+
+def _nb_model(sf_dir: str) -> tuple[dict[str, int], int]:
+    """Oracle-side training replica: exact integer counts via DuckDB,
+    weights via the shared core. The Spark builder derives the SAME
+    counts distributively; both feed ``nb_weights`` unchanged."""
+    import duckdb
+
+    from pyspark_mrdf_spark.functions.nb import nb_prior, nb_weights
+
+    pair = _NB_PAIR_SQL.format(docs=f"'{sf_dir}/documents.parquet'")
+    grams = (
+        f"SELECT clean, unnest(toks) AS tok FROM ({pair}) "
+        f"WHERE {_NB_TRAIN_PRED}"
+    )
+    ca = dict(
+        duckdb.sql(
+            f"SELECT tok, COUNT(*) FROM ({grams}) WHERE clean GROUP BY tok"
+        ).fetchall()
+    )
+    cb = dict(
+        duckdb.sql(
+            f"SELECT tok, COUNT(*) FROM ({grams}) WHERE NOT clean GROUP BY tok"
+        ).fetchall()
+    )
+    na, nb_ = duckdb.sql(
+        f"SELECT SUM(CASE WHEN clean THEN 1 ELSE 0 END), "
+        f"SUM(CASE WHEN clean THEN 0 ELSE 1 END) FROM ({pair}) "
+        f"WHERE {_NB_TRAIN_PRED}"
+    ).fetchone()
+    return nb_weights(ca, cb), nb_prior(int(na), int(nb_))
+
+
+def _q117_oracle(sf_dir: str) -> str:
+    w, prior = _nb_model(sf_dir)
+    values = ", ".join(
+        f"('{t.replace(chr(39), chr(39) * 2)}', {wt})" for t, wt in sorted(w.items())
+    )
+    pair = _NB_PAIR_SQL.format(docs="documents")
+    return f"""
+WITH w(tok, wt) AS (VALUES {values}),
+pair AS ({pair}),
+tok AS (
+  SELECT doc_id, clean, unnest(toks) AS tok
+  FROM pair WHERE {_NB_HELD_PRED}),
+s AS (
+  SELECT t.doc_id, t.clean,
+         CAST(SUM(COALESCE(w.wt, 0)) + {prior} AS BIGINT) AS llr_e6
+  FROM tok t LEFT JOIN w ON t.tok = w.tok
+  GROUP BY t.doc_id, t.clean)
+SELECT doc_id, clean, llr_e6,
+       llr_e6 > 0 AS pred_clean,
+       (llr_e6 > 0) = clean AS correct
+FROM s
+"""
+
+
+def _nb_pair_corpus(d: DataFrame) -> DataFrame:
+    """(doc_id, src_id, clean, toks): each source doc paired with its
+    boilerplate-injected twin — the same construction as
+    ``_NB_PAIR_SQL``, bit-identical strings on both engines."""
+    toks = F.split("text", " ")
+    clean = d.select(
+        (F.col("doc_id") * 2).alias("doc_id"),
+        F.col("doc_id").alias("src_id"),
+        F.lit(True).alias("clean"),
+        toks.alias("toks"),
+    )
+    corrupted = d.select(
+        (F.col("doc_id") * 2 + 1).alias("doc_id"),
+        F.col("doc_id").alias("src_id"),
+        F.lit(False).alias("clean"),
+        F.transform(
+            toks,
+            lambda x, i: F.when((i + 1) % 5 == 0, F.lit("the")).otherwise(x),
+        ).alias("toks"),
+    )
+    return clean.unionByName(corrupted)
+
+
+@register(
+    "q117_nb_quality_classifier",
+    # new r8, promoted same-round (fourth rotation): see DRIVER_SURFACE
+    oracle=_q117_oracle,
+    description=(
+        "supervised Naive-Bayes quality classifier (the GPT-3/CCNet "
+        "reference-corpus filter shape): integer token counts from the "
+        "75% source-keyed split of a paired clean/boilerplate-injected "
+        "corpus (one distributed groupBy), log-likelihood-ratio weights "
+        "computed ONCE driver-side in integer micro-units "
+        "(functions/nb.py, shared verbatim with the oracle generator), "
+        "held-out 25% scored by one explode + broadcast token join + "
+        "per-doc int64 sum — hash-exact end to end; measured held-out "
+        "accuracy 0.996 vs 0.5 baseline. pred/correct columns make the "
+        "verdict check the decision boundary, not just the scores"
+    ),
+    tags=("text", "pipeline", "classifier", "agg"),
+)
+def q117_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.functions.nb import nb_prior, nb_weights
+
+    pair = _nb_pair_corpus(load_table(spark, sf_dir, "documents"))
+    train = pair.filter(F.expr(_NB_TRAIN_PRED))
+    tok = train.select("clean", F.explode("toks").alias("tok"))
+    crows = (
+        tok.groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("clean"), 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(~F.col("clean"), 1).otherwise(0)).alias("cb"),
+        )
+        .collect()
+    )
+    ca = {r["tok"]: int(r["ca"]) for r in crows if r["ca"]}
+    cb = {r["tok"]: int(r["cb"]) for r in crows if r["cb"]}
+    nrow = train.agg(
+        F.sum(F.when(F.col("clean"), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~F.col("clean"), 1).otherwise(0)).alias("nb"),
+    ).collect()[0]
+    w = nb_weights(ca, cb)
+    prior = nb_prior(int(nrow["na"]), int(nrow["nb"]))
+
+    wdf = spark.createDataFrame(sorted(w.items()), "tok string, wt long")
+    held = pair.filter(F.expr(_NB_HELD_PRED)).select(
+        "doc_id", "clean", F.explode("toks").alias("tok")
+    )
+    scored = (
+        held.join(F.broadcast(wdf), "tok", "left")
+        .groupBy("doc_id", "clean")
+        .agg(
+            (F.sum(F.coalesce(F.col("wt"), F.lit(0))) + F.lit(prior))
+            .cast("bigint")
+            .alias("llr_e6")
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "clean",
+        "llr_e6",
+        (F.col("llr_e6") > 0).alias("pred_clean"),
+        ((F.col("llr_e6") > 0) == F.col("clean")).alias("correct"),
+    )

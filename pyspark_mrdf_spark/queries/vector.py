@@ -416,7 +416,7 @@ def q58_lsh_hyperplane_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "q80_knn_search_external",
-    # promoted r3: rotated into the driver surface for a hard verdict
+    driver=False,  # r8 fourth rotation: 5x driver-green (the external-query serving contract stays driver-verified via q86's embed->knn pipeline and the q89/q92/q95/q116 quantized searches); cedes its slot to q118
     oracle=f"""
 SELECT src, dst, rnk FROM (
   SELECT q.vec_id AS src, c.vec_id AS dst,

@@ -364,3 +364,59 @@ def test_scrub_dup_substrings_laws(spark, sf_dir):
         assert r["clean_chars"] == r["want"], r["doc_id"]
         if not r["hit"]:
             assert r["clean_text"] == r["text"]
+
+
+def test_bloom_dedup_against_exact_and_pruning(spark, sf_dir):
+    """The bloom prefilter never changes the answer (is_dup equals
+    dedup_against's verdict), never misses (every true dup bloom-hits
+    — a Bloom filter has no false negatives), and actually prunes
+    (novel rows overwhelmingly skip the exact join)."""
+    import pyspark.sql.functions as F
+
+    from pyspark_mrdf_spark.operators.dedup import bloom_dedup_against, dedup_against
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" fresh")))
+        .alias("text"),
+    )
+    out = {r["doc_id"]: r for r in bloom_dedup_against(batch, d).collect()}
+    survivors = {r["doc_id"] for r in dedup_against(batch, d).collect()}
+    assert len(out) == 60
+    for i, r in out.items():
+        assert r["is_dup"] == (i not in survivors), i
+        if r["is_dup"]:
+            assert r["bloom_hit"], f"false negative at {i}"
+    # pruning: false-positive rate at 16 Ki-bit/500-doc load is ~1e-7,
+    # so novel rows must (near-)all skip the join
+    novel_hits = sum(r["bloom_hit"] and not r["is_dup"] for r in out.values())
+    assert novel_hits <= 2, novel_hits
+
+
+def test_nb_weights_llr_properties():
+    """Shared-core law: a token seen only in class A gets a positive
+    weight, only-B negative, balanced tokens ~0; the prior follows the
+    doc-count ratio sign."""
+    from pyspark_mrdf_spark.functions.nb import nb_prior, nb_weights
+
+    w = nb_weights({"a_only": 50, "both": 10}, {"b_only": 50, "both": 10})
+    assert w["a_only"] > 0 > w["b_only"]
+    assert abs(w["both"]) < abs(w["a_only"])
+    assert w["a_only"] == -w["b_only"]  # symmetric counts
+    assert nb_prior(100, 100) == 0
+    assert nb_prior(200, 100) > 0 > nb_prior(100, 200)
+
+
+def test_nb_classifier_separates_constructed_classes(spark, sf_dir):
+    """End-to-end distillation law: the q117 classifier separates the
+    clean/boilerplate-injected pair corpus far above the 0.5 baseline
+    (measured 0.996 at sf0.01)."""
+    from pyspark_mrdf_spark.queries import load_all
+
+    spec = load_all()["q117_nb_quality_classifier"]
+    rows = spec.builder(spark, sf_dir).collect()
+    assert len(rows) > 0
+    acc = sum(r["correct"] for r in rows) / len(rows)
+    assert acc >= 0.9, acc

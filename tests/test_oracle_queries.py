@@ -106,7 +106,11 @@ DRIVER_SURFACE = [
     # shape), q12 (global sort/limit; distributed top-k verified via
     # q88/q104), q19 (windows keep q100/q114), q29 (joins keep
     # q05/q76), q64 (text keeps 8 driver reps), q66 (JSON/Variant
-    # pytest-covered via q20/q66).
+    # pytest-covered via q20/q66). Also same-round: q117 NB quality
+    # classifier takes the 7x-green q46's slot (embedding near-dup
+    # stays driver-verified via q102 SemDeDup) and q118 bloom-pruned
+    # incremental dedup takes the 5x-green q80's slot (the external
+    # query contract stays driver-verified via q86/q89/q92/q95/q116).
     "q76_salted_hot_user_join",
     "q93_funnel_analysis",
     "q94_cohort_retention",
@@ -125,9 +129,9 @@ DRIVER_SURFACE = [
     "q108_bpe_tokenize",
     "q110_lm_quality_filter",
     "q111_lm_crosscorpus_filter",
+    "q117_nb_quality_classifier",
     "q42_minhash_signatures",
     "q72_dup_clusters",
-    "q46_embedding_near_dups",
     "q77_incremental_dedup",
     "q78_incremental_near_dedup",
     "q79_simhash_band_candidates",
@@ -136,6 +140,7 @@ DRIVER_SURFACE = [
     "q102_semantic_dedup",
     "q109_substring_scrub",
     "q115_contrastive_pairs",
+    "q118_bloom_incremental_dedup",
     "q84_train_val_test_split",
     "q85_shuffle_shards",
     "q90_chunk_documents",
@@ -149,7 +154,6 @@ DRIVER_SURFACE = [
     "q50_knn_exact",
     "q56_mrdf_recall",
     "q57_ivf_recall",
-    "q80_knn_search_external",
     "q89_sq8_quantized_knn",
     "q92_pq_quantized_knn",
     "q95_ivfpq_knn",
