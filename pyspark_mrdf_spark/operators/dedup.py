@@ -1118,7 +1118,14 @@ def bloom_dedup_against(
     ride a broadcast array literal. False positives cost only wasted
     join rows, never correctness.
     """
-    corpus_fp = corpus.select(fingerprint(text_col).alias("fp")).distinct()
+    # one corpus scan serves both the bitmap build and the exact
+    # semi-join tail (lazy checkpoint: the build's collect materializes
+    # the fingerprint set the join then reuses)
+    corpus_fp = (
+        corpus.select(fingerprint(text_col).alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     pos = corpus_fp.select(
         F.explode(
             F.array(*[_bloom_pos(F.col("fp"), j, m_bits) for j in range(1, k_hashes + 1)])
@@ -1141,24 +1148,34 @@ def bloom_dedup_against(
 
     batch = new_docs.withColumn("fp", fingerprint(text_col))
 
+    # the bitmap rides a one-row broadcast cross join, NOT an array
+    # literal: F.lit(words) would inline a CreateArray of m/32 literal
+    # children into the plan at EVERY reference (measured ~3s of
+    # analysis/codegen at m=128Ki) — as data it is one value
+    words_df = batch.sparkSession.createDataFrame(
+        [(words,)], "_bloom array<int>"
+    )
     # probe in SQL-expr form: Spark SQL's shift builtins take column
     # expressions there (the Python F.shiftleft/shiftright API only
-    # takes int literals)
-    def _pos_sql(j: int) -> str:
-        return (
-            f"CAST(conv(substring(md5(concat('{j}:', fp)), 1, 8), 16, 10) "
-            f"AS BIGINT) % {m_bits}"
+    # takes int literals). Positions land in named columns so each md5
+    # evaluates once; int32 words make bit 31 wrap negative, which the
+    # arithmetic shiftright + `& 1` reads correctly
+    probed = batch.join(F.broadcast(words_df))
+    for j in range(1, k_hashes + 1):
+        probed = probed.withColumn(
+            f"_p{j}",
+            F.expr(
+                f"CAST(conv(substring(md5(concat('{j}:', fp)), 1, 8), 16, 10) "
+                f"AS BIGINT) % {m_bits}"
+            ),
         )
-
     hit_sql = " AND ".join(
-        f"(shiftright(element_at(_bloom, CAST(shiftright({_pos_sql(j)}, 5) AS INT) + 1), "
-        f"CAST({_pos_sql(j)} % 32 AS INT)) & 1) = 1"
+        f"(shiftright(element_at(_bloom, CAST(shiftright(_p{j}, 5) AS INT) + 1), "
+        f"CAST(_p{j} % 32 AS INT)) & 1) = 1"
         for j in range(1, k_hashes + 1)
     )
-    probed = (
-        batch.withColumn("_bloom", F.lit(words))
-        .withColumn("bloom_hit", F.expr(hit_sql))
-        .drop("_bloom")
+    probed = probed.withColumn("bloom_hit", F.expr(hit_sql)).drop(
+        "_bloom", *[f"_p{j}" for j in range(1, k_hashes + 1)]
     )
     hits_dup = (
         probed.filter("bloom_hit")

@@ -1461,6 +1461,19 @@ def build_sq8_index(
     return mn, mx
 
 
+def build_bq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train + encode + persist the 1-bit tier in one call; returns
+    the threshold vector."""
+    thr = bq_train(corpus, vec_col)
+    write_bq_index(path, thr, bq_encode(corpus, thr, id_col, vec_col))
+    return thr
+
+
 def build_ivfpq_index(
     corpus: DataFrame,
     path: str,

@@ -169,8 +169,15 @@ def main() -> None:
     # over q113's synthetic citation graph (1 + id%3 out-links) of --synthetic-n nodes
     # (default 2M nodes / 6M edges in this mode)
     pagerank_only = "--pagerank-only" in argv
+    # --bq-serving-only: ONLY the binary (1-bit) tier serving row —
+    # exact blocked scan vs persisted-SQ8 vs persisted-BQ per query
+    # batch at (--synthetic-n, --synthetic-d), with BQ measured at two
+    # candidate budgets so the recall/budget dial is in the row
+    bq_serving_only = "--bq-serving-only" in argv
     if pagerank_only and not saw_synthetic_flag:
         synthetic_n = 2_000_000
+    if bq_serving_only and not saw_synthetic_flag:
+        synthetic_n = 200_000
     synthetic_d = 512
     saw_d_flag = False
     if "--synthetic-d" in argv:
@@ -200,7 +207,7 @@ def main() -> None:
         if a not in (
             "--uniform", "--uniform-tuned", "--uniform-tuned-only", "--grid-only",
             "--mixture-only", "--sq8-only", "--serving-only", "--dedup-only",
-            "--pagerank-only",
+            "--pagerank-only", "--bq-serving-only",
         )
     ]
     # the -only modes run exactly one section; any other argument or
@@ -210,7 +217,7 @@ def main() -> None:
         ("--uniform-tuned-only", tuned_only), ("--grid-only", grid_only),
         ("--mixture-only", mixture_only), ("--sq8-only", sq8_only),
         ("--serving-only", serving_only), ("--dedup-only", dedup_only),
-        ("--pagerank-only", pagerank_only),
+        ("--pagerank-only", pagerank_only), ("--bq-serving-only", bq_serving_only),
     ) if on]
     if only_modes and argv:
         sys.exit("error: the -only modes ignore sf arguments; drop one side")
@@ -218,21 +225,24 @@ def main() -> None:
     # anywhere else they'd be consumed and silently dead — the exact
     # wrong-provenance hazard the sf-list guard below rejects (a row
     # measured at the defaults while its flags claim otherwise)
-    if not serving_only and (saw_d_flag or serving_ivfpq):
+    if saw_d_flag and not (serving_only or bq_serving_only):
+        sys.exit(
+            "error: --synthetic-d only applies to --serving-only/"
+            "--bq-serving-only; drop the flag or run those modes"
+        )
+    if not serving_only and serving_ivfpq:
         flag_of = {
             "n_cells": "--ivfpq-cells", "n_probe": "--ivfpq-probe",
             "n_codes": "--ivfpq-codes", "k_cand": "--ivfpq-cand",
         }
-        dead = (["--synthetic-d"] if saw_d_flag else []) + [
-            flag_of[k] for k in serving_ivfpq
-        ]
+        dead = [flag_of[k] for k in serving_ivfpq]
         sys.exit(
             f"error: {' '.join(dead)} only apply to --serving-only; "
             "drop the flags or run that mode"
         )
     if len(only_modes) > 1:
         sys.exit(f"error: {' and '.join(only_modes)} each run exactly one section; pick one")
-    if (grid_only or sq8_only or mixture_only or serving_only or dedup_only or pagerank_only) and (include_uniform or include_uniform_tuned):
+    if (grid_only or sq8_only or mixture_only or serving_only or dedup_only or pagerank_only or bq_serving_only) and (include_uniform or include_uniform_tuned):
         sys.exit(f"error: {only_modes[0]} runs only its own point; drop the uniform flags")
     if tuned_only and include_uniform:
         sys.exit("error: --uniform-tuned-only runs only the tuned point; drop the other flags")
@@ -241,8 +251,9 @@ def main() -> None:
     # silently dead in that mode, so reject the combination outright
     run_synthetic = (not argv or tuned_only or mixture_only) and not (
         grid_only or sq8_only or serving_only or dedup_only or pagerank_only
+        or bq_serving_only
     )
-    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only or pagerank_only) and (
+    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only or pagerank_only or bq_serving_only) and (
         include_uniform or include_uniform_tuned or saw_synthetic_flag
     ):
         sys.exit(
@@ -365,6 +376,10 @@ def main() -> None:
 
     if pagerank_only:
         points.append(_pagerank_evidence(spark, synthetic_n))
+        print(f"[scalability] {points[-1]}", file=sys.stderr)
+
+    if bq_serving_only:
+        points.append(_bq_serving_evidence(spark, synthetic_n, synthetic_d))
         print(f"[scalability] {points[-1]}", file=sys.stderr)
 
     print(json.dumps({"metric": "scalability_sweep", "points": points}))
@@ -743,6 +758,120 @@ def _serving_evidence(spark, n: int, d: int, n_cells: int = 64,
     return out
 
 
+
+
+def _bq_serving_evidence(spark, n: int, d: int) -> dict:
+    """The 1-BIT tier at the memory-bound serving point: exact blocked
+    scan vs persisted-SQ8 vs persisted-BQ per 2000-query batch. BQ
+    codes are d/8 bytes/row — 8× below SQ8, 64× below the float64
+    working set — and the candidate scan is XOR + popcount; the open
+    question this row answers is whether 1-bit Hamming retains enough
+    metric signal at dimension d to reach recall ≥ 0.9 at a candidate
+    budget whose rerank does not eat the scan savings. Measured at two
+    budgets so the recall/budget dial is part of the record."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.operators.quantize import (
+        build_bq_index,
+        build_sq8_index,
+        bq_search_encoded,
+        read_bq_index,
+        read_sq8_index,
+        sq8_search_encoded,
+    )
+    from pyspark_mrdf_spark.operators.similarity import knn_search_blocked
+
+    syn_dir = "/root/repo/.scalability_synth_bq_serving"
+    batch_size = 2_000
+    n_batches = 3
+    out: dict = {
+        "sf": f"synthetic-{n}x{d}-bq-serving", "n": n, "d": d,
+        "batch_size": batch_size, "n_batches": n_batches,
+    }
+    try:
+        _write_synthetic(syn_dir, n, d=d)
+        emb = spark.read.parquet(os.path.join(syn_dir, "embeddings.parquet"))
+        emb = emb.localCheckpoint(eager=True)
+        dp = spark.sparkContext.defaultParallelism
+
+        def _noop(batches):
+            yield from batches
+
+        spark.range(0, dp * 100, 1, dp).mapInPandas(_noop, "id long").count()
+
+        batches = [
+            emb.filter(
+                (F.col("vec_id") >= i * batch_size)
+                & (F.col("vec_id") < (i + 1) * batch_size)
+            )
+            for i in range(n_batches)
+        ]
+
+        def _timed(build):
+            t0 = time.time()
+            g = build().localCheckpoint(eager=True)
+            return g, round(time.time() - t0, 2)
+
+        exact_s, exact_g = [], None
+        for i, q in enumerate(batches):
+            g, dt = _timed(
+                lambda: knn_search_blocked(
+                    q, emb, K, n_blocks=32, n_query_blocks=8, include_self=False
+                )
+            )
+            exact_s.append(dt)
+            if i == 0:
+                exact_g = g
+        out["exact_batch_s"] = exact_s
+
+        idx_root = tempfile.mkdtemp(prefix="mrdf_bq_serving_idx_")
+
+        t0 = time.time()
+        build_sq8_index(emb, os.path.join(idx_root, "sq8"))
+        out["sq8_index_build_s"] = round(time.time() - t0, 2)
+        mn, mx, sq8_codes_df = read_sq8_index(spark, os.path.join(idx_root, "sq8"))
+        sq8_codes_df = sq8_codes_df.localCheckpoint(eager=True)
+        sq8_s, sq8_g = [], None
+        for i, q in enumerate(batches):
+            g, dt = _timed(
+                lambda: sq8_search_encoded(
+                    q, sq8_codes_df, mn, mx, emb, K,
+                    k_candidates=4 * K, include_self=False,
+                )
+            )
+            sq8_s.append(dt)
+            if i == 0:
+                sq8_g = g
+        out["sq8_batch_s"] = sq8_s
+        out["sq8_recall"] = round(recall(exact_g, sq8_g), 4)
+        out["sq8_index_bytes_per_row"] = d + 8
+
+        t0 = time.time()
+        build_bq_index(emb, os.path.join(idx_root, "bq"))
+        out["bq_index_build_s"] = round(time.time() - t0, 2)
+        thr, bq_codes_df = read_bq_index(spark, os.path.join(idx_root, "bq"))
+        bq_codes_df = bq_codes_df.localCheckpoint(eager=True)
+        for kc in (64 * K, 256 * K):
+            bq_s, bq_g = [], None
+            for i, q in enumerate(batches):
+                g, dt = _timed(
+                    lambda: bq_search_encoded(
+                        q, bq_codes_df, thr, emb, K,
+                        k_candidates=kc, include_self=False,
+                    )
+                )
+                bq_s.append(dt)
+                if i == 0:
+                    bq_g = g
+            out[f"bq_batch_s_cand{kc}"] = bq_s
+            out[f"bq_recall_cand{kc}"] = round(recall(exact_g, bq_g), 4)
+        out["bq_index_bytes_per_row"] = d // 8 + 8
+        shutil.rmtree(idx_root, ignore_errors=True)
+    finally:
+        shutil.rmtree(syn_dir, ignore_errors=True)
+    return out
 
 
 def _write_synthetic_docs(path: str, n: int, seed: int = 11) -> None:
