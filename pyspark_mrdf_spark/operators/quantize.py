@@ -418,7 +418,16 @@ def bq_candidates(
 
     def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qi, qp = b.value
-        n_q, n_bytes = qp.shape
+        n_q = qp.shape[0]
+        # Hamming via BLAS, not a per-byte LUT loop: popcount(q XOR c)
+        # == |q|₁ + |c|₁ − 2·q·c on the UNPACKED 0/1 vectors, and every
+        # addend is a small nonnegative integer, so the float64 gemm is
+        # EXACT (all partial sums are integers ≪ 2^53 — associativity
+        # cannot perturb them). The byte-LUT form measured ~10× slower:
+        # ceil(d/8) outer-XOR gathers each allocating an (n_q, n_c)
+        # temporary vs one gemm over d-column bit matrices
+        qb = np.unpackbits(qp, axis=1).astype(np.float64)
+        ql1 = qb.sum(axis=1)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -426,28 +435,32 @@ def bq_candidates(
             c_mat = np.stack([np.frombuffer(x, dtype=np.uint8) for x in pdf["code"]])
             c_order = np.argsort(c_ids, kind="stable")
             c_ids = c_ids[c_order]
-            c_mat = c_mat[c_order]
+            cb_bits = np.unpackbits(c_mat[c_order], axis=1).astype(np.float64)
             n_c = len(c_ids)
-            ham = np.zeros((n_q, n_c), dtype=np.int64)
-            for j in range(n_bytes):
-                ham += _POPCOUNT[np.bitwise_xor.outer(qp[:, j], c_mat[:, j])]
+            ham = qb @ cb_bits.T
+            ham *= -2.0
+            ham += cb_bits.sum(axis=1)[None, :]
+            ham += ql1[:, None]
             if not include_self:
-                ham[qi[:, None] == c_ids[None, :]] = np.iinfo(np.int32).max
+                ham[qi[:, None] == c_ids[None, :]] = np.inf
             kk = min(k, n_c)
             if kk < n_c:
-                # ham ≤ 8·n_bytes and j < n_c keep the folded key well
-                # inside int64 for any slab size
-                key = ham * np.int64(n_c) + np.arange(n_c, dtype=np.int64)[None, :]
+                # ham ≤ 8·n_bytes and j < n_c keep the folded key exact
+                # in float64 for any slab size; unique keys also dodge
+                # introselect's duplicate-key degradation (ties are
+                # massive at ≤ d+1 distinct distances)
+                key = ham * float(n_c)
+                key += np.arange(n_c, dtype=np.float64)[None, :]
                 sel = np.argpartition(key, kk - 1, axis=1)[:, :kk]
             else:
                 sel = np.broadcast_to(np.arange(n_c), (n_q, n_c)).copy()
             hs = np.take_along_axis(ham, sel, axis=1)
-            m = hs < np.iinfo(np.int32).max  # masked self rows
+            m = np.isfinite(hs)  # masked self rows
             yield pd.DataFrame(
                 {
                     "src": np.repeat(qi, sel.shape[1]).reshape(sel.shape)[m],
                     "dst": c_ids[sel][m],
-                    "hamming": hs[m],
+                    "hamming": hs[m].astype(np.int64),
                 }
             )
 
@@ -481,11 +494,29 @@ def bq_search_encoded(
     if k_candidates is None:
         k_candidates = 8 * k
     n_codes = codes.count()
-    n_parts = max(
-        corpus.sparkSession.sparkContext.defaultParallelism,
-        -(-n_codes // 16_384),
-    )
     qa = _collect_queries(queries, id_col, vec_col, "bq_search")
+    # slab sizing has TWO constraints beyond the SQ8 16k-row cap,
+    # because bq budgets are deliberately wide: (a) a slab smaller
+    # than the budget emits its ENTIRE contents per query — at
+    # n=20k/32 slabs/640 candidates that measured a 40M-row merge
+    # where 3 slabs make it 3.8M; (b) merge input is
+    # n_parts·n_q·k_candidates rows regardless, so for large query
+    # batches fewer slabs are strictly better — the XOR/gemm scan is
+    # the cheap stage and 1/32nd of it buys nothing if the merge pays
+    # 32× the rows. Cap the merge at ~8M rows and keep slabs ≥ 8×
+    # budget, parallelism permitting
+    merge_cap = max(1, 8_000_000 // max(1, len(qa[0]) * k_candidates))
+    n_parts = max(
+        1,
+        min(
+            max(
+                corpus.sparkSession.sparkContext.defaultParallelism,
+                -(-n_codes // 16_384),
+            ),
+            n_codes // (8 * k_candidates) or 1,
+            merge_cap,
+        ),
+    )
     cand = bq_candidates(
         queries, codes, k_candidates, thr, id_col, vec_col, include_self,
         n_parts=n_parts, q_arrays=qa,
@@ -689,6 +720,12 @@ def _rerank_exact(
     def _dist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qi, qm, psrc, pdst = bq.value
         pos = {int(x): i for i, x in enumerate(qi)}
+        d = qm.shape[1]
+        # bound the (pairs × d) gather: at wide candidate budgets one
+        # corpus partition can own millions of pairs, and gathering
+        # them all at once measured multi-GB task allocations (2.6 GB
+        # at 5.1M pairs × d=64). ~128M float64 elements per block
+        block = max(20_000, 16_000_000 // max(1, d))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -710,14 +747,20 @@ def _rerank_exact(
             qidx = np.fromiter(
                 (pos[int(s)] for s in srcs), dtype=np.int64, count=len(srcs)
             )
-            diff = qm[qidx] - cm[c_row]
-            acc = np.zeros(len(srcs), dtype=np.float64)
-            for j in range(diff.shape[1]):
-                dj = diff[:, j]
-                acc = acc + dj * dj
-            yield pd.DataFrame(
-                {"src": srcs, "dst": pdst[pidx], "dist_sq": acc}
-            )
+            for s0 in range(0, len(srcs), block):
+                s1 = min(s0 + block, len(srcs))
+                diff = qm[qidx[s0:s1]] - cm[c_row[s0:s1]]
+                acc = np.zeros(s1 - s0, dtype=np.float64)
+                for j in range(diff.shape[1]):
+                    dj = diff[:, j]
+                    acc = acc + dj * dj
+                yield pd.DataFrame(
+                    {
+                        "src": srcs[s0:s1],
+                        "dst": pdst[pidx[s0:s1]],
+                        "dist_sq": acc,
+                    }
+                )
 
     rr = cv.mapInPandas(_dist, "src long, dst long, dist_sq double")
     wk = Window.partitionBy("src").orderBy("dist_sq", "dst")

@@ -837,3 +837,47 @@ def lsh_hyperplane_tables(
         .mapInPandas(_buckets, "id long, table long, bucket long")
         .withColumnRenamed("id", id_col)
     )
+
+
+def prefix_dim_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    d_prefix: int = 16,
+    k_candidates: int | None = None,
+    n_blocks: int = 8,
+    n_query_blocks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = True,
+) -> DataFrame:
+    """Matryoshka-style two-stage search (Kusupati et al. 2022, the
+    truncatable-embedding retrieval pattern production embedding APIs
+    ship): candidates by EXACT search over only the first ``d_prefix``
+    dimensions — d_prefix/d of the scan bytes and flops — then exact
+    full-dimension rerank of candidates only, the ``knn_search`` output
+    contract (src, dst, dist_sq, rnk).
+
+    This is the dimension-truncation axis of the quantization ladder
+    (SQ8/PQ/BQ shrink bits per dimension; this shrinks DIMENSIONS per
+    vector). With MRL-trained embeddings the prefix carries most of
+    the metric structure, so modest candidate budgets recover near-
+    exact recall; with generic embeddings the prefix is an arbitrary
+    d_prefix-dim projection and the budget is the dial (measured on
+    the random-ish driver corpus at d=64, k=5: see the q119 test).
+    Both stages are compositions of already-proven operators: the
+    blocked grid scan on sliced vectors, the shared rerank tail —
+    every scale property (bounded grid cells, candidate-sized rerank)
+    is inherited."""
+    from pyspark_mrdf_spark.operators.quantize import _rerank_exact
+
+    if k_candidates is None:
+        k_candidates = 8 * k
+    q_sliced = queries.select(id_col, F.slice(vec_col, 1, d_prefix).alias(vec_col))
+    c_sliced = corpus.select(id_col, F.slice(vec_col, 1, d_prefix).alias(vec_col))
+    cand = knn_search_blocked(
+        q_sliced, c_sliced, k_candidates,
+        n_blocks=n_blocks, n_query_blocks=n_query_blocks,
+        id_col=id_col, vec_col=vec_col, include_self=include_self,
+    ).select("src", "dst")
+    return _rerank_exact(cand, queries, corpus, k, id_col, vec_col)
