@@ -544,7 +544,16 @@ def bq_search(
     recall/bytes trade is the steepest of the tiers, so the candidate
     budget (default 8k) is the dial — measured at d=64, k=5 on the
     driver corpus: recall 0.64@40 / 0.81@80 / 0.93@160 / 0.995@320
-    candidates; rerank touches candidates only."""
+    candidates; rerank touches candidates only.
+
+    Measured serving point (SCALABILITY.json
+    synthetic-200000x512-bq-serving): recall 0.9669 at a 640-candidate
+    budget, 1.0 at 2560 — 1-bit Hamming holds metric signal at d=512 —
+    but the wide budget's merge+rerank outweighs the 8× scan-byte
+    saving vs SQ8, so BQ does NOT win local wall-clock. Its measured
+    value is the STORED index: 72 B/row at d=512 (7.2× below SQ8, 28×
+    below float32 parquet) — the tier for the I/O-bound regime where
+    index bytes, not flops, set the cost (IVF-PQ's honest reading)."""
     thr = bq_train(corpus, vec_col)
     codes = bq_encode(corpus, thr, id_col, vec_col).localCheckpoint(eager=False)
     return bq_search_encoded(

@@ -1052,3 +1052,169 @@ def q117_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("llr_e6") > 0).alias("pred_clean"),
         ((F.col("llr_e6") > 0) == F.col("clean")).alias("correct"),
     )
+
+
+# q120: hybrid retrieval — the two-leg (lexical BM25 + vector kNN)
+# search every production RAG/retrieval stack runs, fused by
+# reciprocal-rank fusion (Cormack et al. 2009). RRF is rank-based, so
+# the fusion layer is engine-portable by construction: each leg's rank
+# comes from a (score, id) window (the q50/q88-proven orderings), and
+# the fused score 1/(K+r_lex) + 1/(K+r_vec) is one or two IEEE
+# divisions and one addition of the results — bit-identical on any
+# engine. Legs are cut at top-50, absent legs contribute 0 (standard
+# RRF-with-cutoff over the union).
+_RRF_K = 60
+_RRF_QIDS = (3, 9, 21)
+_RRF_LEG_K = 50
+
+
+@register(
+    "q120_hybrid_rrf_retrieval",
+    driver=False,  # registered late r8; rotation owed next round (operator proven by the pytest oracle gate)
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
+qterms AS (
+  SELECT DISTINCT doc_id AS qid, unnest(toks) AS term
+  FROM d WHERE doc_id IN {tuple(_RRF_QIDS)}),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_toks FROM dl),
+tf AS (
+  SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+  WHERE tok IN (SELECT term FROM qterms)
+  GROUP BY 1, 2),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         CAST(SUM(CAST(floor(
+           ((2e0 * s.n_docs - 2e0 * df.df + 1e0) / (2e0 * df.df + 1e0))
+           * (44e0 * tf.tf * s.total_toks
+              / (20e0 * tf.tf * s.total_toks + 6e0 * s.total_toks + 18e0 * dl.dl * s.n_docs))
+           * 1000000e0) AS BIGINT)) AS BIGINT) AS bm25_e6
+  FROM tf JOIN qterms q USING (term) JOIN df USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN s
+  WHERE tf.doc_id <> q.qid
+  GROUP BY 1, 2),
+lex AS (
+  SELECT qid, doc_id, lrnk FROM (
+    SELECT qid, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY bm25_e6 DESC, doc_id) AS lrnk
+    FROM scored)
+  WHERE lrnk <= {_RRF_LEG_K}),
+vec AS (
+  SELECT qid, doc_id, vrnk FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])), c.vec_id) AS vrnk
+    FROM (SELECT * FROM embeddings WHERE vec_id IN {tuple(_RRF_QIDS)}) q
+    CROSS JOIN embeddings c WHERE q.vec_id <> c.vec_id)
+  WHERE vrnk <= {_RRF_LEG_K}),
+fused AS (
+  SELECT COALESCE(l.qid, v.qid) AS qid,
+         COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         CAST(COALESCE(l.lrnk, 0) AS BIGINT) AS lex_rnk,
+         CAST(COALESCE(v.vrnk, 0) AS BIGINT) AS vec_rnk,
+         COALESCE(1e0 / ({_RRF_K} + l.lrnk), 0e0)
+           + COALESCE(1e0 / ({_RRF_K} + v.vrnk), 0e0) AS rrf
+  FROM lex l FULL OUTER JOIN vec v ON l.qid = v.qid AND l.doc_id = v.doc_id)
+SELECT qid, doc_id, lex_rnk, vec_rnk, rrf,
+       CAST(frnk AS BIGINT) AS frnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS frnk
+      FROM fused)
+WHERE frnk <= 10
+""",
+    description=(
+        "hybrid retrieval with reciprocal-rank fusion (Cormack et al. "
+        "2009) — the two-leg production search shape: a BM25 leg (q88's "
+        "pinned-op-order scoring, query = the query doc's own distinct "
+        "tokens, explode pre-filtered to them) and a vector leg (q50's "
+        "blocked exact kNN over the embedding of the same doc id), each "
+        "cut at top-50, fused by 1/(60+r_lex) + 1/(60+r_vec) over the "
+        "union — rank-based, so the fusion is IEEE-bit-identical cross-"
+        "engine; top-10 per query with both leg ranks exposed (0 = "
+        "absent from that leg)"
+    ),
+    tags=("text", "vector", "retrieval", "pipeline"),
+)
+def q120_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pyspark_mrdf_spark.operators.similarity import knn_search_blocked
+
+    qids = list(_RRF_QIDS)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("toks"),
+    )
+    qterms = (
+        d.filter(F.col("doc_id").isin(qids))
+        .select(F.col("doc_id").alias("qid"), F.explode("toks").alias("term"))
+        .distinct()
+    )
+    dl = d.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_toks"),
+    )
+    terms_union = qterms.select("term").distinct()
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .join(F.broadcast(terms_union), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    term_score = F.expr(
+        "CAST(floor("
+        "  ((2e0 * n_docs - 2e0 * df + 1e0) / (2e0 * df + 1e0))"
+        "  * (44e0 * tf * total_toks"
+        "     / (20e0 * tf * total_toks + 6e0 * total_toks + 18e0 * dl * n_docs))"
+        "  * 1000000e0) AS BIGINT)"
+    )
+    wl = Window.partitionBy("qid").orderBy(F.col("bm25_e6").desc(), "doc_id")
+    lex = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("doc_id") != F.col("qid"))
+        .select("qid", "doc_id", term_score.alias("ts"))
+        .groupBy("qid", "doc_id")
+        .agg(F.sum("ts").cast("bigint").alias("bm25_e6"))
+        .withColumn("lrnk", F.row_number().over(wl))
+        .filter(F.col("lrnk") <= _RRF_LEG_K)
+        .select("qid", "doc_id", "lrnk")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    vec = (
+        knn_search_blocked(
+            e.filter(F.col("vec_id").isin(qids)), e, _RRF_LEG_K,
+            include_self=False,
+        )
+        .select(
+            F.col("src").alias("qid"),
+            F.col("dst").alias("doc_id"),
+            F.col("rnk").cast("int").alias("vrnk"),
+        )
+    )
+    fused = (
+        lex.join(vec, ["qid", "doc_id"], "full_outer")
+        .select(
+            "qid",
+            "doc_id",
+            F.coalesce("lrnk", F.lit(0)).cast("bigint").alias("lex_rnk"),
+            F.coalesce("vrnk", F.lit(0)).cast("bigint").alias("vec_rnk"),
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("lrnk")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("vrnk")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("frnk", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("frnk") <= 10)
+    )

@@ -439,3 +439,30 @@ def test_pagerank_rejects_empty():
     empty = spark.createDataFrame([], "src: bigint, dst: bigint")
     with _pytest.raises(ValueError, match="empty node set"):
         pagerank(empty)
+
+
+def test_hybrid_rrf_fusion_laws(spark, sf_dir):
+    """RRF structural laws (q120): the fused list is a subset of the
+    two legs' union; a doc present in BOTH legs outranks one with the
+    same single-leg rank (two reciprocal terms beat one); every query
+    returns exactly 10 fused rows; and fused rank 1 carries the
+    highest RRF score."""
+    from pyspark_mrdf_spark.queries import load_all
+
+    rows = load_all()["q120_hybrid_rrf_retrieval"].builder(spark, sf_dir).collect()
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert len(by_q) == 3
+    for qid, rs in by_q.items():
+        assert len(rs) == 10, (qid, len(rs))
+        rs = sorted(rs, key=lambda r: r["frnk"])
+        # rrf non-increasing down the fused ranking
+        assert all(a["rrf"] >= b["rrf"] for a, b in zip(rs, rs[1:]))
+        for r in rs:
+            assert r["lex_rnk"] > 0 or r["vec_rnk"] > 0  # union membership
+            # reconstruct the fused score from the exposed leg ranks
+            want = (1.0 / (60 + r["lex_rnk"]) if r["lex_rnk"] else 0.0) + (
+                1.0 / (60 + r["vec_rnk"]) if r["vec_rnk"] else 0.0
+            )
+            assert r["rrf"] == want, (qid, r)
