@@ -252,6 +252,159 @@ def decode_pixel_features(df: DataFrame, payload_col: str = "payload") -> DataFr
     return df.select("doc_id", payload_col).mapInPandas(_decode, PIXEL_FEATURE_SCHEMA)
 
 
+# --- perceptual image hashing (dHash) -------------------------------
+#
+# Image dedup at corpus scale is perceptual-hash dedup: a crawler
+# re-encodes, resizes, and brightness-shifts the same picture, so byte
+# hashes (q40) never match — but a difference hash over a coarse
+# grayscale grid is invariant to all three, and near-duplicate frames
+# land within a small Hamming radius. The pipeline below mirrors the
+# text SimHash family exactly (48-bit signature, 3×16-bit pigeonhole
+# bands, bit_count verify on candidates only), so the candidate
+# generation is an equi-join — never an image-pair cross join.
+
+DHASH_GRID_ROWS = 6
+DHASH_GRID_COLS = 9  # 9 columns -> 8 difference bits/row -> 48 bits
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("dhash", LongType(), False),
+    ]
+)
+
+PATTERN_N_GROUPS = 40
+PATTERN_CELL_LO = 20
+PATTERN_CELL_SPAN = 200
+
+
+def _pattern_cell_value(key: str) -> int:
+    """md5-portable cell intensity in [20, 220): first 8 md5 hex chars
+    of ``key`` as an integer, mod 200 — the same
+    ``CAST(concat('0x', substr(md5(k), 1, 8)) AS BIGINT) % 200`` any
+    SQL engine derives, so an oracle can replay every pixel."""
+    import hashlib
+
+    h = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+    return PATTERN_CELL_LO + h % PATTERN_CELL_SPAN
+
+
+def synth_pattern_bmp_payloads(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): pattern BMPs with a PLANTED near-duplicate
+    structure for the perceptual-hash path (q121).
+
+    Docs sharing ``doc_id % 40`` render the same 6×9 cell pattern
+    (cell intensity = md5-derived int in [20,220), R=G=B), but each
+    doc varies everything a byte hash would see and a perceptual hash
+    must ignore:
+
+      - size:        w = 9·(2 + d%3), h = 6·(2 + (7d)%3)
+      - brightness:  +(d % 20) on every channel (max 219+19 < 256)
+      - content:     docs with d % 5 == 0 get ONE cell
+                     (r,c) = ((d//5)%6, (d//5)%9) replaced by an
+                     md5-derived per-doc value — flips ≤2 dHash bits
+
+    so same-group pairs are near-dups (Hamming ≤ 4 between two
+    perturbed members), cross-group pairs are ~24 bits apart. Widths
+    18/27/36 put the 27-px odd-stride case on the 4-byte row-padding
+    path, as q81 does. Every quantity is closed-form in doc_id and
+    md5, so a SQL oracle recomputes the exact hash."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids: list[int] = []
+            payloads: list[bytes] = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g = d % PATTERN_N_GROUPS
+                cells = np.empty((DHASH_GRID_ROWS, DHASH_GRID_COLS), dtype=np.int64)
+                for r in range(DHASH_GRID_ROWS):
+                    for c in range(DHASH_GRID_COLS):
+                        cells[r, c] = _pattern_cell_value(f"cell:{g}:{r}:{c}")
+                if d % 5 == 0:
+                    pr, pc = (d // 5) % DHASH_GRID_ROWS, (d // 5) % DHASH_GRID_COLS
+                    cells[pr, pc] = _pattern_cell_value(f"pert:{d}")
+                w = DHASH_GRID_COLS * (2 + d % 3)
+                h = DHASH_GRID_ROWS * (2 + (7 * d) % 3)
+                val = cells + d % 20  # per-doc brightness shift
+                # expand cells to pixels (blocks are exact multiples)
+                gray = np.repeat(
+                    np.repeat(val, h // DHASH_GRID_ROWS, axis=0),
+                    w // DHASH_GRID_COLS,
+                    axis=1,
+                ).astype(np.uint8)
+                px = np.stack([gray, gray, gray], axis=2)
+                ids.append(d)
+                payloads.append(encode_bmp(px))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(_synth, schema)
+
+
+def image_dhash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    grid_rows: int = DHASH_GRID_ROWS,
+    grid_cols: int = DHASH_GRID_COLS,
+) -> DataFrame:
+    """Difference hash over ACTUALLY-DECODED pixels: (doc_id, width,
+    height, dhash) where dhash packs ``grid_rows × (grid_cols-1)``
+    bits (default 6×8 = 48, matching the SimHash band machinery).
+
+    The classic dHash resize-to-9×8-then-compare, made engine-exact:
+    grayscale is the INTEGER channel sum (no luma-weight float), the
+    grid "resize" is block MEANS with floor boundaries
+    ``x0 = c·w // grid_cols``, and each bit compares adjacent block
+    means by integer cross-multiplication (``sum_r·area_l >
+    sum_l·area_r``) — no division anywhere, so the hash is
+    bit-reproducible on any engine, any partitioning. Invariant to
+    uniform brightness shifts and to any resize that preserves
+    block-mean order (exact for block-constant content)."""
+    if grid_cols < 2:
+        raise ValueError(f"image_dhash: grid_cols must be >= 2, got {grid_cols}")
+    bit_idx = (
+        np.arange(grid_rows)[:, None] * (grid_cols - 1) + np.arange(grid_cols - 1)[None, :]
+    ).astype(np.int64)
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                px = decode_image(bytes(payload))
+                h, w = px.shape[:2]
+                if h < grid_rows or w < grid_cols:
+                    raise ValueError(
+                        f"image_dhash: image {w}x{h} smaller than the "
+                        f"{grid_cols}x{grid_rows} hash grid (doc {int(doc_id)})"
+                    )
+                gray = px.astype(np.int64).sum(axis=2)  # R+G+B, exact
+                yb = (np.arange(grid_rows) * h) // grid_rows
+                xb = (np.arange(grid_cols) * w) // grid_cols
+                block = np.add.reduceat(np.add.reduceat(gray, yb, axis=0), xb, axis=1)
+                area = np.outer(
+                    np.diff(np.append(yb, h)), np.diff(np.append(xb, w))
+                ).astype(np.int64)
+                bits = (block[:, 1:] * area[:, :-1] > block[:, :-1] * area[:, 1:]).astype(
+                    np.int64
+                )
+                rows.append((int(doc_id), int(w), int(h), int((bits << bit_idx).sum())))
+            yield pd.DataFrame(rows, columns=["doc_id", "width", "height", "dhash"])
+
+    return df.select("doc_id", payload_col).mapInPandas(_hash, DHASH_SCHEMA)
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
     """Real audio decode: dependency-free PCM16 RIFF/WAVE parser →
     (samples int16 flat channel-interleaved, sample_rate, n_channels).

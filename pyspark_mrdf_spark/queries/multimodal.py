@@ -257,3 +257,83 @@ def q86_payload_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_search(queries, emb, 5, include_self=False).select(
         F.col("src"), F.col("dst"), F.col("rnk").cast("bigint").alias("rnk")
     )
+
+
+@register(
+    "q121_image_dhash_near_dups",
+    driver=False,  # registered late r8; rotation owed next round (operator proven by the pytest oracle gate)
+    oracle="""
+WITH docs_g AS (
+  SELECT doc_id, doc_id % 40 AS g,
+         CASE WHEN doc_id % 5 = 0 THEN (doc_id // 5) % 6 ELSE -1 END AS pr,
+         CASE WHEN doc_id % 5 = 0 THEN (doc_id // 5) % 9 ELSE -1 END AS pc
+  FROM documents),
+cells AS (
+  SELECT d.doc_id, r.r, c.c,
+         CASE WHEN r.r = d.pr AND c.c = d.pc
+              THEN 20 + CAST(concat('0x', substr(md5(
+                     'pert:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 200
+              ELSE 20 + CAST(concat('0x', substr(md5(
+                     'cell:' || CAST(d.g AS VARCHAR) || ':'
+                             || CAST(r.r AS VARCHAR) || ':'
+                             || CAST(c.c AS VARCHAR)), 1, 8)) AS BIGINT) % 200
+         END AS v
+  FROM docs_g d, generate_series(0, 5) AS r(r), generate_series(0, 8) AS c(c)),
+hashes AS (
+  SELECT a.doc_id,
+         CAST(SUM(CASE WHEN b.v > a.v
+                       THEN CAST(1 AS BIGINT) << (a.r * 8 + a.c) ELSE 0 END)
+              AS BIGINT) AS dhash
+  FROM cells a JOIN cells b
+    ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+  WHERE a.c < 8
+  GROUP BY a.doc_id),
+bands AS (
+  SELECT doc_id, dhash, t.i AS band, (dhash >> (16 * t.i)) & 65535 AS slice
+  FROM hashes, generate_series(0, 2) AS t(i)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.dhash, b.dhash)) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+FROM pairs WHERE hamming <= 4
+""",
+    description=(
+        "perceptual image dedup — the image twin of SimHash near-dup "
+        "(q45): pattern BMPs with planted near-duplicate groups (same "
+        "doc_id%40 pattern; per-doc size, brightness, and single-cell "
+        "perturbations) are REALLY encoded and decoded (encode_bmp/"
+        "decode_image), hashed by a 48-bit integer dHash (block-mean "
+        "comparisons by cross-multiplication — division-free, engine-"
+        "exact), banded 3x16-bit (pigeonhole: no false negatives to "
+        "Hamming 2), and verified by bit_count(xor) on candidates only; "
+        "the oracle replays every pixel closed-form from doc_id + md5. "
+        "The shape a 100 TB image-corpus dedup runs: decode+hash is one "
+        "embarrassingly-parallel pass, candidates are an equi-join on "
+        "(band, slice) — never an image cross join"
+    ),
+    tags=("multimodal", "binary", "codec", "dedup", "udf"),
+)
+def q121_image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.dedup import simhash_band_candidates
+    from pyspark_mrdf_spark.operators.multimodal import (
+        image_dhash,
+        synth_pattern_bmp_payloads,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # ONE decode+hash pass: the banding union and both verify joins
+    # re-reference the hash table, so checkpoint the mapInPandas output
+    # (the q86 discipline) instead of decoding the corpus five times
+    hashes = image_dhash(synth_pattern_bmp_payloads(docs)).localCheckpoint(eager=False)
+    cand = simhash_band_candidates(hashes, bands=3, bits=48, sim_col="dhash")
+    ha = hashes.select(F.col("doc_id").alias("doc_a"), F.col("dhash").alias("ha"))
+    hb = hashes.select(F.col("doc_id").alias("doc_b"), F.col("dhash").alias("hb"))
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= 4)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )

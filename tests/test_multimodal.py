@@ -244,3 +244,75 @@ def test_synth_wav_payloads_decode_to_closed_form_stats(spark):
         assert r["min_amp"] == s.min() and r["max_amp"] == s.max()
         assert r["sum_abs"] == np.abs(s).sum()
         assert r["zero_cross"] == np.count_nonzero(nonneg[:-1] != nonneg[1:])
+
+
+def test_image_dhash_invariances():
+    """dHash laws on the raw kernel (single image, driver-side NumPy
+    through the REAL encode->decode->hash Spark kernel path pieces):
+    invariant to uniform brightness shift and to block-preserving
+    upscaling; sensitive to a flipped cell comparison."""
+    import numpy as np
+
+    from pyspark_mrdf_spark.operators.multimodal import (
+        DHASH_GRID_COLS,
+        DHASH_GRID_ROWS,
+        decode_image,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(7)
+    cells = rng.randint(20, 220, size=(DHASH_GRID_ROWS, DHASH_GRID_COLS)).astype(np.int64)
+
+    def hash_of(cells, scale_y, scale_x, bright):
+        gray = np.repeat(np.repeat(cells + bright, scale_y, 0), scale_x, 1).astype(np.uint8)
+        px = np.stack([gray, gray, gray], axis=2)
+        decoded = decode_image(encode_bmp(px))
+        # replicate the kernel arithmetic exactly (block means by
+        # cross-multiplication over the decoded pixels)
+        g = decoded.astype(np.int64).sum(axis=2)
+        h, w = g.shape
+        yb = (np.arange(DHASH_GRID_ROWS) * h) // DHASH_GRID_ROWS
+        xb = (np.arange(DHASH_GRID_COLS) * w) // DHASH_GRID_COLS
+        block = np.add.reduceat(np.add.reduceat(g, yb, 0), xb, 1)
+        area = np.outer(np.diff(np.append(yb, h)), np.diff(np.append(xb, w)))
+        bits = (block[:, 1:] * area[:, :-1] > block[:, :-1] * area[:, 1:]).astype(np.int64)
+        k = (
+            np.arange(DHASH_GRID_ROWS)[:, None] * (DHASH_GRID_COLS - 1)
+            + np.arange(DHASH_GRID_COLS - 1)[None, :]
+        )
+        return int((bits << k).sum())
+
+    base = hash_of(cells, 2, 2, 0)
+    assert hash_of(cells, 2, 2, 17) == base  # brightness-invariant
+    assert hash_of(cells, 4, 3, 0) == base  # resize-invariant
+    assert hash_of(cells, 3, 4, 11) == base  # both at once
+    flipped = cells.copy()
+    flipped[0, 0], flipped[0, 1] = flipped[0, 1], flipped[0, 0]
+    if cells[0, 0] != cells[0, 1]:
+        assert hash_of(flipped, 2, 2, 0) != base  # content-sensitive
+
+
+def test_image_dhash_recovers_planted_groups(spark, sf_dir):
+    """q121 end to end: every reported near-dup pair is same-group
+    (doc_id % 40), unperturbed same-group members collide at Hamming 0,
+    and each group's unperturbed members all pair up (pigeonhole
+    banding loses nothing at distance 0)."""
+    from pyspark_mrdf_spark.queries import load_all
+
+    rows = load_all()["q121_image_dhash_near_dups"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["doc_a"] % 40 == r["doc_b"] % 40, r
+        assert 0 <= r["hamming"] <= 4
+    found = {(r["doc_a"], r["doc_b"]) for r in rows}
+    n = load_table(spark, sf_dir, "documents").count()
+    clean = [d for d in range(n) if d % 5 != 0]
+    by_g: dict = {}
+    for d in clean:
+        by_g.setdefault(d % 40, []).append(d)
+    for members in by_g.values():
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                assert (a, b) in found, (a, b)
+                ham = [r["hamming"] for r in rows if (r["doc_a"], r["doc_b"]) == (a, b)]
+                assert ham == [0], (a, b, ham)
