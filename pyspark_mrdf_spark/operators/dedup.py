@@ -528,7 +528,7 @@ def simhash_band_candidates(
 
 def near_dedup_against(
     new_docs: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     threshold: float = 0.5,
     num_hashes: int = 8,
     bands: int = 4,
@@ -554,7 +554,14 @@ def near_dedup_against(
     ``corpus_buckets`` ((id, band, bucket), from ``lsh_band_buckets``)
     and ``corpus_postings`` ((id, shingle), from ``shingle_table``)
     built with the SAME (num_hashes, bands, rows_per_band, n) to model
-    that; omitted, both derive from ``corpus`` inside this plan."""
+    that; omitted, both derive from ``corpus`` inside this plan.
+    ``corpus`` may be None only when BOTH stored sides are supplied
+    (the fully index-served path — ``operators/dedup_index.py``)."""
+    if corpus is None and (corpus_buckets is None or corpus_postings is None):
+        raise ValueError(
+            "near_dedup_against: corpus=None requires both corpus_buckets "
+            "and corpus_postings (the index-served path)"
+        )
     if corpus_buckets is None:
         c_sig = minhash_signatures(corpus, num_hashes, n, id_col, text_col)
         corpus_buckets = lsh_band_buckets(c_sig, bands, rows_per_band, id_col)

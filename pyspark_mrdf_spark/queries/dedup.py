@@ -902,3 +902,106 @@ def q118_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return D.bloom_dedup_against(batch, d)
+
+
+_DEDUP_IDX_DIR: dict[str, str] = {}
+
+
+def _dedup_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """The per-(process, sf) persisted dedup index of the documents
+    corpus (default banding params — the q43/q78 config): built on
+    first use, then served read-only, as deployed."""
+    import tempfile
+
+    from pyspark_mrdf_spark.operators.dedup_index import write_dedup_index
+
+    path = _DEDUP_IDX_DIR.get(sf_dir)
+    if path is None:
+        d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        path = tempfile.mkdtemp(prefix="mrdf_dedup_idx_")
+        write_dedup_index(d, path)
+        _DEDUP_IDX_DIR[sf_dir] = path
+    return path
+
+
+@register(
+    "q122_persisted_dedup_index",
+    driver=False,  # registered late r8; rotation owed next round (operator proven by the pytest oracle gate + roundtrip/append tests)
+    oracle=f"""
+WITH batch AS (
+  SELECT doc_id + 400000 AS doc_id, text FROM documents
+  WHERE doc_id >= 10 AND doc_id < 20
+  UNION ALL
+  SELECT doc_id + 500000 AS doc_id, reverse(text) AS text
+  FROM documents WHERE doc_id >= 110 AND doc_id < 120),
+bpost AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM batch),
+cpost AS (SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+bsig AS (
+  SELECT doc_id,
+         [min(md5('0:' || shingle)), min(md5('1:' || shingle)),
+          min(md5('2:' || shingle)), min(md5('3:' || shingle)),
+          min(md5('4:' || shingle)), min(md5('5:' || shingle)),
+          min(md5('6:' || shingle)), min(md5('7:' || shingle))] AS signature
+  FROM bpost GROUP BY doc_id),
+csig AS (
+  SELECT doc_id,
+         [min(md5('0:' || shingle)), min(md5('1:' || shingle)),
+          min(md5('2:' || shingle)), min(md5('3:' || shingle)),
+          min(md5('4:' || shingle)), min(md5('5:' || shingle)),
+          min(md5('6:' || shingle)), min(md5('7:' || shingle))] AS signature
+  FROM cpost GROUP BY doc_id),
+bbuck AS (
+  SELECT doc_id, band, md5(array_to_string(signature[band*2+1:band*2+2], '|')) AS bucket
+  FROM bsig CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)),
+cbuck AS (
+  SELECT doc_id, band, md5(array_to_string(signature[band*2+1:band*2+2], '|')) AS bucket
+  FROM csig CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)),
+cand AS (
+  SELECT DISTINCT b.doc_id AS b_id, c.doc_id AS c_id
+  FROM bbuck b JOIN cbuck c ON b.band = c.band AND b.bucket = c.bucket),
+bsz AS (SELECT doc_id, COUNT(*) AS sz FROM bpost GROUP BY doc_id),
+csz AS (SELECT doc_id, COUNT(*) AS sz FROM cpost GROUP BY doc_id),
+dup AS (
+  SELECT DISTINCT i.b_id FROM (
+    SELECT cand.b_id, cand.c_id, COUNT(*) AS inter
+    FROM bpost bp JOIN cpost cp ON bp.shingle = cp.shingle
+    JOIN cand ON bp.doc_id = cand.b_id AND cp.doc_id = cand.c_id
+    GROUP BY cand.b_id, cand.c_id) i
+  JOIN bsz ON i.b_id = bsz.doc_id JOIN csz ON i.c_id = csz.doc_id
+  WHERE CAST(i.inter AS DOUBLE) / (bsz.sz + csz.sz - i.inter) >= 0.5)
+SELECT b.doc_id FROM batch b LEFT JOIN dup ON b.doc_id = dup.b_id
+WHERE dup.b_id IS NULL
+""",
+    description=(
+        "PERSISTED-INDEX incremental near-dedup serving "
+        "(operators/dedup_index.py — the dedup twin of q98's persisted "
+        "ANN index): write_dedup_index stores fps (16 B/doc exact tier), "
+        "band buckets (partitioned BY BAND), shingle postings, and the "
+        "FROZEN banding params; read_dedup_index + "
+        "near_dedup_against_index then serve an ingest batch with corpus "
+        "TEXT never read — candidates equi-join the stored buckets, "
+        "verify runs on candidate-pruned stored postings. Oracle is "
+        "q78's inline-pipeline SQL (different batch window) — the "
+        "persisted path must be row-identical to inline computation, "
+        "which is exactly the claim (roundtrip/append/frozen-params "
+        "laws in tests/test_dedup_index.py)"
+    ),
+    tags=("dedup", "incremental", "lsh", "pipeline", "sink"),
+)
+def q122_persisted_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.dedup_index import (
+        near_dedup_against_index,
+        read_dedup_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)).select(
+        (F.col("doc_id") + 400000).alias("doc_id"), "text"
+    )
+    novel = d.filter((F.col("doc_id") >= 110) & (F.col("doc_id") < 120)).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), F.reverse("text").alias("text")
+    )
+    idx = read_dedup_index(spark, _dedup_index_path(spark, sf_dir))
+    return near_dedup_against_index(
+        copies.unionByName(novel), idx, threshold=0.5
+    ).select("doc_id")
