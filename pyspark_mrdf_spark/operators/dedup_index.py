@@ -139,14 +139,39 @@ def write_dedup_index(
     postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
 
 
-def read_dedup_index(spark: SparkSession, path: str) -> DedupIndex:
+def read_dedup_index(
+    spark: SparkSession, path: str, _exclude_stream_batch: int | None = None
+) -> DedupIndex:
     """Load a persisted dedup index — lazy scans only; nothing
-    materializes until a serving query prunes it."""
+    materializes until a serving query prunes it.
+
+    Tables are the union of the base build (+ any batch
+    ``append_dedup_index`` rows, which land in the same directories)
+    and any partitions a running ``near_ingest_dedup_stream`` has
+    committed (``stream_<table>/batch=<id>/``) — a streamed-into index
+    serves identically to one grown by batch appends (same frozen
+    params either way). ``_exclude_stream_batch`` is the stream's
+    replay-safety hook: a re-executed micro-batch must not dedupe
+    against its own crashed-attempt partitions (the self-exclusion
+    rule of ``streaming/ingest.py``)."""
+    from pyspark_mrdf_spark.streaming.sinks import _hadoop_fs
+
+    def _with_stream(sub: str) -> DataFrame:
+        df = spark.read.parquet(os.path.join(path, sub))
+        stream_dir = os.path.join(path, f"stream_{sub}")
+        fs, p = _hadoop_fs(spark, stream_dir)
+        if fs.exists(p) and len(fs.listStatus(p)) > 0:
+            s = spark.read.option("basePath", stream_dir).parquet(stream_dir)
+            if _exclude_stream_batch is not None:
+                s = s.filter(F.col("batch") != _exclude_stream_batch)
+            df = df.unionByName(s.select(*df.columns))
+        return df
+
     return DedupIndex(
         params=_read_dedup_params(path),
-        fps=spark.read.parquet(os.path.join(path, "fps")),
-        buckets=spark.read.parquet(os.path.join(path, "buckets")),
-        postings=spark.read.parquet(os.path.join(path, "postings")),
+        fps=_with_stream("fps"),
+        buckets=_with_stream("buckets"),
+        postings=_with_stream("postings"),
     )
 
 

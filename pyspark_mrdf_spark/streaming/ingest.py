@@ -125,3 +125,86 @@ def index_append_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def near_ingest_dedup_stream(
+    docs: DataFrame,
+    index_path: str,
+    corpus_path: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+    query_name: str = "near_ingest_dedup",
+):
+    """Continuous corpus ingestion with NEAR-dup dedup served off the
+    persisted dedup index — the streaming twin of the q122 batch loop
+    (``operators/dedup_index``: ``near_dedup_against_index`` +
+    ``append_dedup_index``), completing the ingest family:
+    ``ingest_dedup_stream`` = exact tier over a grown corpus,
+    ``index_append_stream`` = ANN-index maintenance, this = fuzzy tier
+    over a grown INDEX.
+
+    The index must exist before the stream starts (``write_dedup_index``
+    on the seed corpus — its banding params are FROZEN for the life of
+    the stream, the quantizer-freezing discipline). Each micro-batch:
+    exact in-batch dedup (lowest id per identical text, q77's rule;
+    in-batch NEAR pairs pass through, matching the batch operator's
+    batch-vs-corpus semantics), then ``near_dedup_against_index``
+    against base + all OTHER committed stream partitions — the
+    self-exclusion keeps a crash-replayed batch from deduping against
+    its own partial writes (see ``ingest_dedup_stream``). Survivor
+    docs land in ``corpus_path/batch=<id>``; their fps/buckets/
+    postings land in ``stream_<table>/batch=<id>`` under the index —
+    all four writes idempotent per batch id, so the stream is
+    exactly-once per committed checkpoint batch, and ``read_dedup_index``
+    serves base + streamed state transparently (row-identical to batch
+    ``append_dedup_index`` of the same survivors; equivalence-tested).
+
+    Per-batch cost: batch-sized encode + candidate-pruned verify + one
+    partition write per table — no corpus-sized recompute at any batch."""
+    from pyspark_mrdf_spark.operators.dedup_index import (
+        _index_state,
+        _read_dedup_params,
+        near_dedup_against_index,
+        read_dedup_index,
+    )
+
+    spark = docs.sparkSession
+    idx_base = index_path.rstrip("/")
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        first = batch_df.groupBy(F.md5("text").alias("_fp")).agg(
+            F.min("doc_id").alias("doc_id")
+        )
+        batch_dedup = (
+            batch_df.withColumn("_fp", F.md5("text"))
+            .join(first, ["doc_id", "_fp"], "left_semi")
+            .drop("_fp")
+        )
+        idx = read_dedup_index(spark, index_path, _exclude_stream_batch=batch_id)
+        survivors = near_dedup_against_index(batch_dedup, idx, threshold)
+        part = f"{corpus_path.rstrip('/')}/batch={batch_id}"
+        survivors.write.mode("overwrite").parquet(part)
+        # derive the index state from the WRITTEN partition (one dedup
+        # computation, and the three index writes see exactly the rows
+        # the corpus write committed)
+        admitted = spark.read.parquet(part).select("doc_id", "text")
+        p = _read_dedup_params(index_path)
+        fps, buckets, postings = _index_state(
+            admitted, p["num_hashes"], p["bands"], p["rows_per_band"], p["n"],
+            "doc_id", "text",
+        )
+        fps.write.mode("overwrite").parquet(f"{idx_base}/stream_fps/batch={batch_id}")
+        buckets.write.mode("overwrite").parquet(
+            f"{idx_base}/stream_buckets/batch={batch_id}"
+        )
+        postings.write.mode("overwrite").parquet(
+            f"{idx_base}/stream_postings/batch={batch_id}"
+        )
+
+    return (
+        docs.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -174,6 +174,11 @@ def main() -> None:
     # batch at (--synthetic-n, --synthetic-d), with BQ measured at two
     # candidate budgets so the recall/budget dial is in the row
     bq_serving_only = "--bq-serving-only" in argv
+    # --dedup-serving-only: ONLY the persisted-dedup-index serving row —
+    # the daily ingest loop (3 batches) run inline (corpus-side LSH
+    # state recomputed per batch) vs served off a train-once stored
+    # index with survivors appended between batches
+    dedup_serving_only = "--dedup-serving-only" in argv
     if pagerank_only and not saw_synthetic_flag:
         synthetic_n = 2_000_000
     if bq_serving_only and not saw_synthetic_flag:
@@ -207,7 +212,7 @@ def main() -> None:
         if a not in (
             "--uniform", "--uniform-tuned", "--uniform-tuned-only", "--grid-only",
             "--mixture-only", "--sq8-only", "--serving-only", "--dedup-only",
-            "--pagerank-only", "--bq-serving-only",
+            "--pagerank-only", "--bq-serving-only", "--dedup-serving-only",
         )
     ]
     # the -only modes run exactly one section; any other argument or
@@ -218,6 +223,7 @@ def main() -> None:
         ("--mixture-only", mixture_only), ("--sq8-only", sq8_only),
         ("--serving-only", serving_only), ("--dedup-only", dedup_only),
         ("--pagerank-only", pagerank_only), ("--bq-serving-only", bq_serving_only),
+        ("--dedup-serving-only", dedup_serving_only),
     ) if on]
     if only_modes and argv:
         sys.exit("error: the -only modes ignore sf arguments; drop one side")
@@ -242,7 +248,7 @@ def main() -> None:
         )
     if len(only_modes) > 1:
         sys.exit(f"error: {' and '.join(only_modes)} each run exactly one section; pick one")
-    if (grid_only or sq8_only or mixture_only or serving_only or dedup_only or pagerank_only or bq_serving_only) and (include_uniform or include_uniform_tuned):
+    if (grid_only or sq8_only or mixture_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only) and (include_uniform or include_uniform_tuned):
         sys.exit(f"error: {only_modes[0]} runs only its own point; drop the uniform flags")
     if tuned_only and include_uniform:
         sys.exit("error: --uniform-tuned-only runs only the tuned point; drop the other flags")
@@ -251,9 +257,9 @@ def main() -> None:
     # silently dead in that mode, so reject the combination outright
     run_synthetic = (not argv or tuned_only or mixture_only) and not (
         grid_only or sq8_only or serving_only or dedup_only or pagerank_only
-        or bq_serving_only
+        or bq_serving_only or dedup_serving_only
     )
-    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only or pagerank_only or bq_serving_only) and (
+    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only) and (
         include_uniform or include_uniform_tuned or saw_synthetic_flag
     ):
         sys.exit(
@@ -380,6 +386,10 @@ def main() -> None:
 
     if bq_serving_only:
         points.append(_bq_serving_evidence(spark, synthetic_n, synthetic_d))
+        print(f"[scalability] {points[-1]}", file=sys.stderr)
+
+    if dedup_serving_only:
+        points.append(_dedup_serving_evidence(spark, synthetic_n))
         print(f"[scalability] {points[-1]}", file=sys.stderr)
 
     print(json.dumps({"metric": "scalability_sweep", "points": points}))
@@ -1011,6 +1021,103 @@ def _dedup_evidence(spark, n: int) -> dict:
         out["semantic_n"] = n_emb
         out["semantic_cells"] = n_cells
         out["semantic_dups"] = sem.filter("NOT keep").count()
+    finally:
+        shutil.rmtree(syn_dir, ignore_errors=True)
+    return out
+
+
+def _dedup_serving_evidence(spark, n: int) -> dict:
+    """Measure the persisted-dedup-index serving advantage: the daily
+    ingest loop (3 batches of 1000 docs — 500 corpus copies + 500
+    novels each) run (a) INLINE — `near_dedup_against(batch, corpus)`
+    with the corpus-side signatures/buckets recomputed per batch, the
+    corpus grown with survivors between batches — vs (b) SERVED off a
+    train-once persisted index (`write_dedup_index`) with survivors
+    `append_dedup_index`-ed between batches. Inline per-batch cost
+    scales with CORPUS bytes (the whole shingle+minhash pass re-runs);
+    index-served cost scales with BATCH bytes plus a columnar scan of
+    the stored state. Survivor sets are asserted identical."""
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.operators.dedup import near_dedup_against
+    from pyspark_mrdf_spark.operators.dedup_index import (
+        append_dedup_index,
+        near_dedup_against_index,
+        read_dedup_index,
+        write_dedup_index,
+    )
+
+    syn_dir = "/root/repo/.scalability_synth_dedup_srv"
+    idx_dir = os.path.join(syn_dir, "index")
+    out: dict = {
+        "sf": f"synthetic-{n}-dedup-serving",
+        "n_docs": n,
+        "batch_docs": 1000,
+        "n_batches": 3,
+    }
+    try:
+        _write_synthetic_docs(syn_dir, n)
+        d = (
+            spark.read.parquet(os.path.join(syn_dir, "documents.parquet"))
+            .select("doc_id", "text")
+            .repartition(2 * spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True)
+        )
+        out["corpus_mchars"] = round(
+            d.selectExpr("sum(length(text))").collect()[0][0] / 1e6, 1
+        )
+
+        def batch_of(i: int):
+            lo = 1000 * i
+            copies = d.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 500)
+            ).select((F.col("doc_id") + 10_000_000 + 100_000 * i).alias("doc_id"), "text")
+            novel = d.filter(
+                (F.col("doc_id") >= lo + 500) & (F.col("doc_id") < lo + 1000)
+            ).select(
+                (F.col("doc_id") + 20_000_000 + 100_000 * i).alias("doc_id"),
+                F.reverse("text").alias("text"),
+            )
+            return copies.unionByName(novel).localCheckpoint(eager=True)
+
+        batches = [batch_of(i) for i in range(3)]
+
+        inline_s, inline_survivors = [], []
+        corpus_now = d
+        for b in batches:
+            t0 = time.time()
+            surv = near_dedup_against(b, corpus_now, threshold=0.5).localCheckpoint(
+                eager=True
+            )
+            k = surv.count()
+            inline_s.append(round(time.time() - t0, 2))
+            inline_survivors.append(k)
+            corpus_now = corpus_now.unionByName(surv).localCheckpoint(eager=True)
+
+        t0 = time.time()
+        write_dedup_index(d, idx_dir)
+        out["index_build_s"] = round(time.time() - t0, 2)
+        served_s, served_survivors, append_s = [], [], []
+        for b in batches:
+            idx = read_dedup_index(spark, idx_dir)
+            t0 = time.time()
+            surv = near_dedup_against_index(b, idx, threshold=0.5).localCheckpoint(
+                eager=True
+            )
+            k = surv.count()
+            served_s.append(round(time.time() - t0, 2))
+            served_survivors.append(k)
+            t0 = time.time()
+            append_dedup_index(spark, idx_dir, surv)
+            append_s.append(round(time.time() - t0, 2))
+        assert served_survivors == inline_survivors, (
+            served_survivors,
+            inline_survivors,
+        )
+        out["inline_batch_s"] = inline_s
+        out["index_batch_s"] = served_s
+        out["index_append_s"] = append_s
+        out["survivors_per_batch"] = served_survivors
     finally:
         shutil.rmtree(syn_dir, ignore_errors=True)
     return out

@@ -682,3 +682,89 @@ def test_index_append_stream_equals_batch_append(spark, sf_dir, tmp_path):
     _, _, codes_again = read_sq8_index(spark, idx_stream)
     again = {(r["vec_id"], bytes(r["code"])) for r in codes_again.collect()}
     assert again == rows_s
+
+
+def test_near_ingest_dedup_stream_grows_index_exactly_once(spark, tmp_path):
+    """Streaming NEAR-dup ingestion over the persisted dedup index
+    (streaming twin of q122): batch 2's near-copy of a batch-1
+    SURVIVOR is dropped against the grown index, novels are admitted,
+    the streamed index serves identically to the batch operators, and
+    a checkpoint restart admits nothing twice."""
+    import json as _json
+    import os as _os
+
+    from pyspark_mrdf_spark.operators.dedup import near_dedup_against
+    from pyspark_mrdf_spark.operators.dedup_index import (
+        near_dedup_against_index,
+        read_dedup_index,
+        write_dedup_index,
+    )
+    from pyspark_mrdf_spark.streaming.ingest import near_ingest_dedup_stream
+
+    words = [f"w{i}" for i in range(24)]
+    seed_text = " ".join(words)
+    novel1 = " ".join(f"a{i}" for i in range(24))
+    novel2 = " ".join(f"b{i}" for i in range(24))
+
+    def near(text, repl):  # one word substituted -> Jaccard ~0.8
+        ws = text.split()
+        ws[12] = repl
+        return " ".join(ws)
+
+    seed = spark.createDataFrame([(1, seed_text)], "doc_id long, text string")
+    idx_path = str(tmp_path / "dedup_idx")
+    write_dedup_index(seed, idx_path)
+
+    src = tmp_path / "docs_json"
+    src.mkdir()
+    with open(src / "f1.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 100, "text": near(seed_text, "zz")}) + "\n")
+        f.write(_json.dumps({"doc_id": 101, "text": novel1}) + "\n")
+    with open(src / "f2.json", "w") as f:
+        f.write(_json.dumps({"doc_id": 200, "text": near(novel1, "qq")}) + "\n")
+        f.write(_json.dumps({"doc_id": 201, "text": novel2}) + "\n")
+    _os.utime(src / "f1.json", (1_000_000_000, 1_000_000_000))
+    _os.utime(src / "f2.json", (1_000_000_100, 1_000_000_100))
+
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+    docs = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = near_ingest_dedup_stream(docs, idx_path, corpus, ckpt, query_name="near_ingest_t")
+    assert q.awaitTermination(120), "near-ingest stream did not drain"
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert got == [101, 201]  # near-copies dropped, novels admitted
+
+    # the streamed-into index serves identically to inline dedup over
+    # seed + admitted docs (the batch-append equivalence, via stream)
+    probe = spark.createDataFrame(
+        [(300, near(novel2, "rr")), (301, " ".join(f"c{i}" for i in range(24)))],
+        "doc_id long, text string",
+    )
+    idx = read_dedup_index(spark, idx_path)
+    served = sorted(
+        r["doc_id"] for r in near_dedup_against_index(probe, idx).collect()
+    )
+    admitted = spark.read.option("basePath", corpus).parquet(corpus).drop("batch")
+    inline = sorted(
+        r["doc_id"]
+        for r in near_dedup_against(probe, seed.unionByName(admitted)).collect()
+    )
+    assert served == inline == [301]
+
+    # restart from the same checkpoint with no new input: nothing
+    # re-admitted, corpus and index unchanged
+    docs2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q2 = near_ingest_dedup_stream(docs2, idx_path, corpus, ckpt, query_name="near_ingest_t2")
+    assert q2.awaitTermination(120)
+    assert sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect()) == got
+    idx2 = read_dedup_index(spark, idx_path)
+    assert idx2.fps.count() == 3  # seed + two admitted, exactly once
