@@ -157,11 +157,24 @@ def read_dedup_index(
     from pyspark_mrdf_spark.streaming.sinks import _hadoop_fs
 
     def _with_stream(sub: str) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
         df = spark.read.parquet(os.path.join(path, sub))
         stream_dir = os.path.join(path, f"stream_{sub}")
         fs, p = _hadoop_fs(spark, stream_dir)
         if fs.exists(p) and len(fs.listStatus(p)) > 0:
-            s = spark.read.option("basePath", stream_dir).parquet(stream_dir)
+            try:
+                s = spark.read.option("basePath", stream_dir).parquet(stream_dir)
+            except AnalysisException:
+                # every batch=<id> dir holds only an uncommitted
+                # _temporary write (a crash before any commit): no data
+                # file to infer a schema from. Uncommitted partitions
+                # are invisible by the exactly-once model, so an
+                # all-uncommitted stream dir reads as absent — the
+                # replayed batch then overwrites it. (With ≥1 committed
+                # partition the read succeeds and parquet ignores the
+                # underscore-prefixed leftovers.)
+                return df
             if _exclude_stream_batch is not None:
                 s = s.filter(F.col("batch") != _exclude_stream_batch)
             df = df.unionByName(s.select(*df.columns))

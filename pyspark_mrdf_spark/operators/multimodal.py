@@ -300,7 +300,10 @@ def synth_pattern_bmp_payloads(docs: DataFrame) -> DataFrame:
     doc varies everything a byte hash would see and a perceptual hash
     must ignore:
 
-      - size:        w = 9·(2 + d%3), h = 6·(2 + (7d)%3)
+      - size:        w = 9·(2 + d%3), h = 6·(2 + (d//3)%3) — the two
+                     scales are INDEPENDENT across docs (w from d mod 3,
+                     h from the next ternary digit), so same-group pairs
+                     include anisotropic resizes (w up 2×, h up 3×)
       - brightness:  +(d % 20) on every channel (max 219+19 < 256)
       - content:     docs with d % 5 == 0 get ONE cell
                      (r,c) = ((d//5)%6, (d//5)%9) replaced by an
@@ -335,7 +338,7 @@ def synth_pattern_bmp_payloads(docs: DataFrame) -> DataFrame:
                     pr, pc = (d // 5) % DHASH_GRID_ROWS, (d // 5) % DHASH_GRID_COLS
                     cells[pr, pc] = _pattern_cell_value(f"pert:{d}")
                 w = DHASH_GRID_COLS * (2 + d % 3)
-                h = DHASH_GRID_ROWS * (2 + (7 * d) % 3)
+                h = DHASH_GRID_ROWS * (2 + (d // 3) % 3)
                 val = cells + d % 20  # per-doc brightness shift
                 # expand cells to pixels (blocks are exact multiples)
                 gray = np.repeat(

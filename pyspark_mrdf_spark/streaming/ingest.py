@@ -32,6 +32,23 @@ from pyspark.sql import functions as F
 from pyspark_mrdf_spark.streaming.sinks import _hadoop_fs
 
 
+def _in_batch_exact_dedup(batch_df: DataFrame) -> DataFrame:
+    """Lowest id per identical text within one micro-batch (q77's
+    in-batch rule), using the SAME ``fingerprint`` the batch operators
+    hash with — one definition, so the streams cannot drift from the
+    batch verdicts if the fingerprint function ever changes."""
+    from pyspark_mrdf_spark.functions.text import fingerprint
+
+    first = batch_df.groupBy(fingerprint("text").alias("_fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        batch_df.withColumn("_fp", fingerprint("text"))
+        .join(first, ["doc_id", "_fp"], "left_semi")
+        .drop("_fp")
+    )
+
+
 def ingest_dedup_stream(
     docs: DataFrame,
     corpus_path: str,
@@ -63,14 +80,7 @@ def ingest_dedup_stream(
             survivors = dedup_against(batch_df, corpus)
         else:
             # first batch: in-batch dedup only (lowest id per text)
-            first = batch_df.groupBy(F.md5("text").alias("_fp")).agg(
-                F.min("doc_id").alias("doc_id")
-            )
-            survivors = (
-                batch_df.withColumn("_fp", F.md5("text"))
-                .join(first, ["doc_id", "_fp"], "left_semi")
-                .drop("_fp")
-            )
+            survivors = _in_batch_exact_dedup(batch_df)
         # idempotent append: a replayed batch overwrites ITS OWN
         # partition directory — never double-admits
         survivors.write.mode("overwrite").parquet(part_path)
@@ -172,14 +182,7 @@ def near_ingest_dedup_stream(
     idx_base = index_path.rstrip("/")
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        first = batch_df.groupBy(F.md5("text").alias("_fp")).agg(
-            F.min("doc_id").alias("doc_id")
-        )
-        batch_dedup = (
-            batch_df.withColumn("_fp", F.md5("text"))
-            .join(first, ["doc_id", "_fp"], "left_semi")
-            .drop("_fp")
-        )
+        batch_dedup = _in_batch_exact_dedup(batch_df)
         idx = read_dedup_index(spark, index_path, _exclude_stream_batch=batch_id)
         survivors = near_dedup_against_index(batch_dedup, idx, threshold)
         part = f"{corpus_path.rstrip('/')}/batch={batch_id}"
@@ -194,7 +197,9 @@ def near_ingest_dedup_stream(
             "doc_id", "text",
         )
         fps.write.mode("overwrite").parquet(f"{idx_base}/stream_fps/batch={batch_id}")
-        buckets.write.mode("overwrite").parquet(
+        # band-partitioned like the base build and batch appends, so a
+        # streamed-into index keeps the same storage-level layout
+        buckets.write.mode("overwrite").partitionBy("band").parquet(
             f"{idx_base}/stream_buckets/batch={batch_id}"
         )
         postings.write.mode("overwrite").parquet(

@@ -1089,9 +1089,9 @@ def _dedup_serving_evidence(spark, n: int) -> dict:
             surv = near_dedup_against(b, corpus_now, threshold=0.5).localCheckpoint(
                 eager=True
             )
-            k = surv.count()
+            ids = sorted(r[0] for r in surv.select("doc_id").collect())
             inline_s.append(round(time.time() - t0, 2))
-            inline_survivors.append(k)
+            inline_survivors.append(ids)
             corpus_now = corpus_now.unionByName(surv).localCheckpoint(eager=True)
 
         t0 = time.time()
@@ -1104,12 +1104,15 @@ def _dedup_serving_evidence(spark, n: int) -> dict:
             surv = near_dedup_against_index(b, idx, threshold=0.5).localCheckpoint(
                 eager=True
             )
-            k = surv.count()
+            ids = sorted(r[0] for r in surv.select("doc_id").collect())
             served_s.append(round(time.time() - t0, 2))
-            served_survivors.append(k)
+            served_survivors.append(ids)
             t0 = time.time()
             append_dedup_index(spark, idx_dir, surv)
             append_s.append(round(time.time() - t0, 2))
+        # full id-SET equality per batch, not just counts — a serving
+        # bug that swaps which of two colliding docs is dropped must
+        # fail here, matching the claim the recorded row makes
         assert served_survivors == inline_survivors, (
             served_survivors,
             inline_survivors,
@@ -1117,7 +1120,7 @@ def _dedup_serving_evidence(spark, n: int) -> dict:
         out["inline_batch_s"] = inline_s
         out["index_batch_s"] = served_s
         out["index_append_s"] = append_s
-        out["survivors_per_batch"] = served_survivors
+        out["survivors_per_batch"] = [len(ids) for ids in served_survivors]
     finally:
         shutil.rmtree(syn_dir, ignore_errors=True)
     return out
