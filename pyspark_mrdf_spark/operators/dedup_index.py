@@ -259,3 +259,44 @@ def append_dedup_index(
         os.path.join(path, "buckets")
     )
     postings.write.mode("append").parquet(os.path.join(path, "postings"))
+
+
+def dedup_index_stats(index: DedupIndex) -> DataFrame:
+    """Per-band occupancy stats of the stored LSH bucket table — THE
+    health monitor of a deployed dedup index (q105's occupancy monitor
+    is the ANN twin): (band, n_docs, n_buckets, max_bucket,
+    hot_buckets, cand_pairs, occupancy_e6), all exact integers.
+
+    ``cand_pairs`` = Σ sz·(sz−1)/2 over a band's buckets is the number
+    of candidate pairs that band generates — the quantity that
+    explodes when banding saturates (the q79 16-bit degeneration:
+    bucket space too small → every bucket hot → candidates approach
+    all-pairs). A deployment watches cand_pairs/n_docs and max_bucket
+    per band and either widens the bucket space, adds a ``max_df``-style
+    hot-bucket stoplist, or re-bands when they drift. Reads ONLY the
+    stored bucket table (never text or postings); two equi-key
+    aggregations, no joins."""
+    sizes = index.buckets.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        sizes.groupBy("band")
+        .agg(
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("sz").cast("bigint").alias("max_bucket"),
+            F.sum(F.when(F.col("sz") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("hot_buckets"),
+            F.sum(F.expr("sz * (sz - 1) DIV 2")).cast("bigint").alias("cand_pairs"),
+        )
+        .select(
+            F.col("band").cast("bigint").alias("band"),
+            "n_docs",
+            "n_buckets",
+            "max_bucket",
+            "hot_buckets",
+            "cand_pairs",
+            F.expr("n_docs * 1000000 DIV n_buckets").alias("occupancy_e6"),
+        )
+    )

@@ -1005,3 +1005,52 @@ def q122_persisted_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dedup_against_index(
         copies.unionByName(novel), idx, threshold=0.5
     ).select("doc_id")
+
+
+@register(
+    "q123_dedup_index_stats",
+    driver=False,  # registered late r8; rotation owed next round (operator proven by the pytest oracle gate)
+    oracle=f"""
+WITH post AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+sig AS (
+  SELECT doc_id,
+         [min(md5('0:' || shingle)), min(md5('1:' || shingle)),
+          min(md5('2:' || shingle)), min(md5('3:' || shingle)),
+          min(md5('4:' || shingle)), min(md5('5:' || shingle)),
+          min(md5('6:' || shingle)), min(md5('7:' || shingle))] AS signature
+  FROM post GROUP BY doc_id),
+buckets AS (
+  SELECT doc_id, band, md5(array_to_string(signature[band*2+1:band*2+2], '|')) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest([0,1,2,3]) AS band)),
+sizes AS (
+  SELECT band, bucket, COUNT(*) AS sz FROM buckets GROUP BY 1, 2)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(SUM(sz) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(sz) AS BIGINT) AS max_bucket,
+       CAST(SUM(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS hot_buckets,
+       CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs,
+       CAST(SUM(sz) * 1000000 // COUNT(*) AS BIGINT) AS occupancy_e6
+FROM sizes GROUP BY band
+""",
+    description=(
+        "dedup-index occupancy monitoring (operators/dedup_index."
+        "dedup_index_stats — the LSH twin of q105's ANN-cell monitor): "
+        "per-band bucket counts, max bucket size, hot-bucket count, and "
+        "candidate-pair mass Σ sz·(sz−1)/2 over the STORED q122 index — "
+        "the numbers a deployment watches for banding saturation (q79's "
+        "degeneration mode) to trigger a stoplist or re-band; reads only "
+        "the stored bucket table, two equi-key aggs, exact integers; "
+        "oracle replays bucket derivation from the corpus text"
+    ),
+    tags=("dedup", "lsh", "monitoring", "pipeline"),
+)
+def q123_dedup_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.dedup_index import (
+        dedup_index_stats,
+        read_dedup_index,
+    )
+
+    idx = read_dedup_index(spark, _dedup_index_path(spark, sf_dir))
+    return dedup_index_stats(idx)
