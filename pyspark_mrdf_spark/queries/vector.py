@@ -1130,3 +1130,31 @@ def q119_prefix_dim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_dim_search(
         queries, emb, 5, d_prefix=16, k_candidates=40, include_self=False
     ).select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))
+
+
+@register(
+    "q124_graph_ann_search",
+    driver=False,  # registered late r8; iterative beam search — recall/invariance laws in tests/test_graph_search.py
+    oracle=None,  # iterative graph walk (rounds decided by data) — not SQL-expressible; rows-only driver check + pytest recall gate
+    description=(
+        "graph-based ANN SERVING (operators/graph_search.graph_knn_search "
+        "— the serving half of the flagship's graph-index architecture: "
+        "MRDF/q55 builds the proximity graph, this walks it): batched "
+        "beam search where every query advances one hop per round, so "
+        "corpus passes = graph diameter (not n_queries) and each round "
+        "is two broadcast equi-joins (combined frontier vs adjacency, "
+        "then vs vectors) — graph and corpus never shuffle; md5-seeded "
+        "entry points, id tie-breaks, measured recall ≥0.9 at beam 32 "
+        "over the degree-10 exact graph (tests/test_graph_search.py)"
+    ),
+    tags=("vector", "knn", "graph", "ann", "serving"),
+)
+def q124_graph_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.graph_search import graph_knn_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    graph = _exact_graph(spark, sf_dir).select("src", "dst")
+    queries = emb.filter(F.col("vec_id") % 17 == 0)
+    return graph_knn_search(queries, graph, emb, k=5, beam=32).select(
+        "src", "dst", F.col("rnk").cast("bigint").alias("rnk")
+    )

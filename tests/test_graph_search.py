@@ -1,0 +1,76 @@
+"""Graph-based ANN serving (beam search over a kNN graph): recall vs
+exact search, partitioning invariance, beam-dial monotonicity, and the
+disconnected-graph cap."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspark_mrdf_spark.io import load_table
+from pyspark_mrdf_spark.operators.graph_search import graph_knn_search
+from pyspark_mrdf_spark.operators.similarity import knn_exact_blocked, knn_search
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").localCheckpoint(eager=True)
+
+
+@pytest.fixture(scope="module")
+def graph(spark, emb):
+    # the build half: a degree-10 exact kNN graph (what knn_graph/MRDF
+    # approximates at scale)
+    return (
+        knn_exact_blocked(emb, 10).select("src", "dst").localCheckpoint(eager=True)
+    )
+
+
+def _recall(got, want):
+    g = {}
+    for r in got:
+        g.setdefault(r["src"], set()).add(r["dst"])
+    w = {}
+    for r in want:
+        w.setdefault(r["src"], set()).add(r["dst"])
+    hits = sum(len(g.get(s, set()) & ds) for s, ds in w.items())
+    return hits / sum(len(ds) for ds in w.values())
+
+
+def test_graph_search_recall_vs_exact(spark, emb, graph):
+    queries = emb.filter(F.col("vec_id") < 20)
+    got = graph_knn_search(queries, graph, emb, k=5, beam=32).collect()
+    want = knn_search(queries, emb, 5).collect()
+    assert len({r["src"] for r in got}) == 20
+    for r in got:
+        assert 1 <= r["rnk"] <= 5
+    r = _recall(got, want)
+    assert r >= 0.9, f"graph-serving recall {r} below bar"
+
+
+def test_graph_search_partitioning_invariant(spark, emb, graph):
+    queries = emb.filter(F.col("vec_id") < 8)
+    a = graph_knn_search(queries, graph, emb, k=5, beam=16).collect()
+    b = graph_knn_search(
+        queries.repartition(7), graph.repartition(13), emb.repartition(5), k=5, beam=16
+    ).collect()
+    key = lambda r: (r["src"], r["rnk"])
+    assert sorted(((r["src"], r["rnk"], r["dst"]) for r in a)) == sorted(
+        ((r["src"], r["rnk"], r["dst"]) for r in b)
+    )
+
+
+def test_graph_search_beam_dial(spark, emb, graph):
+    """Recall is non-decreasing in beam on this corpus (the dial the
+    docstring sells)."""
+    queries = emb.filter(F.col("vec_id") < 12)
+    want = knn_search(queries, emb, 5).collect()
+    r_small = _recall(graph_knn_search(queries, graph, emb, 5, beam=5).collect(), want)
+    r_big = _recall(graph_knn_search(queries, graph, emb, 5, beam=48).collect(), want)
+    assert r_big >= r_small
+    assert r_big >= 0.9
+
+
+def test_graph_search_rejects_bad_beam(spark, emb, graph):
+    with pytest.raises(ValueError, match="beam >= k"):
+        graph_knn_search(emb.limit(1), graph, emb, k=5, beam=3)
