@@ -46,7 +46,7 @@ def graph_knn_search(
     corpus: DataFrame,
     k: int,
     beam: int = 32,
-    n_entry: int = 4,
+    n_entry: int | None = None,
     max_rounds: int = 12,
     seed: int = 13,
     id_col: str = "vec_id",
@@ -59,10 +59,27 @@ def graph_knn_search(
     the same contract as ``knn_search``, served from the graph index
     instead of a corpus scan. Recall is bought with ``beam`` (and the
     graph's quality); candidates are only ever graph neighbors of
-    visited nodes, so a too-small ``beam`` or a disconnected graph
-    caps recall — measured dials in tests/test_graph_search.py."""
+    visited nodes, so a too-small ``beam`` caps recall — measured
+    dials in tests/test_graph_search.py.
+
+    CONNECTIVITY is the flat-graph failure mode: a kNN graph of a
+    clustered corpus is a pile of per-cluster components (measured:
+    the 250-cluster d=512 mixture gives recall 0.0 from 4 entry
+    points — no walk crosses clusters). Graph-index deployments fix
+    this with long-range edges (DiskANN RobustPrune), a hierarchy
+    (HNSW), or ENTRY SEEDING; this operator takes the seeding route:
+    ``n_entry=None`` (default) auto-sizes to max(4, ⌈√n_corpus⌉)
+    md5-seeded entries — the same O(√n) rule as ``auto_n_centroids``
+    — which covers every Θ(√n)-sized component w.h.p. (one count job,
+    matching ``knn_search``'s tier-routing count; the planted-cluster
+    law in tests/test_graph_search.py pins both the failure and the
+    fix)."""
     if k < 1 or beam < k:
         raise ValueError(f"graph_knn_search: need beam >= k >= 1, got k={k}, beam={beam}")
+    if n_entry is None:
+        import math
+
+        n_entry = max(4, math.isqrt(max(corpus.count() - 1, 0)) + 1)
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("_qvec")
     ).localCheckpoint(eager=False)

@@ -174,6 +174,10 @@ def main() -> None:
     # batch at (--synthetic-n, --synthetic-d), with BQ measured at two
     # candidate budgets so the recall/budget dial is in the row
     bq_serving_only = "--bq-serving-only" in argv
+    # --graph-serving-only: ONLY the graph-ANN serving row — batched
+    # beam search over a prebuilt kNN graph (q124) vs the exact scan
+    # for one query batch at (--synthetic-n, --synthetic-d)
+    graph_serving_only = "--graph-serving-only" in argv
     # --dedup-serving-only: ONLY the persisted-dedup-index serving row —
     # the daily ingest loop (3 batches) run inline (corpus-side LSH
     # state recomputed per batch) vs served off a train-once stored
@@ -213,6 +217,7 @@ def main() -> None:
             "--uniform", "--uniform-tuned", "--uniform-tuned-only", "--grid-only",
             "--mixture-only", "--sq8-only", "--serving-only", "--dedup-only",
             "--pagerank-only", "--bq-serving-only", "--dedup-serving-only",
+            "--graph-serving-only",
         )
     ]
     # the -only modes run exactly one section; any other argument or
@@ -224,6 +229,7 @@ def main() -> None:
         ("--serving-only", serving_only), ("--dedup-only", dedup_only),
         ("--pagerank-only", pagerank_only), ("--bq-serving-only", bq_serving_only),
         ("--dedup-serving-only", dedup_serving_only),
+        ("--graph-serving-only", graph_serving_only),
     ) if on]
     if only_modes and argv:
         sys.exit("error: the -only modes ignore sf arguments; drop one side")
@@ -231,10 +237,10 @@ def main() -> None:
     # anywhere else they'd be consumed and silently dead — the exact
     # wrong-provenance hazard the sf-list guard below rejects (a row
     # measured at the defaults while its flags claim otherwise)
-    if saw_d_flag and not (serving_only or bq_serving_only):
+    if saw_d_flag and not (serving_only or bq_serving_only or graph_serving_only):
         sys.exit(
             "error: --synthetic-d only applies to --serving-only/"
-            "--bq-serving-only; drop the flag or run those modes"
+            "--bq-serving-only/--graph-serving-only; drop the flag or run those modes"
         )
     if not serving_only and serving_ivfpq:
         flag_of = {
@@ -248,7 +254,7 @@ def main() -> None:
         )
     if len(only_modes) > 1:
         sys.exit(f"error: {' and '.join(only_modes)} each run exactly one section; pick one")
-    if (grid_only or sq8_only or mixture_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only) and (include_uniform or include_uniform_tuned):
+    if (grid_only or sq8_only or mixture_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only) and (include_uniform or include_uniform_tuned):
         sys.exit(f"error: {only_modes[0]} runs only its own point; drop the uniform flags")
     if tuned_only and include_uniform:
         sys.exit("error: --uniform-tuned-only runs only the tuned point; drop the other flags")
@@ -257,9 +263,9 @@ def main() -> None:
     # silently dead in that mode, so reject the combination outright
     run_synthetic = (not argv or tuned_only or mixture_only) and not (
         grid_only or sq8_only or serving_only or dedup_only or pagerank_only
-        or bq_serving_only or dedup_serving_only
+        or bq_serving_only or dedup_serving_only or graph_serving_only
     )
-    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only) and (
+    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only) and (
         include_uniform or include_uniform_tuned or saw_synthetic_flag
     ):
         sys.exit(
@@ -390,6 +396,10 @@ def main() -> None:
 
     if dedup_serving_only:
         points.append(_dedup_serving_evidence(spark, synthetic_n))
+        print(f"[scalability] {points[-1]}", file=sys.stderr)
+
+    if graph_serving_only:
+        points.append(_graph_serving_evidence(spark, synthetic_n, synthetic_d))
         print(f"[scalability] {points[-1]}", file=sys.stderr)
 
     print(json.dumps({"metric": "scalability_sweep", "points": points}))
@@ -1121,6 +1131,81 @@ def _dedup_serving_evidence(spark, n: int) -> dict:
         out["index_batch_s"] = served_s
         out["index_append_s"] = append_s
         out["survivors_per_batch"] = [len(ids) for ids in served_survivors]
+    finally:
+        shutil.rmtree(syn_dir, ignore_errors=True)
+    return out
+
+
+
+def _graph_serving_evidence(spark, n: int, d: int) -> dict:
+    """Measure graph-ANN serving (q124's batched beam search) against
+    the exact scan for one query batch at design size: build the
+    degree-10 exact graph once (timed — the index-build cost MRDF
+    approximates at scale), then serve a 100-query batch both ways and
+    record walls + recall. Recorded honestly whichever way it lands:
+    on a single box Spark cannot point-read the corpus, so each beam
+    round re-scans the (columnar) vector table — the regime where the
+    graph walk wins outright is a deployment whose corpus is bucketed
+    by id (round joins prune to touched buckets) or sharded across
+    executors' memory, while the measured local value is the round
+    count: corpus passes = graph diameter for the WHOLE batch."""
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.operators.graph_search import graph_knn_search
+    from pyspark_mrdf_spark.operators.similarity import knn_exact_blocked, knn_search
+
+    syn_dir = "/root/repo/.scalability_synth_gsrv"
+    out: dict = {"sf": f"synthetic-{n}x{d}-graph-serving", "n": n, "d": d,
+                 "batch_queries": 100, "k": 5, "beam": 32}
+    try:
+        _write_synthetic(syn_dir, n, d=d)
+        emb = (
+            spark.read.parquet(os.path.join(syn_dir, "embeddings.parquet"))
+            .repartition(2 * spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True)
+        )
+        t0 = time.time()
+        graph = (
+            knn_exact_blocked(emb, 10).select("src", "dst").localCheckpoint(eager=True)
+        )
+        out["graph_build_s"] = round(time.time() - t0, 2)
+
+        queries = emb.filter(F.col("vec_id") < 100).localCheckpoint(eager=True)
+        exact_s, want = [], None
+        for _ in range(2):
+            t0 = time.time()
+            want = knn_search(queries, emb, 5).localCheckpoint(eager=True)
+            want.count()
+            exact_s.append(round(time.time() - t0, 2))
+        out["exact_batch_s"] = exact_s
+
+        w = {}
+        for r in want.collect():
+            w.setdefault(r["src"], set()).add(r["dst"])
+
+        def _run_graph(n_entry, key):
+            graph_s, got = [], None
+            for _ in range(2):
+                t0 = time.time()
+                got = graph_knn_search(
+                    queries, graph, emb, 5, beam=32, n_entry=n_entry
+                ).localCheckpoint(eager=True)
+                got.count()
+                graph_s.append(round(time.time() - t0, 2))
+            g = {}
+            for r in got.collect():
+                g.setdefault(r["src"], set()).add(r["dst"])
+            hits = sum(len(g.get(s_, set()) & ds) for s_, ds in w.items())
+            out[f"graph_batch_s{key}"] = graph_s
+            out[f"graph_recall{key}"] = round(
+                hits / sum(len(ds) for ds in w.values()), 4
+            )
+
+        # the entry-seeding dial: auto = max(4, ceil(sqrt n)) covers
+        # ~1-exp(-sqrt(n)/n_components) of a clustered corpus's graph
+        # components; 1024 covers ~98% of this corpus's 250
+        _run_graph(None, "")
+        _run_graph(1024, "_e1024")
     finally:
         shutil.rmtree(syn_dir, ignore_errors=True)
     return out

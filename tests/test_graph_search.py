@@ -74,3 +74,35 @@ def test_graph_search_beam_dial(spark, emb, graph):
 def test_graph_search_rejects_bad_beam(spark, emb, graph):
     with pytest.raises(ValueError, match="beam >= k"):
         graph_knn_search(emb.limit(1), graph, emb, k=5, beam=3)
+
+
+def test_graph_search_entry_seeding_bridges_components(spark):
+    """The flat-graph connectivity law: a kNN graph of two far-apart
+    clusters is two components; ONE entry point strands every query
+    whose cluster the entry missed (recall ~0.5 across a query set
+    drawn from both), while the auto O(sqrt n) seeding reaches both.
+    Pins both the failure mode and the fix the docstring claims."""
+    import numpy as np
+
+    n_half, d = 100, 8
+    rng = np.random.RandomState(3)
+    a = rng.randn(n_half, d).astype("float32")
+    b = rng.randn(n_half, d).astype("float32") + 1000.0  # far cluster
+    rows = [
+        (int(i), [float(v) for v in vec])
+        for i, vec in enumerate(np.vstack([a, b]))
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).localCheckpoint(eager=True)
+    graph = knn_exact_blocked(emb, 5).select("src", "dst").localCheckpoint(eager=True)
+    queries = emb.filter((F.col("vec_id") < 5) | (F.col("vec_id") >= n_half * 2 - 5))
+    want = knn_search(queries, emb, 3).collect()
+
+    one_entry = graph_knn_search(queries, graph, emb, 3, beam=8, n_entry=1).collect()
+    r_one = _recall(one_entry, want)
+    assert r_one <= 0.55, f"one entry point should strand a cluster, recall={r_one}"
+
+    auto = graph_knn_search(queries, graph, emb, 3, beam=8).collect()  # n_entry=None
+    r_auto = _recall(auto, want)
+    assert r_auto >= 0.9, f"auto entry seeding should bridge both clusters, recall={r_auto}"
