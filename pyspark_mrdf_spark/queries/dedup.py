@@ -1054,3 +1054,65 @@ def q123_dedup_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = read_dedup_index(spark, _dedup_index_path(spark, sf_dir))
     return dedup_index_stats(idx)
+
+
+@register(
+    "q125_persisted_exact_dedup",
+    driver=False,  # registered late r8; rotation owed next round (operator proven by the pytest oracle gate + roundtrip tests)
+    oracle="""
+WITH batch AS (
+  SELECT doc_id + 600000 AS doc_id, text FROM documents
+  WHERE doc_id >= 30 AND doc_id < 40
+  UNION ALL
+  SELECT doc_id + 700000 AS doc_id, text || ' novelsuffix' AS text
+  FROM documents WHERE doc_id >= 130 AND doc_id < 140
+  UNION ALL
+  SELECT 800000 AS doc_id, text || ' novelsuffix2' AS text
+  FROM documents WHERE doc_id = 130
+  UNION ALL
+  SELECT 800001 AS doc_id, text || ' novelsuffix2' AS text
+  FROM documents WHERE doc_id = 130),
+fp AS (SELECT doc_id, md5(text) AS fp FROM batch),
+first AS (SELECT fp, MIN(doc_id) AS doc_id FROM fp GROUP BY fp),
+corpus_fp AS (SELECT DISTINCT md5(text) AS fp FROM documents)
+SELECT b.doc_id, b.text
+FROM batch b
+JOIN fp USING (doc_id)
+JOIN first ON first.fp = fp.fp AND first.doc_id = b.doc_id
+LEFT JOIN corpus_fp ON corpus_fp.fp = fp.fp
+WHERE corpus_fp.fp IS NULL
+""",
+    description=(
+        "PERSISTED-INDEX exact dedup serving (operators/dedup_index."
+        "dedup_against_index — q122's exact-tier sibling): the batch "
+        "probes the STORED 16 B/doc fingerprint set (fps/ of the q122 "
+        "index; corpus text never read, the join ships md5 keys only), "
+        "exact copies drop, suffixed variants survive, and the in-batch "
+        "lowest-id-wins rule is under the hash verdict via two planted "
+        "in-batch duplicates (800000 kept, 800001 dropped)"
+    ),
+    tags=("dedup", "incremental", "pipeline"),
+)
+def q125_persisted_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.dedup_index import (
+        dedup_against_index,
+        read_dedup_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 40)).select(
+        (F.col("doc_id") + 600000).alias("doc_id"), "text"
+    )
+    novel = d.filter((F.col("doc_id") >= 130) & (F.col("doc_id") < 140)).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" novelsuffix")).alias("text"),
+    )
+    src = d.filter(F.col("doc_id") == 130).select(
+        F.concat(F.col("text"), F.lit(" novelsuffix2")).alias("text")
+    )
+    in_batch_dups = src.select(F.lit(800000).cast("long").alias("doc_id"), "text").unionByName(
+        src.select(F.lit(800001).cast("long").alias("doc_id"), "text")
+    )
+    batch = copies.unionByName(novel).unionByName(in_batch_dups)
+    idx = read_dedup_index(spark, _dedup_index_path(spark, sf_dir))
+    return dedup_against_index(batch, idx)
