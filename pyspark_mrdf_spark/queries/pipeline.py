@@ -933,3 +933,72 @@ def q113_pagerank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         scale=_PR_SCALE,
     )
     return ranks.select(F.col("node").alias("doc_id"), F.col("p").alias("rank_e12"))
+
+
+# --- q126: per-domain quality caps -----------------------------------------
+#
+# The Common-Crawl-pipeline op (RefinedWeb/FineWeb "URL dedup + per-domain
+# limits"): a handful of giant domains dominate a crawl, so the mix keeps at
+# most DOMAIN_CAP docs per domain, the BEST ones by a quality key. `source`
+# stands in for the registrable domain (the testdata has no URL column; at
+# ingest the domain would come from one `parse_url` projection).
+
+DOMAIN_CAP = 10
+_DOMAIN_SALTS = 4
+
+
+@register(
+    "q126_domain_caps",
+    driver=False,  # registered r8 after the 50-slot surface froze for the round
+    oracle=f"""
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS domain_rank
+  FROM documents)
+SELECT doc_id, source, n_chars, CAST(domain_rank AS BIGINT) AS domain_rank
+FROM r WHERE domain_rank <= {DOMAIN_CAP}
+""",
+    description=(
+        f"per-domain cap: keep the top {DOMAIN_CAP} docs per source by "
+        "quality key (n_chars DESC, doc_id tie-break) — the crawl-mix "
+        "anti-domination rule, computed as a salted two-stage top-k so a "
+        "single giant domain never lands in one task"
+    ),
+    tags=("pipeline", "window", "dedup"),
+)
+def q126_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every domain's contribution to the training mix at
+    DOMAIN_CAP docs, keeping the highest-quality ones.
+
+    Scale shape: a plain per-source window is exact but serializes a
+    hot domain into one task (a crawl's biggest domain is millions of
+    rows). Two-stage instead: stage 1 ranks within (source, salt) —
+    _DOMAIN_SALTS tasks per domain — and keeps each bucket's top CAP,
+    a provable superset of the true top CAP (any globally-kept row is
+    within its own bucket's top CAP); stage 2 re-ranks survivors
+    (<= SALTS*CAP rows per domain) for exact final ranks. Both windows
+    are partitioned — never a global sort — and the stage-2 input is
+    O(domains * SALTS * CAP), independent of corpus size. The salt is
+    md5-derived from doc_id, so the plan is deterministic under any
+    partitioning.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    salt = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(_DOMAIN_SALTS),
+    )
+    order = (F.col("n_chars").desc(), F.col("doc_id"))
+    w1 = Window.partitionBy("source", "salt").orderBy(*order)
+    w2 = Window.partitionBy("source").orderBy(*order)
+    survivors = (
+        d.select("doc_id", "source", "n_chars", salt.alias("salt"))
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= DOMAIN_CAP)
+        .drop("r1", "salt")
+    )
+    return (
+        survivors.withColumn("domain_rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("domain_rank") <= DOMAIN_CAP)
+    )

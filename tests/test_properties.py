@@ -261,3 +261,51 @@ def test_pq_adc_equals_decoded_distance():
         tbl = ((q[:, None, m * 8 : (m + 1) * 8] - cb[m][None, :, :]) ** 2).sum(axis=2)
         adc += tbl[:, codes[:, m]]
     assert np.allclose(adc, exact_to_decoded, rtol=1e-12, atol=1e-9)
+
+
+def test_domain_caps_two_stage_equals_plain_window_on_skew(spark):
+    # The salted two-stage top-k (q126) must equal the single-window
+    # rank exactly, including on the adversarial input it exists for:
+    # one domain holding almost every row. Built directly on a skewed
+    # in-memory frame (not sf data) so the hot-domain path is the one
+    # exercised; ties in the quality key included (n_chars repeats).
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.queries.pipeline import DOMAIN_CAP
+
+    rows = [(i, "hot.example" if i % 50 else f"cold{i}", (i * 7) % 13) for i in range(600)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+    # Replay the registered builder's two-stage body on this frame
+    # with the same constants (the builder itself is sf_dir-bound).
+    salt = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(4),
+    )
+    order = (F.col("n_chars").desc(), F.col("doc_id"))
+    w1 = Window.partitionBy("source", "salt").orderBy(*order)
+    w2 = Window.partitionBy("source").orderBy(*order)
+    two_stage = (
+        d.select("doc_id", "source", "n_chars", salt.alias("salt"))
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= DOMAIN_CAP)
+        .drop("r1", "salt")
+        .withColumn("domain_rank", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("domain_rank") <= DOMAIN_CAP)
+    )
+    plain = (
+        d.withColumn(
+            "domain_rank",
+            F.row_number().over(Window.partitionBy("source").orderBy(*order)).cast("bigint"),
+        )
+        .filter(F.col("domain_rank") <= DOMAIN_CAP)
+        .select("doc_id", "source", "n_chars", "domain_rank")
+    )
+    got = sorted(map(tuple, two_stage.collect()))
+    want = sorted(map(tuple, plain.collect()))
+    assert got == want
+    # the hot domain is actually capped
+    hot = [t for t in got if t[1] == "hot.example"]
+    assert len(hot) == DOMAIN_CAP
