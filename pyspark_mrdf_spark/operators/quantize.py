@@ -1622,6 +1622,67 @@ def append_ivfpq_index(
     ).write.mode("append").partitionBy("cell").parquet(os.path.join(path, "codes"))
 
 
+def _assert_same_params(
+    kind: str, keys: tuple[str, ...], params: list[dict], paths: list[str]
+) -> None:
+    """Mergeability gate: shard indexes must carry BIT-IDENTICAL frozen
+    params — a merged code table is only meaningful if every byte was
+    produced by the same quantizer/codebooks."""
+    p0, path0 = params[0], paths[0]
+    for p_, path_ in zip(params[1:], paths[1:]):
+        for k in keys:
+            if not np.array_equal(p0[k], p_[k]):
+                raise ValueError(
+                    f"merge_{kind}_indexes: '{k}' differs between "
+                    f"{path0} and {path_} — shards must be encoded with "
+                    "the same frozen params (train once, encode per shard)"
+                )
+
+
+def merge_sq8_indexes(spark, src_paths: list[str], dst_path: str) -> None:
+    """Merge shard-built SQ8 indexes into one serving index — the
+    scale-out build pattern ``append_sq8_index`` cannot express: N
+    encode jobs run in PARALLEL (each writing its own shard index from
+    the same frozen quantizer — parquet has no concurrent appenders),
+    then one merge unions the code tables. Because every shard encoded
+    with bit-identical (mn, mx) (gated here), the merged index is
+    row-identical to a single build over the union corpus.
+
+    A single-source merge (``src_paths=[p]``) is COMPACTION: it folds
+    any ``stream_codes/`` deltas a streaming appender committed into
+    one base ``codes/`` table (``read_sq8_index`` reads both), so a
+    long-streamed index stops paying the many-small-files scan tax.
+
+    Caller contract: shard id spaces are disjoint (same rule as
+    append). The merge itself never touches vectors — it moves only
+    1 B/dim codes, so merging a 100 TB corpus's index moves ~d/264ths
+    of the corpus bytes once."""
+    params = [_read_params(p) for p in src_paths]
+    _assert_same_params("sq8", ("mn", "mx"), params, src_paths)
+    codes = None
+    for p in src_paths:
+        _, _, c = read_sq8_index(spark, p)
+        codes = c if codes is None else codes.unionByName(c)
+    write_sq8_index(dst_path, params[0]["mn"], params[0]["mx"], codes)
+
+
+def merge_ivfpq_indexes(spark, src_paths: list[str], dst_path: str) -> None:
+    """Merge shard-built IVF-PQ indexes (same frozen coarse centroids +
+    codebooks — gated) into one cell-partitioned serving index. Shard
+    encode jobs parallelize; the merge is one union + partitioned
+    write, and rows land in the SAME cells they occupied per-shard
+    (assignment depends only on the frozen coarse table), so the merged
+    index is row-identical to a single union-corpus build and serving
+    keeps partition-pruning to the probed cells."""
+    params = [_read_params(p) for p in src_paths]
+    _assert_same_params("ivfpq", ("coarse", "codebooks"), params, src_paths)
+    codes = None
+    for p in src_paths:
+        _, _, c = read_ivfpq_index(spark, p)
+        codes = c if codes is None else codes.unionByName(c)
+    write_ivfpq_index(dst_path, params[0]["coarse"], params[0]["codebooks"], codes)
+
+
 def index_cell_stats(spark, path: str) -> DataFrame:
     """Occupancy histogram of a persisted IVF-PQ index: one row per
     coarse cell with its code count plus the corpus-wide skew ratio

@@ -698,3 +698,105 @@ def test_prefix_dim_search_budget_dial_and_contract(spark, sf_dir):
     assert recall(exact, wider_prefix) > r_narrow
     per = wide.groupBy("src").count().agg(SF.min("count"), SF.max("count")).collect()[0]
     assert per[0] == per[1] == 5
+
+
+def test_sq8_index_merge_equals_union_build_and_compacts_stream(spark, sf_dir, tmp_path):
+    # Shard-parallel build: train on shard A, encode shard B with the
+    # SAME frozen quantizer into its own index dir, merge — must serve
+    # bit-identically to one union-corpus build with those params.
+    # A single-source merge must fold streamed deltas (compaction).
+    from pyspark_mrdf_spark.operators.quantize import (
+        build_sq8_index,
+        merge_sq8_indexes,
+        read_sq8_index,
+        sq8_encode,
+        sq8_search_encoded,
+        write_sq8_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < 250)
+    b = emb.filter(F.col("vec_id") >= 250)
+    queries = emb.filter(F.col("vec_id") < 40)
+
+    pa_ = str(tmp_path / "shard_a")
+    pb = str(tmp_path / "shard_b")
+    merged = str(tmp_path / "merged")
+    mn, mx = build_sq8_index(a, pa_)
+    write_sq8_index(pb, mn, mx, sq8_encode(b, mn, mx))
+    merge_sq8_indexes(spark, [pa_, pb], merged)
+
+    mn_m, mx_m, codes_m = read_sq8_index(spark, merged)
+    assert (mn_m == mn).all() and (mx_m == mx).all()
+    assert codes_m.count() == emb.count()
+    got = sq8_search_encoded(
+        queries, codes_m, mn_m, mx_m, emb, 5, k_candidates=40, include_self=False
+    ).collect()
+    want = sq8_search_encoded(
+        queries, sq8_encode(emb, mn, mx), mn, mx, emb, 5,
+        k_candidates=40, include_self=False,
+    ).collect()
+    key = lambda t: (t[0], t[3])
+    assert sorted(map(tuple, got), key=key) == sorted(map(tuple, want), key=key)
+
+    # compaction: plant a stream_codes delta, single-source merge folds it
+    import os
+
+    delta = sq8_encode(b, mn, mx)
+    delta.write.parquet(os.path.join(pa_, "stream_codes", "batch=0"))
+    compacted = str(tmp_path / "compacted")
+    merge_sq8_indexes(spark, [pa_], compacted)
+    _, _, codes_c = read_sq8_index(spark, compacted)
+    assert codes_c.count() == emb.count()
+    assert not os.path.exists(os.path.join(compacted, "stream_codes"))
+    got_c = sq8_search_encoded(
+        queries, codes_c, mn, mx, emb, 5, k_candidates=40, include_self=False
+    ).collect()
+    assert sorted(map(tuple, got_c), key=key) == sorted(map(tuple, want), key=key)
+
+
+def test_ivfpq_index_merge_equals_union_build(spark, sf_dir, tmp_path):
+    import numpy as np
+
+    from pyspark_mrdf_spark.operators.quantize import (
+        build_ivfpq_index,
+        ivfpq_encode,
+        ivfpq_search_encoded,
+        merge_ivfpq_indexes,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < 250)
+    b = emb.filter(F.col("vec_id") >= 250)
+    queries = emb.filter(F.col("vec_id") < 40)
+
+    pa_ = str(tmp_path / "shard_a")
+    pb = str(tmp_path / "shard_b")
+    merged = str(tmp_path / "merged")
+    coarse, cb = build_ivfpq_index(a, pa_, n_centroids=4, n_subspaces=4, n_codes=8)
+    write_ivfpq_index(pb, coarse, cb, ivfpq_encode(b, coarse, cb))
+    merge_ivfpq_indexes(spark, [pa_, pb], merged)
+
+    c_m, cb_m, codes_m = read_ivfpq_index(spark, merged)
+    assert np.array_equal(c_m, coarse) and np.array_equal(cb_m, cb)
+    assert codes_m.count() == emb.count()
+    got = ivfpq_search_encoded(
+        queries, codes_m, c_m, cb_m, emb, 5,
+        n_probe=2, k_candidates=40, include_self=False,
+    ).collect()
+    want = ivfpq_search_encoded(
+        queries, ivfpq_encode(emb, coarse, cb), coarse, cb, emb, 5,
+        n_probe=2, k_candidates=40, include_self=False,
+    ).collect()
+    key = lambda t: (t[0], t[3])
+    assert sorted(map(tuple, got), key=key) == sorted(map(tuple, want), key=key)
+
+    # param-mismatch gate: a shard trained separately must be rejected
+    import pytest as _pytest
+
+    alien = str(tmp_path / "alien")
+    build_ivfpq_index(b, alien, n_centroids=4, n_subspaces=4, n_codes=8, seed=7)
+    with _pytest.raises(ValueError, match="frozen params"):
+        merge_ivfpq_indexes(spark, [pa_, alien], str(tmp_path / "bad"))
