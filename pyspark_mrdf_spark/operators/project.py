@@ -1,0 +1,134 @@
+"""Linear dimensionality reduction for embedding columns.
+
+PCA is the standard pre-index step at corpus scale: a 100 TB embedding
+table at d=768 spends most of its ANN cost moving bytes, and the first
+~1/6th of the PCA spectrum usually carries ~90% of the energy — so the
+production pipeline trains a rotation once on a bounded sample,
+projects every vector (embarrassingly parallel, zero shuffle), and
+builds the index in the reduced space. q119's prefix-dimension search
+is the naive form of the same idea (truncate raw dims); PCA is its
+principled sibling — rotate first so the kept prefix is the
+energy-optimal one.
+
+Determinism contract (the repo-wide rule): training reads an
+md5-ordered bounded sample (same rows on any engine or partitioning,
+the ``ivf_train_centroids`` pattern) through ``pca_components`` — the
+single source of truth for the arithmetic, replayed by oracles on
+DuckDB-loaded rows (q57's technique). The projection kernel
+accumulates over input dims in STRICTLY SEQUENTIAL order, so every
+output coordinate is bit-identical to a left-assoc SQL sum of the same
+terms (see ``_seq_sq_dists`` in operators/quantize.py for why NumPy's
+tree-reducing ``.sum``/``@`` cannot appear on the per-row path).
+
+Reference parity note: the reference engine has no reduction operator;
+this extends the vector family beyond it (same status as the
+quantization ladder, SURVEY.md §2 'beyond the reference').
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pca_components(x: np.ndarray, d_out: int) -> tuple[np.ndarray, np.ndarray]:
+    """(mean, components) from a float64 sample matrix — the single
+    source of truth oracles replay.
+
+    mean: (d,) sample mean. components: (d, d_out) — columns are the
+    top-``d_out`` unit eigenvectors of the sample covariance, ordered
+    by descending eigenvalue, each sign-fixed so its largest-|entry|
+    coordinate is positive (eigenvectors are only defined up to sign;
+    the fix makes the result a function of the data alone).
+
+    Train-time arithmetic (gemm, eigh) may tree-reduce freely: only
+    the RESULT is shared (inlined as literals on the oracle side), so
+    determinism here means "same sample matrix -> same floats in this
+    process", which LAPACK satisfies; the per-row fold discipline
+    applies to the projection kernel, not to training."""
+    x = np.asarray(x, dtype=np.float64)
+    mean = x.mean(axis=0)
+    xc = x - mean
+    cov = (xc.T @ xc) / max(len(x) - 1, 1)
+    w, v = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(w)[::-1][:d_out]
+    comp = v[:, order]
+    for j in range(comp.shape[1]):
+        i = int(np.argmax(np.abs(comp[:, j])))
+        if comp[i, j] < 0:
+            comp[:, j] = -comp[:, j]
+    return mean, comp
+
+
+def pca_train(
+    df: DataFrame,
+    d_out: int,
+    sample_size: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train a PCA rotation on the md5-ordered bounded sample (same
+    rows on any engine/partitioning; collect bounded by construction
+    at sample_size·d floats — the legitimate sample-to-driver training
+    pattern). Returns (mean (d,), components (d, d_out))."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    pdf = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", h)
+        .orderBy("_h")
+        .limit(sample_size)
+        .select(vec_col)
+    ).toPandas()
+    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    return pca_components(x, d_out)
+
+
+def project_kernel(v: np.ndarray, mean: np.ndarray, comp: np.ndarray) -> np.ndarray:
+    """(n, d_out) projection with STRICTLY SEQUENTIAL accumulation over
+    input dims: out_j = fold-left over i of (v_i - mean_i)·comp[i, j] —
+    bit-identical to the oracle's left-assoc SQL sum of the same terms.
+    Starts from the i=0 term (not a 0.0 seed) so a would-be -0.0 result
+    keeps the sign the SQL fold produces."""
+    v = np.asarray(v, dtype=np.float64)
+    acc = (v[:, 0:1] - mean[0]) * comp[0][None, :]
+    for i in range(1, comp.shape[0]):
+        acc = acc + (v[:, i : i + 1] - mean[i]) * comp[i][None, :]
+    return acc
+
+
+def pca_project(
+    df: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_prefix: str = "p",
+) -> DataFrame:
+    """Project every vector onto the trained components — one
+    mapInPandas pass, zero shuffle, O(parameters) closure (d·d_out
+    doubles ride task serialization; at d=768, d_out=128 that's 786 KB
+    — broadcast-free by design). Output: (id, p0..p{d_out-1} double)
+    scalar columns, index- and driver-hash-friendly."""
+    mean = np.asarray(mean, dtype=np.float64)
+    comp = np.asarray(components, dtype=np.float64)
+    d_out = comp.shape[1]
+    out_cols = [f"{out_prefix}{j}" for j in range(d_out)]
+    schema = f"{id_col} long, " + ", ".join(f"{c} double" for c in out_cols)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            v = np.stack(b[vec_col].to_numpy())
+            out = project_kernel(v, mean, comp)
+            res = {id_col: b[id_col].to_numpy()}
+            for j, c in enumerate(out_cols):
+                res[c] = out[:, j]
+            yield pd.DataFrame(res)
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)

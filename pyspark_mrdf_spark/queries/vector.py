@@ -1158,3 +1158,109 @@ def q124_graph_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_knn_search(queries, graph, emb, k=5, beam=32).select(
         "src", "dst", F.col("rnk").cast("bigint").alias("rnk")
     )
+
+
+# --- q127: PCA projection ---------------------------------------------------
+
+_PCA_D_OUT = 8
+_PCA_SAMPLE = 2048
+_PCA_SEED = 42
+
+
+def exact_double_sql(x: float) -> str:
+    """A SQL expression whose DuckDB value is BIT-EXACTLY ``x``.
+
+    Decimal literals are NOT safe transport: this DuckDB build parses
+    e.g. 0.0014979841295280495 one ulp off (measured — repr/'.17g'
+    both land on ...c4 where the double is ...c3), which is why the
+    repo's float oracles historically emit rank/id-only outputs.
+    Mantissa arithmetic sidesteps the parser: x = mant·2^E with mant a
+    53-bit integer (int64→double cast is exact) scaled by exact
+    power-of-two multiplies/divides (never rounded, barring
+    under/overflow — chunked in 2^30 factors to stay in range). This
+    makes float-VALUED oracle outputs hash-checkable, not just
+    float-ranked ones."""
+    import math
+
+    x = float(x)
+    if x == 0.0:
+        # "-0.0" parses to +0.0 in DuckDB (measured); synthesize instead
+        return "(0.0)" if math.copysign(1.0, x) > 0 else "(CAST(-1 AS DOUBLE) * 0.0)"
+    m, e = math.frexp(x)  # x = m * 2^e, 0.5 <= |m| < 1
+    mant = int(m * (1 << 53))
+    exp = e - 53
+    s = f"CAST({mant} AS DOUBLE)"
+    while exp >= 30:
+        s = f"({s} * 1073741824.0)"
+        exp -= 30
+    while exp <= -30:
+        s = f"({s} / 1073741824.0)"
+        exp += 30
+    if exp > 0:
+        s = f"({s} * {(1 << exp)}.0)"
+    if exp < 0:
+        s = f"({s} / {(1 << -exp)}.0)"
+    return f"({s})"
+
+
+def _q127_oracle(sf_dir: str) -> str:
+    """Data-dependent oracle (q57's technique): replay the engine's
+    exact training — md5-ordered bounded sample through the SAME
+    ``pca_components`` NumPy code on DuckDB-loaded rows — then inline
+    the bit-identical (mean, components) via ``exact_double_sql``
+    (decimal literals parse a ulp off in this DuckDB — measured) and
+    mirror the projection kernel's strictly-sequential fold as a
+    left-assoc SQL sum: term i is (embedding[i+1] - mean_i)·comp[i][j],
+    identical elementwise ops in identical order, so every output
+    double is bit-equal and the whole projection is hash-verifiable —
+    the first float-VALUED (not just float-ranked) oracle output in
+    the registry."""
+    import duckdb
+
+    import numpy as np
+
+    from pyspark_mrdf_spark.operators.project import pca_components
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY md5('{_PCA_SEED}:' || CAST(vec_id AS VARCHAR)) "
+        f"LIMIT {_PCA_SAMPLE}"
+    ).fetchall()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    mean, comp = pca_components(x, _PCA_D_OUT)
+    cols = []
+    for j in range(comp.shape[1]):
+        terms = " + ".join(
+            f"(CAST(embedding[{i + 1}] AS DOUBLE) - {exact_double_sql(mean[i])})"
+            f" * {exact_double_sql(comp[i, j])}"
+            for i in range(comp.shape[0])
+        )
+        cols.append(f"({terms}) AS p{j}")
+    return "SELECT vec_id, " + ",\n  ".join(cols) + " FROM embeddings"
+
+
+@register(
+    "q127_pca_project",
+    driver=False,  # registered r8 after the 50-slot surface froze for the round
+    oracle=_q127_oracle,
+    description=(
+        f"PCA dimensionality reduction (operators/project.py): rotation "
+        f"trained once on the md5-ordered {_PCA_SAMPLE}-row sample "
+        f"(pca_components — eigh of the sample covariance, sign-fixed), "
+        f"every vector projected 64->{_PCA_D_OUT} in one zero-shuffle "
+        "mapInPandas pass with a strictly-sequential accumulation over "
+        "input dims, so all projected doubles hash-match the oracle's "
+        "left-assoc sums over inlined literals — the pre-index step a "
+        "100 TB embedding table runs before building its ANN index "
+        "(principled sibling of q119's raw-prefix truncation)"
+    ),
+    tags=("vector", "reduce", "training"),
+)
+def q127_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.project import pca_project, pca_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comp = pca_train(
+        emb, _PCA_D_OUT, sample_size=_PCA_SAMPLE, seed=_PCA_SEED
+    )
+    return pca_project(emb, mean, comp)

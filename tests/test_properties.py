@@ -309,3 +309,56 @@ def test_domain_caps_two_stage_equals_plain_window_on_skew(spark):
     # the hot domain is actually capped
     hot = [t for t in got if t[1] == "hot.example"]
     assert len(hot) == DOMAIN_CAP
+
+
+@given(
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+)
+@settings(max_examples=150, deadline=None)
+def test_exact_double_sql_roundtrips_bit_exact(x):
+    # exact_double_sql must transport ANY finite double into DuckDB
+    # bit-exactly — decimal literals measurably don't (one-ulp parse
+    # errors), which is the whole reason the helper exists.
+    import struct
+
+    import duckdb
+
+    from pyspark_mrdf_spark.queries.vector import exact_double_sql
+
+    got = duckdb.sql(f"SELECT {exact_double_sql(x)} AS v").fetchone()[0]
+    assert struct.pack("<d", got) == struct.pack("<d", x)
+
+
+def test_pca_components_orthonormal_descending_and_kernel_order():
+    import numpy as np
+
+    from pyspark_mrdf_spark.operators.project import (
+        pca_components,
+        project_kernel,
+    )
+
+    rng = np.random.default_rng(11)
+    # anisotropic data: variance concentrated in early directions
+    x = rng.standard_normal((400, 16)) * np.linspace(4, 0.1, 16)[None, :]
+    mean, comp = pca_components(x, 6)
+    # orthonormal columns
+    g = comp.T @ comp
+    assert np.allclose(g, np.eye(6), atol=1e-10)
+    # captured variance is descending across components
+    proj = (x - mean) @ comp
+    var = proj.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-12 for i in range(5))
+    # sign fix: largest-|entry| coordinate of each component is positive
+    for j in range(6):
+        i = int(np.argmax(np.abs(comp[:, j])))
+        assert comp[i, j] > 0
+    # kernel == scalar left fold, bit-exact (the determinism contract)
+    v = x[:3]
+    out = project_kernel(v, mean, comp)
+    for r in range(3):
+        for j in range(6):
+            acc = None
+            for i in range(16):
+                t = (v[r, i] - mean[i]) * comp[i, j]
+                acc = t if acc is None else acc + t
+            assert out[r, j] == acc
