@@ -132,3 +132,79 @@ def pca_project(
             yield pd.DataFrame(res)
 
     return df.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def pca_project_vec(
+    df: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``pca_project`` emitting ONE array<double> column (named
+    ``vec_col``) instead of scalar columns — the shape the search
+    operators consume. Same kernel, same determinism contract."""
+    mean = np.asarray(mean, dtype=np.float64)
+    comp = np.asarray(components, dtype=np.float64)
+    schema = f"{id_col} long, {vec_col} array<double>"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            if not len(b):
+                continue
+            v = np.stack(b[vec_col].to_numpy())
+            out = project_kernel(v, mean, comp)
+            yield pd.DataFrame(
+                {id_col: b[id_col].to_numpy(), vec_col: list(out)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def pca_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    d_out: int = 16,
+    k_candidates: int | None = None,
+    sample_size: int = 2048,
+    seed: int = 42,
+    n_blocks: int = 8,
+    n_query_blocks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+    mean: np.ndarray | None = None,
+    components: np.ndarray | None = None,
+) -> DataFrame:
+    """Two-stage search in the ROTATED truncated space: candidates by
+    exact scan over the d_out-dim PCA projection (d_out/d of the scan
+    bytes and flops, like q119's raw prefix — but the kept dims are
+    the energy-optimal ones, so on anisotropic data the same candidate
+    budget buys strictly more recall; law-tested), then exact
+    full-dimension rerank of candidates only. ``knn_search`` output
+    contract (src, dst, dist_sq, rnk).
+
+    Pass (mean, components) to serve off a frozen rotation (train
+    once, search many — the persisted-index discipline); omit to train
+    on the corpus in-call. Both stages are proven operators (blocked
+    grid scan, shared rerank tail), so grid-cell bounds and
+    candidate-sized rerank are inherited."""
+    from pyspark_mrdf_spark.operators.quantize import _rerank_exact
+    from pyspark_mrdf_spark.operators.similarity import knn_search_blocked
+
+    if k_candidates is None:
+        k_candidates = 8 * k
+    if mean is None or components is None:
+        mean, components = pca_train(
+            corpus, d_out, sample_size=sample_size, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+    qp = pca_project_vec(queries, mean, components, id_col, vec_col)
+    cp = pca_project_vec(corpus, mean, components, id_col, vec_col)
+    cand = knn_search_blocked(
+        qp, cp, k_candidates,
+        n_blocks=n_blocks, n_query_blocks=n_query_blocks,
+        id_col=id_col, vec_col=vec_col, include_self=include_self,
+    ).select("src", "dst")
+    return _rerank_exact(cand, queries, corpus, k, id_col, vec_col)

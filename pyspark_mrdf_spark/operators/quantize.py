@@ -42,7 +42,16 @@ and pins down IVF-PQ's honest tradeoff: 256 cells / probe 32 /
 ADC gathers per candidate. IVF-PQ's measured value is therefore
 index BYTES and scan pruning — the I/O-bound regime where the corpus
 does not fit executor memory and 1/8th of 32 B/row is what gets read
-— not local-mode CPU wall-clock.
+— not local-mode CPU wall-clock. A third, largest-n point
+(synthetic-1000000x64-serving, r8) closes the sweep: SQ8 keeps its
+win at n=1M (recall 0.9996, warm 11-21 s/batch vs exact 32-72 s),
+and IVF-PQ's two operating points bracket its tradeoff — 6.25% scan
+with small codebooks is SQ8-fast but recall 0.69; buying recall 0.97
+(probe 32, 256-entry books, 1600 cand) costs more than the scan
+fraction saves while the 72 B/row SQ8 table stays RAM-resident.
+Same conclusion at three (n, d) points: SQ8 is the local measured-win
+tier; IVF-PQ is the 3-9× smaller-index tier whose wall-clock win
+needs storage-layer pruning to bite.
 """
 
 from __future__ import annotations

@@ -947,6 +947,41 @@ DOMAIN_CAP = 10
 _DOMAIN_SALTS = 4
 
 
+def capped_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[Column],
+    cap: int,
+    rank_name: str,
+    id_col: str = "doc_id",
+    n_salts: int = _DOMAIN_SALTS,
+) -> DataFrame:
+    """Exact per-key top-``cap`` without a hot-key bottleneck: stage 1
+    ranks within (keys..., md5-salt) and keeps each bucket's top cap —
+    a provable SUPERSET of the true per-key top cap (any globally-kept
+    row is within its own bucket's top cap) spread over ``n_salts``
+    tasks per key; stage 2 re-ranks survivors (<= n_salts*cap rows per
+    key — corpus-size-independent) for exact final ranks. Both windows
+    are partitioned — never a global sort. Shared by q126 (domain
+    caps) and q128 (stratified sampling); the equality-with-plain-
+    window law is pinned on a 90%-one-key input in tests."""
+    salt = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(n_salts),
+    )
+    w1 = Window.partitionBy(*key_cols, "_salt").orderBy(*order_cols)
+    w2 = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= cap)
+        .drop("_r1", "_salt")
+        .withColumn(rank_name, F.row_number().over(w2).cast("bigint"))
+        .filter(F.col(rank_name) <= cap)
+    )
+
+
 @register(
     "q126_domain_caps",
     driver=False,  # registered r8 after the 50-slot surface froze for the round
@@ -971,34 +1006,65 @@ def q126_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cap every domain's contribution to the training mix at
     DOMAIN_CAP docs, keeping the highest-quality ones.
 
-    Scale shape: a plain per-source window is exact but serializes a
-    hot domain into one task (a crawl's biggest domain is millions of
-    rows). Two-stage instead: stage 1 ranks within (source, salt) —
-    _DOMAIN_SALTS tasks per domain — and keeps each bucket's top CAP,
-    a provable superset of the true top CAP (any globally-kept row is
-    within its own bucket's top CAP); stage 2 re-ranks survivors
-    (<= SALTS*CAP rows per domain) for exact final ranks. Both windows
-    are partitioned — never a global sort — and the stage-2 input is
-    O(domains * SALTS * CAP), independent of corpus size. The salt is
-    md5-derived from doc_id, so the plan is deterministic under any
-    partitioning.
+    Scale shape: see ``capped_per_key`` — the shared salted two-stage
+    top-k (a plain per-source window would serialize a million-row hot
+    domain into one task; the helper's stage-2 input is
+    O(domains·SALTS·CAP), corpus-size-independent).
     """
     d = load_table(spark, sf_dir, "documents")
-    salt = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint"),
-        F.lit(_DOMAIN_SALTS),
+    return capped_per_key(
+        d.select("doc_id", "source", "n_chars"),
+        ["source"],
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        DOMAIN_CAP,
+        "domain_rank",
     )
-    order = (F.col("n_chars").desc(), F.col("doc_id"))
-    w1 = Window.partitionBy("source", "salt").orderBy(*order)
-    w2 = Window.partitionBy("source").orderBy(*order)
-    survivors = (
-        d.select("doc_id", "source", "n_chars", salt.alias("salt"))
-        .withColumn("r1", F.row_number().over(w1))
-        .filter(F.col("r1") <= DOMAIN_CAP)
-        .drop("r1", "salt")
-    )
-    return (
-        survivors.withColumn("domain_rank", F.row_number().over(w2).cast("bigint"))
-        .filter(F.col("domain_rank") <= DOMAIN_CAP)
-    )
+
+
+# --- q128: stratified eval-set sampling -------------------------------------
+
+STRATUM_N = 8
+_STRAT_SEED = "evalsplit"
+
+
+@register(
+    "q128_stratified_sample",
+    driver=False,  # registered r8 after the 50-slot surface froze for the round
+    oracle=f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5('{_STRAT_SEED}:' || CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS strat_rank
+  FROM documents)
+SELECT doc_id, lang, CAST(strat_rank AS BIGINT) AS strat_rank
+FROM r WHERE strat_rank <= {STRATUM_N}
+""",
+    description=(
+        f"stratified eval-set sampling: EXACTLY {STRATUM_N} docs per "
+        "language, selected by md5(seed:doc_id) rank — the "
+        "equal-allocation eval-split builder (q71's rate-based mixture "
+        "sampling cannot pin per-stratum counts); deterministic on any "
+        "engine/partitioning, computed with the same salted two-stage "
+        "top-k as q126 so a 99%-one-language corpus still parallelizes"
+    ),
+    tags=("pipeline", "sampling", "window"),
+)
+def q128_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count-per-stratum sample: the eval/calibration-set
+    construction rule (N docs per language, not N·rate±noise).
+
+    The order key is a salted md5 of the id — a deterministic uniform
+    draw, so the sample is unbiased within each stratum, reproducible
+    on any engine, and O(1) state (no reservoir). Scale shape: shared
+    ``capped_per_key`` two-stage top-k — at a web corpus one language
+    is >90% of rows, exactly the hot-key case the salting spreads."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit(f"{_STRAT_SEED}:"), F.col("doc_id").cast("string")))
+    return capped_per_key(
+        d.select("doc_id", "lang", h.alias("_h")),
+        ["lang"],
+        [F.col("_h"), F.col("doc_id")],
+        STRATUM_N,
+        "strat_rank",
+    ).drop("_h")

@@ -1264,3 +1264,90 @@ def q127_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, _PCA_D_OUT, sample_size=_PCA_SAMPLE, seed=_PCA_SEED
     )
     return pca_project(emb, mean, comp)
+
+
+# --- q129: PCA-space two-stage search ---------------------------------------
+
+
+def _q129_oracle(sf_dir: str) -> str:
+    """q127's bit-exact projection replay feeding q119's two-stage rank
+    template: a proj CTE computes the 16 rotated coordinates per vector
+    (same fold, exact_double_sql constants), candidates rank by the
+    left-assoc UN-SQRTED squared distance over those coordinates
+    (sqrt can collapse distinct squared values into one double and
+    flip a tie — the q95-era lesson), rerank by full-dimension
+    distance through the q50-proven (dist, id) rank portability."""
+    import duckdb
+
+    import numpy as np
+
+    from pyspark_mrdf_spark.operators.project import pca_components
+
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY md5('{_PCA_SEED}:' || CAST(vec_id AS VARCHAR)) "
+        f"LIMIT {_PCA_SAMPLE}"
+    ).fetchall()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    mean, comp = pca_components(x, 16)
+    cols = []
+    for j in range(comp.shape[1]):
+        terms = " + ".join(
+            f"(CAST(embedding[{i + 1}] AS DOUBLE) - {exact_double_sql(mean[i])})"
+            f" * {exact_double_sql(comp[i, j])}"
+            for i in range(comp.shape[0])
+        )
+        cols.append(f"({terms}) AS p{j}")
+    proj_cols = ",\n    ".join(cols)
+    d2 = " + ".join(f"(q.p{j} - c.p{j}) * (q.p{j} - c.p{j})" for j in range(16))
+    return f"""
+WITH proj AS (
+  SELECT vec_id,
+    {proj_cols}
+  FROM embeddings)
+SELECT src, dst, rnk FROM (
+  SELECT t.src, t.dst,
+         ROW_NUMBER() OVER (PARTITION BY t.src
+           ORDER BY list_distance(CAST(qe.embedding AS DOUBLE[]),
+                                  CAST(ce.embedding AS DOUBLE[])), t.dst) AS rnk
+  FROM (
+    SELECT src, dst FROM (
+      SELECT q.vec_id AS src, c.vec_id AS dst,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ({d2}), c.vec_id) AS crnk
+      FROM (SELECT * FROM proj WHERE vec_id % 13 = 0) q
+      CROSS JOIN proj c
+      WHERE q.vec_id <> c.vec_id)
+    WHERE crnk <= 40) t
+  JOIN embeddings qe ON qe.vec_id = t.src
+  JOIN embeddings ce ON ce.vec_id = t.dst)
+WHERE rnk <= 5
+"""
+
+
+@register(
+    "q129_pca_prefix_knn",
+    driver=False,  # registered r8 after the 50-slot surface froze for the round
+    oracle=_q129_oracle,
+    description=(
+        "two-stage search in the ROTATED truncated space "
+        "(operators/project.pca_search): exact candidates over the "
+        "16-dim PCA projection — q119's scan-byte savings, but the kept "
+        "dims are the energy-optimal ones, so on anisotropic data the "
+        "same candidate budget buys strictly more recall (law-tested "
+        "against the raw prefix) — then exact full-dim rerank of the "
+        "top-40. Oracle replays training bit-exactly (q127's mantissa "
+        "transport) and ranks candidates by un-sqrted squared distance"
+    ),
+    tags=("vector", "knn", "reduce", "pipeline"),
+)
+def q129_pca_prefix_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.project import pca_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 13 == 0)
+    return pca_search(
+        queries, emb, 5, d_out=16, k_candidates=40,
+        sample_size=_PCA_SAMPLE, seed=_PCA_SEED, include_self=False,
+    ).select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))

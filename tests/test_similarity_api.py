@@ -800,3 +800,43 @@ def test_ivfpq_index_merge_equals_union_build(spark, sf_dir, tmp_path):
     build_ivfpq_index(b, alien, n_centroids=4, n_subspaces=4, n_codes=8, seed=7)
     with _pytest.raises(ValueError, match="frozen params"):
         merge_ivfpq_indexes(spark, [pa_, alien], str(tmp_path / "bad"))
+
+
+def test_pca_search_beats_raw_prefix_on_anisotropic_data(spark):
+    # The reason pca_search exists: when the metric's energy lives in
+    # LATE dimensions, a raw d_prefix slice (q119) is near-blind while
+    # the rotated prefix keeps it. Variance ramps UP with dim index, so
+    # dims 1..16 carry ~nothing; both searches get the same candidate
+    # budget and the same exact rerank.
+    import numpy as np
+
+    from pyspark_mrdf_spark.operators.project import pca_search
+    from pyspark_mrdf_spark.operators.similarity import (
+        knn_search_blocked,
+        prefix_dim_search,
+    )
+
+    rng = np.random.default_rng(5)
+    n, d = 600, 64
+    scales = np.linspace(0.05, 4.0, d)  # energy concentrated in LATE dims
+    x = (rng.standard_normal((n, d)) * scales[None, :]).astype(np.float32)
+    rows = [(int(i), x[i].tolist()) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    emb = emb.localCheckpoint(eager=True)
+    queries = emb.filter("vec_id % 19 = 0")
+
+    exact = knn_search_blocked(queries, emb, 5, include_self=False)
+    truth = {(r["src"], r["dst"]) for r in exact.collect()}
+
+    def rec(df):
+        got = {(r["src"], r["dst"]) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    r_pca = rec(pca_search(queries, emb, 5, d_out=16, k_candidates=40,
+                           include_self=False))
+    r_raw = rec(prefix_dim_search(queries, emb, 5, d_prefix=16,
+                                  k_candidates=40, include_self=False))
+    # rotated prefix keeps nearly everything; raw prefix is near-blind
+    assert r_pca >= 0.9, r_pca
+    assert r_raw <= 0.5, r_raw
+    assert r_pca > r_raw + 0.3, (r_pca, r_raw)
