@@ -524,3 +524,104 @@ def q114_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(nxt, F.lit(_SCD2_OPEN_US)).cast("bigint").alias("valid_to_us"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# --- q130: linear multi-touch attribution -----------------------------------
+
+_ATTR_HOURS = 48
+
+
+@register(
+    "q130_linear_attribution",
+    driver=False,  # registered r8 after the 50-slot surface froze for the round
+    oracle=f"""
+WITH conv AS (
+  SELECT event_id AS conv_id, user_id, ts, value
+  FROM events WHERE event_type = 'purchase'),
+tch AS (
+  SELECT user_id, ts AS click_ts,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 AS channel
+  FROM events WHERE event_type = 'click'),
+pairs AS (
+  SELECT c.conv_id, c.value, t.click_ts, t.channel
+  FROM conv c LEFT JOIN tch t
+    ON c.user_id = t.user_id
+   AND t.click_ts <= c.ts
+   AND t.click_ts >= c.ts - INTERVAL {_ATTR_HOURS} HOUR),
+w AS (
+  SELECT conv_id, value, channel, click_ts,
+         COUNT(click_ts) OVER (PARTITION BY conv_id) AS n_touches
+  FROM pairs)
+SELECT COALESCE(channel, -1) AS channel,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+       CAST(COUNT(click_ts) AS BIGINT) AS n_touches,
+       CAST(SUM(CASE WHEN n_touches = 0 THEN CAST(FLOOR(value * 1000000.0) AS BIGINT)
+                     ELSE CAST(FLOOR((value * 1000000.0) / n_touches) AS BIGINT) END)
+            AS BIGINT) AS credit_e6
+FROM w GROUP BY COALESCE(channel, -1)
+""",
+    description=(
+        f"linear multi-touch attribution: every purchase splits its value "
+        f"equally across ALL the user's clicks in the prior {_ATTR_HOURS}h "
+        "(json-extracted channel), unmatched purchases land in channel -1 "
+        "with full credit — the marketing-warehouse op q28's single-touch "
+        "as-of join cannot express; credits in integer micro-units "
+        "(floor((value*1e6)/n) — one IEEE divide + floor, bit-portable) "
+        "so the per-channel SUM is exact integer arithmetic"
+    ),
+    tags=("events", "join", "window", "agg"),
+)
+def q130_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel linear attribution over a lookback window.
+
+    Scale shape: the touch join is an EQUI-join on user_id (the range
+    predicate filters inside each user's bounded event set — no band
+    join needed because the key is already fine-grained); n_touches is
+    a per-conversion window (one conversion's touches are bounded by
+    one user's activity); the final rollup is a 4-row hash aggregate.
+    Credits are integer micro-units so the sum survives any
+    aggregation order on any engine."""
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"), "user_id", "ts", "value"
+    )
+    tch = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("click_ts"),
+        (F.get_json_object("props", "$.k").cast("bigint") % 3).alias("channel"),
+    )
+    pairs = conv.join(
+        tch,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("click_ts") <= F.col("ts"))
+        & (F.col("click_ts") >= F.col("ts") - F.expr(f"INTERVAL {_ATTR_HOURS} HOURS")),
+        "left",
+    )
+    w = Window.partitionBy("conv_id")
+    scored = pairs.select(
+        "conv_id",
+        "value",
+        "channel",
+        "click_ts",
+        F.count("click_ts").over(w).alias("n_touches"),
+    )
+    credit = F.when(
+        F.col("n_touches") == 0,
+        F.floor(F.col("value") * 1000000.0).cast("bigint"),
+    ).otherwise(
+        F.floor((F.col("value") * 1000000.0) / F.col("n_touches")).cast("bigint")
+    )
+    return (
+        scored.select(
+            F.coalesce(F.col("channel"), F.lit(-1)).alias("channel"),
+            "conv_id",
+            "click_ts",
+            credit.alias("credit"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.countDistinct("conv_id").alias("n_conversions"),
+            F.count("click_ts").alias("n_touches"),
+            F.sum("credit").alias("credit_e6"),
+        )
+    )
