@@ -1576,8 +1576,8 @@ def append_sq8_index(
     the index would simply appear twice — exactly like appending a
     duplicate row to any parquet table). Drift caveat: a frozen
     quantizer clips ingested values outside the trained per-dimension
-    [mn, mx] to the 0/255 codes; monitor with ``index_cell_stats``'s
-    SQ8 sibling (range-violation rate) or retrain on schedule."""
+    [mn, mx] to the 0/255 codes; monitor with ``sq8_drift_stats``
+    (per-dim range-violation rate, q131) or retrain on schedule."""
     import os
 
     p = _read_params(path)
@@ -1629,6 +1629,55 @@ def append_ivfpq_index(
     ivfpq_encode(
         new_vectors, p["coarse"], p["codebooks"], id_col, vec_col
     ).write.mode("append").partitionBy("cell").parquet(os.path.join(path, "codes"))
+
+
+def sq8_drift_stats(
+    batch: DataFrame,
+    mn: np.ndarray,
+    mx: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Range-violation monitor for a FROZEN SQ8 quantizer — the retrain
+    trigger ``append_sq8_index`` promises: ingest values outside the
+    trained per-dimension [mn, mx] clip to the 0/255 codes, so a rising
+    violation rate means the quantizer no longer spans the data and
+    candidate ordering quietly degrades. One row per dimension:
+    (dim 1-based, n_below, n_above, n_values, viol_e6 — the violation
+    fraction in integer millionths).
+
+    Shape: posexplode → broadcast-join the O(d) bounds table → d-key
+    hash aggregate; the only corpus-sized pass moves d partial rows per
+    task (sq8_train's own shape). Counts are integers and the bound
+    comparisons are exact (float32 widened to float64 both sides), so
+    the monitor is hash-verifiable cross-engine — the SQ8 sibling of
+    ``index_cell_stats``."""
+    spark = batch.sparkSession
+    mn = np.asarray(mn, dtype=np.float64)
+    mx = np.asarray(mx, dtype=np.float64)
+    bounds = spark.createDataFrame(
+        [(i + 1, float(mn[i]), float(mx[i])) for i in range(len(mn))],
+        "dim bigint, mn double, mx double",
+    )
+    ex = batch.select(F.posexplode(vec_col).alias("pos", "v")).select(
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    return (
+        ex.join(F.broadcast(bounds), "dim")
+        .groupBy("dim")
+        .agg(
+            F.sum(F.when(F.col("v") < F.col("mn"), 1).otherwise(0))
+            .cast("bigint").alias("n_below"),
+            F.sum(F.when(F.col("v") > F.col("mx"), 1).otherwise(0))
+            .cast("bigint").alias("n_above"),
+            F.count(F.lit(1)).alias("n_values"),
+        )
+        .select(
+            "dim", "n_below", "n_above", "n_values",
+            F.expr("((n_below + n_above) * 1000000) DIV n_values").alias("viol_e6"),
+        )
+    )
 
 
 def _assert_same_params(

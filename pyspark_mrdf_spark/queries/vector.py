@@ -1351,3 +1351,49 @@ def q129_pca_prefix_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, 5, d_out=16, k_candidates=40,
         sample_size=_PCA_SAMPLE, seed=_PCA_SEED, include_self=False,
     ).select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))
+
+
+@register(
+    "q131_sq8_drift_monitor",
+    driver=False,  # registered r8 after the 50-slot surface froze for the round
+    oracle="""
+WITH tr AS (
+  SELECT unnest(generate_series(1, len(embedding))) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings WHERE vec_id < 250),
+bounds AS (
+  SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM tr GROUP BY dim),
+bat AS (
+  SELECT unnest(generate_series(1, len(embedding))) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings WHERE vec_id >= 250)
+SELECT b.dim,
+       CAST(SUM(CASE WHEN t.v < b.mn THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       CAST(SUM(CASE WHEN t.v > b.mx THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST((SUM(CASE WHEN t.v < b.mn THEN 1 ELSE 0 END)
+             + SUM(CASE WHEN t.v > b.mx THEN 1 ELSE 0 END)) * 1000000
+            // COUNT(*) AS BIGINT) AS viol_e6
+FROM bat t JOIN bounds b USING (dim)
+GROUP BY b.dim
+""",
+    description=(
+        "SQ8 quantizer drift monitor (operators/quantize.sq8_drift_stats "
+        "— the retrain trigger append_sq8_index's frozen-quantizer "
+        "caveat promises): per-dimension count of ingest values outside "
+        "the trained [mn, mx] (those clip to the 0/255 codes and degrade "
+        "candidate ordering), violation rate in integer millionths; "
+        "train = vec_id < 250, monitored batch = the rest — the "
+        "index-ops twin of q105's cell-occupancy monitor, exact "
+        "integers under the hash verdict"
+    ),
+    tags=("vector", "quantize", "serving", "monitoring"),
+)
+def q131_sq8_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.quantize import sq8_drift_stats, sq8_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = emb.filter(F.col("vec_id") < 250)
+    batch = emb.filter(F.col("vec_id") >= 250)
+    mn, mx = sq8_train(train)
+    return sq8_drift_stats(batch, mn, mx)
