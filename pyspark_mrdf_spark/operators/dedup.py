@@ -713,6 +713,12 @@ def connected_components_star(
     propagation tier. At the fixpoint the edges form stars around each
     component's minimum id: (node, min) edges plus the roots
     themselves ARE the labeling.
+
+    Measured at graph scale (SCALABILITY.json synthetic-2000000-cc,
+    r8): 2M nodes in 20k chains of length 100 — the diameter-hostile
+    shape — label in 38.5 s on local[32] with every label verified
+    against the closed-form ground truth (0 wrong, exactly 20k
+    clusters).
     """
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))

@@ -1068,3 +1068,89 @@ def q128_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         STRATUM_N,
         "strat_rank",
     ).drop("_h")
+
+
+# --- q132: corpus snapshot diff ----------------------------------------------
+#
+# Dataset versioning's core query: crawl N vs crawl N-1 — what was added,
+# what disappeared, what changed in place. The second snapshot is derived
+# deterministically from the first (drops, in-place edits, additions) so
+# the diff has known ground truth at every scale and both engines build
+# bit-identical inputs.
+
+
+def _snapshot_b(d: DataFrame) -> DataFrame:
+    """Snapshot B: drop doc_id % 10 == 3, edit text where doc_id % 7 == 1
+    (append a revision marker), add new docs (ids shifted by 1e6) for
+    doc_id % 25 == 0."""
+    kept = d.filter(F.col("doc_id") % 10 != 3)
+    edited = kept.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 7 == 1, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    added = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "source",
+        F.concat(F.lit("NEW "), F.col("text")).alias("text"),
+    )
+    return edited.unionByName(added)
+
+
+@register(
+    "q132_corpus_snapshot_diff",
+    driver=False,  # registered r8 after the 50-slot surface froze for the round
+    oracle="""
+WITH a AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+b_kept AS (
+  SELECT doc_id, source,
+         md5(CASE WHEN doc_id % 7 = 1 THEN text || ' [rev2]' ELSE text END) AS fp
+  FROM documents WHERE doc_id % 10 <> 3),
+b_new AS (
+  SELECT doc_id + 1000000 AS doc_id, source, md5('NEW ' || text) AS fp
+  FROM documents WHERE doc_id % 25 = 0),
+b AS (SELECT * FROM b_kept UNION ALL SELECT * FROM b_new),
+d AS (
+  SELECT COALESCE(a.source, b.source) AS source,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.fp <> b.fp THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM d GROUP BY source, status
+""",
+    description=(
+        "corpus snapshot diff (dataset versioning's core query): full "
+        "outer join of two snapshots on doc_id comparing 16-byte text "
+        "fingerprints — never text — classifying added/removed/changed/"
+        "unchanged per source; snapshot B derived deterministically from "
+        "A (10% drops, 1-in-7 in-place edits, 4% additions) so the diff "
+        "is hash-verifiable at every scale"
+    ),
+    tags=("pipeline", "dedup", "join"),
+)
+def q132_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, status) counts of the A→B snapshot delta.
+
+    Scale shape: both sides reduce to (doc_id, source, md5) projections
+    map-side — text bytes never shuffle; the diff is ONE equi-join on
+    doc_id (the natural key) and the rollup a tiny hash aggregate. At
+    crawl scale this is the audit every release pipeline runs before
+    promoting a snapshot (expected-churn gates)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    a = d.select("doc_id", "source", F.md5("text").alias("fp"))
+    b = _snapshot_b(d).select("doc_id", "source", F.md5("text").alias("fp"))
+    a = a.select(F.col("doc_id").alias("a_id"), F.col("source").alias("a_src"), F.col("fp").alias("a_fp"))
+    b = b.select(F.col("doc_id").alias("b_id"), F.col("source").alias("b_src"), F.col("fp").alias("b_fp"))
+    diff = a.join(b, a.a_id == b.b_id, "full_outer").select(
+        F.coalesce(F.col("a_src"), F.col("b_src")).alias("source"),
+        F.when(F.col("a_id").isNull(), F.lit("added"))
+        .when(F.col("b_id").isNull(), F.lit("removed"))
+        .when(F.col("a_fp") != F.col("b_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+    return diff.groupBy("source", "status").agg(F.count(F.lit(1)).alias("n_docs"))
