@@ -1646,12 +1646,20 @@ def sq8_drift_stats(
     (dim 1-based, n_below, n_above, n_values, viol_e6 — the violation
     fraction in integer millionths).
 
-    Shape: posexplode → broadcast-join the O(d) bounds table → d-key
-    hash aggregate; the only corpus-sized pass moves d partial rows per
-    task (sq8_train's own shape). Counts are integers and the bound
-    comparisons are exact (float32 widened to float64 both sides), so
-    the monitor is hash-verifiable cross-engine — the SQ8 sibling of
-    ``index_cell_stats``."""
+    Shape: posexplode → broadcast LEFT-join the O(d) bounds table →
+    d-key hash aggregate; the only corpus-sized pass moves d partial
+    rows per task (sq8_train's own shape). Counts are integers and the
+    bound comparisons are exact (float32 widened to float64 both
+    sides), so the monitor is hash-verifiable cross-engine — the SQ8
+    sibling of ``index_cell_stats``.
+
+    Schema drift is itself a violation: a batch dimension the quantizer
+    was never trained on (batch vectors wider than the index) has no
+    [mn, mx] row — those dims come back with n_above = n_values and
+    viol_e6 = 1000000 rather than silently vanishing from the report
+    (an inner join would hide exactly the drift this monitor exists to
+    catch). Dims the batch never carries simply have no values to
+    violate — absent rows, same as an all-clean narrow batch."""
     spark = batch.sparkSession
     mn = np.asarray(mn, dtype=np.float64)
     mx = np.asarray(mx, dtype=np.float64)
@@ -1664,13 +1672,17 @@ def sq8_drift_stats(
         F.col("v").cast("double").alias("v"),
     )
     return (
-        ex.join(F.broadcast(bounds), "dim")
+        ex.join(F.broadcast(bounds), "dim", "left")
         .groupBy("dim")
         .agg(
             F.sum(F.when(F.col("v") < F.col("mn"), 1).otherwise(0))
             .cast("bigint").alias("n_below"),
-            F.sum(F.when(F.col("v") > F.col("mx"), 1).otherwise(0))
-            .cast("bigint").alias("n_above"),
+            # untrained dim (mn/mx null): every value violates; count it
+            # on the "above" side (the batch runs past the quantizer)
+            F.sum(
+                F.when(F.col("mx").isNull() | (F.col("v") > F.col("mx")), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_above"),
             F.count(F.lit(1)).alias("n_values"),
         )
         .select(
@@ -1697,6 +1709,25 @@ def _assert_same_params(
                 )
 
 
+def _reject_in_place_merge(kind: str, src_paths: list[str], dst_path: str) -> None:
+    """A merge lazily READS every source while WRITING dst — an
+    overlapping dst would overwrite codes mid-read (Spark refuses with
+    an opaque AnalysisException at action time; this fails at call time
+    with the fix spelled out). Local paths are compared canonically;
+    non-local URIs (hdfs://, s3a://) compare as strings."""
+    import os
+
+    def canon(p: str) -> str:
+        return os.path.abspath(p) if "://" not in p else p.rstrip("/")
+
+    clash = [p for p in src_paths if canon(p) == canon(dst_path)]
+    if clash:
+        raise ValueError(
+            f"merge_{kind}_indexes: dst_path {dst_path!r} is also a source — "
+            "merge into a fresh directory, then swap it into place"
+        )
+
+
 def merge_sq8_indexes(spark, src_paths: list[str], dst_path: str) -> None:
     """Merge shard-built SQ8 indexes into one serving index — the
     scale-out build pattern ``append_sq8_index`` cannot express: N
@@ -1712,9 +1743,13 @@ def merge_sq8_indexes(spark, src_paths: list[str], dst_path: str) -> None:
     long-streamed index stops paying the many-small-files scan tax.
 
     Caller contract: shard id spaces are disjoint (same rule as
-    append). The merge itself never touches vectors — it moves only
-    1 B/dim codes, so merging a 100 TB corpus's index moves ~d/264ths
-    of the corpus bytes once."""
+    append), and ``dst_path`` must be a FRESH directory — writing over
+    a source would overwrite ``codes/`` while lazily reading it
+    (guarded here; swap dst into place after the merge commits). The
+    merge itself never touches vectors — it moves only 1 B/dim codes,
+    so merging a 100 TB corpus's index moves ~d/264ths of the corpus
+    bytes once."""
+    _reject_in_place_merge("sq8", src_paths, dst_path)
     params = [_read_params(p) for p in src_paths]
     _assert_same_params("sq8", ("mn", "mx"), params, src_paths)
     codes = None
@@ -1731,7 +1766,9 @@ def merge_ivfpq_indexes(spark, src_paths: list[str], dst_path: str) -> None:
     write, and rows land in the SAME cells they occupied per-shard
     (assignment depends only on the frozen coarse table), so the merged
     index is row-identical to a single union-corpus build and serving
-    keeps partition-pruning to the probed cells."""
+    keeps partition-pruning to the probed cells. Same fresh-``dst_path``
+    contract as ``merge_sq8_indexes`` (guarded)."""
+    _reject_in_place_merge("ivfpq", src_paths, dst_path)
     params = [_read_params(p) for p in src_paths]
     _assert_same_params("ivfpq", ("coarse", "codebooks"), params, src_paths)
     codes = None

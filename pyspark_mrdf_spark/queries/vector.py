@@ -1203,18 +1203,16 @@ def exact_double_sql(x: float) -> str:
     return f"({s})"
 
 
-def _q127_oracle(sf_dir: str) -> str:
-    """Data-dependent oracle (q57's technique): replay the engine's
-    exact training — md5-ordered bounded sample through the SAME
-    ``pca_components`` NumPy code on DuckDB-loaded rows — then inline
-    the bit-identical (mean, components) via ``exact_double_sql``
-    (decimal literals parse a ulp off in this DuckDB — measured) and
-    mirror the projection kernel's strictly-sequential fold as a
-    left-assoc SQL sum: term i is (embedding[i+1] - mean_i)·comp[i][j],
-    identical elementwise ops in identical order, so every output
-    double is bit-equal and the whole projection is hash-verifiable —
-    the first float-VALUED (not just float-ranked) oracle output in
-    the registry."""
+def _pca_proj_col_sql(sf_dir: str, d_out: int) -> list[str]:
+    """Shared oracle core for q127/q129: replay the engine's exact
+    training — the md5-ordered bounded sample through the SAME
+    ``pca_components`` NumPy code on DuckDB-loaded rows — then render
+    each projected coordinate as a left-assoc SQL sum whose term i is
+    (embedding[i+1] - mean_i)·comp[i][j], constants transported via
+    ``exact_double_sql``: identical elementwise ops in identical order
+    to ``project_kernel``, so every output double is bit-equal. One
+    helper so a transport or sample fix can never land in one oracle
+    and miss the other."""
     import duckdb
 
     import numpy as np
@@ -1227,7 +1225,7 @@ def _q127_oracle(sf_dir: str) -> str:
         f"LIMIT {_PCA_SAMPLE}"
     ).fetchall()
     x = np.array([r[0] for r in rows], dtype=np.float64)
-    mean, comp = pca_components(x, _PCA_D_OUT)
+    mean, comp = pca_components(x, d_out)
     cols = []
     for j in range(comp.shape[1]):
         terms = " + ".join(
@@ -1236,6 +1234,16 @@ def _q127_oracle(sf_dir: str) -> str:
             for i in range(comp.shape[0])
         )
         cols.append(f"({terms}) AS p{j}")
+    return cols
+
+
+def _q127_oracle(sf_dir: str) -> str:
+    """Data-dependent oracle (q57's technique): ``_pca_proj_col_sql``
+    renders the bit-exact projection — the first float-VALUED (not
+    just float-ranked) oracle output in the registry, made possible by
+    ``exact_double_sql`` because this DuckDB's decimal float parser is
+    measurably one ulp off."""
+    cols = _pca_proj_col_sql(sf_dir, _PCA_D_OUT)
     return "SELECT vec_id, " + ",\n  ".join(cols) + " FROM embeddings"
 
 
@@ -1270,35 +1278,17 @@ def q127_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q129_oracle(sf_dir: str) -> str:
-    """q127's bit-exact projection replay feeding q119's two-stage rank
-    template: a proj CTE computes the 16 rotated coordinates per vector
-    (same fold, exact_double_sql constants), candidates rank by the
-    left-assoc UN-SQRTED squared distance over those coordinates
-    (sqrt can collapse distinct squared values into one double and
-    flip a tie — the q95-era lesson), rerank by full-dimension
-    distance through the q50-proven (dist, id) rank portability."""
-    import duckdb
-
-    import numpy as np
-
-    from pyspark_mrdf_spark.operators.project import pca_components
-
-    rows = duckdb.sql(
-        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
-        f"ORDER BY md5('{_PCA_SEED}:' || CAST(vec_id AS VARCHAR)) "
-        f"LIMIT {_PCA_SAMPLE}"
-    ).fetchall()
-    x = np.array([r[0] for r in rows], dtype=np.float64)
-    mean, comp = pca_components(x, 16)
-    cols = []
-    for j in range(comp.shape[1]):
-        terms = " + ".join(
-            f"(CAST(embedding[{i + 1}] AS DOUBLE) - {exact_double_sql(mean[i])})"
-            f" * {exact_double_sql(comp[i, j])}"
-            for i in range(comp.shape[0])
-        )
-        cols.append(f"({terms}) AS p{j}")
-    proj_cols = ",\n    ".join(cols)
+    """q127's bit-exact projection replay (shared ``_pca_proj_col_sql``
+    core) feeding q119's two-stage rank template: the proj CTE's 16
+    rotated coordinates are bit-equal to the engine's, candidates rank
+    by the un-sqrted squared distance over them (sqrt can collapse
+    distinct squared values into one double and flip a tie — the
+    q95-era lesson), rerank by full-dimension distance. BOTH distance
+    orderings rely on the q50-proven (dist, id) rank portability — the
+    engine's kernel may tree-reduce its distance sums, so only the
+    projected VALUES are bit-exact here, the ranks are the portable
+    contract (same status as q119/q116's candidate stages)."""
+    proj_cols = ",\n    ".join(_pca_proj_col_sql(sf_dir, 16))
     d2 = " + ".join(f"(q.p{j} - c.p{j}) * (q.p{j} - c.p{j})" for j in range(16))
     return f"""
 WITH proj AS (

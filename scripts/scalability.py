@@ -433,7 +433,9 @@ def _cc_evidence(spark, n: int) -> dict:
     chain = 100
     nodes = spark.range(n)
     edges = (
-        nodes.filter((F.col("id") % chain) != chain - 1)
+        # the id < n-1 guard keeps the last (partial) chain from
+        # emitting an edge to the nonexistent node n when n % chain != 0
+        nodes.filter(((F.col("id") % chain) != chain - 1) & (F.col("id") < n - 1))
         .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
         .localCheckpoint(eager=True)
     )
@@ -448,7 +450,11 @@ def _cc_evidence(spark, n: int) -> dict:
     return {
         "sf": f"synthetic-{n}-cc", "n_nodes": n, "chain_len": chain,
         "n_edges": n_edges, "cc_star_s": round(wall, 2),
-        "clusters": n_clusters, "expected_clusters": n // chain,
+        "clusters": n_clusters,
+        # components that HAVE edges (CC labels only edge-touched
+        # nodes): every full-or-partial chain of >= 2 nodes; a trailing
+        # singleton (n % chain == 1) never appears in the pair graph
+        "expected_clusters": (n + chain - 1) // chain - (1 if n % chain == 1 else 0),
         "wrong_labels": wrong,
         "note": (
             "star-contraction CC over 20k chains of length 100: every "

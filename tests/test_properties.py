@@ -384,3 +384,18 @@ def test_stratified_sample_exact_counts_and_determinism(spark, sf_dir):
     for _, lang, _rank in got:
         per[lang] = per.get(lang, 0) + 1
     assert per == {k: min(STRATUM_N, v) for k, v in sizes.items()}
+
+    # order independence: the identical sample (ids AND ranks) on a
+    # repartitioned input — the md5 keys, not layout, decide membership
+    from pyspark_mrdf_spark.queries.pipeline import _STRAT_SEED, capped_per_key
+
+    d2 = load_table(spark, sf_dir, "documents").repartition(13)
+    h = F.md5(F.concat(F.lit(f"{_STRAT_SEED}:"), F.col("doc_id").cast("string")))
+    re_run = capped_per_key(
+        d2.select("doc_id", "lang", h.alias("_h")),
+        ["lang"],
+        [F.col("_h"), F.col("doc_id")],
+        STRATUM_N,
+        "strat_rank",
+    ).drop("_h")
+    assert sorted(map(tuple, re_run.collect())) == got

@@ -840,3 +840,50 @@ def test_pca_search_beats_raw_prefix_on_anisotropic_data(spark):
     assert r_pca >= 0.9, r_pca
     assert r_raw <= 0.5, r_raw
     assert r_pca > r_raw + 0.3, (r_pca, r_raw)
+
+
+def test_merge_rejects_in_place_dst(spark, sf_dir, tmp_path):
+    # merging into one of the sources would overwrite codes/ while
+    # lazily reading it — must fail loudly at CALL time, not as an
+    # opaque AnalysisException at action time
+    import pytest as _pytest
+
+    from pyspark_mrdf_spark.operators.quantize import (
+        build_sq8_index,
+        merge_sq8_indexes,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = str(tmp_path / "idx")
+    build_sq8_index(emb, p)
+    with _pytest.raises(ValueError, match="also a source"):
+        merge_sq8_indexes(spark, [p], p)
+    with _pytest.raises(ValueError, match="also a source"):
+        merge_sq8_indexes(spark, [p + "/"], p)  # canonicalized compare
+
+
+def test_sq8_drift_stats_flags_unknown_dims_and_clean_batch(spark, sf_dir):
+    # schema drift IS drift: batch dims beyond the trained quantizer
+    # must surface as 100% violations, not silently vanish; and the
+    # training corpus itself violates nowhere
+    import numpy as np
+
+    from pyspark_mrdf_spark.operators.quantize import sq8_drift_stats, sq8_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mn, mx = sq8_train(emb)
+    clean = sq8_drift_stats(emb, mn, mx).collect()
+    assert len(clean) == len(mn)
+    assert all(r["n_below"] == 0 and r["n_above"] == 0 and r["viol_e6"] == 0 for r in clean)
+
+    # widen the batch by two extra dims the quantizer never saw
+    wide = emb.select(
+        "vec_id",
+        F.concat("embedding", F.array(F.lit(0.0), F.lit(9.9))).alias("embedding"),
+    )
+    rows = {r["dim"]: r for r in sq8_drift_stats(wide, mn, mx).collect()}
+    assert len(rows) == len(mn) + 2
+    for extra in (len(mn) + 1, len(mn) + 2):
+        r = rows[extra]
+        assert r["n_above"] == r["n_values"] and r["viol_e6"] == 1_000_000
+    assert rows[1]["viol_e6"] == 0
