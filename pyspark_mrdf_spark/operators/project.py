@@ -208,3 +208,70 @@ def pca_search(
         id_col=id_col, vec_col=vec_col, include_self=include_self,
     ).select("src", "dst")
     return _rerank_exact(cand, queries, corpus, k, id_col, vec_col)
+
+
+def pca_sq8_search(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    d_out: int = 16,
+    k_candidates: int | None = None,
+    sample_size: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+    mean: np.ndarray | None = None,
+    components: np.ndarray | None = None,
+) -> DataFrame:
+    """REDUCE → QUANTIZE → RERANK, the production index composition
+    (OPQ's shape without the codebook): PCA to ``d_out`` dims, SQ8 the
+    projected space to 1 B/dim — a d_out-byte/row candidate index,
+    d·8/d_out× below the float64 working set (32× at 64→16) — scan it
+    with exact INTEGER code distances, rerank candidates at full
+    precision on the ORIGINAL vectors. Each stage is a proven operator
+    (``pca_project_vec``; ``sq8_train/encode/candidates``;
+    ``_rerank_exact``), so grid bounds, integer determinism, and the
+    candidate-sized rerank are all inherited; the q133 oracle replays
+    the whole composition — bit-exact projection, IEEE-determined
+    codes, integer candidate distances — in SQL.
+
+    Measured regimes (SCALABILITY.json pca-serving rows, r8): at
+    n=50k/d=64 the composition serves ~2x faster than full-d SQ8 at
+    equal recall 1.0 and the same candidate budget (quarter the scan
+    bytes/flops). At n=1M the SPECTRUM decides: on flat-spectrum data
+    (isotropic mixture) 16 kept dims carry ~25% of the energy and
+    recall collapses to 0.37 — don't reduce flat spectra; on a
+    decaying spectrum (scales 4.0->0.1, the shape trained embeddings
+    have) the rotated 16-dim candidates hold recall 0.86 where full-d
+    SQ8 at its own budget drops to 0.48 — 4x fewer index bytes per
+    unit of recall. The pre-reduction call that picks d_out should
+    check the sample eigenvalue decay (pca_components returns the
+    basis; the energy fraction is one cumsum away)."""
+    from pyspark_mrdf_spark.operators.quantize import (
+        _rerank_exact,
+        sq8_candidates,
+        sq8_encode,
+        sq8_train,
+    )
+
+    if k_candidates is None:
+        k_candidates = 8 * k
+    if mean is None or components is None:
+        mean, components = pca_train(
+            corpus, d_out, sample_size=sample_size, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+    # checkpoint the projected corpus: train (min/max pass) and encode
+    # would otherwise each re-run the projection lineage
+    cp = pca_project_vec(corpus, mean, components, id_col, vec_col).localCheckpoint(
+        eager=False
+    )
+    qp = pca_project_vec(queries, mean, components, id_col, vec_col)
+    mn, mx = sq8_train(cp, vec_col)
+    codes = sq8_encode(cp, mn, mx, id_col, vec_col)
+    cand = sq8_candidates(
+        qp, codes, k_candidates, mn, mx,
+        id_col=id_col, vec_col=vec_col, include_self=include_self,
+    ).select("src", "dst")
+    return _rerank_exact(cand, queries, corpus, k, id_col, vec_col)

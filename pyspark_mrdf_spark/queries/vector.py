@@ -1387,3 +1387,86 @@ def q131_sq8_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = emb.filter(F.col("vec_id") >= 250)
     mn, mx = sq8_train(train)
     return sq8_drift_stats(batch, mn, mx)
+
+
+# --- q133: reduce -> quantize -> rerank composition --------------------------
+
+
+def _q133_oracle(sf_dir: str) -> str:
+    """The whole composition replayed in SQL: the shared proj CTE gives
+    bit-exact 16-dim coordinates; per-dim MIN/MAX over them is exact
+    (an element of the data, no arithmetic); codes use sq8_codes' exact
+    op order floor((v-mn)*255.0/rng + 0.5) — IEEE-determined; candidate
+    distances are pure int64; only the full-dim rerank compares floats,
+    through the q50-proven (dist, id) rank portability."""
+    proj_cols = ",\n    ".join(_pca_proj_col_sql(sf_dir, 16))
+    pv = "list_value(" + ", ".join(f"p{j}" for j in range(16)) + ")"
+    return f"""
+WITH proj AS (
+  SELECT vec_id,
+    {proj_cols}
+  FROM embeddings),
+parr AS (SELECT vec_id, {pv} AS pv FROM proj),
+mm AS (
+  SELECT i, MIN(pv[i]) AS mn, MAX(pv[i]) AS mx
+  FROM parr, generate_series(1, 16) AS g(i)
+  GROUP BY i),
+qz AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM mm),
+codes AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, 16), i ->
+           CASE WHEN mxs[i] = mns[i] THEN 0
+                ELSE CAST(floor((pv[i] - mns[i]) * 255.0
+                                / (mxs[i] - mns[i]) + 0.5) AS BIGINT)
+           END) AS code
+  FROM parr CROSS JOIN qz),
+cand AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         list_sum(list_transform(generate_series(1, 16),
+                  i -> (a.code[i] - b.code[i]) * (a.code[i] - b.code[i]))) AS code_dist
+  FROM codes a JOIN codes b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id % 13 = 0),
+topc AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY code_dist, dst) AS crnk
+  FROM cand),
+rr AS (
+  SELECT t.src, t.dst,
+         ROW_NUMBER() OVER (PARTITION BY t.src
+           ORDER BY list_distance(CAST(qe.embedding AS DOUBLE[]),
+                                  CAST(ce.embedding AS DOUBLE[])), t.dst) AS rnk
+  FROM topc AS t
+  JOIN embeddings qe ON qe.vec_id = t.src
+  JOIN embeddings ce ON ce.vec_id = t.dst
+  WHERE t.crnk <= 40)
+SELECT src, dst, rnk FROM rr WHERE rnk <= 5
+"""
+
+
+@register(
+    "q133_pca_sq8_knn",
+    driver=False,  # registered r8 after the 50-slot surface froze for the round
+    oracle=_q133_oracle,
+    description=(
+        "REDUCE->QUANTIZE->RERANK (operators/project.pca_sq8_search — "
+        "OPQ's shape without the codebook): PCA 64->16, SQ8 the rotated "
+        "space to a 16 B/row candidate index (32x below the float64 "
+        "working set), integer code-distance candidates, full-precision "
+        "rerank on the ORIGINAL vectors; the oracle replays the ENTIRE "
+        "composition — bit-exact projection (mantissa-transport "
+        "constants), exact projected min/max, IEEE-determined codes, "
+        "int64 candidate distances — so everything but the final float "
+        "rerank ranks is hash-pinned, the deepest verified composition "
+        "in the registry"
+    ),
+    tags=("vector", "knn", "reduce", "quantize", "pipeline"),
+)
+def q133_pca_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.project import pca_sq8_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 13 == 0)
+    return pca_sq8_search(
+        queries, emb, 5, d_out=16, k_candidates=40,
+        sample_size=_PCA_SAMPLE, seed=_PCA_SEED, include_self=False,
+    ).select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))

@@ -70,7 +70,7 @@ K = 10
 
 def _write_synthetic(
     path: str, n: int, d: int = 64, seed: int = 7, k_clusters: int | None = 250,
-    center_scale: float = 2.5,
+    center_scale: float = 2.5, aniso: bool = False,
 ) -> None:
     """Seeded synthetic embeddings table with the corpus schema
     (vec_id int64, embedding list<float>, label int32), written via
@@ -89,6 +89,10 @@ def _write_synthetic(
         assign = rng.integers(0, k_clusters, n)
         x = (centers[assign] + rng.standard_normal((n, d))).astype(np.float32)
         labels = assign.astype(np.int32)
+        if aniso:
+            # decaying spectrum (the shape trained embeddings have —
+            # PCA's target regime): per-dim scale ramps 4.0 -> 0.1
+            x *= np.linspace(4.0, 0.1, d, dtype=np.float32)[None, :]
     else:
         x = rng.standard_normal((n, d), dtype=np.float32)
         labels = (np.arange(n) % 5).astype(np.int32)
@@ -183,6 +187,14 @@ def main() -> None:
     # state recomputed per batch) vs served off a train-once stored
     # index with survivors appended between batches
     dedup_serving_only = "--dedup-serving-only" in argv
+    # --pca-serving-only: ONLY the reduce->quantize->rerank serving row
+    # (q133's composition): PCA-d_out + SQ8 candidate index served off
+    # frozen params vs full-d persisted SQ8 vs the exact scan, at
+    # (--synthetic-n, --synthetic-d)
+    pca_serving_only = "--pca-serving-only" in argv
+    pca_aniso = "--aniso" in argv
+    if pca_aniso and not pca_serving_only:
+        sys.exit("error: --aniso only applies to --pca-serving-only")
     # --cc-only: ONLY the connected-components row — q72's
     # star-contraction tier over a synthesized chain graph with known
     # components (diameter = chain length, the propagation-hostile
@@ -224,7 +236,8 @@ def main() -> None:
             "--uniform", "--uniform-tuned", "--uniform-tuned-only", "--grid-only",
             "--mixture-only", "--sq8-only", "--serving-only", "--dedup-only",
             "--pagerank-only", "--bq-serving-only", "--dedup-serving-only",
-            "--graph-serving-only", "--cc-only",
+            "--graph-serving-only", "--cc-only", "--pca-serving-only",
+            "--aniso",
         )
     ]
     # the -only modes run exactly one section; any other argument or
@@ -238,6 +251,7 @@ def main() -> None:
         ("--dedup-serving-only", dedup_serving_only),
         ("--graph-serving-only", graph_serving_only),
         ("--cc-only", cc_only),
+        ("--pca-serving-only", pca_serving_only),
     ) if on]
     if only_modes and argv:
         sys.exit("error: the -only modes ignore sf arguments; drop one side")
@@ -245,10 +259,10 @@ def main() -> None:
     # anywhere else they'd be consumed and silently dead — the exact
     # wrong-provenance hazard the sf-list guard below rejects (a row
     # measured at the defaults while its flags claim otherwise)
-    if saw_d_flag and not (serving_only or bq_serving_only or graph_serving_only):
+    if saw_d_flag and not (serving_only or bq_serving_only or graph_serving_only or pca_serving_only):
         sys.exit(
-            "error: --synthetic-d only applies to --serving-only/"
-            "--bq-serving-only/--graph-serving-only; drop the flag or run those modes"
+            "error: --synthetic-d only applies to --serving-only/--bq-serving-only/"
+            "--graph-serving-only/--pca-serving-only; drop the flag or run those modes"
         )
     if not serving_only and serving_ivfpq:
         flag_of = {
@@ -262,7 +276,7 @@ def main() -> None:
         )
     if len(only_modes) > 1:
         sys.exit(f"error: {' and '.join(only_modes)} each run exactly one section; pick one")
-    if (grid_only or sq8_only or mixture_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or cc_only) and (include_uniform or include_uniform_tuned):
+    if (grid_only or sq8_only or mixture_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or cc_only or pca_serving_only) and (include_uniform or include_uniform_tuned):
         sys.exit(f"error: {only_modes[0]} runs only its own point; drop the uniform flags")
     if tuned_only and include_uniform:
         sys.exit("error: --uniform-tuned-only runs only the tuned point; drop the other flags")
@@ -272,9 +286,9 @@ def main() -> None:
     run_synthetic = (not argv or tuned_only or mixture_only) and not (
         grid_only or sq8_only or serving_only or dedup_only or pagerank_only
         or bq_serving_only or dedup_serving_only or graph_serving_only
-        or cc_only
+        or cc_only or pca_serving_only
     )
-    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or cc_only) and (
+    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or cc_only or pca_serving_only) and (
         include_uniform or include_uniform_tuned or saw_synthetic_flag
     ):
         sys.exit(
@@ -415,7 +429,134 @@ def main() -> None:
         points.append(_cc_evidence(spark, synthetic_n))
         print(f"[scalability] {points[-1]}", file=sys.stderr)
 
+    if pca_serving_only:
+        points.append(_pca_serving_evidence(spark, synthetic_n, synthetic_d, aniso=pca_aniso))
+        print(f"[scalability] {points[-1]}", file=sys.stderr)
+
     print(json.dumps({"metric": "scalability_sweep", "points": points}))
+
+
+def _pca_serving_evidence(spark, n: int, d: int, d_out: int = 16, aniso: bool = False) -> dict:
+    """q133's composition at serving scale: REDUCE (PCA d->d_out) +
+    QUANTIZE (SQ8 on the rotated space, d_out B/row — d*8/d_out x below
+    the float64 working set) + exact rerank on original vectors, served
+    off FROZEN params, vs full-d persisted SQ8 and the exact scan on
+    the same batches. The composition's candidate scan reads d_out/d of
+    full-SQ8's bytes and runs d_out/d of its gemm flops — the row
+    measures whether that shows up at the wall."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.operators.project import pca_project_vec, pca_train
+    from pyspark_mrdf_spark.operators.quantize import (
+        _rerank_exact,
+        build_sq8_index,
+        read_sq8_index,
+        sq8_candidates,
+        sq8_encode,
+        sq8_search_encoded,
+        sq8_train,
+    )
+    from pyspark_mrdf_spark.operators.similarity import knn_search_blocked
+
+    syn_dir = "/root/repo/.scalability_synth_pca_serving"
+    batch_size = 2_000
+    n_batches = 3
+    # per-tier candidate budgets: each tier gets what its recall needs
+    # (the dial is the budget) — full-d SQ8 reaches ~1.0 at 4K on the
+    # mixture, the 16-dim rotated space needs more headroom
+    sq8_k_cand = 4 * K
+    pca_k_cand = 16 * K
+    out: dict = {
+        "sf": f"synthetic-{n}x{d}-pca-serving" + ("-aniso" if aniso else ""),
+        "n": n, "d": d, "spectrum": "decaying" if aniso else "flat",
+        "d_out": d_out, "batch_size": batch_size, "n_batches": n_batches,
+        "sq8_k_candidates": sq8_k_cand, "pca_k_candidates": pca_k_cand,
+    }
+    try:
+        _write_synthetic(syn_dir, n, d=d, aniso=aniso)
+        emb = spark.read.parquet(os.path.join(syn_dir, "embeddings.parquet"))
+        emb = emb.localCheckpoint(eager=True)
+        dp = spark.sparkContext.defaultParallelism
+
+        def _noop(batches):
+            yield from batches
+
+        spark.range(0, dp * 100, 1, dp).mapInPandas(_noop, "id long").count()
+
+        batches = [
+            emb.filter(
+                (F.col("vec_id") >= i * batch_size)
+                & (F.col("vec_id") < (i + 1) * batch_size)
+            )
+            for i in range(n_batches)
+        ]
+
+        def _timed(build):
+            t0 = time.time()
+            g = build().localCheckpoint(eager=True)
+            return g, round(time.time() - t0, 2)
+
+        exact_s, exact_g = [], None
+        for i, q in enumerate(batches):
+            g, dt = _timed(
+                lambda: knn_search_blocked(
+                    q, emb, K, n_blocks=32, n_query_blocks=8, include_self=False
+                )
+            )
+            exact_s.append(dt)
+            if i == 0:
+                exact_g = g
+        out["exact_batch_s"] = exact_s
+
+        # full-d persisted SQ8 baseline
+        idx_root = tempfile.mkdtemp(prefix="mrdf_pca_serving_idx_")
+        t0 = time.time()
+        build_sq8_index(emb, os.path.join(idx_root, "sq8"))
+        out["sq8_index_build_s"] = round(time.time() - t0, 2)
+        mn_f, mx_f, codes_f = read_sq8_index(spark, os.path.join(idx_root, "sq8"))
+        codes_f = codes_f.localCheckpoint(eager=True)
+        sq8_s, sq8_g = [], None
+        for i, q in enumerate(batches):
+            g, dt = _timed(
+                lambda: sq8_search_encoded(
+                    q, codes_f, mn_f, mx_f, emb, K,
+                    k_candidates=sq8_k_cand, include_self=False,
+                )
+            )
+            sq8_s.append(dt)
+            if i == 0:
+                sq8_g = g
+        out["sq8_batch_s"] = sq8_s
+        out["sq8_recall"] = round(recall(exact_g, sq8_g), 4)
+        out["sq8_index_bytes_per_row"] = d + 8
+
+        # reduce->quantize composition: train once, serve many
+        t0 = time.time()
+        mean, comp = pca_train(emb, d_out)
+        cp = pca_project_vec(emb, mean, comp).localCheckpoint(eager=True)
+        mn_p, mx_p = sq8_train(cp)
+        codes_p = sq8_encode(cp, mn_p, mx_p).localCheckpoint(eager=True)
+        out["pca_sq8_index_build_s"] = round(time.time() - t0, 2)
+        pca_s, pca_g = [], None
+        for i, q in enumerate(batches):
+            def _serve(q=q):
+                qp = pca_project_vec(q, mean, comp)
+                cand = sq8_candidates(
+                    qp, codes_p, pca_k_cand, mn_p, mx_p, include_self=False
+                ).select("src", "dst")
+                return _rerank_exact(cand, q, emb, K, "vec_id", "embedding")
+            g, dt = _timed(_serve)
+            pca_s.append(dt)
+            if i == 0:
+                pca_g = g
+        out["pca_sq8_batch_s"] = pca_s
+        out["pca_sq8_recall"] = round(recall(exact_g, pca_g), 4)
+        out["pca_sq8_index_bytes_per_row"] = d_out + 8
+    finally:
+        shutil.rmtree(syn_dir, ignore_errors=True)
+    return out
 
 
 def _cc_evidence(spark, n: int) -> dict:
@@ -742,7 +883,7 @@ def _serving_evidence(spark, n: int, d: int, n_cells: int = 64,
         "ivfpq_subspaces": n_sub, "ivfpq_scan_fraction": n_probe / n_cells,
     }
     try:
-        _write_synthetic(syn_dir, n, d=d)
+        _write_synthetic(syn_dir, n, d=d, aniso=aniso)
         emb = spark.read.parquet(os.path.join(syn_dir, "embeddings.parquet"))
         emb = emb.localCheckpoint(eager=True)
         dp = spark.sparkContext.defaultParallelism
@@ -872,7 +1013,7 @@ def _bq_serving_evidence(spark, n: int, d: int) -> dict:
         "batch_size": batch_size, "n_batches": n_batches,
     }
     try:
-        _write_synthetic(syn_dir, n, d=d)
+        _write_synthetic(syn_dir, n, d=d, aniso=aniso)
         emb = spark.read.parquet(os.path.join(syn_dir, "embeddings.parquet"))
         emb = emb.localCheckpoint(eager=True)
         dp = spark.sparkContext.defaultParallelism
