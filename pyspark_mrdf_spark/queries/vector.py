@@ -1470,3 +1470,69 @@ def q133_pca_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, emb, 5, d_out=16, k_candidates=40,
         sample_size=_PCA_SAMPLE, seed=_PCA_SEED, include_self=False,
     ).select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))
+
+
+# --- q134: PCA energy spectrum ------------------------------------------------
+
+
+def _q134_oracle(sf_dir: str) -> str:
+    """Shared proj CTE (bit-exact coordinates) unpivoted to
+    (component, value), then q52's integer fixed-point discipline:
+    xi = round(p * 1e6) BIGINT, so the per-component sums are exact
+    int64 arithmetic — immune to summation order on both engines."""
+    proj_cols = ",\n    ".join(_pca_proj_col_sql(sf_dir, _PCA_D_OUT))
+    return f"""
+WITH proj AS (
+  SELECT vec_id,
+    {proj_cols}
+  FROM embeddings),
+u AS (
+  SELECT component, CAST(ROUND(p * 1000000, 0) AS BIGINT) AS xi
+  FROM (UNPIVOT proj ON {", ".join(f"p{j}" for j in range(_PCA_D_OUT))}
+        INTO NAME component VALUE p))
+SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(xi) AS BIGINT) AS sum_e6,
+       CAST(SUM(xi * xi) AS BIGINT) AS sum_sq_e12
+FROM u GROUP BY component
+"""
+
+
+@register(
+    "q134_pca_energy",
+    driver=False,  # registered r8 after the 50-slot surface froze for the round
+    oracle=_q134_oracle,
+    description=(
+        "PCA energy spectrum over the corpus: per rotated component, "
+        "exact integer fixed-point sum and sum-of-squares of the "
+        "projected coordinates (q52's round-to-e6 discipline) — the "
+        "spectrum-decay diagnostic that decides d_out before a "
+        "reduce-then-index deployment (q133's docstring: don't reduce "
+        "flat spectra — measured recall 0.37 flat vs 0.86 decaying at "
+        "n=1M); one explode + 16-key hash agg, energy fractions are one "
+        "division away from the two exact sums"
+    ),
+    tags=("vector", "reduce", "agg", "monitoring"),
+)
+def q134_pca_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.project import pca_project, pca_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, comp = pca_train(
+        emb, _PCA_D_OUT, sample_size=_PCA_SAMPLE, seed=_PCA_SEED
+    )
+    proj = pca_project(emb, mean, comp)
+    stack_expr = "stack({}, {}) as (component, p)".format(
+        _PCA_D_OUT, ", ".join(f"'p{j}', p{j}" for j in range(_PCA_D_OUT))
+    )
+    xi = F.round(F.col("p") * 1000000, 0).cast("bigint")
+    return (
+        proj.selectExpr(stack_expr)
+        .select("component", xi.alias("xi"))
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xi").alias("sum_e6"),
+            F.sum(F.col("xi") * F.col("xi")).alias("sum_sq_e12"),
+        )
+    )
