@@ -625,3 +625,55 @@ def q130_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("credit").alias("credit_e6"),
         )
     )
+
+
+# --- q135: user-journey path analysis ----------------------------------------
+
+_PATH_LEN = 5
+
+
+@register(
+    "q135_top_user_paths",
+    driver=False,  # registered r8 after the 50-slot surface froze for the round
+    oracle=f"""
+WITH p AS (
+  SELECT user_id,
+         array_to_string(
+           list_slice(list(event_type ORDER BY ts, event_id), 1, {_PATH_LEN}),
+           '>') AS path
+  FROM events GROUP BY user_id)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM p GROUP BY path
+""",
+    description=(
+        f"user-journey path analysis (funnel DISCOVERY, where q93 "
+        f"measures a known funnel): each user's first {_PATH_LEN} events "
+        "in strict (ts, event_id) order collapse to a '>' path string, "
+        "counted across users — the query that finds which funnels to "
+        "measure; per-user sort_array is bounded by one user's events, "
+        "the path dictionary agg is output-sized"
+    ),
+    tags=("events", "agg", "window"),
+)
+def q135_top_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path frequency table over per-user event prefixes.
+
+    Scale shape: ONE shuffle on user_id; the in-group sort is
+    sort_array over one user's collected (ts, event_id, type) structs —
+    bounded by per-user activity, never a window over raw events — and
+    the second agg groups by path strings whose cardinality is the
+    output's. The slice keeps state at {_PATH_LEN} events per user."""
+    ev = load_table(spark, sf_dir, "events")
+    ordered = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    path = F.array_join(
+        F.slice(F.transform(ordered, lambda s: s["event_type"]), 1, _PATH_LEN),
+        ">",
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
