@@ -151,6 +151,41 @@ def sq8_encode(
     return df.select(id_col, vec_col).mapInPandas(_enc, "vec_id long, code binary")
 
 
+def sq8_range_weights(
+    mn: np.ndarray, mx: np.ndarray, scale: int = 1024
+) -> np.ndarray:
+    """Integer per-dimension weights restoring the TRUE metric's scale
+    to the code-space distance: w_i = max(1, floor(scale·(rng_i/
+    rng_max)² + 0.5)) as int64, where rng_i = mx_i − mn_i.
+
+    Why: the plain code distance Σ(q_code−c_code)² weighs every dim
+    equally (each spans 0-255 regardless of its real range), which
+    DISTORTS anisotropic metrics — measured at n=1M with per-dim scales
+    ramping 4.0→0.1 (SCALABILITY.json pca-serving-aniso row), unweighted
+    SQ8 recall fell to 0.48 at a 40-candidate budget while the true
+    metric's per-dim contribution goes as rng_i². Weighting the code
+    distance by round(scale·(rng_i/rng_max)²) makes the candidate
+    ordering track the true metric again, costs nothing at scan time
+    (the weights fold into the gemm operands), and stays EXACT integer
+    arithmetic — floor(x+0.5) on IEEE doubles, derived from (mn, mx)
+    only, so any engine derives bit-identical weights.
+
+    Measured at n=1M (the same SCALABILITY row): weighted recall
+    **1.0** vs 0.4847 unweighted at the identical 40-candidate budget,
+    identical stored index, and the same wall (21-26 s/batch) — the
+    entire recall cliff was candidate-ordering distortion, not
+    quantization error. Law-pinned at small n in
+    tests/test_similarity_api.py (minimal-budget ordering test)."""
+    mn = np.asarray(mn, dtype=np.float64)
+    mx = np.asarray(mx, dtype=np.float64)
+    rng = mx - mn
+    top = float(rng.max())
+    if top <= 0.0:
+        return np.ones(len(rng), dtype=np.int64)
+    w = np.floor(scale * (rng / top) ** 2 + 0.5).astype(np.int64)
+    return np.maximum(w, 1)
+
+
 def sq8_candidates(
     queries: DataFrame,
     codes: DataFrame,
@@ -162,11 +197,18 @@ def sq8_candidates(
     include_self: bool = False,
     n_parts: int | None = None,
     q_arrays: tuple[np.ndarray, np.ndarray] | None = None,
+    dim_weights: np.ndarray | None = None,
 ) -> DataFrame:
     """Top-k candidates per query by symmetric code-space L2:
-    (src, dst, code_dist) with integer ``code_dist`` = Σ_d (q_code_d −
+    (src, dst, code_dist) with integer ``code_dist`` = Σ_d w_d·(q_code_d −
     c_code_d)² — exact integer arithmetic, so the candidate set is
-    bit-reproducible on any engine.
+    bit-reproducible on any engine. ``dim_weights`` defaults to all-1
+    (the historical unweighted distance); pass ``sq8_range_weights(mn,
+    mx)`` for anisotropic corpora (see its docstring for the measured
+    failure the weights fix). Exactness bound with weights: every
+    dot/norm term is ≤ d·w_max·255² (≈2^32 at d=64, w_max=1024) and the
+    tie-fold key multiplies by the slab width — keep slabs ≤ ~2^20 rows
+    so |key| stays ≪ 2^53 (the 16k-row slab guidance already does).
 
     Scale shape: the query side is collected and broadcast (bounded
     query sets — the external-search contract, same as ``knn_search``'s
@@ -185,12 +227,20 @@ def sq8_candidates(
         q_arrays = _collect_queries(queries, id_col, vec_col, "sq8_candidates")
     q_ids, q_raw = q_arrays
     q_codes = sq8_codes(q_raw, mn, mx).astype(np.int32)
-    b = spark.sparkContext.broadcast((q_ids, q_codes))
+    w = (
+        np.ones(q_codes.shape[1], dtype=np.int64)
+        if dim_weights is None
+        else np.asarray(dim_weights, dtype=np.int64)
+    )
+    b = spark.sparkContext.broadcast((q_ids, q_codes, w))
 
     def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qi, qc = b.value
-        qcf = qc.astype(np.float64)
-        qq = (qc.astype(np.int64) ** 2).sum(axis=1).astype(np.float64)
+        qi, qc, wv = b.value
+        wf = wv.astype(np.float64)
+        # fold the weights into the query operand: Σ w·q·c = (q⊙w)·c,
+        # so the corpus-side gemm operand stays the raw 1 B/dim codes
+        qcf = qc.astype(np.float64) * wf[None, :]
+        qq = ((qc.astype(np.int64) ** 2) * wv[None, :]).sum(axis=1).astype(np.float64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -202,7 +252,9 @@ def sq8_candidates(
             c_order = np.argsort(c_ids, kind="stable")
             c_ids = c_ids[c_order]
             c_mat = c_mat[c_order]
-            cc = (c_mat.astype(np.int64) ** 2).sum(axis=1).astype(np.float64)
+            cc = (
+                (c_mat.astype(np.int64) ** 2) * wv[None, :]
+            ).sum(axis=1).astype(np.float64)
             # rank within a row by g = ||c||² − 2q·c (the row-constant
             # ||q||² cannot change per-row order). EXACT in float64:
             # every dot/norm is an integer ≤ 255²·d ≪ 2^53, and float64
@@ -298,11 +350,18 @@ def sq8_search_encoded(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     include_self: bool = False,
+    weighted: bool = False,
 ) -> DataFrame:
     """Serve a query batch against an ALREADY-ENCODED SQ8 index
     (``read_sq8_index`` supplies (mn, mx, codes); ``corpus`` supplies
     full-precision vectors for the rerank join only). Bit-identical
-    output to the per-call ``sq8_search``, which delegates here."""
+    output to the per-call ``sq8_search``, which delegates here.
+    ``weighted=True`` ranks candidates by the range-weighted code
+    distance (``sq8_range_weights`` — use on anisotropic corpora; see
+    its docstring for the measured recall cliff it fixes). The stored
+    index is unchanged either way: the weights derive from the
+    persisted (mn, mx), so a deployment can flip the flag per query
+    batch without re-encoding."""
     if k_candidates is None:
         k_candidates = 4 * k
     n_codes = codes.count()
@@ -314,6 +373,7 @@ def sq8_search_encoded(
     cand = sq8_candidates(
         queries, codes, k_candidates, mn, mx, id_col, vec_col, include_self,
         n_parts=n_parts, q_arrays=qa,
+        dim_weights=sq8_range_weights(mn, mx) if weighted else None,
     )
     return _rerank_exact(cand, queries, corpus, k, id_col, vec_col, q_arrays=qa)
 

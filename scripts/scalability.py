@@ -532,6 +532,24 @@ def _pca_serving_evidence(spark, n: int, d: int, d_out: int = 16, aniso: bool = 
         out["sq8_recall"] = round(recall(exact_g, sq8_g), 4)
         out["sq8_index_bytes_per_row"] = d + 8
 
+        if aniso:
+            # range-weighted code distance (sq8_range_weights): the fix
+            # for exactly this spectrum, same index bytes, same budget
+            sq8w_s, sq8w_g = [], None
+            for i, q in enumerate(batches):
+                g, dt = _timed(
+                    lambda: sq8_search_encoded(
+                        q, codes_f, mn_f, mx_f, emb, K,
+                        k_candidates=sq8_k_cand, include_self=False,
+                        weighted=True,
+                    )
+                )
+                sq8w_s.append(dt)
+                if i == 0:
+                    sq8w_g = g
+            out["sq8_weighted_batch_s"] = sq8w_s
+            out["sq8_weighted_recall"] = round(recall(exact_g, sq8w_g), 4)
+
         # reduce->quantize composition: train once, serve many
         t0 = time.time()
         mean, comp = pca_train(emb, d_out)
