@@ -223,6 +223,7 @@ def pca_sq8_search(
     include_self: bool = False,
     mean: np.ndarray | None = None,
     components: np.ndarray | None = None,
+    weighted: bool = True,
 ) -> DataFrame:
     """REDUCE → QUANTIZE → RERANK, the production index composition
     (OPQ's shape without the codebook): PCA to ``d_out`` dims, SQ8 the
@@ -252,6 +253,7 @@ def pca_sq8_search(
         _rerank_exact,
         sq8_candidates,
         sq8_encode,
+        sq8_range_weights,
         sq8_train,
     )
 
@@ -270,8 +272,12 @@ def pca_sq8_search(
     qp = pca_project_vec(queries, mean, components, id_col, vec_col)
     mn, mx = sq8_train(cp, vec_col)
     codes = sq8_encode(cp, mn, mx, id_col, vec_col)
+    # weighted by default: the PROJECTED space is anisotropic BY
+    # CONSTRUCTION (PCA orders dims by variance), exactly the spectrum
+    # the plain code distance distorts — see sq8_range_weights
     cand = sq8_candidates(
         qp, codes, k_candidates, mn, mx,
         id_col=id_col, vec_col=vec_col, include_self=include_self,
+        dim_weights=sq8_range_weights(mn, mx) if weighted else None,
     ).select("src", "dst")
     return _rerank_exact(cand, queries, corpus, k, id_col, vec_col)

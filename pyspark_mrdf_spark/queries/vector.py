@@ -1411,7 +1411,15 @@ mm AS (
   SELECT i, MIN(pv[i]) AS mn, MAX(pv[i]) AS mx
   FROM parr, generate_series(1, 16) AS g(i)
   GROUP BY i),
-qz AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM mm),
+qz AS (
+  SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs,
+         -- sq8_range_weights replayed: w_i = max(1, floor(1024*t*t + 0.5)),
+         -- t = rng_i/rng_max — identical IEEE op order to the kernel
+         list(GREATEST(1, CAST(floor(
+             1024 * (((mx - mn) / (SELECT MAX(mx - mn) FROM mm))
+                     * ((mx - mn) / (SELECT MAX(mx - mn) FROM mm))) + 0.5)
+           AS BIGINT)) ORDER BY i) AS ws
+  FROM mm),
 codes AS (
   SELECT vec_id,
          list_transform(generate_series(1, 16), i ->
@@ -1423,8 +1431,8 @@ codes AS (
 cand AS (
   SELECT a.vec_id AS src, b.vec_id AS dst,
          list_sum(list_transform(generate_series(1, 16),
-                  i -> (a.code[i] - b.code[i]) * (a.code[i] - b.code[i]))) AS code_dist
-  FROM codes a JOIN codes b ON a.vec_id <> b.vec_id
+                  i -> q.ws[i] * (a.code[i] - b.code[i]) * (a.code[i] - b.code[i]))) AS code_dist
+  FROM codes a JOIN codes b ON a.vec_id <> b.vec_id CROSS JOIN qz q
   WHERE a.vec_id % 13 = 0),
 topc AS (
   SELECT src, dst,

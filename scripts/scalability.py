@@ -455,6 +455,7 @@ def _pca_serving_evidence(spark, n: int, d: int, d_out: int = 16, aniso: bool = 
         read_sq8_index,
         sq8_candidates,
         sq8_encode,
+        sq8_range_weights,
         sq8_search_encoded,
         sq8_train,
     )
@@ -561,8 +562,11 @@ def _pca_serving_evidence(spark, n: int, d: int, d_out: int = 16, aniso: bool = 
         for i, q in enumerate(batches):
             def _serve(q=q):
                 qp = pca_project_vec(q, mean, comp)
+                # weighted: the projected space is anisotropic by
+                # construction (pca_sq8_search's shipped default)
                 cand = sq8_candidates(
-                    qp, codes_p, pca_k_cand, mn_p, mx_p, include_self=False
+                    qp, codes_p, pca_k_cand, mn_p, mx_p, include_self=False,
+                    dim_weights=sq8_range_weights(mn_p, mx_p),
                 ).select("src", "dst")
                 return _rerank_exact(cand, q, emb, K, "vec_id", "embedding")
             g, dt = _timed(_serve)
