@@ -644,7 +644,15 @@ def connected_components(
     ``max_iter`` (a legitimate long-chain graph), the partially
     propagated labels are silently WRONG — so this falls through to
     ``connected_components_star``, whose round count is logarithmic in
-    the diameter, instead of refusing or returning them."""
+    the diameter, instead of refusing or returning them.
+
+    Tier choice measured head-to-head (SCALABILITY.json
+    synthetic-200000-cc-tiers, r8): at diameter 100 (2k chains of
+    length 100, n=200k) propagation needs its full 100 rounds — 75.0 s
+    — where star contracts in 22.6 s (3.3×, widening with diameter);
+    both exact vs the closed-form ground truth. On real near-dup pair
+    graphs (diameter ≤ ~3) propagation's cheaper rounds win, which is
+    why it stays the default tier."""
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
