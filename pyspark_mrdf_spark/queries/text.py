@@ -1218,3 +1218,72 @@ def q120_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("frnk", F.row_number().over(wf).cast("bigint"))
         .filter(F.col("frnk") <= 10)
     )
+
+
+# --- q136: per-language TF-IDF top terms --------------------------------------
+
+_TFIDF_TOP = 5
+
+
+@register(
+    "q136_tfidf_top_terms",
+    driver=False,  # registered r8 after the 50-slot surface froze for the round
+    oracle=f"""
+WITH tok AS (
+  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+tf AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY lang, tok),
+df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+s AS (
+  SELECT lang, tok, tf,
+         CAST(tf * ((1000000 * (n_docs + 1)) // (df + 1)) AS BIGINT) AS score_e6
+  FROM tf JOIN df USING (tok) CROSS JOIN nd),
+r AS (
+  SELECT lang, tok, tf, score_e6,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY score_e6 DESC, tok) AS term_rank
+  FROM s)
+SELECT lang, tok, tf, score_e6, CAST(term_rank AS BIGINT) AS term_rank
+FROM r WHERE term_rank <= {_TFIDF_TOP}
+""",
+    description=(
+        f"per-language TF-IDF top-{_TFIDF_TOP} terms (corpus exploration "
+        "— what characterizes each language slice): integer rational idf "
+        "(1e6·(N+1) DIV (df+1), q88's discipline) times the group term "
+        "frequency, so every score is exact int64 and the ranking "
+        "hash-matches; two token-keyed aggs + one broadcast-size join, "
+        "top-k per group via the q126 salted two-stage helper"
+    ),
+    tags=("text", "agg", "window"),
+)
+def q136_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most characteristic terms per language by exact-integer TF-IDF.
+
+    Scale shape: the two corpus-sized passes are token-keyed hash aggs
+    (tf by (lang, tok), df by tok — map-side combined); the tf⋈df join
+    is on tok (df is vocabulary-sized and would broadcast at sf); the
+    per-lang top-k goes through ``capped_per_key`` so one dominant
+    language cannot serialize the ranking."""
+    from pyspark_mrdf_spark.queries.pipeline import capped_per_key
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", "doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = tok.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    s = tf.join(df_, "tok").select(
+        "lang",
+        "tok",
+        "tf",
+        (F.col("tf") * F.expr(f"(1000000 * ({n_docs} + 1)) DIV (df + 1)"))
+        .cast("bigint")
+        .alias("score_e6"),
+    )
+    return capped_per_key(
+        s,
+        ["lang"],
+        [F.col("score_e6").desc(), F.col("tok")],
+        _TFIDF_TOP,
+        "term_rank",
+        id_col="tok",
+    )
