@@ -647,12 +647,13 @@ def connected_components(
     the diameter, instead of refusing or returning them.
 
     Tier choice measured head-to-head (SCALABILITY.json
-    synthetic-200000-cc-tiers, r8): at diameter 100 (2k chains of
-    length 100, n=200k) propagation needs its full 100 rounds — 75.0 s
-    — where star contracts in 22.6 s (3.3×, widening with diameter);
-    both exact vs the closed-form ground truth. On real near-dup pair
-    graphs (diameter ≤ ~3) propagation's cheaper rounds win, which is
-    why it stays the default tier."""
+    synthetic-200000-cc-tiers, reproducible via ``python
+    scripts/scalability.py --cc-tiers-only``, r9): at diameter 100
+    (2k chains of length 100, n=200k) propagation needs its full 100
+    rounds — 69.8 s — where star contracts in 15.9 s (4.4×, widening
+    with diameter); both exact vs the closed-form ground truth. On
+    real near-dup pair graphs (diameter ≤ ~3) propagation's cheaper
+    rounds win, which is why it stays the default tier."""
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))

@@ -205,10 +205,12 @@ def sq8_candidates(
     bit-reproducible on any engine. ``dim_weights`` defaults to all-1
     (the historical unweighted distance); pass ``sq8_range_weights(mn,
     mx)`` for anisotropic corpora (see its docstring for the measured
-    failure the weights fix). Exactness bound with weights: every
-    dot/norm term is ≤ d·w_max·255² (≈2^32 at d=64, w_max=1024) and the
-    tie-fold key multiplies by the slab width — keep slabs ≤ ~2^20 rows
-    so |key| stays ≪ 2^53 (the 16k-row slab guidance already does).
+    failure the weights fix). Exactness bound with weights: the
+    distance can reach 3·d·w_max·255² (≈2^33.6 at d=64, w_max=1024),
+    and the tie-fold key multiplies it by the slab width — slabs must
+    stay ≤ 2^53 / (3·d·w_max·255²) rows (≈2^19 at d=64) to keep the
+    key inside float64-exact range; the 16k-row (2^14) slab discipline
+    below is safe with ~32× margin even at those weights.
 
     Scale shape: the query side is collected and broadcast (bounded
     query sets — the external-search contract, same as ``knn_search``'s

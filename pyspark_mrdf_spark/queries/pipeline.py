@@ -1081,8 +1081,12 @@ def q128_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _snapshot_b(d: DataFrame) -> DataFrame:
     """Snapshot B: drop doc_id % 10 == 3, edit text where doc_id % 7 == 1
-    (append a revision marker), add new docs (ids shifted by 1e6) for
-    doc_id % 25 == 0."""
+    (append a revision marker), add new docs for doc_id % 25 == 0.
+    Added docs live in the NEGATIVE id namespace (-doc_id - 1): real
+    doc_ids are >= 0 at every scale, so the synthetic ids can never
+    collide with kept ids — a fixed +1e6 offset would collide once the
+    corpus reaches a million docs, silently multiplying rows through
+    the full outer join."""
     kept = d.filter(F.col("doc_id") % 10 != 3)
     edited = kept.select(
         "doc_id",
@@ -1092,7 +1096,7 @@ def _snapshot_b(d: DataFrame) -> DataFrame:
         ).otherwise(F.col("text")).alias("text"),
     )
     added = d.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (-F.col("doc_id") - 1).alias("doc_id"),
         "source",
         F.concat(F.lit("NEW "), F.col("text")).alias("text"),
     )
@@ -1109,7 +1113,7 @@ b_kept AS (
          md5(CASE WHEN doc_id % 7 = 1 THEN text || ' [rev2]' ELSE text END) AS fp
   FROM documents WHERE doc_id % 10 <> 3),
 b_new AS (
-  SELECT doc_id + 1000000 AS doc_id, source, md5('NEW ' || text) AS fp
+  SELECT -doc_id - 1 AS doc_id, source, md5('NEW ' || text) AS fp
   FROM documents WHERE doc_id % 25 = 0),
 b AS (SELECT * FROM b_kept UNION ALL SELECT * FROM b_new),
 d AS (

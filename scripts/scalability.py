@@ -200,10 +200,17 @@ def main() -> None:
     # components (diameter = chain length, the propagation-hostile
     # shape), correctness asserted against the closed-form ground truth
     cc_only = "--cc-only" in argv
+    # --cc-tiers-only: BOTH CC tiers head-to-head on the same chain
+    # graph (propagation run to convergence vs star-contraction) — the
+    # measurement behind dedup.py:connected_components's tier-choice
+    # docstring (synthetic-200000-cc-tiers)
+    cc_tiers_only = "--cc-tiers-only" in argv
     if pagerank_only and not saw_synthetic_flag:
         synthetic_n = 2_000_000
     if cc_only and not saw_synthetic_flag:
         synthetic_n = 2_000_000
+    if cc_tiers_only and not saw_synthetic_flag:
+        synthetic_n = 200_000
     if bq_serving_only and not saw_synthetic_flag:
         synthetic_n = 200_000
     synthetic_d = 512
@@ -236,7 +243,8 @@ def main() -> None:
             "--uniform", "--uniform-tuned", "--uniform-tuned-only", "--grid-only",
             "--mixture-only", "--sq8-only", "--serving-only", "--dedup-only",
             "--pagerank-only", "--bq-serving-only", "--dedup-serving-only",
-            "--graph-serving-only", "--cc-only", "--pca-serving-only",
+            "--graph-serving-only", "--cc-only", "--cc-tiers-only",
+            "--pca-serving-only",
             "--aniso",
         )
     ]
@@ -251,6 +259,7 @@ def main() -> None:
         ("--dedup-serving-only", dedup_serving_only),
         ("--graph-serving-only", graph_serving_only),
         ("--cc-only", cc_only),
+        ("--cc-tiers-only", cc_tiers_only),
         ("--pca-serving-only", pca_serving_only),
     ) if on]
     if only_modes and argv:
@@ -276,7 +285,7 @@ def main() -> None:
         )
     if len(only_modes) > 1:
         sys.exit(f"error: {' and '.join(only_modes)} each run exactly one section; pick one")
-    if (grid_only or sq8_only or mixture_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or cc_only or pca_serving_only) and (include_uniform or include_uniform_tuned):
+    if (grid_only or sq8_only or mixture_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or cc_only or cc_tiers_only or pca_serving_only) and (include_uniform or include_uniform_tuned):
         sys.exit(f"error: {only_modes[0]} runs only its own point; drop the uniform flags")
     if tuned_only and include_uniform:
         sys.exit("error: --uniform-tuned-only runs only the tuned point; drop the other flags")
@@ -286,9 +295,9 @@ def main() -> None:
     run_synthetic = (not argv or tuned_only or mixture_only) and not (
         grid_only or sq8_only or serving_only or dedup_only or pagerank_only
         or bq_serving_only or dedup_serving_only or graph_serving_only
-        or cc_only or pca_serving_only
+        or cc_only or cc_tiers_only or pca_serving_only
     )
-    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or cc_only or pca_serving_only) and (
+    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or cc_only or cc_tiers_only or pca_serving_only) and (
         include_uniform or include_uniform_tuned or saw_synthetic_flag
     ):
         sys.exit(
@@ -427,6 +436,10 @@ def main() -> None:
 
     if cc_only:
         points.append(_cc_evidence(spark, synthetic_n))
+        print(f"[scalability] {points[-1]}", file=sys.stderr)
+
+    if cc_tiers_only:
+        points.append(_cc_tiers_evidence(spark, synthetic_n))
         print(f"[scalability] {points[-1]}", file=sys.stderr)
 
     if pca_serving_only:
@@ -627,6 +640,53 @@ def _cc_evidence(spark, n: int) -> dict:
             "pass"
         ),
     }
+
+
+def _cc_tiers_evidence(spark, n: int) -> dict:
+    """Both CC tiers head-to-head on the identical chain graph (the
+    measurement cited by operators/dedup.py:connected_components's
+    tier-choice docstring): min-label propagation run to convergence
+    (max_iter = chain+1 so it cannot fall through to star) vs
+    large-star/small-star contraction. Diameter = chain length 100 is
+    the propagation-hostile shape; both results are asserted exactly
+    against the closed-form ground truth, so the walls compare equal
+    work, not differing answers."""
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = 100
+    nodes = spark.range(n)
+    edges = (
+        nodes.filter(((F.col("id") % chain) != chain - 1) & (F.col("id") < n - 1))
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    out: dict = {
+        "sf": f"synthetic-{n}-cc-tiers", "n_nodes": n, "chain_len": chain,
+        "n_edges": n_edges,
+    }
+    truth = F.col("cluster_id") != (F.col("doc_id") - F.col("doc_id") % chain)
+    t0 = time.time()
+    prop = connected_components(edges, max_iter=chain + 1).localCheckpoint(eager=True)
+    out["cc_propagation_s"] = round(time.time() - t0, 2)
+    out["propagation_wrong_labels"] = prop.filter(truth).count()
+    t0 = time.time()
+    star = connected_components_star(edges).localCheckpoint(eager=True)
+    out["cc_star_s"] = round(time.time() - t0, 2)
+    out["star_wrong_labels"] = star.filter(truth).count()
+    out["note"] = (
+        "tier choice head-to-head at diameter 100: propagation pays one "
+        "join round per diameter step, star contracts in O(log^2) "
+        "rounds; both exact (wrong_labels must be 0). Near-dup clique "
+        "graphs (diameter <= ~3) invert the comparison, which is why "
+        "propagation stays the default tier."
+    )
+    return out
 
 
 def _pagerank_evidence(spark, n: int) -> dict:
@@ -905,7 +965,7 @@ def _serving_evidence(spark, n: int, d: int, n_cells: int = 64,
         "ivfpq_subspaces": n_sub, "ivfpq_scan_fraction": n_probe / n_cells,
     }
     try:
-        _write_synthetic(syn_dir, n, d=d, aniso=aniso)
+        _write_synthetic(syn_dir, n, d=d)
         emb = spark.read.parquet(os.path.join(syn_dir, "embeddings.parquet"))
         emb = emb.localCheckpoint(eager=True)
         dp = spark.sparkContext.defaultParallelism
@@ -1035,7 +1095,7 @@ def _bq_serving_evidence(spark, n: int, d: int) -> dict:
         "batch_size": batch_size, "n_batches": n_batches,
     }
     try:
-        _write_synthetic(syn_dir, n, d=d, aniso=aniso)
+        _write_synthetic(syn_dir, n, d=d)
         emb = spark.read.parquet(os.path.join(syn_dir, "embeddings.parquet"))
         emb = emb.localCheckpoint(eager=True)
         dp = spark.sparkContext.defaultParallelism
