@@ -122,6 +122,7 @@ def q41_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q42_minhash_signatures",
+    driver=False,  # r9 rotation: 4x driver-green, cedes its slot to q119-q136 (dedup keeps q72/q101/q102/q115/q118 + the new q121-q123/q125)
     # promoted r5 (took q06's slot): q42's round-1 red was the one red
     # verdict in the correctness history — array cells crashed the
     # driver canonicalizer. Re-shaped to fully SCALAR rows (one row per
@@ -345,6 +346,7 @@ def q46_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q77_incremental_dedup",
+    driver=False,  # r9 rotation: 6x driver-green, cedes its slot to q119-q136 (incremental dedup stays driver-verified via q118/q125)
     # promoted r3: rotated into the driver surface for a hard verdict
     oracle="""
 WITH batch AS (
@@ -384,6 +386,7 @@ def q77_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q78_incremental_near_dedup",
+    driver=False,  # r9 rotation: 6x driver-green, cedes its slot to q119-q136 (near-dup-vs-corpus stays via q118/q122)
     # promoted r3: rotated into the driver surface for a hard verdict
     oracle=f"""
 WITH batch AS (
@@ -457,6 +460,7 @@ def q78_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q79_simhash_band_candidates",
+    driver=False,  # r9 rotation: 6x driver-green, cedes its slot to q119-q136 (banding stays via q122/q123 persisted buckets)
     # promoted r3: rotated into the driver surface for a hard verdict.
     # r5: 16-bit signature → 48-bit. Profiling at sf0.1 showed the
     # 16-bit banding SATURATED (5/5/6-bit slices = 32-64 buckets; 5000
@@ -490,6 +494,7 @@ def q79_simhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q82_decontamination",
+    driver=False,  # r9 rotation: 2x driver-green, cedes its slot to q119-q136 (containment semantics pytest-covered; dedup keeps 8+ driver reps)
     # promoted r7 (VERDICT r6 ask #1): marquee pipeline operator, needs a
     # hard driver verdict; slot ceded by q33 (4x driver-green)
     oracle=f"""
@@ -926,7 +931,8 @@ def _dedup_index_path(spark: SparkSession, sf_dir: str) -> str:
 
 @register(
     "q122_persisted_dedup_index",
-    driver=False,  # registered late r8; rotation owed next round (operator proven by the pytest oracle gate + roundtrip/append tests)
+    # promoted r9: takes a slot ceded by the multi-green r9 rotation
+    # (see tests/test_oracle_queries.py DRIVER_SURFACE)
     oracle=f"""
 WITH batch AS (
   SELECT doc_id + 400000 AS doc_id, text FROM documents
@@ -1009,7 +1015,8 @@ def q122_persisted_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q123_dedup_index_stats",
-    driver=False,  # registered late r8; rotation owed next round (operator proven by the pytest oracle gate)
+    # promoted r9: takes a slot ceded by the multi-green r9 rotation
+    # (see tests/test_oracle_queries.py DRIVER_SURFACE)
     oracle=f"""
 WITH post AS (
   SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
@@ -1058,7 +1065,8 @@ def q123_dedup_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q125_persisted_exact_dedup",
-    driver=False,  # registered late r8; rotation owed next round (operator proven by the pytest oracle gate + roundtrip tests)
+    # promoted r9: takes a slot ceded by the multi-green r9 rotation
+    # (see tests/test_oracle_queries.py DRIVER_SURFACE)
     oracle="""
 WITH batch AS (
   SELECT doc_id + 600000 AS doc_id, text FROM documents

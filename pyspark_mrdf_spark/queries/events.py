@@ -322,6 +322,7 @@ def q66_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q76_salted_hot_user_join",
+    driver=False,  # r9 rotation: 6x driver-green, cedes its slot to q119-q136 (events keep q93/q94/q114/q130/q135)
     # promoted r3: rotated into the driver surface for a hard verdict
     oracle="""
 SELECT e.user_id, u.n_total,
@@ -533,7 +534,8 @@ _ATTR_HOURS = 48
 
 @register(
     "q130_linear_attribution",
-    driver=False,  # registered r8 after the 50-slot surface froze for the round
+    # promoted r9: takes a slot ceded by the multi-green r9 rotation
+    # (see tests/test_oracle_queries.py DRIVER_SURFACE)
     oracle=f"""
 WITH conv AS (
   SELECT event_id AS conv_id, user_id, ts, value
@@ -634,7 +636,8 @@ _PATH_LEN = 5
 
 @register(
     "q135_top_user_paths",
-    driver=False,  # registered r8 after the 50-slot surface froze for the round
+    # promoted r9: takes a slot ceded by the multi-green r9 rotation
+    # (see tests/test_oracle_queries.py DRIVER_SURFACE)
     oracle=f"""
 WITH p AS (
   SELECT user_id,

@@ -115,6 +115,7 @@ def q62_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q81_bmp_pixel_stats",
+    driver=False,  # r9 rotation: 3x driver-green, cedes its slot to q119-q136 (multimodal keeps q112 + the new q121 image path)
     oracle="""
 SELECT doc_id,
        CAST(16 + doc_id % 16 AS INT) AS width,
@@ -182,6 +183,7 @@ def q112_wav_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q86_payload_embed_knn",
+    driver=False,  # r9 rotation: 2x driver-green, cedes its slot to q119-q136 (multimodal keeps q112/q121; external-query knn stays via q92/q95/q116)
     # new r7 (VERDICT r6 ask #8): the full binary→vector→search pipeline
     # under one hash verdict; slot ceded by q21 (6x driver-green, events
     # family keeps q22/q24/q25/q28/q29/q63)
@@ -261,7 +263,8 @@ def q86_payload_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q121_image_dhash_near_dups",
-    driver=False,  # registered late r8; rotation owed next round (operator proven by the pytest oracle gate)
+    # promoted r9: takes a slot ceded by the multi-green r9 rotation
+    # (see tests/test_oracle_queries.py DRIVER_SURFACE)
     oracle="""
 WITH docs_g AS (
   SELECT doc_id, doc_id % 40 AS g,

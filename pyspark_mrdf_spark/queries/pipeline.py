@@ -191,6 +191,7 @@ def q71_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q84_train_val_test_split",
+    driver=False,  # r9 rotation: 2x driver-green, cedes its slot to q119-q136 (pipeline keeps q99/q103/q104 + the new q126/q128/q132)
     # promoted r7 (VERDICT r6 ask #1): deterministic split needs a hard
     # driver verdict; slot ceded by q60 (byte-kernel twin of hash-green q81)
     oracle="""
@@ -233,6 +234,7 @@ def q84_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q85_shuffle_shards",
+    driver=False,  # r9 rotation: 2x driver-green, cedes its slot to q119-q136 (pipeline keeps q99/q103 + the new q128 stratified sample)
     # promoted r7 (VERDICT r6 ask #1): shuffle-shards needs a hard driver
     # verdict; slot ceded by q62 (frame kernel twin of hash-green q81)
     oracle="""
@@ -302,6 +304,7 @@ def chunk_documents(d: DataFrame, window: int = 50, stride: int = 40) -> DataFra
 
 @register(
     "q90_chunk_documents",
+    driver=False,  # r9 rotation: 2x driver-green, cedes its slot to q119-q136 (chunking stays via q91 chunk-dup rate + q103 packing)
     # new r7, promoted same-round: q10/q13/q27/q65 (6x driver-green) ceded slots
     oracle="""
 WITH t AS (
@@ -984,7 +987,8 @@ def capped_per_key(
 
 @register(
     "q126_domain_caps",
-    driver=False,  # registered r8 after the 50-slot surface froze for the round
+    # promoted r9: takes a slot ceded by the multi-green r9 rotation
+    # (see tests/test_oracle_queries.py DRIVER_SURFACE)
     oracle=f"""
 WITH r AS (
   SELECT doc_id, source, n_chars,
@@ -1029,7 +1033,8 @@ _STRAT_SEED = "evalsplit"
 
 @register(
     "q128_stratified_sample",
-    driver=False,  # registered r8 after the 50-slot surface froze for the round
+    # promoted r9: takes a slot ceded by the multi-green r9 rotation
+    # (see tests/test_oracle_queries.py DRIVER_SURFACE)
     oracle=f"""
 WITH r AS (
   SELECT doc_id, lang,
@@ -1105,7 +1110,8 @@ def _snapshot_b(d: DataFrame) -> DataFrame:
 
 @register(
     "q132_corpus_snapshot_diff",
-    driver=False,  # registered r8 after the 50-slot surface froze for the round
+    # promoted r9: takes a slot ceded by the multi-green r9 rotation
+    # (see tests/test_oracle_queries.py DRIVER_SURFACE)
     oracle="""
 WITH a AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
 b_kept AS (

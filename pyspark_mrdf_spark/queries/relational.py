@@ -141,6 +141,7 @@ def q03_rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q05_local_supplier_volume",
+    driver=False,  # r9 rotation: 8x driver-green, cedes its slot to q119-q136 (relational keeps q01)
     oracle="""
 SELECT n_name,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
@@ -721,6 +722,7 @@ def q65_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q67_grouping_sets",
+    driver=False,  # r9 rotation: 8x driver-green, cedes its slot to q119-q136 (aggregations keep q01)
     oracle="""
 SELECT o_orderstatus, o_orderpriority,
        CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,

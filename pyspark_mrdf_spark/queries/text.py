@@ -302,6 +302,7 @@ FROM cc
 
 @register(
     "q83_pii_scrub",
+    driver=False,  # r9 rotation: 2x driver-green, cedes its slot to q119-q136 (text keeps q96/q107/q108/q110/q111 + the new q136)
     # promoted r7 (VERDICT r6 ask #1): PII scrub needs a hard driver
     # verdict; slot ceded by q36 (4x driver-green)
     oracle=_Q83_ORACLE,
@@ -350,6 +351,7 @@ def q83_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q87_repetition_filter",
+    driver=False,  # r9 rotation: 2x driver-green, cedes its slot to q119-q136 (text keeps q96/q110/q111/q136)
     # new r7, promoted same-round: q10/q13/q27/q65 (6x driver-green) ceded slots
     oracle="""
 WITH t AS (
@@ -420,6 +422,7 @@ def q87_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q88_bm25_retrieval",
+    driver=False,  # r9 rotation: 2x driver-green, cedes its slot to q119-q136 (retrieval stays driver-verified via the new q120 hybrid RRF)
     # new r7, promoted same-round: q10/q13/q27/q65 (6x driver-green) ceded slots
     oracle="""
 WITH d AS (
@@ -1070,7 +1073,8 @@ _RRF_LEG_K = 50
 
 @register(
     "q120_hybrid_rrf_retrieval",
-    driver=False,  # registered late r8; rotation owed next round (operator proven by the pytest oracle gate)
+    # promoted r9: takes a slot ceded by the multi-green r9 rotation
+    # (see tests/test_oracle_queries.py DRIVER_SURFACE)
     oracle=f"""
 WITH d AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks FROM documents),
@@ -1227,7 +1231,8 @@ _TFIDF_TOP = 5
 
 @register(
     "q136_tfidf_top_terms",
-    driver=False,  # registered r8 after the 50-slot surface froze for the round
+    # promoted r9: takes a slot ceded by the multi-green r9 rotation
+    # (see tests/test_oracle_queries.py DRIVER_SURFACE)
     oracle=f"""
 WITH tok AS (
   SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

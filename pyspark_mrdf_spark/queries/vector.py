@@ -371,6 +371,7 @@ SELECT CAST((SELECT COUNT(*) FROM exact e JOIN approx x ON e.src = x.src AND e.d
 
 @register(
     "q57_ivf_recall",
+    driver=False,  # r9 rotation: 8x driver-green, cedes its slot to q119-q136 (vector keeps q50/q56 + the new q119/q124/q127/q129/q131/q133/q134)
     oracle=_q57_oracle,
     description="recall of the PRODUCTION IVF index (256 Lloyd-trained cells, multi-assign 8, probe 8 — same ~25% scanned fraction as q51's untrained 8/1/2 baseline, recall 0.83 vs 0.43 at sf0.1; see _IVF_CFG for the equal-cost sweep) vs exact kNN; trained centroids reproduced bit-for-bit in the oracle via the shared Lloyd core + md5-ordered sample, so the ENTIRE recall computation stays hash-verified",
     tags=("vector", "ann", "recall"),
@@ -443,6 +444,7 @@ def q80_knn_search_external(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q89_sq8_quantized_knn",
+    driver=False,  # r9 rotation: 2x driver-green, cedes its slot to q119-q136 (SQ8 code path stays via q98/q105/q131 + the new q133)
     # new r7, promoted same-round: q10/q13/q27/q65 (6x driver-green) ceded slots
     oracle="""
 WITH mm AS (
@@ -1085,7 +1087,8 @@ def q116_binary_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q119_prefix_dim_knn",
-    driver=False,  # registered late r8; rotation owed next round (operator proven by the pytest oracle gate + recall law test)
+    # promoted r9: takes a slot ceded by the multi-green r9 rotation
+    # (see tests/test_oracle_queries.py DRIVER_SURFACE)
     oracle="""
 SELECT src, dst, rnk FROM (
   SELECT t.src, t.dst,
@@ -1134,7 +1137,8 @@ def q119_prefix_dim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q124_graph_ann_search",
-    driver=False,  # registered late r8; iterative beam search — recall/invariance laws in tests/test_graph_search.py
+    # promoted r9: takes a slot ceded by the multi-green r9 rotation
+    # (see tests/test_oracle_queries.py DRIVER_SURFACE)
     oracle=None,  # iterative graph walk (rounds decided by data) — not SQL-expressible; rows-only driver check + pytest recall gate
     description=(
         "graph-based ANN SERVING (operators/graph_search.graph_knn_search "
@@ -1249,7 +1253,8 @@ def _q127_oracle(sf_dir: str) -> str:
 
 @register(
     "q127_pca_project",
-    driver=False,  # registered r8 after the 50-slot surface froze for the round
+    # promoted r9: takes a slot ceded by the multi-green r9 rotation
+    # (see tests/test_oracle_queries.py DRIVER_SURFACE)
     oracle=_q127_oracle,
     description=(
         f"PCA dimensionality reduction (operators/project.py): rotation "
@@ -1318,7 +1323,8 @@ WHERE rnk <= 5
 
 @register(
     "q129_pca_prefix_knn",
-    driver=False,  # registered r8 after the 50-slot surface froze for the round
+    # promoted r9: takes a slot ceded by the multi-green r9 rotation
+    # (see tests/test_oracle_queries.py DRIVER_SURFACE)
     oracle=_q129_oracle,
     description=(
         "two-stage search in the ROTATED truncated space "
@@ -1345,7 +1351,8 @@ def q129_pca_prefix_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q131_sq8_drift_monitor",
-    driver=False,  # registered r8 after the 50-slot surface froze for the round
+    # promoted r9: takes a slot ceded by the multi-green r9 rotation
+    # (see tests/test_oracle_queries.py DRIVER_SURFACE)
     oracle="""
 WITH tr AS (
   SELECT unnest(generate_series(1, len(embedding))) AS dim,
@@ -1453,7 +1460,8 @@ SELECT src, dst, rnk FROM rr WHERE rnk <= 5
 
 @register(
     "q133_pca_sq8_knn",
-    driver=False,  # registered r8 after the 50-slot surface froze for the round
+    # promoted r9: takes a slot ceded by the multi-green r9 rotation
+    # (see tests/test_oracle_queries.py DRIVER_SURFACE)
     oracle=_q133_oracle,
     description=(
         "REDUCE->QUANTIZE->RERANK (operators/project.pca_sq8_search — "
@@ -1508,7 +1516,8 @@ FROM u GROUP BY component
 
 @register(
     "q134_pca_energy",
-    driver=False,  # registered r8 after the 50-slot surface froze for the round
+    # promoted r9: takes a slot ceded by the multi-green r9 rotation
+    # (see tests/test_oracle_queries.py DRIVER_SURFACE)
     oracle=_q134_oracle,
     description=(
         "PCA energy spectrum over the corpus: per rotated component, "

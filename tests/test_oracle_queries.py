@@ -111,39 +111,47 @@ DRIVER_SURFACE = [
     # stays driver-verified via q102 SemDeDup) and q118 bloom-pruned
     # incremental dedup takes the 5x-green q80's slot (the external
     # query contract stays driver-verified via q86/q89/q92/q95/q116).
-    "q76_salted_hot_user_join",
+    # Round-9 rotation (r8 backlog): the 18 round-8 operators that
+    # registered after the round's surface froze — q119 prefix-dim
+    # search, q120 hybrid RRF, q121 image dHash near-dups, q122/q123
+    # persisted dedup index + stats, q124 graph ANN serving, q125
+    # persisted exact dedup, q126 domain caps, q127 PCA projection,
+    # q128 stratified sample, q129 PCA-prefix search, q130 linear
+    # attribution, q131 SQ8 drift monitor, q132 snapshot diff, q133
+    # PCA+SQ8 composition, q134 PCA energy, q135 user paths, q136
+    # TF-IDF top terms — take the slots of 18 multi-green (2-8x)
+    # siblings: q05/q67 (relational keeps q01), q76 (events keep
+    # q93/q94/q114/q130/q135), q81/q86 (multimodal keeps q112/q121),
+    # q42/q77/q78/q79/q82 (dedup keeps q72/q101/q102/q115/q118 +
+    # q121-q125), q83/q87/q88 (text keeps q96/q107/q108/q110/q111 +
+    # q120/q136), q84/q85/q90 (pipeline keeps q91/q99/q100/q103/q104 +
+    # q126/q128/q132), q57/q89 (vector keeps q50/q56 + ten driver
+    # reps). Family sentinels q01/q50/q56/q72 stay put.
     "q93_funnel_analysis",
     "q94_cohort_retention",
     "q114_scd2_history",
-    "q81_bmp_pixel_stats",
+    "q130_linear_attribution",
+    "q135_top_user_paths",
     "q112_wav_audio_stats",
-    "q86_payload_embed_knn",
+    "q121_image_dhash_near_dups",
     "q01_pricing_summary",
-    "q05_local_supplier_volume",
-    "q67_grouping_sets",
-    "q83_pii_scrub",
-    "q87_repetition_filter",
-    "q88_bm25_retrieval",
     "q96_rare_token_filter",
     "q107_bpe_train",
     "q108_bpe_tokenize",
     "q110_lm_quality_filter",
     "q111_lm_crosscorpus_filter",
     "q117_nb_quality_classifier",
-    "q42_minhash_signatures",
+    "q120_hybrid_rrf_retrieval",
+    "q136_tfidf_top_terms",
     "q72_dup_clusters",
-    "q77_incremental_dedup",
-    "q78_incremental_near_dedup",
-    "q79_simhash_band_candidates",
-    "q82_decontamination",
     "q101_substring_dedup",
     "q102_semantic_dedup",
     "q109_substring_scrub",
     "q115_contrastive_pairs",
     "q118_bloom_incremental_dedup",
-    "q84_train_val_test_split",
-    "q85_shuffle_shards",
-    "q90_chunk_documents",
+    "q122_persisted_dedup_index",
+    "q123_dedup_index_stats",
+    "q125_persisted_exact_dedup",
     "q91_chunk_dup_rate",
     "q99_epoch_oversample",
     "q100_length_quantiles",
@@ -151,16 +159,24 @@ DRIVER_SURFACE = [
     "q104_dsir_importance",
     "q106_sampled_quantile",
     "q113_pagerank_quality",
+    "q126_domain_caps",
+    "q128_stratified_sample",
+    "q132_corpus_snapshot_diff",
     "q50_knn_exact",
     "q56_mrdf_recall",
-    "q57_ivf_recall",
-    "q89_sq8_quantized_knn",
     "q92_pq_quantized_knn",
     "q95_ivfpq_knn",
     "q97_recall_vs_ivecs_gt",
     "q98_ivfpq_persisted_index",
     "q105_index_cell_stats",
     "q116_binary_quantized_knn",
+    "q119_prefix_dim_knn",
+    "q124_graph_ann_search",
+    "q127_pca_project",
+    "q129_pca_prefix_knn",
+    "q131_sq8_drift_monitor",
+    "q133_pca_sq8_knn",
+    "q134_pca_energy",
 ]
 
 
