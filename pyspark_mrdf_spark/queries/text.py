@@ -1292,3 +1292,48 @@ def q136_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term_rank",
         id_col="tok",
     )
+
+
+# --- q137: exact heavy hitters, bounded-shuffle tier -------------------------
+#
+# The groupBy in q31 shuffles one partial count per distinct key per map
+# task — the right plan for bounded vocabularies, the wrong one when key
+# cardinality approaches row count (shingle/n-gram keys at 100 TB, where
+# map-side combine stops combining). operators/sketch.py bounds the
+# shuffle to a parameter-sized candidate set and recounts exactly; the
+# output is IDENTICAL to the full groupBy (superset-guarantee proof in
+# the module docstring), which is what the oracle runs.
+
+_HH_K = 50  # report tokens with frequency > N/50 (2% of the stream)
+
+
+@register(
+    "q137_heavy_hitters",
+    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    oracle=f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM tok
+GROUP BY token
+HAVING COUNT(*) * {_HH_K} > (SELECT COUNT(*) FROM tok)
+""",
+    description=(
+        "exact heavy hitters (freq > N/50) via per-partition top-m "
+        "candidates + broadcast recount — the bounded-shuffle tier for "
+        "massive-cardinality keys; provably identical to the full "
+        "groupBy the oracle runs"
+    ),
+    tags=("text", "sketch", "agg"),
+)
+def q137_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens covering >2% of the corpus token stream, exactly.
+
+    Scale shape: one mapInPandas scan emits ≤ parts·4k candidate keys
+    + per-batch totals; the only corpus shuffle is the recount groupBy
+    over candidate-matching rows (broadcast semi-join pre-filters the
+    map side). No full-vocabulary shuffle ever materializes."""
+    from pyspark_mrdf_spark.operators.sketch import heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(T.tokens("text")).alias("token"))
+    return heavy_hitters(tok, "token", _HH_K)
