@@ -1164,3 +1164,75 @@ def q132_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status"),
     )
     return diff.groupBy("source", "status").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+# --- q138: triangle counting over the co-order graph -------------------------
+#
+# The clustering-coefficient numerator on the market-basket graph (parts
+# co-ordered in the same order — the same co-occurrence shape as docs
+# sharing shingles or hosts co-linked). Degree-ordered orientation keeps
+# the wedge self-join's fan-out O(sqrt m) per node even on power-law
+# hubs; the oracle replays the identical orientation in SQL, so the
+# per-node integer counts hash-match exactly.
+
+
+@register(
+    "q138_triangle_counts",
+    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    oracle="""
+WITH und AS (
+  SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+                  GREATEST(l1.l_partkey, l2.l_partkey) AS b
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey < l2.l_partkey),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+  GROUP BY node),
+oriented AS (
+  SELECT CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.a ELSE u.b END AS u,
+         CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN u.b ELSE u.a END AS v,
+         CASE WHEN (da.deg, u.a) < (db.deg, u.b) THEN db.deg ELSE da.deg END AS deg_v
+  FROM und u
+  JOIN deg da ON da.node = u.a
+  JOIN deg db ON db.node = u.b),
+wedges AS (
+  SELECT w1.u, w1.v AS x, w2.v AS y,
+         CASE WHEN (w1.deg_v, w1.v) < (w2.deg_v, w2.v) THEN w1.v ELSE w2.v END AS cu,
+         CASE WHEN (w1.deg_v, w1.v) < (w2.deg_v, w2.v) THEN w2.v ELSE w1.v END AS cv
+  FROM oriented w1 JOIN oriented w2 ON w1.u = w2.u AND w1.v < w2.v),
+tri AS (
+  SELECT w.u, w.x, w.y FROM wedges w
+  JOIN oriented c ON c.u = w.cu AND c.v = w.cv)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (SELECT u AS node FROM tri
+      UNION ALL SELECT x AS node FROM tri
+      UNION ALL SELECT y AS node FROM tri)
+GROUP BY node
+""",
+    description=(
+        "per-part triangle counts of the co-order graph: degree-ordered "
+        "orientation (one wedge per triangle, O(sqrt m) fan-out on hubs) "
+        "+ composite-key closing equi-join; exact integers"
+    ),
+    tags=("graph", "join", "agg"),
+)
+def q138_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation per part in the co-order graph.
+
+    Scale shape: the co-order pair build is an equi-self-join on
+    l_orderkey (basket-bounded fan-out), then operators/graph.py's
+    oriented wedge join — every join an equi-join, every count an
+    integer."""
+    from pyspark_mrdf_spark.operators.graph import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("l1")
+        .join(li.alias("l2"), "l_orderkey")
+        .filter(F.col("l1.l_partkey") < F.col("l2.l_partkey"))
+        .select(
+            F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
+        )
+    )
+    return triangle_counts(pairs)

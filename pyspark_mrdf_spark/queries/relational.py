@@ -812,3 +812,73 @@ def q75_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     ).withColumn("value", F.col("value").cast(DEC).cast("double"))
+
+
+# --- q139: fuzzy record linkage (blocking + levenshtein) ---------------------
+#
+# Entity resolution across feeds: a "dirty" snapshot of part names (one
+# deterministic character deletion each, position = partkey % length, so
+# both engines derive bit-identical corruptions) linked back to the
+# clean catalog through operators/linkage.py — prefix/suffix blocking
+# equi-joins, JVM levenshtein on candidates only, per-record (dist,
+# name) argmin. The oracle replays corruption, blocks, distance, and
+# tie-break identically.
+
+
+@register(
+    "q139_fuzzy_record_linkage",
+    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    oracle="""
+WITH clean AS (SELECT DISTINCT p_name AS cn FROM part),
+dirty AS (
+  SELECT p_partkey AS rec_id,
+         concat(substring(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER)),
+                substring(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2)) AS dn
+  FROM part WHERE p_partkey % 3 = 1),
+dk AS (
+  SELECT rec_id, dn, substring(dn, 1, 3) AS k FROM dirty
+  UNION
+  SELECT rec_id, dn, substring(dn, greatest(length(dn) - 2, 1), 3) AS k FROM dirty),
+ck AS (
+  SELECT DISTINCT cn, k FROM (
+    SELECT cn, substring(cn, 1, 3) AS k FROM clean
+    UNION
+    SELECT cn, substring(cn, greatest(length(cn) - 2, 1), 3) AS k FROM clean)),
+scored AS (
+  SELECT DISTINCT rec_id, dn, cn FROM dk JOIN ck USING (k)),
+best AS (
+  SELECT rec_id, dn, cn, levenshtein(dn, cn) AS dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY rec_id ORDER BY levenshtein(dn, cn), cn) AS r
+  FROM scored WHERE levenshtein(dn, cn) <= 1)
+SELECT rec_id, dn AS name, cn AS matched_name, CAST(dist AS INTEGER) AS dist
+FROM best WHERE r = 1
+""",
+    description=(
+        "fuzzy record linkage: deterministic single-char-deletion dirty "
+        "feed linked to the clean part catalog via prefix/suffix "
+        "blocking + levenshtein<=1 + per-record (dist, name) argmin"
+    ),
+    tags=("linkage", "join", "text"),
+)
+def q139_fuzzy_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best clean-name match for each corrupted part name.
+
+    Scale shape: blocking equi-joins on 3-char keys bound the distance
+    computation to candidate pairs; the argmin window partitions by
+    dirty record id (no hot partitions). An all-pairs levenshtein
+    never appears in the plan."""
+    from pyspark_mrdf_spark.operators.linkage import blocked_levenshtein_link
+
+    p = load_table(spark, sf_dir, "part")
+    corrupt = (
+        "concat(substring(p_name, 1, cast(p_partkey % length(p_name) as int)), "
+        "substring(p_name, cast(p_partkey % length(p_name) as int) + 2))"
+    )
+    dirty = p.filter(F.col("p_partkey") % 3 == 1).select(
+        F.col("p_partkey").alias("rec_id"), F.expr(corrupt).alias("name")
+    )
+    clean = p.select("p_name")
+    return blocked_levenshtein_link(
+        dirty, clean, id_col="rec_id", name_col="name", clean_name_col="p_name"
+    )

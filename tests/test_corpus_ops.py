@@ -466,3 +466,86 @@ def test_hybrid_rrf_fusion_laws(spark, sf_dir):
                 1.0 / (60 + r["vec_rnk"]) if r["vec_rnk"] else 0.0
             )
             assert r["rrf"] == want, (qid, r)
+
+
+# --- triangle counting (q138 / operators/graph.py) ----------------------
+
+
+def test_triangles_k4(spark):
+    # K4: 4 triangles, every node participates in C(3,2) = 3
+    from pyspark_mrdf_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b], ["src", "dst"]
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_match_bruteforce_and_input_shape_invariance(spark):
+    from itertools import combinations
+    import random
+
+    from pyspark_mrdf_spark.operators.graph import triangle_counts
+
+    rng = random.Random(42)
+    n = 40
+    und = {(a, b) for a in range(n) for b in range(a + 1, n) if rng.random() < 0.15}
+    adj = {v: set() for v in range(n)}
+    for a, b in und:
+        adj[a].add(b); adj[b].add(a)
+    expected: dict[int, int] = {}
+    for trio in combinations(range(n), 3):
+        a, b, c = trio
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for v in trio:
+                expected[v] = expected.get(v, 0) + 1
+    # feed edges in MIXED direction with duplicates and self-loops:
+    # the operator must canonicalize
+    rows = []
+    for a, b in und:
+        rows.append((b, a) if rng.random() < 0.5 else (a, b))
+        if rng.random() < 0.2:
+            rows.append((a, b))
+    rows += [(5, 5), (7, 7)]
+    edges = spark.createDataFrame(rows, ["src", "dst"]).repartition(7)
+    got = {r["node"]: r["n_triangles"] for r in triangle_counts(edges).collect()}
+    assert got == expected
+    assert sum(got.values()) % 3 == 0
+
+
+# --- fuzzy linkage (q139 / operators/linkage.py) ------------------------
+
+
+def test_blocked_link_single_edits(spark):
+    from pyspark_mrdf_spark.operators.linkage import blocked_levenshtein_link
+
+    clean = spark.createDataFrame(
+        [("small ring",), ("red widget",), ("blue bolt",)], ["name"]
+    )
+    dirty = spark.createDataFrame(
+        [
+            (1, "smll ring"),    # deletion mid-word: prefix block misses, suffix hits? (prefix 'sml' != 'sma') -> suffix 'ing' hits
+            (2, "red widge"),    # deletion at end: prefix block hits
+            (3, "zzz nothing"),  # no match within dist 1
+        ],
+        ["rec_id", "name"],
+    )
+    got = {
+        r["rec_id"]: (r["matched_name"], r["dist"])
+        for r in blocked_levenshtein_link(dirty, clean).collect()
+    }
+    assert got == {1: ("small ring", 1), 2: ("red widget", 1)}
+
+
+def test_blocked_link_tie_breaks_deterministically(spark):
+    from pyspark_mrdf_spark.operators.linkage import blocked_levenshtein_link
+
+    # "cat" is distance 1 from both "bat" and "cap": (dist, name) argmin
+    # must pick "bat" on every partitioning
+    clean = spark.createDataFrame([("bat",), ("cap",)], ["name"])
+    dirty = spark.createDataFrame([(1, "cat")], ["rec_id", "name"])
+    rows = blocked_levenshtein_link(
+        dirty.repartition(4), clean.repartition(3), prefix_len=1
+    ).collect()
+    assert [(r["matched_name"], r["dist"]) for r in rows] == [("bat", 1)]
