@@ -148,3 +148,65 @@ def test_csv_roundtrip_nation(spark, sf_dir, tmp_path):
     n.write.mode("overwrite").option("header", True).csv(p)
     back = spark.read.schema(n.schema).option("header", True).csv(p)
     assert sorted(map(tuple, n.collect())) == sorted(map(tuple, back.collect()))
+
+
+def test_formats_orc_pushdown_and_pruning(spark, sf_dir, tmp_path):
+    # the columnar contract must survive the format change: ORC scans
+    # prune columns and push predicates exactly like parquet
+    from pyspark_mrdf_spark.io import load_table
+    from pyspark_mrdf_spark.sources.formats import read_orc, write_orc
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = str(tmp_path / "lineitem_orc")
+    write_orc(li, p)
+    q = (
+        read_orc(spark, p)
+        .filter("l_quantity > 45")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters", 1)[1][:300]
+    read_schema = plan.split("ReadSchema", 1)[1][:200]
+    assert "l_extendedprice" not in read_schema  # column pruning held
+    assert q.count() == li.filter("l_quantity > 45").count()
+
+
+def test_formats_csv_corrupt_capture_and_quoting(spark, tmp_path):
+    # documents with embedded commas/quotes roundtrip; a malformed line
+    # lands in quarantine instead of crashing or silently vanishing
+    from pyspark_mrdf_spark.sources.formats import (
+        read_documents_csv,
+        write_documents_csv,
+    )
+    from pyspark_mrdf_spark.sources.jsonl import split_corrupt
+
+    docs = spark.createDataFrame(
+        [
+            (1, 'Hello, "quoted" world', "en", "srcA", 21),
+            (2, "plain text", "de", "srcB", 10),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    p = str(tmp_path / "docs_csv")
+    write_documents_csv(docs, p)
+    # inject a malformed line (wrong arity, bad types) into the export;
+    # drop the Hadoop .crc sidecar the out-of-band append invalidates
+    import glob as _g
+
+    part = _g.glob(p + "/part-*.csv")[0]
+    with open(part, "a") as fh:
+        fh.write("not_a_number,only_two_fields\n")
+    crc = os.path.join(os.path.dirname(part), "." + os.path.basename(part) + ".crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    back = read_documents_csv(spark, p)
+    clean, corrupt = split_corrupt(back)
+    got = {
+        (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+        for r in clean.collect()
+    }
+    assert got == {
+        (1, 'Hello, "quoted" world', "en", "srcA", 21),
+        (2, "plain text", "de", "srcB", 10),
+    }
+    assert corrupt.count() == 1
