@@ -202,3 +202,107 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def _undirected(edges: DataFrame, src_col: str, dst_col: str) -> DataFrame:
+    """Canonical undirected edge set (a < b, deduped, no self-loops)."""
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    return (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """``rounds`` synchronous peels toward the k-core → (node, deg):
+    each round drops every node with degree < k and all its edges, deg
+    is the degree in the final surviving edge set.
+
+    The FIXED round count is the same closed-form discipline as the
+    integer PageRank above: peeling to an unbounded fixpoint would be
+    correct but unreplayable by a SQL oracle; t rounds are exactly t
+    CTE stages, and graphs whose peel converges within t rounds (most
+    real co-occurrence graphs — peeling depth is small at any density)
+    get the true k-core. Callers needing the fixpoint raise ``rounds``
+    (the round is idempotent once converged, so overshooting is free
+    correctness-wise and costs one degree agg + one semi-join each).
+
+    Scale shape per round: one groupBy-count over edge endpoints + two
+    broadcast-or-shuffle semi-joins of the edge table against the
+    (shrinking) survivor set — all equi-keyed on node id."""
+    und = _undirected(edges, src_col, dst_col).localCheckpoint(eager=False)
+    e = und
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """``rounds`` synchronous label-propagation steps → (node, label):
+    community detection's cheapest member (Raghavan et al. 2007).
+    Labels start as node ids; each round every node adopts the most
+    frequent label among its neighbors, ties to the SMALLEST label —
+    the deterministic tie-break that makes the fixed-round run (and
+    its SQL replay) bit-identical on any engine. Synchronous updates
+    can oscillate on bipartite-ish structures; fixed rounds make that
+    a defined, replayable outcome rather than nontermination.
+
+    Scale shape per round: edges ⋈ labels on node id, one (node,
+    label) count agg, one per-node argmax window — node-partitioned,
+    no hot keys beyond true graph hubs (the same profile as the
+    PageRank contribution agg above)."""
+    und = _undirected(edges, src_col, dst_col)
+    adj = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionByName(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint(eager=False)
+    )
+    labels = adj.select("node").distinct().withColumn("label", F.col("node"))
+    from pyspark.sql import Window
+
+    for _ in range(rounds):
+        nbr_labels = adj.join(
+            labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+        )
+        counted = nbr_labels.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
+        labels = (
+            counted.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels

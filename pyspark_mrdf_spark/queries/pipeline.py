@@ -1236,3 +1236,129 @@ def q138_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return triangle_counts(pairs)
+
+
+# --- q140/q141: fixed-round graph analytics on the co-order graph -----------
+#
+# Same closed-form discipline as q113's integer PageRank: a FIXED round
+# count turns an iterative graph algorithm into something a SQL oracle
+# replays as t CTE stages, so the driver can hash-check it. The peel /
+# propagation rounds are idempotent once converged — overshooting
+# rounds is correctness-free.
+
+_KCORE_K = 60
+_KCORE_ROUNDS = 3
+_LPA_ROUNDS = 3
+
+_COORDER_SQL = """
+  SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+                  GREATEST(l1.l_partkey, l2.l_partkey) AS b
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey < l2.l_partkey"""
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    parts = [f"WITH e0 AS ({_COORDER_SQL})"]
+    for r in range(rounds):
+        parts.append(f""",
+d{r} AS (SELECT node, COUNT(*) AS deg FROM (
+  SELECT a AS node FROM e{r} UNION ALL SELECT b AS node FROM e{r}) GROUP BY node),
+s{r} AS (SELECT node FROM d{r} WHERE deg >= {k}),
+e{r + 1} AS (SELECT e.a, e.b FROM e{r} e
+  JOIN s{r} sa ON e.a = sa.node JOIN s{r} sb ON e.b = sb.node)""")
+    parts.append(f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+  SELECT a AS node FROM e{rounds} UNION ALL SELECT b AS node FROM e{rounds})
+GROUP BY node""")
+    return "".join(parts)
+
+
+@register(
+    "q140_kcore_parts",
+    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS),
+    description=(
+        f"{_KCORE_ROUNDS}-round k-core peel (k={_KCORE_K}) of the "
+        "co-order part graph: the dense-core extraction that seeds "
+        "recommendation/anomaly work; fixed rounds = SQL-replayable"
+    ),
+    tags=("graph", "iteration", "agg"),
+)
+def q140_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts surviving 3 peels toward the 60-core, with final degree.
+
+    Scale shape per round: endpoint groupBy-count + two left-semi
+    equi-joins against the shrinking survivor set; the edge build is
+    the basket-bounded l_orderkey self-join."""
+    from pyspark_mrdf_spark.operators.graph import kcore_peel
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("l1")
+        .join(li.alias("l2"), "l_orderkey")
+        .filter(F.col("l1.l_partkey") < F.col("l2.l_partkey"))
+        .select(
+            F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
+        )
+    )
+    return kcore_peel(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def _lpa_oracle(rounds: int) -> str:
+    parts = [f"""WITH pr AS (
+  SELECT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+         GREATEST(l1.l_partkey, l2.l_partkey) AS b, COUNT(*) AS w
+  FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_partkey < l2.l_partkey GROUP BY 1, 2),
+und AS (SELECT a, b FROM pr WHERE w >= 2),
+adj AS (SELECT a AS node, b AS nbr FROM und
+        UNION ALL SELECT b AS node, a AS nbr FROM und),
+l0 AS (SELECT DISTINCT node, node AS label FROM adj)"""]
+    for r in range(rounds):
+        parts.append(f""",
+l{r + 1} AS (
+  SELECT node, label FROM (
+    SELECT node, label, ROW_NUMBER() OVER (
+      PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM (SELECT adj.node, l.label, COUNT(*) AS c
+          FROM adj JOIN l{r} l ON l.node = adj.nbr
+          GROUP BY adj.node, l.label))
+  WHERE rn = 1)""")
+    parts.append(f"""
+SELECT node, CAST(label AS BIGINT) AS label FROM l{rounds}""")
+    return "".join(parts)
+
+
+@register(
+    "q141_part_communities",
+    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    oracle=_lpa_oracle(_LPA_ROUNDS),
+    description=(
+        f"{_LPA_ROUNDS}-round label propagation on the w>=2 co-order "
+        "graph: deterministic (count desc, label asc) adoption — "
+        "community detection with a bit-identical SQL replay"
+    ),
+    tags=("graph", "iteration", "window"),
+)
+def q141_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community label per part after 3 synchronous LPA rounds on the
+    repeat-co-order graph (pairs co-ordered >= 2 times — the sparse,
+    structured backbone of the basket graph).
+
+    Scale shape per round: adjacency ⋈ labels equi-join + (node,
+    label) count + per-node argmax window."""
+    from pyspark_mrdf_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("l1")
+        .join(li.alias("l2"), "l_orderkey")
+        .filter(F.col("l1.l_partkey") < F.col("l2.l_partkey"))
+        .groupBy(
+            F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    return label_propagation(pairs, rounds=_LPA_ROUNDS)

@@ -549,3 +549,76 @@ def test_blocked_link_tie_breaks_deterministically(spark):
         dirty.repartition(4), clean.repartition(3), prefix_len=1
     ).collect()
     assert [(r["matched_name"], r["dist"]) for r in rows] == [("bat", 1)]
+
+
+# --- k-core + label propagation (q140/q141 / operators/graph.py) --------
+
+
+def test_kcore_clique_survives_tail_peels(spark):
+    from pyspark_mrdf_spark.operators.graph import kcore_peel
+
+    # K5 (deg 4) with a 3-node tail hanging off node 0: the tail peels
+    # one node per round at k=2... at k=3 the whole tail drops round 1
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    tail = [(0, 10), (10, 11), (11, 12)]
+    edges = spark.createDataFrame(k5 + tail, ["src", "dst"])
+    got = {r["node"]: r["deg"] for r in kcore_peel(edges, k=3, rounds=3).collect()}
+    assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+
+
+def test_kcore_fixed_rounds_partial_peel_is_defined(spark):
+    from pyspark_mrdf_spark.operators.graph import kcore_peel
+
+    # pure path of 6 nodes at k=2: endpoints peel each round from both
+    # ends; rounds=1 must leave the 4 inner nodes, rounds=3 empties it
+    path = [(i, i + 1) for i in range(5)]
+    edges = spark.createDataFrame(path, ["src", "dst"])
+    r1 = {r["node"] for r in kcore_peel(edges, k=2, rounds=1).collect()}
+    assert r1 == {1, 2, 3, 4}
+    assert kcore_peel(edges, k=2, rounds=3).count() == 0
+
+
+def _lpa_reference(und_edges, rounds):
+    # brute-force replica of the synchronous rule: most frequent
+    # neighbor label, ties to smallest
+    adj = {}
+    for a, b in und_edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {v: v for v in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for v, nbrs in adj.items():
+            counts = {}
+            for u in nbrs:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            nxt[v] = min(counts, key=lambda l: (-counts[l], l))
+        labels = nxt
+    return labels
+
+
+def test_label_propagation_matches_reference(spark):
+    import random
+
+    from pyspark_mrdf_spark.operators.graph import label_propagation
+
+    rng = random.Random(3)
+    # two dense blobs + one bridge: communities must separate
+    und = {(a, b) for a in range(8) for b in range(a + 1, 8) if rng.random() < 0.8}
+    und |= {(a, b) for a in range(20, 28) for b in range(a + 1, 28) if rng.random() < 0.8}
+    und.add((0, 20))
+    for rounds in (1, 3):
+        expected = _lpa_reference(und, rounds)
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(
+                spark.createDataFrame(sorted(und), ["src", "dst"]).repartition(5),
+                rounds=rounds,
+            ).collect()
+        }
+        assert got == expected, f"rounds={rounds}"
+    # the two blobs end in different communities after 3 rounds
+    final = _lpa_reference(und, 3)
+    assert {final[v] for v in range(8) if v in final} != {
+        final[v] for v in range(20, 28) if v in final
+    }
