@@ -1362,3 +1362,107 @@ def q141_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return label_propagation(pairs, rounds=_LPA_ROUNDS)
+
+
+# --- q142: incremental aggregate maintenance over a snapshot delta ----------
+#
+# The don't-rescan-the-corpus story: a maintained per-source statistics
+# table (doc counts + token counts) is advanced from snapshot A to
+# snapshot B by touching ONLY the delta — removed docs subtract, added
+# docs add, in-place edits contribute (new − old). The oracle computes
+# the same statistics by DIRECT full recompute over snapshot B: the
+# hash verdict is therefore a proof that incremental maintenance
+# equals recompute, which is the entire correctness obligation of an
+# incremental pipeline. At 100 TB with ~3% churn the delta path reads
+# two fingerprint projections + token-counts changed docs only; the
+# recompute reads everything.
+
+
+@register(
+    "q142_incremental_agg",
+    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    oracle="""
+WITH b AS (
+  SELECT CASE WHEN doc_id % 7 = 1 THEN text || ' [rev2]' ELSE text END AS text,
+         source
+  FROM documents WHERE doc_id % 10 <> 3
+  UNION ALL
+  SELECT 'NEW ' || text AS text, source
+  FROM documents WHERE doc_id % 25 = 0)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM b GROUP BY source
+""",
+    description=(
+        "per-source stats advanced A→B by delta only (removed subtract, "
+        "added add, edits contribute new−old); the oracle recomputes "
+        "from scratch on B — hash equality IS the incremental-"
+        "maintenance correctness proof"
+    ),
+    tags=("pipeline", "incremental", "agg"),
+)
+def q142_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained (source, n_docs, n_tokens) under the A→B delta.
+
+    Scale shape: the base aggregate is one pass over A (in production:
+    the stored stats table — zero cost); per-doc token counts are
+    computed MAP-SIDE in each snapshot's scan projection, so the delta
+    classification join shuffles (doc_id, source, 16-byte fp, count) —
+    text bytes never cross the wire; in production A's per-doc counts
+    are already stored alongside the fingerprints, so only B's scan
+    pays the expression. One final per-source sum folds base +
+    deltas."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ntok = lambda c: F.size(F.split(F.col(c), " "))  # noqa: E731
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ntok("text")).alias("n_tokens"),
+    )
+    b = _snapshot_b(d)
+    a_fp = d.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("source").alias("a_src"),
+        F.md5("text").alias("a_fp"),
+        ntok("text").alias("a_ntok"),
+    )
+    b_fp = b.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("source").alias("b_src"),
+        F.md5("text").alias("b_fp"),
+        ntok("text").alias("b_ntok"),
+    )
+    delta = (
+        a_fp.join(b_fp, a_fp.a_id == b_fp.b_id, "full_outer")
+        .filter(
+            F.col("a_id").isNull()
+            | F.col("b_id").isNull()
+            | (F.col("a_fp") != F.col("b_fp"))
+        )
+        .select(
+            F.coalesce(F.col("a_src"), F.col("b_src")).alias("source"),
+            (
+                F.when(F.col("b_id").isNull(), F.lit(0)).otherwise(F.lit(1))
+                - F.when(F.col("a_id").isNull(), F.lit(0)).otherwise(F.lit(1))
+            ).alias("d_docs"),
+            (
+                F.coalesce(F.col("b_ntok"), F.lit(0))
+                - F.coalesce(F.col("a_ntok"), F.lit(0))
+            ).alias("d_tokens"),
+        )
+        .groupBy("source")
+        .agg(F.sum("d_docs").alias("d_docs"), F.sum("d_tokens").alias("d_tokens"))
+    )
+    return (
+        base.join(delta, "source", "left")
+        .select(
+            "source",
+            (F.col("n_docs") + F.coalesce(F.col("d_docs"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_docs"),
+            (F.col("n_tokens") + F.coalesce(F.col("d_tokens"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+        .filter(F.col("n_docs") > 0)
+    )
