@@ -36,9 +36,11 @@ Scale shape at 100 TB:
    per n-gram, so no salting is needed — skew is confined to the
    probe side, which AQE splits).
 
-Measured (SCALABILITY.json synthetic-20000-dedup row): training AND
-self-scoring the full planted 20k-doc / 49.5M-char corpus takes
-14.8 s on local[32] — linear in corpus tokens end to end.
+Measured (SCALABILITY.json synthetic-20000-dedup and
+synthetic-500000-dedup rows): training AND self-scoring the planted
+20k-doc / 49.5M-char corpus takes 14.8 s on local[32]; the 25× corpus
+(500k docs / 1.24G chars) takes 237.6 s — 16× cost for 25× tokens,
+sublinear end to end.
 """
 
 from __future__ import annotations
