@@ -687,3 +687,72 @@ def frame_sample(
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.select("doc_id", payload_col).mapInPandas(_frames, FRAME_SCHEMA)
+
+
+# --- thumbnail (resize) --------------------------------------------------
+#
+# The resize leg of decode -> transform -> feature: nearest-neighbor
+# downsampling by an integer stride (thumb[i, j] = source[i*s, j*s]).
+# Nearest-neighbor is THE deterministic resize — no resampling kernel,
+# no float filtering — so the transformed pixels stay pure arithmetic
+# in the source and a SQL oracle can replay the features closed-form.
+
+THUMBNAIL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("mean_r_e3", LongType(), False),
+        StructField("mean_g_e3", LongType(), False),
+        StructField("mean_b_e3", LongType(), False),
+    ]
+)
+
+
+def thumbnail_pixel_features(
+    df: DataFrame, stride: int = 2, payload_col: str = "payload"
+) -> DataFrame:
+    """Decode each BMP payload, nearest-neighbor-downsample by
+    ``stride``, and emit the thumbnail's dims + per-channel fixed-point
+    means: (doc_id, width, height, mean_{r,g,b}_e3).
+
+    Thumbnail dims are ceil(source/stride) (row/col 0 always kept).
+    Means are ``(1000·sum) // n`` — floor division, the documented
+    semantics an oracle must mirror (for the gradient fixtures the
+    quotient is exact, so floor never actually rounds).
+
+    Same scale shape as ``decode_pixel_features``: one mapInPandas
+    pass, payloads never leave the executors; the decoded block is
+    sliced ``px[::s, ::s]`` before any arithmetic, so feature cost
+    drops by ~s² exactly as a production thumbnailer's would."""
+    if stride < 1:
+        raise ValueError(f"stride={stride} must be >= 1")
+
+    def _thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                px = decode_image(bytes(payload))[::stride, ::stride]
+                n = px.shape[0] * px.shape[1]
+                sums = px.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(px.shape[1]),
+                        int(px.shape[0]),
+                        int(1000 * sums[0]) // n,
+                        int(1000 * sums[1]) // n,
+                        int(1000 * sums[2]) // n,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height",
+                    "mean_r_e3", "mean_g_e3", "mean_b_e3",
+                ],
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(_thumb, THUMBNAIL_SCHEMA)

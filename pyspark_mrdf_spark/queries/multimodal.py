@@ -340,3 +340,52 @@ def q121_image_dhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 4)
         .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
     )
+
+
+_THUMB_STRIDE = 2
+
+
+@register(
+    "q143_bmp_thumbnail_stats",
+    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    oracle=f"""
+WITH dims AS (
+  SELECT doc_id,
+         16 + doc_id % 16 AS w,
+         8 + (doc_id * 7) % 16 AS h
+  FROM documents),
+t AS (
+  SELECT doc_id,
+         (w + {_THUMB_STRIDE} - 1) // {_THUMB_STRIDE} AS wt,
+         (h + {_THUMB_STRIDE} - 1) // {_THUMB_STRIDE} AS ht
+  FROM dims)
+SELECT doc_id,
+       CAST(wt AS INT) AS width,
+       CAST(ht AS INT) AS height,
+       CAST((doc_id % 128) * 1000 + 500 * {_THUMB_STRIDE} * (wt - 1) AS BIGINT) AS mean_r_e3,
+       CAST(((doc_id * 7) % 128) * 1000 + 500 * {_THUMB_STRIDE} * (ht - 1) AS BIGINT) AS mean_g_e3,
+       CAST(((doc_id * 13) % 64) * 1000
+            + 500 * {_THUMB_STRIDE} * (wt - 1)
+            + 500 * {_THUMB_STRIDE} * (ht - 1) AS BIGINT) AS mean_b_e3
+FROM t
+""",
+    description=(
+        "the RESIZE leg of the multimodal pipeline: real BMP decode → "
+        "nearest-neighbor stride-2 thumbnail → exact fixed-point channel "
+        "means, checked against the closed-form pixel arithmetic of the "
+        "strided gradient"
+    ),
+    tags=("multimodal", "binary", "codec", "udf"),
+)
+def q143_bmp_thumbnail_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail (stride-2 nearest-neighbor) dims + channel means over
+    actually-decoded pixels.
+
+    Scale shape: identical to q81 — one mapInPandas pass, payloads
+    stay on executors — with the feature arithmetic running on the
+    s²-smaller thumbnail block, exactly a production thumbnailer's
+    cost profile."""
+    from pyspark_mrdf_spark.operators.multimodal import thumbnail_pixel_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return thumbnail_pixel_features(synth_bmp_payloads(docs), stride=_THUMB_STRIDE)

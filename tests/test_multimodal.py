@@ -316,3 +316,48 @@ def test_image_dhash_recovers_planted_groups(spark, sf_dir):
                 assert (a, b) in found, (a, b)
                 ham = [r["hamming"] for r in rows if (r["doc_a"], r["doc_b"]) == (a, b)]
                 assert ham == [0], (a, b, ham)
+
+
+def test_thumbnail_matches_numpy_reference(spark):
+    # random (non-gradient) pixels, odd dims, strides 1/2/3: the
+    # operator must equal the decode-then-slice NumPy reference exactly,
+    # including floor semantics of the fixed-point means
+    import numpy as np
+    import pandas as pd
+
+    from pyspark_mrdf_spark.operators.multimodal import (
+        encode_bmp,
+        thumbnail_pixel_features,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = []
+    expected = {}  # (doc_id, stride) -> row
+    imgs = {}
+    for doc_id, (h, w) in enumerate([(7, 9), (8, 16), (11, 5), (1, 1)]):
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        imgs[doc_id] = px
+        rows.append((doc_id, encode_bmp(px)))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "payload"]))
+    for stride in (1, 2, 3):
+        for doc_id, px in imgs.items():
+            t = px[::stride, ::stride]
+            n = t.shape[0] * t.shape[1]
+            s = t.reshape(-1, 3).astype(np.int64).sum(axis=0)
+            expected[(doc_id, stride)] = (
+                t.shape[1], t.shape[0],
+                1000 * int(s[0]) // n, 1000 * int(s[1]) // n, 1000 * int(s[2]) // n,
+            )
+        got = {
+            (r["doc_id"], stride): (
+                r["width"], r["height"],
+                r["mean_r_e3"], r["mean_g_e3"], r["mean_b_e3"],
+            )
+            for r in thumbnail_pixel_features(df, stride=stride).collect()
+        }
+        for k, v in got.items():
+            assert v == expected[k], (k, v, expected[k])
+    import pytest
+
+    with pytest.raises(ValueError):
+        thumbnail_pixel_features(df, stride=0)
