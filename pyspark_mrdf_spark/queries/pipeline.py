@@ -1466,3 +1466,79 @@ def q142_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 0)
     )
+
+
+# --- q144: declarative data-quality gate -------------------------------------
+#
+# The Deequ-shaped audit a pipeline runs before promoting a dataset:
+# a constraint list compiled to ONE aggregation pass (every check a
+# sum(case) / count(distinct) column in a single agg — N constraints,
+# one scan) plus a left-anti referential check, unioned into one exact
+# integer report. Violation counts are hash-verifiable — a gate either
+# holds or names its count.
+
+_Q144_LANGS = ("en", "de", "fr", "es", "zh")
+
+
+@register(
+    "q144_data_quality_report",
+    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    oracle=f"""
+WITH doc_agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+    CAST(SUM(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         - COUNT(DISTINCT doc_id) AS BIGINT) AS c1,
+    CAST(SUM(CASE WHEN lang NOT IN {_Q144_LANGS!r} THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+    CAST(SUM(CASE WHEN COALESCE(n_chars = length(text), FALSE)
+             THEN 0 ELSE 1 END) AS BIGINT) AS c3
+  FROM documents),
+ref AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+SELECT 'not_null(text)' AS check_name, c0 AS violations, c0 = 0 AS passed FROM doc_agg
+UNION ALL SELECT 'unique(doc_id)', c1, c1 = 0 FROM doc_agg
+UNION ALL SELECT 'in_set(lang)', c2, c2 = 0 FROM doc_agg
+UNION ALL SELECT 'satisfies(n_chars_consistent)', c3, c3 = 0 FROM doc_agg
+UNION ALL SELECT 'references(orders.o_custkey->customer.c_custkey)', v, v = 0 FROM ref
+""",
+    description=(
+        "declarative data-quality gate: N constraints = one aggregation "
+        "scan (null/unique/domain/row-predicate) + a left-anti "
+        "referential check; exact integer violation counts under the "
+        "hash verdict"
+    ),
+    tags=("pipeline", "quality", "agg"),
+)
+def q144_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion-gate report over documents + orders→customer FK.
+
+    Scale shape: the four document constraints share ONE scan/agg
+    (each is a codegen'd sum(case) or count-distinct); the FK check is
+    a broadcastable left-anti equi-join. Nothing is per-constraint."""
+    from pyspark_mrdf_spark.operators.quality import (
+        InSet,
+        NotNull,
+        Satisfies,
+        Unique,
+        quality_report,
+        referential_report,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    doc_checks = quality_report(
+        d,
+        [
+            NotNull("text"),
+            Unique("doc_id"),
+            InSet("lang", _Q144_LANGS),
+            Satisfies("n_chars = length(text)", "n_chars_consistent"),
+        ],
+    )
+    fk = referential_report(
+        o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer.c_custkey"
+    )
+    return doc_checks.unionByName(fk)

@@ -622,3 +622,53 @@ def test_label_propagation_matches_reference(spark):
     assert {final[v] for v in range(8) if v in final} != {
         final[v] for v in range(20, 28) if v in final
     }
+
+
+# --- data-quality gate (q144 / operators/quality.py) --------------------
+
+
+def test_quality_report_counts_planted_violations(spark):
+    from pyspark_mrdf_spark.operators.quality import (
+        InSet,
+        NotNull,
+        Satisfies,
+        Unique,
+        quality_report,
+        referential_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "ok", "en", 2),
+            (1, None, "en", 0),       # dup id + null text + n=0 vs null len
+            (2, "abc", "xx", 3),      # bad lang
+            (3, "abcd", "de", 9),     # inconsistent n
+            (None, "x", "fr", 1),     # null id is not a uniqueness key
+        ],
+        ["doc_id", "text", "lang", "n"],
+    )
+    got = {
+        r["check_name"]: (r["violations"], r["passed"])
+        for r in quality_report(
+            df,
+            [
+                NotNull("text"),
+                Unique("doc_id"),
+                InSet("lang", ("en", "de", "fr")),
+                Satisfies("n = length(text)", "n_consistent"),
+            ],
+        ).collect()
+    }
+    assert got == {
+        "not_null(text)": (1, False),
+        "unique(doc_id)": (1, False),
+        "in_set(lang)": (1, False),
+        # NULL predicate (length(NULL)) counts as a violation: rows 2 and 4
+        "satisfies(n_consistent)": (2, False),
+    }
+    parent = spark.createDataFrame([(1,), (2,)], ["k"])
+    child = spark.createDataFrame([(1,), (7,), (None,), (2,), (9,)], ["fk"])
+    rows = referential_report(child, "fk", parent, "k", "fk->k").collect()
+    assert [(r["check_name"], r["violations"], r["passed"]) for r in rows] == [
+        ("references(fk->k)", 2, False)
+    ]
