@@ -205,12 +205,18 @@ def main() -> None:
     # measurement behind dedup.py:connected_components's tier-choice
     # docstring (synthetic-200000-cc-tiers)
     cc_tiers_only = "--cc-tiers-only" in argv
+    # --graph-analytics-only: triangle counting / k-core / label
+    # propagation at graph scale over a clique+chain synthesis whose
+    # answers are closed-form, so every wall is also a correctness row
+    graph_analytics_only = "--graph-analytics-only" in argv
     if pagerank_only and not saw_synthetic_flag:
         synthetic_n = 2_000_000
     if cc_only and not saw_synthetic_flag:
         synthetic_n = 2_000_000
     if cc_tiers_only and not saw_synthetic_flag:
         synthetic_n = 200_000
+    if graph_analytics_only and not saw_synthetic_flag:
+        synthetic_n = 400_000
     if bq_serving_only and not saw_synthetic_flag:
         synthetic_n = 200_000
     synthetic_d = 512
@@ -244,7 +250,7 @@ def main() -> None:
             "--mixture-only", "--sq8-only", "--serving-only", "--dedup-only",
             "--pagerank-only", "--bq-serving-only", "--dedup-serving-only",
             "--graph-serving-only", "--cc-only", "--cc-tiers-only",
-            "--pca-serving-only",
+            "--graph-analytics-only", "--pca-serving-only",
             "--aniso",
         )
     ]
@@ -260,6 +266,7 @@ def main() -> None:
         ("--graph-serving-only", graph_serving_only),
         ("--cc-only", cc_only),
         ("--cc-tiers-only", cc_tiers_only),
+        ("--graph-analytics-only", graph_analytics_only),
         ("--pca-serving-only", pca_serving_only),
     ) if on]
     if only_modes and argv:
@@ -285,7 +292,7 @@ def main() -> None:
         )
     if len(only_modes) > 1:
         sys.exit(f"error: {' and '.join(only_modes)} each run exactly one section; pick one")
-    if (grid_only or sq8_only or mixture_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or cc_only or cc_tiers_only or pca_serving_only) and (include_uniform or include_uniform_tuned):
+    if (grid_only or sq8_only or mixture_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or cc_only or cc_tiers_only or graph_analytics_only or pca_serving_only) and (include_uniform or include_uniform_tuned):
         sys.exit(f"error: {only_modes[0]} runs only its own point; drop the uniform flags")
     if tuned_only and include_uniform:
         sys.exit("error: --uniform-tuned-only runs only the tuned point; drop the other flags")
@@ -295,9 +302,9 @@ def main() -> None:
     run_synthetic = (not argv or tuned_only or mixture_only) and not (
         grid_only or sq8_only or serving_only or dedup_only or pagerank_only
         or bq_serving_only or dedup_serving_only or graph_serving_only
-        or cc_only or cc_tiers_only or pca_serving_only
+        or cc_only or cc_tiers_only or graph_analytics_only or pca_serving_only
     )
-    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or cc_only or cc_tiers_only or pca_serving_only) and (
+    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or cc_only or cc_tiers_only or graph_analytics_only or pca_serving_only) and (
         include_uniform or include_uniform_tuned or saw_synthetic_flag
     ):
         sys.exit(
@@ -440,6 +447,10 @@ def main() -> None:
 
     if cc_tiers_only:
         points.append(_cc_tiers_evidence(spark, synthetic_n))
+        print(f"[scalability] {points[-1]}", file=sys.stderr)
+
+    if graph_analytics_only:
+        points.append(_graph_analytics_evidence(spark, synthetic_n))
         print(f"[scalability] {points[-1]}", file=sys.stderr)
 
     if pca_serving_only:
@@ -685,6 +696,88 @@ def _cc_tiers_evidence(spark, n: int) -> dict:
         "rounds; both exact (wrong_labels must be 0). Near-dup clique "
         "graphs (diameter <= ~3) invert the comparison, which is why "
         "propagation stays the default tier."
+    )
+    return out
+
+
+def _graph_analytics_evidence(spark, n: int) -> dict:
+    """Triangle counting / k-core / label propagation at graph scale,
+    every wall paired with an exact closed-form correctness assert.
+
+    Synthesis (pure spark.range arithmetic, no driver loops): node ids
+    [0, n) partition into disjoint 20-cliques (clique id = node div
+    20), plus n/4 extra nodes in 100-chains. Closed forms: every
+    clique node sits in C(19,2)=171 triangles and survives the k=19
+    core with degree 19 (chains have no triangles and die in the first
+    peel); 3 LPA rounds on a disjoint clique converge to the clique's
+    min id (round 1 leaves the min holding the runner-up's id, round 2
+    snaps it back — the synchronous-update wrinkle the operator's
+    tie-break makes deterministic)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.operators.graph import (
+        kcore_peel,
+        label_propagation,
+        triangle_counts,
+    )
+
+    clique = 20
+    chain = 100
+    n_chain = n // 4
+    nodes = spark.range(n).select(
+        F.col("id"), (F.col("id") / clique).cast("long").alias("cid")
+    )
+    clique_edges = (
+        nodes.alias("x")
+        .join(nodes.alias("y"), "cid")
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("src"), F.col("y.id").alias("dst"))
+    )
+    ch = spark.range(n, n + n_chain)
+    chain_edges = (
+        ch.filter(((F.col("id") - n) % chain != chain - 1) & (F.col("id") < n + n_chain - 1))
+        .select(F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    )
+    edges = clique_edges.unionByName(chain_edges).localCheckpoint(eager=True)
+    n_edges = edges.count()
+    n_cliques = n // clique
+    out: dict = {
+        "sf": f"synthetic-{n}-graph-analytics", "n_clique_nodes": n,
+        "clique_size": clique, "n_chain_nodes": n_chain, "n_edges": n_edges,
+    }
+
+    t0 = time.time()
+    tri = triangle_counts(edges).localCheckpoint(eager=True)
+    out["triangles_s"] = round(time.time() - t0, 2)
+    out["triangle_rows"] = tri.count()
+    out["triangles_wrong"] = tri.filter(
+        (F.col("node") >= n) | (F.col("n_triangles") != 171)
+    ).count()
+    out["triangles_total"] = n_cliques * 1140  # C(20,3) per clique
+    assert out["triangle_rows"] == n and out["triangles_wrong"] == 0
+
+    t0 = time.time()
+    core = kcore_peel(edges, k=clique - 1, rounds=2).localCheckpoint(eager=True)
+    out["kcore_s"] = round(time.time() - t0, 2)
+    out["kcore_rows"] = core.count()
+    out["kcore_wrong"] = core.filter(
+        (F.col("node") >= n) | (F.col("deg") != clique - 1)
+    ).count()
+    assert out["kcore_rows"] == n and out["kcore_wrong"] == 0
+
+    t0 = time.time()
+    lpa = label_propagation(clique_edges, rounds=3).localCheckpoint(eager=True)
+    out["lpa_s"] = round(time.time() - t0, 2)
+    out["lpa_rows"] = lpa.count()
+    out["lpa_wrong"] = lpa.filter(
+        F.col("label") != F.col("node") - F.col("node") % clique
+    ).count()
+    assert out["lpa_rows"] == n and out["lpa_wrong"] == 0
+    out["note"] = (
+        "triangle/k-core/LPA at graph scale over closed-form clique+chain "
+        "synthesis: every node's triangle count, core degree, and "
+        "community label asserted exactly (wrong counts must be 0), so "
+        "the walls measure verified work"
     )
     return out
 
