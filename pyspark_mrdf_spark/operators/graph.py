@@ -51,6 +51,7 @@ def pagerank(
     scale: int = 10**12,
     src_col: str = "src",
     dst_col: str = "dst",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank → (node, p) with ``p`` the
     rank in ``scale`` fixed-point units.
@@ -65,7 +66,15 @@ def pagerank(
 
     Parallel edges are honored (each contributes separately) and
     self-loops feed a node's own next-round rank — both deterministic
-    and mirrored by the oracle."""
+    and mirrored by the oracle.
+
+    ``seeds`` (single-column) switches to PERSONALIZED PageRank
+    (Haveliwala 2002): teleport mass and the initial distribution go
+    only to the seed set, so rank measures proximity to the seeds —
+    the seed-expansion primitive behind "more like these trusted
+    hosts" corpus weighting and topic-conditioned crawl scoring. Same
+    integer arithmetic, same per-round plan; non-seed base is exactly
+    0, so mass decays off the seed neighborhood deterministically."""
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if nodes is None:
         node_df = (
@@ -83,8 +92,38 @@ def pagerank(
         raise ValueError(f"pagerank: damping_e2={damping_e2} outside [0, 100]")
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e_deg = e.join(deg, "src").localCheckpoint(eager=False)
-    base = (scale * (100 - damping_e2)) // (100 * n)
-    p = node_df.withColumn("p", F.lit(scale // n).cast("long"))
+    if seeds is None:
+        base_col = F.lit((scale * (100 - damping_e2)) // (100 * n)).cast("long")
+        init_col = F.lit(scale // n).cast("long")
+        node_df = node_df.withColumn("_base", base_col)
+        p = node_df.select("node", init_col.alias("p"))
+    else:
+        seed_df = (
+            seeds.select(F.col(seeds.columns[0]).alias("node"))
+            .distinct()
+            .withColumn("_seed", F.lit(True))
+            .localCheckpoint(eager=False)
+        )
+        n_seeds = seed_df.count()
+        if n_seeds == 0:
+            raise ValueError("pagerank: empty seed set")
+        node_df = node_df.join(seed_df, "node", "left").select(
+            "node",
+            F.when(
+                F.col("_seed"),
+                F.lit((scale * (100 - damping_e2)) // (100 * n_seeds)),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("_base"),
+        ).localCheckpoint(eager=False)
+        p = node_df.select(
+            "node",
+            F.when(F.col("_base") > 0, F.lit(scale // n_seeds))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("p"),
+        )
     for _ in range(n_iter):
         contrib = (
             e_deg.join(p.select(F.col("node").alias("src"), "p"), "src")
@@ -97,7 +136,7 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.col("_base")
                     + F.expr(
                         f"({damping_e2} * coalesce(m, cast(0 as bigint))) div 100"
                     )
@@ -130,7 +169,13 @@ def triangle_counts(
     join is on the composite edge key, never a cartesian.
 
     Inputs may list each undirected edge in either or both directions;
-    self-loops are dropped, duplicates collapsed."""
+    self-loops are dropped, duplicates collapsed.
+
+    Measured (SCALABILITY.json synthetic-400000-graph-analytics, via
+    ``scripts/scalability.py --graph-analytics-only``): 3.9M edges /
+    22.8M triangles counted in 15.9 s on local[32] with every node's
+    count asserted against the clique closed form (k-core 8.2 s, LPA
+    11.5 s on the same graph, same exactness gate)."""
     e = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .filter(F.col("a") != F.col("b"))

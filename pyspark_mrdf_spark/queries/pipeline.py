@@ -1542,3 +1542,95 @@ def q144_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer.c_custkey"
     )
     return doc_checks.unionByName(fk)
+
+
+# --- q145: personalized PageRank (seed-conditioned quality prior) -----------
+
+_PPR_SEED_MOD = 50  # seeds = doc_id % 50 == 0 (a deterministic "trusted set")
+
+
+def _ppr_oracle() -> str:
+    """q113's unrolled replay with seed-only teleport/init: base and p0
+    are nonzero exactly on the seed set, everything else identical."""
+    seed = f"node % {_PPR_SEED_MOD} = 0"
+    cte = [
+        "n AS (SELECT COUNT(*) AS c FROM documents)",
+        f"ns AS (SELECT COUNT(*) AS c FROM documents WHERE doc_id % {_PPR_SEED_MOD} = 0)",
+        """e AS (
+  SELECT doc_id AS src, (7 * doc_id + 1) % c AS dst FROM documents, n
+  UNION ALL SELECT doc_id, (13 * doc_id + 2) % c FROM documents, n
+    WHERE doc_id % 3 >= 1
+  UNION ALL SELECT doc_id, (29 * doc_id + 3) % c FROM documents, n
+    WHERE doc_id % 3 = 2)""",
+        "deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src)",
+        f"""p0 AS (
+  SELECT doc_id AS node,
+         CASE WHEN doc_id % {_PPR_SEED_MOD} = 0
+              THEN {_PR_SCALE} // (SELECT c FROM ns) ELSE 0 END AS p
+  FROM documents)""",
+    ]
+    for i in range(1, _PR_ITER + 1):
+        cte.append(
+            f"""p{i} AS (
+  SELECT x.node,
+         CASE WHEN x.{seed}
+              THEN ({_PR_SCALE} * 15) // (100 * (SELECT c FROM ns)) ELSE 0 END
+         + (85 * COALESCE(s.m, 0)) // 100 AS p
+  FROM p0 x LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.p // deg.d) AS m
+    FROM e JOIN p{i - 1} p ON e.src = p.node JOIN deg ON e.src = deg.src
+    GROUP BY e.dst) s ON x.node = s.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"\nSELECT node AS doc_id, CAST(p AS BIGINT) AS rank_e12 FROM p{_PR_ITER}"
+    )
+
+
+@register(
+    "q145_personalized_pagerank",
+    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    oracle=_ppr_oracle(),
+    description=(
+        "personalized PageRank (Haveliwala 2002): teleport + init mass "
+        "only on the doc_id%50==0 seed set over q113's citation graph — "
+        "rank = integer-exact proximity to the trusted set, the "
+        "seed-expansion prior behind 'more like these hosts' corpus "
+        "weighting; same per-round plan and arithmetic as q113"
+    ),
+    tags=("pipeline", "graph", "iteration", "quality"),
+)
+def q145_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-conditioned rank over the synthesized citation graph.
+
+    Scale shape: identical to q113 (edge⋈rank equi-join + dst-keyed
+    sum per round); the seed set adds one broadcastable left join at
+    init. Non-seed teleport mass is exactly 0, so ranks decay off the
+    seed neighborhood deterministically."""
+    from pyspark_mrdf_spark.operators.graph import pagerank
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    did = F.col("doc_id")
+    edges = d.select(
+        did.alias("src"),
+        F.explode(
+            F.slice(
+                F.array(
+                    (did * 7 + 1) % n, (did * 13 + 2) % n, (did * 29 + 3) % n
+                ),
+                1,
+                (did % 3 + 1).cast("int"),
+            )
+        ).alias("dst"),
+    )
+    seeds = d.filter(did % _PPR_SEED_MOD == 0).select(did.alias("node"))
+    ranks = pagerank(
+        edges,
+        nodes=d.select(did.alias("node")),
+        n_iter=_PR_ITER,
+        scale=_PR_SCALE,
+        seeds=seeds,
+    )
+    return ranks.select(F.col("node").alias("doc_id"), F.col("p").alias("rank_e12"))

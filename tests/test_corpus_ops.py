@@ -672,3 +672,33 @@ def test_quality_report_counts_planted_violations(spark):
     assert [(r["check_name"], r["violations"], r["passed"]) for r in rows] == [
         ("references(fk->k)", 2, False)
     ]
+
+
+def test_personalized_pagerank_matches_integer_replica(spark):
+    # ring 0->1->...->9->0, seed {0}: the engine must equal a direct
+    # replica of the integer recurrence bit-for-bit, and mass beyond
+    # the 5-round propagation horizon must be exactly 0
+    from pyspark_mrdf_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 10) for i in range(10)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {
+        r["node"]: r["p"]
+        for r in pagerank(edges, n_iter=5, seeds=seeds).collect()
+    }
+    scale, rounds = 10**12, 5
+    base = {v: (scale * 15) // 100 if v == 0 else 0 for v in range(10)}
+    p = {v: scale if v == 0 else 0 for v in range(10)}
+    for _ in range(rounds):
+        p = {v: base[v] + (85 * (p[(v - 1) % 10] // 1)) // 100 for v in range(10)}
+    assert got == p
+    # the initial pulse sits at distance 5 (0.85^5 of the seed mass);
+    # nothing has reached distance 6+ yet
+    assert got[6] == 0 and got[9] == 0
+    # empty seed set must be rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        pagerank(edges, seeds=spark.createDataFrame([], "node long"))
