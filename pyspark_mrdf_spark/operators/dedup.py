@@ -25,7 +25,7 @@ Jaccard values are int/int divisions — bit-exact across engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyspark_mrdf_spark.functions.text import fingerprint, shingles
@@ -118,6 +118,89 @@ def jaccard_pairs(
                 / (F.col("size_a") + F.col("size_b") - F.col("inter"))
             ).alias("jaccard"),
         )
+    )
+
+
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    n: int = 3,
+    threshold_e2: int = 80,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Thresholded Jaccard pairs via PREFIX FILTERING (Chaudhuri et
+    al. 2006 / Bayardo et al. 2007): identical output to
+    ``jaccard_pairs(...).filter(jaccard >= t)`` with a candidate join
+    bounded far below the share-one-shingle join.
+
+    The prefix-filter lemma: order every doc's shingles by one GLOBAL
+    total order (ascending document frequency, rarest first — ties by
+    shingle, so the order is engine-reproducible) and keep only each
+    doc's first |s| − ⌈t·|s|⌉ + 1 shingles; any pair with Jaccard ≥ t
+    MUST share a shingle within these prefixes (if all of a∩b sat in
+    a's suffix, the suffix's ⌈t·|a|⌉ − 1 slots could not hold the
+    ≥ t·|a| shared shingles). The equi-join therefore runs on ~the
+    rarest (1−t) fraction of each posting list — exactly the hot-key
+    mass the ``max_df`` stoplist merely truncates, but LOSSLESSLY:
+    verification recomputes the exact intersection for candidates
+    only, so the thresholded output is provably complete.
+
+    Scale shape: df-count agg (vocabulary-keyed), per-doc rank window
+    (doc-keyed, sets are small), prefix self-join on the rare-shingle
+    posting list, then a candidate-bounded verify join; no pair
+    outside the prefix join is ever materialized."""
+    if not 1 <= threshold_e2 <= 100:
+        raise ValueError(f"threshold_e2={threshold_e2} outside [1, 100]")
+    post = shingle_table(df, n, id_col, text_col).localCheckpoint(eager=False)
+    sizes = post.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(F.col("df"), F.col("shingle"))
+    ranked = (
+        post.join(dfreq, "shingle")
+        .withColumn("_r", F.row_number().over(w))
+        .join(sizes, id_col)
+        # prefix length |s| - ceil(t|s|) + 1, all-integer ceil
+        # (div, not float /: a float quotient cast to long can floor
+        # one ulp wrong on exact multiples)
+        .filter(
+            F.col("_r")
+            <= F.col("sz") - F.expr(f"({threshold_e2} * sz + 99) div 100") + 1
+        )
+        .select(id_col, "shingle")
+    )
+    a = ranked.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = ranked.select(F.col(id_col).alias("doc_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    pa = post.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("_sa"))
+    pb = post.select(F.col(id_col).alias("doc_b"), F.col("shingle").alias("_sb"))
+    inter = (
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .filter(F.col("_sa") == F.col("_sb"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("size_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("size_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") * 100 >= threshold_e2)
+        .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
     )
 
 

@@ -1124,3 +1124,56 @@ def q125_persisted_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = copies.unionByName(novel).unionByName(in_batch_dups)
     idx = read_dedup_index(spark, _dedup_index_path(spark, sf_dir))
     return dedup_against_index(batch, idx)
+
+
+# --- q146: prefix-filtered thresholded Jaccard -------------------------------
+#
+# Same OUTPUT as q41 filtered to jaccard >= 0.8, different PLAN: the
+# prefix-filter lemma (Chaudhuri 2006 / Bayardo 2007) bounds the
+# candidate join to each doc's rarest |s| - ceil(t|s|) + 1 shingles in
+# one global (df, shingle) order — the lossless version of the max_df
+# stoplist. The oracle runs the FULL posting self-join + threshold, so
+# the hash verdict proves the pruned plan is complete, which is the
+# entire point of the lemma.
+
+_PREFIX_T_E2 = 80
+
+
+@register(
+    "q146_jaccard_prefix_filtered",
+    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    oracle=f"""
+WITH post AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM post GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) * 100 >= {_PREFIX_T_E2}
+""",
+    description=(
+        "thresholded Jaccard (>=0.8) via lossless prefix filtering: "
+        "candidate join on each doc's rarest (1-t) shingle prefix in a "
+        "global df order + exact verify on candidates; oracle runs the "
+        "full self-join, so the hash verdict proves completeness"
+    ),
+    tags=("dedup", "join", "prefix-filter"),
+)
+def q146_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-confidence near-dup pairs with the candidate join bounded
+    by the prefix-filter lemma.
+
+    Scale shape: the share-one-shingle join's fan-out concentrates in
+    hot shingles; the prefix join runs only on each doc's rarest
+    shingles (the (1-t) fraction), then verification touches candidate
+    pairs only — provably no pair lost (equivalence pinned at t=0.7/
+    0.8/0.9 in tests/test_dedup_tiers.py, oracle replays the unpruned
+    plan)."""
+    from pyspark_mrdf_spark.operators.dedup import jaccard_pairs_prefix
+
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs_prefix(d, threshold_e2=_PREFIX_T_E2)
