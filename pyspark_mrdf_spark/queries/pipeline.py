@@ -1634,3 +1634,68 @@ def q145_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         seeds=seeds,
     )
     return ranks.select(F.col("node").alias("doc_id"), F.col("p").alias("rank_e12"))
+
+
+# --- q147: ORC interchange under the hash verdict ----------------------------
+#
+# q98's write→read→serve discipline applied to the interchange format:
+# the documents table is round-tripped through an ORC sink/scan
+# (sources/formats.py) and aggregated AFTER the round trip — per-source
+# counts, char sums, and an md5-derived content checksum. The oracle
+# computes the same aggregate from the original parquet, so the hash
+# verdict proves byte fidelity THROUGH the format change, not just
+# "the reader didn't crash".
+
+_Q147_ORC_DIR: dict[str, str] = {}
+
+
+def _q147_orc_path(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from pyspark_mrdf_spark.sources.formats import write_orc
+
+    path = _Q147_ORC_DIR.get(sf_dir)
+    if path is None:
+        d = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="mrdf_q147_orc_")
+        write_orc(d, path)
+        _Q147_ORC_DIR[sf_dir] = path
+    return path
+
+
+@register(
+    "q147_orc_roundtrip_stats",
+    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT)
+         AS content_checksum
+FROM documents GROUP BY source
+""",
+    description=(
+        "ORC interchange fidelity under the hash verdict: documents "
+        "written to ORC, read back, and checksummed per source (md5-"
+        "derived integer) — the oracle aggregates the ORIGINAL parquet, "
+        "so equality proves the sink/scan preserved every byte"
+    ),
+    tags=("pipeline", "formats", "agg"),
+)
+def q147_orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stats computed AFTER an ORC round trip.
+
+    Scale shape: the write is one pass (ORC keeps columnar striping +
+    stats, so downstream scans prune like parquet — plan-asserted in
+    tests/test_sources.py); the readback aggregate is a plain
+    source-keyed hash agg with the checksum computed map-side."""
+    from pyspark_mrdf_spark.sources.formats import read_orc
+
+    back = read_orc(spark, _q147_orc_path(spark, sf_dir))
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint"))
+        .cast("bigint")
+        .alias("content_checksum"),
+    )
