@@ -1699,3 +1699,70 @@ def q147_orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("content_checksum"),
     )
+
+
+# --- q148: CSV interchange under the hash verdict ----------------------------
+#
+# q147's discipline for the row format: documents round-trip through
+# the RFC-4180-quoted CSV sink/scan (sources/formats.py — explicit
+# schema, corrupt-capture reader) and the checksum aggregate runs on
+# the readback. Corpus text exercises the quoting path with real
+# commas/quotes; a single mis-escaped byte anywhere flips the checksum.
+
+_Q148_CSV_DIR: dict[str, str] = {}
+
+
+def _q148_csv_path(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from pyspark_mrdf_spark.sources.formats import write_documents_csv
+
+    path = _Q148_CSV_DIR.get(sf_dir)
+    if path is None:
+        d = load_table(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="mrdf_q148_csv_")
+        write_documents_csv(d, path)
+        _Q148_CSV_DIR[sf_dir] = path
+    return path
+
+
+@register(
+    "q148_csv_roundtrip_stats",
+    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT)
+         AS content_checksum
+FROM documents GROUP BY source
+""",
+    description=(
+        "CSV interchange fidelity under the hash verdict: documents "
+        "written through the RFC-4180-quoted sink, read back with the "
+        "explicit-schema corrupt-capture reader, checksummed per source "
+        "— a single mis-escaped byte flips the verdict"
+    ),
+    tags=("pipeline", "formats", "agg"),
+)
+def q148_csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stats computed AFTER a CSV round trip (corrupt-
+    capture column dropped after asserting emptiness would be a second
+    query — the quarantine path is tested in tests/test_sources.py;
+    here any corrupt row simply breaks the counts and fails the hash).
+
+    Scale shape: write one pass, readback a single-pass explicit-
+    schema scan (no inference), checksum map-side, one source-keyed
+    agg."""
+    from pyspark_mrdf_spark.sources.formats import read_documents_csv
+
+    back = read_documents_csv(spark, _q148_csv_path(spark, sf_dir)).drop(
+        "_corrupt_record"
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint"))
+        .cast("bigint")
+        .alias("content_checksum"),
+    )
