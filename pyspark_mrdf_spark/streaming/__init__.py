@@ -18,6 +18,7 @@ from pyspark_mrdf_spark.streaming.stateful import (
     dedup_stream,
     funnel_advance,
     funnel_stream,
+    maintained_stats,
     running_user_totals,
 )
 from pyspark_mrdf_spark.streaming.joins import purchases_with_recent_clicks
@@ -35,4 +36,5 @@ __all__ = [
     "purchases_with_recent_clicks",
     "upsert_stream_to_parquet",
     "dedup_stream",
+    "maintained_stats",
 ]

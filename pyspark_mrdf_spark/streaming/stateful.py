@@ -15,10 +15,12 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -176,4 +178,61 @@ def funnel_stream(events: DataFrame) -> DataFrame:
         stateStructType=FUNNEL_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- maintained additive aggregates (streaming materialized view) ----
+
+
+def maintained_stats_schemas(value_cols: list[str]):
+    """(output, state) schemas for ``maintained_stats``: key string +
+    one long per maintained column."""
+    out = StructType(
+        [StructField("key", StringType())]
+        + [StructField(c, LongType()) for c in value_cols]
+    )
+    state = StructType([StructField(c, LongType()) for c in value_cols])
+    return out, state
+
+
+def maintained_stats(deltas: DataFrame, key_col: str, value_cols: list[str]) -> DataFrame:
+    """Streaming materialized view of ADDITIVE aggregates: each input
+    row is a signed delta (insert +, delete −, update new−old — the
+    CDC classification q142 derives from snapshot fingerprints), state
+    per key is the running sum of each value column, and every
+    micro-batch emits the keys it touched with their post-batch
+    totals.
+
+    This is the streaming twin of q142's incremental maintenance: the
+    batch path folds one delta set into the stored aggregate; this
+    folds an unbounded stream of them, state bounded at O(keys ×
+    len(value_cols) longs). Additivity is the whole contract — sums
+    commute with micro-batch boundaries, so the final state is
+    independent of how the stream was chunked (property-tested), which
+    is exactly why production pipelines maintain sums/counts and
+    rebuild everything else."""
+    out_schema, state_schema = maintained_stats_schemas(value_cols)
+
+    def _update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        totals = list(state.get) if state.exists else [0] * len(value_cols)
+        for pdf in pdfs:
+            for i, c in enumerate(value_cols):
+                totals[i] += int(pdf[c].sum())
+        state.update(tuple(totals))
+        yield pd.DataFrame(
+            {"key": [key[0]], **{c: [totals[i]] for i, c in enumerate(value_cols)}}
+        )
+
+    return (
+        deltas.select(F.col(key_col).cast("string").alias("key"), *value_cols)
+        .groupBy("key")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )

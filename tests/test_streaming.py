@@ -768,3 +768,97 @@ def test_near_ingest_dedup_stream_grows_index_exactly_once(spark, tmp_path):
     assert sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect()) == got
     idx2 = read_dedup_index(spark, idx_path)
     assert idx2.fps.count() == 3  # seed + two admitted, exactly once
+
+
+def test_maintained_stats_stream_equals_batch_q142(spark, sf_dir, tmp_path_factory):
+    """The streaming materialized view must land exactly on batch
+    q142: the A->B CDC deltas (adds/removes/edit-diffs derived from
+    snapshot fingerprints, PLUS the initial snapshot as inserts) are
+    streamed through maintained_stats in single-file micro-batches;
+    the final per-source state equals the batch maintenance result.
+    Additivity makes the answer chunking-independent — asserted by
+    draining the same delta set at a different files-per-trigger."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from pyspark_mrdf_spark.queries import load_all
+    from pyspark_mrdf_spark.streaming import maintained_stats
+
+    batch = {
+        (r["source"], r["n_docs"], r["n_tokens"])
+        for r in load_all()["q142_incremental_agg"].builder(spark, sf_dir).collect()
+    }
+
+    # CDC synthesis: initial snapshot rows as inserts + the q142 delta
+    from pyspark_mrdf_spark.queries.pipeline import _snapshot_b
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ntok = SF.size(SF.split(SF.col("text"), " "))
+    inserts = d.select(
+        "source", SF.lit(1).alias("d_docs"), ntok.alias("d_tokens")
+    )
+    b = _snapshot_b(d)
+    a_fp = d.select(
+        SF.col("doc_id").alias("a_id"), SF.col("source").alias("a_src"),
+        SF.md5("text").alias("a_fp"), ntok.alias("a_ntok"),
+    )
+    b_fp = b.select(
+        SF.col("doc_id").alias("b_id"), SF.col("source").alias("b_src"),
+        SF.md5("text").alias("b_fp"),
+        SF.size(SF.split(SF.col("text"), " ")).alias("b_ntok"),
+    )
+    delta = (
+        a_fp.join(b_fp, a_fp.a_id == b_fp.b_id, "full_outer")
+        .filter(
+            SF.col("a_id").isNull() | SF.col("b_id").isNull()
+            | (SF.col("a_fp") != SF.col("b_fp"))
+        )
+        .select(
+            SF.coalesce(SF.col("a_src"), SF.col("b_src")).alias("source"),
+            (
+                SF.when(SF.col("b_id").isNull(), 0).otherwise(1)
+                - SF.when(SF.col("a_id").isNull(), 0).otherwise(1)
+            ).cast("long").alias("d_docs"),
+            (
+                SF.coalesce(SF.col("b_ntok"), SF.lit(0))
+                - SF.coalesce(SF.col("a_ntok"), SF.lit(0))
+            ).cast("long").alias("d_tokens"),
+        )
+    )
+    cdc = inserts.withColumn("d_docs", SF.col("d_docs").cast("long")).withColumn(
+        "d_tokens", SF.col("d_tokens").cast("long")
+    ).unionByName(delta)
+
+    src_dir = str(tmp_path_factory.mktemp("cdc_json"))
+    cdc.repartition(6).write.mode("overwrite").json(src_dir)
+
+    def drain(max_files):
+        stream = (
+            spark.readStream.schema("source string, d_docs long, d_tokens long")
+            .option("maxFilesPerTrigger", max_files)
+            .json(src_dir)
+        )
+        name = f"maintained_{max_files}"
+        q = (
+            maintained_stats(stream, "source", ["d_docs", "d_tokens"])
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not drain"
+        q.stop()
+        # update mode re-emits a touched key's running totals each
+        # batch; the memory sink appends in batch order, so the LAST
+        # row per key in arrival order is the final state
+        last = {}
+        for r in spark.sql(f"SELECT key, d_docs, d_tokens FROM {name}").collect():
+            last[r["key"]] = (r["d_docs"], r["d_tokens"])
+        return {(k, v[0], v[1]) for k, v in last.items() if v[0] > 0}
+
+    got1 = drain(1)
+    got3 = drain(3)
+    assert got1 == batch
+    assert got3 == batch
