@@ -680,3 +680,91 @@ def q135_top_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+# --- q149: time-series gap-fill / resample ----------------------------------
+#
+# The warehouse resample: per-user HOURLY grid spanning each user's
+# active interval, event counts zero-filled in gap hours, and a
+# level-type metric (the hour's max value, micro-unit fixed point)
+# carried forward LOCF — counts are flow (a silent hour really is 0),
+# levels are state (a silent hour keeps the last reading). Grid
+# generation is per-user sequence+explode (span-bounded, never a
+# calendar cross join); LOCF is last(ignorenulls) over the per-user
+# hour order.
+
+_GAPFILL_USERS = 20  # bound the output: first N users
+
+
+@register(
+    "q149_hourly_gap_fill",
+    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) // 3600000000 AS h,
+         CAST(floor(value * 1000000.0) AS BIGINT) AS v_e6
+  FROM events WHERE user_id < {_GAPFILL_USERS}),
+hourly AS (
+  SELECT user_id, h, CAST(COUNT(*) AS BIGINT) AS n_events,
+         MAX(v_e6) AS lvl_e6
+  FROM ev GROUP BY user_id, h),
+span AS (
+  SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM ev GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1)) AS h FROM span)
+SELECT g.user_id, g.h * 3600000000 AS hour_us,
+       COALESCE(hh.n_events, 0) AS n_events,
+       last_value(hh.lvl_e6 IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lvl_e6
+FROM grid g LEFT JOIN hourly hh ON g.user_id = hh.user_id AND g.h = hh.h
+""",
+    description=(
+        "per-user hourly resample: zero-filled event counts in gap "
+        "hours + LOCF carry-forward of the level metric (max value, "
+        "micro-unit integers); grid via per-user sequence, never a "
+        "calendar cross join"
+    ),
+    tags=("events", "window", "timeseries"),
+)
+def q149_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series per user.
+
+    Scale shape: the grid explodes ≤ span-hours rows per user (a
+    per-user sequence — the calendar table never cross-joins the
+    corpus); the fill join is equi-keyed on (user, hour); LOCF is a
+    per-user ordered window. All values integer micro-units."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < _GAPFILL_USERS
+    ).select(
+        "user_id",
+        (F.unix_micros(F.col("ts")) / 3_600_000_000).cast("long").alias("h"),
+        # explicit floor on BOTH sides: Spark's double->bigint cast
+        # truncates, DuckDB's rounds half-even — a one-ulp value like
+        # 16.15*1e6 = 16149999.999... would split the engines
+        F.floor(F.col("value") * 1_000_000.0).cast("bigint").alias("v_e6"),
+    )
+    hourly = ev.groupBy("user_id", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.max("v_e6").alias("lvl_e6"),
+    )
+    span = ev.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = span.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            (F.col("h") * 3_600_000_000).alias("hour_us"),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("lvl_e6", ignorenulls=True).over(w).alias("lvl_e6"),
+        )
+    )

@@ -862,3 +862,91 @@ def test_maintained_stats_stream_equals_batch_q142(spark, sf_dir, tmp_path_facto
     got3 = drain(3)
     assert got1 == batch
     assert got3 == batch
+
+
+def test_maintained_stats_checkpoint_restart(spark, tmp_path_factory):
+    """Materialized-view durability: run 1 drains one file per batch
+    and is killed after the first commit; run 2 resumes from the SAME
+    checkpoint and drains the rest. Exactly-once delta application:
+    run1 + run2 input rows == the delta set exactly, and the final
+    per-key state equals the full batch sum."""
+    import time as _time
+
+    from pyspark.sql import functions as SF
+
+    from pyspark_mrdf_spark.streaming import maintained_stats
+
+    deltas = spark.range(4000).select(
+        SF.concat(SF.lit("k"), SF.col("id") % 7).alias("key"),
+        SF.lit(1).cast("long").alias("d_docs"),
+        (SF.col("id") % 100 - 50).cast("long").alias("d_tokens"),
+    )
+    expected = {
+        (r["key"], r["d_docs"], r["d_tokens"])
+        for r in deltas.groupBy("key")
+        .agg(SF.sum("d_docs").alias("d_docs"), SF.sum("d_tokens").alias("d_tokens"))
+        .collect()
+    }
+    src_dir = str(tmp_path_factory.mktemp("mv_cdc"))
+    deltas.repartition(8).write.mode("overwrite").json(src_dir)
+    total_rows = 4000
+    ckpt = str(tmp_path_factory.mktemp("mv_ckpt"))
+    out_dir = str(tmp_path_factory.mktemp("mv_emissions"))
+
+    def reader(max_files=None):
+        r = spark.readStream.schema("key string, d_docs long, d_tokens long")
+        if max_files:
+            r = r.option("maxFilesPerTrigger", max_files)
+        return r.json(src_dir)
+
+    def sink(bdf, bid):
+        # foreachBatch appends are batch-exactly-once (the checkpoint
+        # commits only after this returns); the highest batch_id per
+        # key is the final state — memory sinks cannot recover from a
+        # checkpoint, so the emission log is the durable surface
+        bdf.withColumn("batch_id", SF.lit(bid)).write.mode("append").parquet(out_dir)
+
+    q1 = (
+        maintained_stats(reader(1), "key", ["d_docs", "d_tokens"])
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .start()
+    )
+    deadline = _time.time() + 120
+    while (
+        _time.time() < deadline
+        and not any(p["numInputRows"] > 0 for p in q1.recentProgress)
+    ):
+        _time.sleep(0.1)
+    q1.stop()
+    assert q1.awaitTermination(60)
+    run1 = sum(p["numInputRows"] for p in q1.recentProgress)
+
+    q2 = (
+        maintained_stats(reader(), "key", ["d_docs", "d_tokens"])
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(120)
+    run2 = sum(p["numInputRows"] for p in q2.recentProgress)
+    q2.stop()
+    assert run1 + run2 == total_rows, (run1, run2)
+    from pyspark.sql import Window as W
+
+    emitted = spark.read.parquet(out_dir)
+    final = (
+        emitted.withColumn(
+            "rn",
+            SF.row_number().over(
+                W.partitionBy("key").orderBy(SF.col("batch_id").desc())
+            ),
+        )
+        .filter(SF.col("rn") == 1)
+        .select("key", "d_docs", "d_tokens")
+    )
+    got = {(r["key"], r["d_docs"], r["d_tokens"]) for r in final.collect()}
+    assert got == expected
