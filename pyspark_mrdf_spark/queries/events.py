@@ -768,3 +768,86 @@ def q149_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("lvl_e6", ignorenulls=True).over(w).alias("lvl_e6"),
         )
     )
+
+
+# --- q150: rate-spike detection over the dense hourly grid ------------------
+#
+# Monitoring's core query on q149's machinery: per event-type hourly
+# counts on a ZERO-FILLED grid (a silent hour is a real 0 — trailing
+# windows over sparse hours silently misalign), then a spike flag by
+# comparing each hour against its trailing 24h baseline with PURE
+# INTEGER cross-multiplication: n · window_hours > 3 · window_sum —
+# no division, no floats, no epsilon; bit-identical on any engine.
+
+
+@register(
+    "q150_hourly_rate_spikes",
+    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    oracle="""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events),
+hourly AS (
+  SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev GROUP BY event_type, h),
+span AS (
+  SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM ev GROUP BY event_type),
+grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM span),
+dense AS (
+  SELECT g.event_type, g.h, COALESCE(hh.n, 0) AS n
+  FROM grid g LEFT JOIN hourly hh
+    ON g.event_type = hh.event_type AND g.h = hh.h),
+scored AS (
+  SELECT event_type, h, n,
+         COUNT(*) OVER w AS win_hours,
+         COALESCE(CAST(SUM(n) OVER w AS BIGINT), 0) AS win_sum
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+SELECT event_type, h * 3600000000 AS hour_us, n,
+       CAST(win_hours AS BIGINT) AS win_hours, win_sum,
+       (win_hours >= 12 AND n * win_hours > 3 * win_sum) AS is_spike
+FROM scored
+""",
+    description=(
+        "rate-spike monitoring: zero-filled per-type hourly grid + "
+        "trailing-24h baseline compared by integer cross-multiplication "
+        "(n*hours > 3*sum) — no division, no floats, no epsilon"
+    ),
+    tags=("events", "window", "timeseries", "quality"),
+)
+def q150_hourly_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours where an event type ran >3x its trailing-24h mean.
+
+    Scale shape: grid explode bounded by span-hours per type; the
+    baseline is one per-type ordered window (count+sum over 24
+    preceding rows); the spike predicate is integer arithmetic, so the
+    flag itself sits under the hash verdict."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_micros(F.col("ts")) / 3_600_000_000).cast("long").alias("h"),
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    span = ev.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = span.select("event_type", F.explode(F.sequence("h0", "h1")).alias("h"))
+    dense = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    return dense.select(
+        "event_type",
+        (F.col("h") * 3_600_000_000).alias("hour_us"),
+        "n",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("win_hours"),
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("bigint").alias("win_sum"),
+        (
+            (F.count(F.lit(1)).over(w) >= 12)
+            & (F.col("n") * F.count(F.lit(1)).over(w) > 3 * F.coalesce(F.sum("n").over(w), F.lit(0)))
+        ).alias("is_spike"),
+    )
