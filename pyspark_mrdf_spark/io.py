@@ -129,3 +129,78 @@ def upsert_parquet(
     base = spark.read.parquet(base_path)
     merged = base.join(updates.select(key), key, "left_anti").unionByName(updates)
     merged.write.mode("overwrite").parquet(out_path)
+
+
+def zorder_key(
+    cols: list[str], mins: list[float], maxs: list[float], bits: int = 16
+):
+    """Morton (Z-order) interleave of ``cols`` as a pure-JVM integer
+    expression: each column is equi-width-binned to ``bits`` bits
+    against its [min, max], then the bit planes interleave so rows
+    close in EVERY dimension get close keys. 64-bit budget:
+    len(cols) · bits ≤ 63."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols × {bits} bits exceeds the int64 budget")
+    binned = []
+    for c, mn, mx in zip(cols, mins, maxs):
+        span = float(mx) - float(mn)
+        if span <= 0:
+            binned.append(F.lit(0).cast("long"))
+            continue
+        b = F.floor(
+            (F.col(c).cast("double") - F.lit(float(mn)))
+            * F.lit(float(2**bits) / span)
+        ).cast("long")
+        binned.append(F.least(F.greatest(b, F.lit(0)), F.lit(2**bits - 1)))
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(binned):
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    target_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet sink (the lakehouse ``OPTIMIZE
+    ZORDER`` move, on plain parquet): rows sort by the Morton
+    interleave of ``cols``, so each output file covers a narrow
+    hyper-rectangle of the key space and its parquet footer min/max
+    stats prune scans filtered on ANY of the clustered columns — a
+    plain sort-by-one-column layout skips well on that column and not
+    at all on the others.
+
+    Two passes: one min/max aggregate (O(cols) scalars to the driver)
+    to fix the binning, then bin + interleave map-side (pure JVM bit
+    arithmetic), ``repartitionByRange`` on the key (range partitioning
+    = contiguous key blocks per file) with a sort inside each file so
+    row-group stats are tight too. Skipping effectiveness is measured,
+    not assumed — tests/test_sinks.py reads the written footers and
+    counts which files a range predicate could prune."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    mins = [stats[f"mn{i}"] for i in range(len(cols))]
+    maxs = [stats[f"mx{i}"] for i in range(len(cols))]
+    key = zorder_key(cols, mins, maxs, bits=bits)
+    (
+        df.withColumn("_zkey", key)
+        .repartitionByRange(target_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )
