@@ -22,7 +22,13 @@ import glob
 import os
 import struct
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class _ShardPartition(InputPartition):
@@ -67,6 +73,15 @@ class FvecsDataSource(DataSource):
     def reader(self, schema) -> DataSourceReader:
         return _VecsReader(self.options)
 
+    def writer(self, schema, overwrite: bool):
+        if overwrite:
+            # clear prior shards driver-side before tasks launch
+            path = self.options.get("path")
+            if path and os.path.isdir(path):
+                for f in _list_shards(path):
+                    os.remove(f)
+        return _VecsWriter(self.options, overwrite)
+
 
 class _VecsReader(DataSourceReader):
     def __init__(self, options):
@@ -94,3 +109,68 @@ class _VecsReader(DataSourceReader):
             content = fh.read()
         for i, vec in enumerate(_decode(content, dtype)):
             yield (partition.base_id + i, vec.tolist())
+
+
+# --- write path (distributed fvecs/ivecs sink) ----------------------
+
+
+class _ShardCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class _VecsWriter(DataSourceWriter):
+    """One shard file per input partition (``part-NNNNN.fvecs``),
+    packed executor-side — the distributed upgrade of the reference's
+    driver-local fvecs writer (S6): vector bytes never visit the
+    driver, and N partitions write N shards in parallel (parquet has
+    the same no-concurrent-appenders contract). Row order within a
+    partition is preserved, so ``read → transform → write`` keeps the
+    "id = file position" convention per shard; readers reassign global
+    ids by shard offset (see _VecsReader.partitions)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("fvecs data source requires a save path")
+        self.kind = options.get("format", "fvecs")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import numpy as np
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        ext = "ivecs" if self.kind == "ivecs" else "fvecs"
+        dtype = np.int32 if self.kind == "ivecs" else np.float32
+        out = os.path.join(self.path, f"part-{pid:05d}.{ext}")
+        rows = 0
+        dim = None
+        with open(out, "wb") as fh:
+            for row in iterator:
+                vec = np.asarray(row[1], dtype=dtype)
+                if dim is None:
+                    dim = len(vec)
+                elif len(vec) != dim:
+                    raise ValueError(
+                        f"ragged vectors in one shard: {len(vec)} vs {dim}"
+                    )
+                fh.write(struct.pack("<i", len(vec)))
+                fh.write(vec.tobytes())
+                rows += 1
+        if rows == 0:
+            os.remove(out)
+            return _ShardCommit("", 0)
+        return _ShardCommit(out, rows)
+
+    def commit(self, messages):
+        total = sum(m.rows for m in messages if m is not None)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write(str(total))
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and m.path and os.path.exists(m.path):
+                os.remove(m.path)

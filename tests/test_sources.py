@@ -210,3 +210,39 @@ def test_formats_csv_corrupt_capture_and_quoting(spark, tmp_path):
         (2, "plain text", "de", "srcB", 10),
     }
     assert corrupt.count() == 1
+
+
+def test_fvecs_datasource_write_roundtrip(spark, tmp):
+    # distributed fvecs SINK (Python DataSource write path): N
+    # partitions -> N shards in parallel, vector bytes never on the
+    # driver; content must roundtrip exactly (ids reassigned by shard
+    # position on read — the fvecs convention)
+    import numpy as np
+
+    from pyspark_mrdf_spark.sources.fvecs import read_fvecs
+    from pyspark_mrdf_spark.sources.fvecs_datasource import FvecsDataSource
+
+    spark.dataSource.register(FvecsDataSource)
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(60, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(60)],
+        "vec_id bigint, embedding array<float>",
+    ).repartition(4)
+    out = os.path.join(tmp, "shards_out")
+    df.write.format("fvecs").mode("overwrite").save(out)
+    import glob as _g
+
+    shards = _g.glob(out + "/part-*.fvecs")
+    assert len(shards) == 4
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    back = read_fvecs(spark, out)
+    got = sorted(
+        tuple(np.float32(v) for v in r["embedding"]) for r in back.collect()
+    )
+    want = sorted(tuple(row) for row in mat)
+    assert got == want
+    # overwrite replaces prior shards (different partitioning) cleanly
+    df.repartition(2).write.format("fvecs").mode("overwrite").save(out)
+    assert len(_g.glob(out + "/part-*.fvecs")) == 2
+    assert read_fvecs(spark, out).count() == 60
