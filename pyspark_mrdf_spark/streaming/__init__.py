@@ -20,6 +20,7 @@ from pyspark_mrdf_spark.streaming.stateful import (
     funnel_stream,
     maintained_stats,
     running_user_totals,
+    session_stream,
 )
 from pyspark_mrdf_spark.streaming.joins import purchases_with_recent_clicks
 from pyspark_mrdf_spark.streaming.sinks import upsert_stream_to_parquet
@@ -37,4 +38,5 @@ __all__ = [
     "upsert_stream_to_parquet",
     "dedup_stream",
     "maintained_stats",
+    "session_stream",
 ]

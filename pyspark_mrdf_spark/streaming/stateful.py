@@ -236,3 +236,100 @@ def maintained_stats(deltas: DataFrame, key_col: str, value_cols: list[str]) -> 
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- stateful sessionizer (event-time timeouts) ----------------------
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _session_update(gap_us: int):
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def row(start: int, last: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_us": [start],
+                    "session_end_us": [last + gap_us],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            # the watermark passed last_event + gap: the open session is
+            # final — emit and clear (this is the ONLY way an idle
+            # user's tail session ever leaves the store)
+            start, last, n = state.get
+            state.remove()
+            yield row(start, last, n)
+            return
+        ts = sorted(
+            int(t) for pdf in pdfs for t in pdf["ts_us"].to_numpy()
+        )
+        if not ts:
+            return
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = ts[0], ts[0] - gap_us - 1, 0  # sentinel: first event opens
+        # replay in event order, splitting whenever the gap exceeds the
+        # session gap — multiple sessions can open AND close inside one
+        # micro-batch, and all closed ones emit now
+        for t in ts:
+            if n > 0 and t - last > gap_us:
+                yield row(start, last, n)
+                start, n = t, 0
+            elif n == 0:
+                start = t
+            last = t
+            n += 1
+        state.update((start, last, n))
+        # event-time timeout: fire when the watermark passes the open
+        # session's close point (ms granularity — the state API's unit)
+        state.setTimeoutTimestamp((last + gap_us) // 1000 + 1)
+
+    return update
+
+
+def session_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Streaming sessionization with event-time timeouts — the custom
+    twin of the built-in ``session_window`` aggregate, and the piece
+    the built-in cannot give you: arbitrary per-session state/logic at
+    close time. Sessions split on > ``gap_minutes`` silence; a closed
+    session emits as soon as its close is DECIDABLE — mid-batch when a
+    later event proves the gap, or via ``GroupStateTimeout.
+    EventTimeTimeout`` when the WATERMARK passes the open session's
+    close point (without the timeout, an idle user's last session
+    would sit in the state store forever — timeouts are what bound
+    state at 100 TB event volume).
+
+    ``session_end_us`` = last event + gap, matching the built-in
+    ``session_window`` end bound, so batch equivalence is directly
+    assertable (tests/test_streaming.py)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    ev = events.withWatermark("ts", f"{gap_minutes} minutes").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us"), F.col("ts")
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _session_update(gap_us),
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

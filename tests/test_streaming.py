@@ -950,3 +950,61 @@ def test_maintained_stats_checkpoint_restart(spark, tmp_path_factory):
     )
     got = {(r["key"], r["d_docs"], r["d_tokens"]) for r in final.collect()}
     assert got == expected
+
+
+def test_session_stream_matches_batch_session_window(spark, sf_dir, events_json_dir):
+    """The stateful sessionizer must agree with the built-in batch
+    session_window on every DECIDABLE session: all emitted sessions
+    are exactly batch sessions, and every batch session whose close
+    point sits safely below the final watermark was emitted (the tail
+    sessions the watermark never passed are the allowed difference —
+    they are still open by definition)."""
+    from pyspark.sql import functions as SF
+
+    from pyspark_mrdf_spark.streaming import session_stream, stream_events_from_json
+
+    gap_min = 30
+    gap_us = gap_min * 60 * 1_000_000
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        (r["user_id"], r["ss"], r["se"], r["n"])
+        for r in ev.groupBy(
+            "user_id", SF.session_window("ts", f"{gap_min} minutes")
+        )
+        .agg(SF.count(SF.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            SF.unix_micros("session_window.start").alias("ss"),
+            SF.unix_micros("session_window.end").alias("se"),
+            "n",
+        )
+        .collect()
+    }
+    max_ts_us = ev.agg(SF.max(SF.unix_micros("ts"))).collect()[0][0]
+
+    q = (
+        session_stream(
+            stream_events_from_json(spark, events_json_dir, max_files_per_trigger=2),
+            gap_minutes=gap_min,
+        )
+        .writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "session stream did not drain"
+    got = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_test").collect()
+    }
+    q.stop()
+    # exactness: nothing emitted that batch doesn't have
+    assert got <= batch, got - batch
+    # completeness with margin: closes safely below the final watermark
+    # (watermark delay = gap; one extra gap of slack for batch lag)
+    decidable = {
+        s for s in batch if s[2] + 2 * gap_us < max_ts_us - gap_us
+    }
+    assert decidable <= got, list(decidable - got)[:3]
+    assert len(got) > 0.5 * len(batch)
