@@ -148,7 +148,17 @@ def jaccard_pairs_prefix(
     Scale shape: df-count agg (vocabulary-keyed), per-doc rank window
     (doc-keyed, sets are small), prefix self-join on the rare-shingle
     posting list, then a candidate-bounded verify join; no pair
-    outside the prefix join is ever materialized."""
+    outside the prefix join is ever materialized.
+
+    Measured (SCALABILITY.json synthetic-20000-prefix-filter, via
+    ``scripts/scalability.py --prefix-filter-only``): on a corpus
+    where 25% of docs share one boilerplate passage (the real-web
+    shape) the full share-one-shingle join pays its df² fan-out —
+    44.3 s vs 30.4 s here, identical thresholded pairs asserted; on a
+    uniform random-vocab corpus (df≈1 everywhere, nothing to prune)
+    the df-rank pass is pure overhead (15.2 s vs 25.9 s). Default to
+    this tier for web text; use the plain join when shingles are
+    known-unique."""
     if not 1 <= threshold_e2 <= 100:
         raise ValueError(f"threshold_e2={threshold_e2} outside [1, 100]")
     post = shingle_table(df, n, id_col, text_col).localCheckpoint(eager=False)

@@ -213,6 +213,10 @@ def main() -> None:
     # groupBy on a synthesized high-cardinality stream — identical
     # outputs asserted, both walls recorded
     heavy_hitters_only = "--heavy-hitters-only" in argv
+    # --prefix-filter-only: q146's lossless prefix-filtered Jaccard vs
+    # the full share-one-shingle join on the planted-duplicate corpus —
+    # identical thresholded outputs asserted, walls + join sizes recorded
+    prefix_filter_only = "--prefix-filter-only" in argv
     if pagerank_only and not saw_synthetic_flag:
         synthetic_n = 2_000_000
     if cc_only and not saw_synthetic_flag:
@@ -223,6 +227,8 @@ def main() -> None:
         synthetic_n = 400_000
     if heavy_hitters_only and not saw_synthetic_flag:
         synthetic_n = 50_000_000
+    if prefix_filter_only and not saw_synthetic_flag:
+        synthetic_n = 50_000
     if bq_serving_only and not saw_synthetic_flag:
         synthetic_n = 200_000
     synthetic_d = 512
@@ -257,7 +263,7 @@ def main() -> None:
             "--pagerank-only", "--bq-serving-only", "--dedup-serving-only",
             "--graph-serving-only", "--cc-only", "--cc-tiers-only",
             "--graph-analytics-only", "--heavy-hitters-only",
-            "--pca-serving-only",
+            "--prefix-filter-only", "--pca-serving-only",
             "--aniso",
         )
     ]
@@ -275,6 +281,7 @@ def main() -> None:
         ("--cc-tiers-only", cc_tiers_only),
         ("--graph-analytics-only", graph_analytics_only),
         ("--heavy-hitters-only", heavy_hitters_only),
+        ("--prefix-filter-only", prefix_filter_only),
         ("--pca-serving-only", pca_serving_only),
     ) if on]
     if only_modes and argv:
@@ -300,7 +307,7 @@ def main() -> None:
         )
     if len(only_modes) > 1:
         sys.exit(f"error: {' and '.join(only_modes)} each run exactly one section; pick one")
-    if (grid_only or sq8_only or mixture_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or pca_serving_only) and (include_uniform or include_uniform_tuned):
+    if (grid_only or sq8_only or mixture_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or pca_serving_only) and (include_uniform or include_uniform_tuned):
         sys.exit(f"error: {only_modes[0]} runs only its own point; drop the uniform flags")
     if tuned_only and include_uniform:
         sys.exit("error: --uniform-tuned-only runs only the tuned point; drop the other flags")
@@ -310,9 +317,9 @@ def main() -> None:
     run_synthetic = (not argv or tuned_only or mixture_only) and not (
         grid_only or sq8_only or serving_only or dedup_only or pagerank_only
         or bq_serving_only or dedup_serving_only or graph_serving_only
-        or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or pca_serving_only
+        or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or pca_serving_only
     )
-    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or pca_serving_only) and (
+    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or pca_serving_only) and (
         include_uniform or include_uniform_tuned or saw_synthetic_flag
     ):
         sys.exit(
@@ -463,6 +470,10 @@ def main() -> None:
 
     if heavy_hitters_only:
         points.append(_heavy_hitters_evidence(spark, synthetic_n))
+        print(f"[scalability] {points[-1]}", file=sys.stderr)
+
+    if prefix_filter_only:
+        points.append(_prefix_filter_evidence(spark, synthetic_n))
         print(f"[scalability] {points[-1]}", file=sys.stderr)
 
     if pca_serving_only:
@@ -709,6 +720,87 @@ def _cc_tiers_evidence(spark, n: int) -> dict:
         "graphs (diameter <= ~3) invert the comparison, which is why "
         "propagation stays the default tier."
     )
+    return out
+
+
+def _prefix_filter_evidence(spark, n: int) -> dict:
+    """q146's lossless prefix filter vs the full posting self-join on
+    the planted-duplicate corpus (the same synthesis the dedup rows
+    use): identical thresholded pair sets asserted, both walls and the
+    shuffled-pair volumes recorded."""
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+
+    import hashlib
+
+    syn_dir = "/root/repo/.scalability_synth_prefix"
+    t_e2 = 80
+    out: dict = {"sf": f"synthetic-{n}-prefix-filter", "n_docs": n, "threshold_e2": t_e2}
+    try:
+        _write_synthetic_docs(syn_dir, n)
+        base = spark.read.parquet(os.path.join(syn_dir, "documents.parquet"))
+        base = base.repartition(2 * spark.sparkContext.defaultParallelism)
+        base = base.localCheckpoint(eager=True)
+        # "boilerplate" variant: 25% of docs share a fixed 14-word
+        # passage — the real-web shape (cookie banners, license
+        # footers routinely hit a quarter of a crawl) whose hot
+        # shingles give the full posting join its df² fan-out; the
+        # prefix filter ranks exactly those shingles LAST per doc, so
+        # they never join
+        passage = " ".join(
+            hashlib.md5(f"bp{i}".encode()).hexdigest()[:8] for i in range(14)
+        )
+        bp = base.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.col("text"), F.lit(" " + passage)),
+            ).otherwise(F.col("text")),
+        ).localCheckpoint(eager=True)
+        bp.count()
+
+        for label, d in (("uniform", base), ("boilerplate", bp)):
+            t0 = time.time()
+            full = (
+                jaccard_pairs(d)
+                .filter(F.col("jaccard") * 100 >= t_e2)
+                .localCheckpoint(eager=True)
+            )
+            full_rows = {
+                (r["doc_a"], r["doc_b"], r["inter"]) for r in full.collect()
+            }
+            out[f"{label}_full_join_s"] = round(time.time() - t0, 2)
+            t0 = time.time()
+            pref = jaccard_pairs_prefix(d, threshold_e2=t_e2).localCheckpoint(
+                eager=True
+            )
+            pref_rows = {
+                (r["doc_a"], r["doc_b"], r["inter"]) for r in pref.collect()
+            }
+            out[f"{label}_prefix_filter_s"] = round(time.time() - t0, 2)
+            out[f"{label}_pairs"] = len(pref_rows)
+            out[f"{label}_mismatch"] = len(full_rows ^ pref_rows)
+            assert out[f"{label}_mismatch"] == 0
+        out["note"] = (
+            "lossless prefix filtering (q146) vs the full share-one-shingle "
+            "join at jaccard >= 0.8, identical pair sets asserted on BOTH "
+            "corpora (mismatch must be 0). The uniform random-vocab corpus "
+            "(df~1 everywhere) is the full join's best case — no fan-out to "
+            "save, and the prefix tier's df-rank window is pure overhead; "
+            "the boilerplate corpus (10% of docs share one passage — the "
+            "real-web shape) gives the full join its df-squared blowup "
+            "while the prefix tier ranks the hot shingles last per doc and "
+            "never joins them. The tier is the default for web text, not "
+            "for synthetic-unique corpora"
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(syn_dir, ignore_errors=True)
     return out
 
 
