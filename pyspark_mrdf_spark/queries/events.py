@@ -851,3 +851,70 @@ def q150_hourly_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n") * F.count(F.lit(1)).over(w) > 3 * F.coalesce(F.sum("n").over(w), F.lit(0)))
         ).alias("is_spike"),
     )
+
+
+# --- q151: RANGE-interval window frames --------------------------------------
+#
+# The frame kind the grid queries (q149/q150) deliberately avoid and
+# irregular event streams need directly: a trailing TWO-HOUR frame by
+# actual event time (RANGE BETWEEN), not by row count — on bursty
+# streams a 24-row frame spans minutes for a hot user and weeks for an
+# idle one. Values integer micro-units; the trailing average is the
+# exact rational (sum, count) pair rather than a divided float, so the
+# verdict is a hash match.
+
+
+@register(
+    "q151_trailing_range_window",
+    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    oracle="""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(COUNT(*) OVER w - 1 AS BIGINT) AS n_prior_2h,
+       COALESCE(CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) OVER w
+                - CAST(floor(value * 1000000.0) AS BIGINT) AS BIGINT), 0)
+         AS sum_prior_2h_e6
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW)
+""",
+    description=(
+        "trailing 2-hour RANGE frame per user on the irregular event "
+        "stream (time-range, not row-count): prior-event count and "
+        "micro-unit value sum, exact integers under the hash verdict"
+    ),
+    tags=("events", "window", "timeseries"),
+)
+def q151_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: how much activity the same user had in the preceding
+    two hours (exclusive of the current event).
+
+    Scale shape: one user-partitioned ordered window with a RANGE
+    frame on epoch-micros — Spark evaluates it in a single pass per
+    partition with a sliding frame head/tail, same cost class as a
+    rows frame; no self-join, no grid materialization. The
+    current-row value is subtracted out rather than using `1
+    PRECEDING` because RANGE frames bound by VALUE: ties at the same
+    timestamp belong in the frame, and excluding the row itself (not
+    its timestamp) is the semantics both engines agree on."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.floor(F.col("value") * 1_000_000.0).cast("bigint").alias("v_e6"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-7_200_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        (F.count(F.lit(1)).over(w) - 1).cast("bigint").alias("n_prior_2h"),
+        F.coalesce(
+            (F.sum("v_e6").over(w) - F.col("v_e6")).cast("bigint"), F.lit(0)
+        ).alias("sum_prior_2h_e6"),
+    )
