@@ -132,3 +132,42 @@ def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir, tmp_path):
     assert back.agg(F.sum("l_partkey")).collect()[0][0] == li.agg(
         F.sum("l_partkey")
     ).collect()[0][0]
+
+
+def test_zorder_key_matches_python_reference(spark):
+    from pyspark_mrdf_spark.io import zorder_key
+
+    import pytest
+
+    bits = 8
+    rows = [(x, y, z) for x in (0, 3, 7, 255) for y in (0, 128, 255) for z in (5, 250)]
+    df = spark.createDataFrame(rows, ["x", "y", "z"])
+    got = [
+        r["k"]
+        for r in df.select(
+            zorder_key(["x", "y", "z"], [0, 0, 0], [255, 255, 255], bits=bits).alias("k")
+        ).collect()
+    ]
+
+    def ref(vals):
+        # same equi-width binning (span 255, 2^8 bins, clamped) + interleave
+        key = 0
+        binned = [min(max(int(v * (2**bits) / 255.0), 0), 2**bits - 1) for v in vals]
+        for i in range(bits):
+            for j, b in enumerate(binned):
+                key |= ((b >> i) & 1) << (i * 3 + j)
+        return key
+
+    assert got == [ref(r) for r in rows]
+    # degenerate column (span 0) contributes a constant 0 plane
+    one = spark.createDataFrame([(9, 1), (9, 2)], ["a", "b"])
+    ks = [
+        r["k"]
+        for r in one.select(
+            zorder_key(["a", "b"], [9, 0], [9, 3], bits=4).alias("k")
+        ).collect()
+    ]
+    assert len(set(ks)) == 2  # b still discriminates
+    # int64 budget enforced
+    with pytest.raises(ValueError):
+        zorder_key(["a", "b"], [0, 0], [1, 1], bits=32)
