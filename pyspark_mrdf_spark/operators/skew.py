@@ -67,3 +67,31 @@ def salted_join(
     joined = left.join(right, [key, "_salt"], how)
     # semi/anti joins never take right-side columns, so _salt is already gone
     return joined.drop("_salt") if "_salt" in joined.columns else joined
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Join-key skew diagnosis → one row per log2 frequency bucket:
+    (log2_bucket, n_keys, n_rows, max_key_rows). The "why is this join
+    slow" report: a healthy key column concentrates in low buckets; a
+    bucket-20 key means one task will receive 1M+ rows of that key
+    after the shuffle, and the caller should reach for ``salted_join``
+    / AQE skew handling / a broadcast of the other side.
+
+    Two exact integer aggregates: per-key counts (the same shuffle the
+    join itself would do — running the profile costs one pass of what
+    it diagnoses), then a count-of-counts rollup by floor(log2(n)).
+    NULL keys get their own bucket (-1): they hash together too, and a
+    null-heavy key column is the most common skew bug of all."""
+    per_key = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    bucket = F.when(F.col(key_col).isNull(), F.lit(-1)).otherwise(
+        F.floor(F.log2("n")).cast("long")
+    )
+    return (
+        per_key.select(bucket.alias("log2_bucket"), "n")
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.max("n").cast("long").alias("max_key_rows"),
+        )
+    )

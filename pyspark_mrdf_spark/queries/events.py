@@ -918,3 +918,42 @@ def q151_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("v_e6").over(w) - F.col("v_e6")).cast("bigint"), F.lit(0)
         ).alias("sum_prior_2h_e6"),
     )
+
+
+# --- q152: join-key skew profile ---------------------------------------------
+
+
+@register(
+    "q152_user_key_skew_profile",
+    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    oracle="""
+WITH per_key AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id),
+bucketed AS (
+  SELECT CASE WHEN user_id IS NULL THEN -1
+              ELSE CAST(floor(log2(n)) AS BIGINT) END AS log2_bucket, n
+  FROM per_key)
+SELECT log2_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(MAX(n) AS BIGINT) AS max_key_rows
+FROM bucketed GROUP BY log2_bucket
+""",
+    description=(
+        "join-key skew diagnosis (operators/skew.py:key_skew_profile): "
+        "per-key counts rolled up by log2 frequency bucket — the "
+        "'why is this join slow' report that decides between "
+        "salted_join / AQE skew / broadcast; exact integers"
+    ),
+    tags=("events", "skew", "agg"),
+)
+def q152_user_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-bucket histogram of events.user_id.
+
+    Scale shape: the per-key count is the SAME shuffle the diagnosed
+    join would pay (one profiling pass = one join-shaped pass); the
+    rollup is bucket-keyed and output-sized."""
+    from pyspark_mrdf_spark.operators.skew import key_skew_profile
+
+    ev = load_table(spark, sf_dir, "events")
+    return key_skew_profile(ev, "user_id")

@@ -88,3 +88,30 @@ def test_salted_join_rejects_right_full(spark, sf_dir):
     for how in ("right", "full", "full_outer", "rightouter"):
         with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(o, c, "custkey", n_salts=4, how=how)
+
+
+def test_key_skew_profile_buckets_and_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.operators.skew import key_skew_profile
+
+    # 1 key with 8 rows (bucket 3), 2 keys with 3 rows (bucket 1),
+    # 4 keys with 1 row (bucket 0), 5 NULL rows (bucket -1)
+    rows = (
+        [("hot",)] * 8
+        + [("a",)] * 3
+        + [("b",)] * 3
+        + [(k,) for k in ("c", "d", "e", "f")]
+        + [(None,)] * 5
+    )
+    df = spark.createDataFrame(rows, ["k"]).repartition(6)
+    got = {
+        r["log2_bucket"]: (r["n_keys"], r["n_rows"], r["max_key_rows"])
+        for r in key_skew_profile(df, "k").collect()
+    }
+    assert got == {
+        3: (1, 8, 8),
+        1: (2, 6, 3),
+        0: (4, 4, 1),
+        -1: (1, 5, 5),
+    }
