@@ -4,6 +4,8 @@ chains them the way a production corpus build would, printing one JSON
 line of stage-by-stage counts.
 
     ingest (parquet scan)
+      → promotion gate           (operators.quality report, q144 semantics —
+                                  reject the batch outright on violations)
       → quality filter           (functions.text scoring, q32 semantics)
       → LM band filter           (operators.lm stupid-backoff, q110)
       → exact dedup              (operators.dedup.dedup_against / exact_duplicates, q40)
@@ -50,6 +52,31 @@ def main(sf_dir: str, out_dir: str) -> None:
 
     docs = load_table(spark, sf_dir, "documents")
     stages["ingested"] = docs.count()
+
+    # promotion gate (q144 semantics): N constraints in ONE aggregation
+    # scan — a corrupted delivery should stop the pipeline here, not
+    # surface as a mystery three stages later
+    from pyspark_mrdf_spark.operators.quality import (
+        InSet,
+        NotNull,
+        Satisfies,
+        Unique,
+        quality_report,
+    )
+
+    gate = quality_report(
+        docs,
+        [
+            NotNull("text"),
+            Unique("doc_id"),
+            InSet("lang", ("en", "de", "fr", "es", "zh")),
+            Satisfies("n_chars = length(text)", "n_chars_consistent"),
+        ],
+    ).collect()
+    gate_violations = sum(r["violations"] for r in gate)
+    stages["gate_violations"] = int(gate_violations)
+    if gate_violations:
+        raise SystemExit(f"promotion gate failed: {gate}")
 
     # quality filter: enough tokens and at least one stopword hit
     nt = T.n_tokens("text")
