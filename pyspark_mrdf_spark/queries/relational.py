@@ -882,3 +882,114 @@ def q139_fuzzy_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_levenshtein_link(
         dirty, clean, id_col="rec_id", name_col="name", clean_name_col="p_name"
     )
+
+
+# --- q153: multi-source golden record ----------------------------------------
+#
+# The step after q139: two independently-corrupted feeds link back to
+# the catalog, and the per-entity rollup (coverage per feed, first
+# observed record) is the "golden record" master-data table. The
+# oracle replays BOTH linkages and the rollup — mechanical but long,
+# which is exactly why the engine-side composition matters.
+
+
+def _q153_linkage_cte(feed_mod: int, pos_mul: int, tag: str) -> str:
+    """One feed's corruption + blocking + argmin as SQL CTEs (the q139
+    chain, parameterized by feed)."""
+    return f"""
+dirty_{tag} AS (
+  SELECT p_partkey AS rec_id,
+         concat(substring(p_name, 1, CAST(({pos_mul} * p_partkey) % length(p_name) AS INTEGER)),
+                substring(p_name, CAST(({pos_mul} * p_partkey) % length(p_name) AS INTEGER) + 2)) AS dn
+  FROM part WHERE p_partkey % {feed_mod} = {feed_mod - 1}),
+dk_{tag} AS (
+  SELECT rec_id, dn, substring(dn, 1, 3) AS k FROM dirty_{tag}
+  UNION
+  SELECT rec_id, dn, substring(dn, greatest(length(dn) - 2, 1), 3) AS k FROM dirty_{tag}),
+scored_{tag} AS (
+  SELECT DISTINCT rec_id, dn, cn FROM dk_{tag} JOIN ck USING (k)),
+best_{tag} AS (
+  SELECT rec_id, cn FROM (
+    SELECT rec_id, cn, ROW_NUMBER() OVER (
+      PARTITION BY rec_id ORDER BY levenshtein(dn, cn), cn) AS r
+    FROM scored_{tag} WHERE levenshtein(dn, cn) <= 1)
+  WHERE r = 1)"""
+
+
+@register(
+    "q153_golden_record",
+    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    oracle=f"""
+WITH clean AS (SELECT DISTINCT p_name AS cn FROM part),
+ck AS (
+  SELECT DISTINCT cn, k FROM (
+    SELECT cn, substring(cn, 1, 3) AS k FROM clean
+    UNION
+    SELECT cn, substring(cn, greatest(length(cn) - 2, 1), 3) AS k FROM clean)),
+{_q153_linkage_cte(3, 1, "a")},
+{_q153_linkage_cte(5, 7, "b")}
+SELECT cn AS entity_name,
+       CAST(COALESCE(na, 0) AS BIGINT) AS n_feed_a,
+       CAST(COALESCE(nb, 0) AS BIGINT) AS n_feed_b,
+       CAST(LEAST(COALESCE(ra, 9223372036854775807),
+                  COALESCE(rb, 9223372036854775807)) AS BIGINT) AS first_rec_id
+FROM (
+  SELECT COALESCE(a.cn, b.cn) AS cn, a.na, a.ra, b.nb, b.rb
+  FROM (SELECT cn, COUNT(*) AS na, MIN(rec_id) AS ra FROM best_a GROUP BY cn) a
+  FULL OUTER JOIN
+       (SELECT cn, COUNT(*) AS nb, MIN(rec_id) AS rb FROM best_b GROUP BY cn) b
+  ON a.cn = b.cn)
+""",
+    description=(
+        "multi-source golden record: two independently-corrupted feeds "
+        "linked to the catalog (q139's blocking+levenshtein chain twice), "
+        "consolidated per entity with per-feed coverage + first observed "
+        "record id"
+    ),
+    tags=("linkage", "join", "agg"),
+)
+def q153_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity master table from two dirty feeds.
+
+    Scale shape: two q139-shaped linkages (blocking equi-joins +
+    candidate-bounded levenshtein + per-record argmin) whose outputs
+    are entity-keyed aggregates, consolidated by one full-outer
+    equi-join on the entity name."""
+    from pyspark_mrdf_spark.operators.linkage import blocked_levenshtein_link
+
+    p = load_table(spark, sf_dir, "part")
+    clean = p.select("p_name")
+
+    def feed(mod: int, mul: int) -> DataFrame:
+        corrupt = (
+            f"concat(substring(p_name, 1, cast(({mul} * p_partkey) % length(p_name) as int)), "
+            f"substring(p_name, cast(({mul} * p_partkey) % length(p_name) as int) + 2))"
+        )
+        return p.filter(F.col("p_partkey") % mod == mod - 1).select(
+            F.col("p_partkey").alias("rec_id"), F.expr(corrupt).alias("name")
+        )
+
+    def side(df: DataFrame, n_col: str, r_col: str) -> DataFrame:
+        return (
+            blocked_levenshtein_link(df, clean, clean_name_col="p_name")
+            .groupBy("matched_name")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias(n_col),
+                F.min("rec_id").alias(r_col),
+            )
+        )
+
+    a = side(feed(3, 1), "n_feed_a", "ra")
+    b = side(feed(5, 7), "n_feed_b", "rb")
+    big = F.lit(9223372036854775807)
+    return (
+        a.join(b, "matched_name", "full_outer")
+        .select(
+            F.col("matched_name").alias("entity_name"),
+            F.coalesce(F.col("n_feed_a"), F.lit(0)).cast("bigint").alias("n_feed_a"),
+            F.coalesce(F.col("n_feed_b"), F.lit(0)).cast("bigint").alias("n_feed_b"),
+            F.least(
+                F.coalesce(F.col("ra"), big), F.coalesce(F.col("rb"), big)
+            ).cast("bigint").alias("first_rec_id"),
+        )
+    )
