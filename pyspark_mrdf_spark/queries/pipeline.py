@@ -1771,3 +1771,95 @@ def q148_csv_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("content_checksum"),
     )
+
+
+# --- q154: MERGE-style upsert under the hash verdict -------------------------
+#
+# The q147/q148 discipline for the MAINTENANCE primitive: a base
+# parquet corpus receives an upsert batch (in-place revisions + new
+# docs) through io.upsert_parquet — anti-join + union + rewrite, the
+# copy-on-write every table format performs per file group — and the
+# checksummed aggregate runs on the REWRITTEN table. The oracle
+# computes the post-merge state relationally, so hash equality proves
+# the merge semantics (replace on key match, append on new key) and
+# the rewrite's byte fidelity at once.
+
+_Q154_DIRS: dict[str, str] = {}
+
+
+def _q154_out_path(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from pyspark_mrdf_spark.io import upsert_parquet
+
+    path = _Q154_DIRS.get(sf_dir)
+    if path is None:
+        d = load_table(spark, sf_dir, "documents")
+        root = tempfile.mkdtemp(prefix="mrdf_q154_upsert_")
+        base_path = root + "/base"
+        out_path = root + "/merged"
+        d.write.mode("overwrite").parquet(base_path)
+        updates = (
+            d.filter(F.col("doc_id") % 7 == 3)
+            .select(
+                "doc_id",
+                F.concat(F.lit("UPD "), F.col("text")).alias("text"),
+                "lang", "source", "n_chars",
+            )
+            .unionByName(
+                d.filter(F.col("doc_id") % 11 == 5).select(
+                    (-F.col("doc_id") - 1).alias("doc_id"),
+                    F.concat(F.lit("INS "), F.col("text")).alias("text"),
+                    "lang", "source", "n_chars",
+                )
+            )
+        )
+        upsert_parquet(spark, base_path, updates, "doc_id", out_path)
+        _Q154_DIRS[sf_dir] = out_path
+        path = out_path
+    return path
+
+
+@register(
+    "q154_upsert_merge_stats",
+    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    oracle="""
+WITH updates AS (
+  SELECT doc_id, 'UPD ' || text AS text, source FROM documents WHERE doc_id % 7 = 3
+  UNION ALL
+  SELECT -doc_id - 1 AS doc_id, 'INS ' || text AS text, source
+  FROM documents WHERE doc_id % 11 = 5),
+merged AS (
+  SELECT d.doc_id, d.text, d.source FROM documents d
+  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.doc_id = d.doc_id)
+  UNION ALL SELECT doc_id, text, source FROM updates)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT)
+         AS content_checksum
+FROM merged GROUP BY source
+""",
+    description=(
+        "MERGE-style upsert under the hash verdict: revisions replace "
+        "matching keys, inserts append, via io.upsert_parquet's "
+        "anti-join+union+rewrite (the copy-on-write table formats run "
+        "per file group); the checksum aggregate reads the REWRITTEN "
+        "parquet while the oracle derives the post-merge state "
+        "relationally"
+    ),
+    tags=("pipeline", "formats", "agg"),
+)
+def q154_upsert_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stats of the post-upsert table, read from the
+    rewritten files.
+
+    Scale shape: the merge is one key-anti-join + union + rewrite
+    (updates side broadcastable at churn-sized batches); the verdict
+    aggregate is a source-keyed hash agg with a map-side checksum."""
+    out = spark.read.parquet(_q154_out_path(spark, sf_dir))
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint"))
+        .cast("bigint")
+        .alias("content_checksum"),
+    )
