@@ -40,6 +40,9 @@ from pyspark.sql import functions as F
 from pyspark_mrdf_spark.functions.vector import l2_sq
 
 
+LOCAL_ROUTE_MAX_CORPUS = 100_000
+
+
 def graph_knn_search(
     queries: DataFrame,
     graph: DataFrame,
@@ -52,6 +55,7 @@ def graph_knn_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     include_self: bool = True,
+    route: str = "auto",
 ) -> DataFrame:
     """Top-k of ``queries`` against ``corpus`` by beam search over
     ``graph`` ((src, dst) adjacency, e.g. a ``knn_graph`` output):
@@ -76,10 +80,29 @@ def graph_knn_search(
     fix)."""
     if k < 1 or beam < k:
         raise ValueError(f"graph_knn_search: need beam >= k >= 1, got k={k}, beam={beam}")
+    if route not in ("auto", "local", "distributed"):
+        raise ValueError(f"graph_knn_search: unknown route {route!r}")
+    n_corpus = corpus.count()
     if n_entry is None:
         import math
 
-        n_entry = max(4, math.isqrt(max(corpus.count() - 1, 0)) + 1)
+        n_entry = max(4, math.isqrt(max(n_corpus - 1, 0)) + 1)
+    # tier routing, knn_search's discipline: the distributed walk pays
+    # ~2 broadcast joins + one count action PER ROUND — right when the
+    # graph/corpus cannot sit in one task, pure scheduling overhead
+    # when they can (measured: 5.2 s warm for a 5k-node walk that the
+    # local tier serves in well under a second). The local tier
+    # collects O(n·(d + degree)) to the driver — bounded by the route
+    # threshold, NOT the external-query contract, so it never
+    # activates above LOCAL_ROUTE_MAX_CORPUS rows; results are
+    # bit-identical (the local kernel replays l2_sq's sequential
+    # per-dimension fold, same entries, same rounds, same tie-breaks —
+    # equivalence-tested in tests/test_graph_search.py).
+    if route == "local" or (route == "auto" and n_corpus <= LOCAL_ROUTE_MAX_CORPUS):
+        return _graph_search_local(
+            queries, graph, corpus, k, beam, n_entry, max_rounds, seed,
+            id_col, vec_col, include_self,
+        )
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("_qvec")
     ).localCheckpoint(eager=False)
@@ -154,4 +177,87 @@ def graph_knn_search(
             F.col("d2").alias("dist_sq"),
             "rnk",
         )
+    )
+
+
+def _graph_search_local(
+    queries: DataFrame,
+    graph: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    beam: int,
+    n_entry: int,
+    max_rounds: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    include_self: bool,
+) -> DataFrame:
+    """Driver-local beam search, bit-identical to the distributed walk
+    (same md5 entries, same round structure, same (d2, vid) tie-break,
+    and the SAME float64 arithmetic: distances accumulate dimension by
+    dimension — l2_sq's sequential left fold — so not even a last-ulp
+    difference separates the tiers)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    spark = queries.sparkSession
+    c_rows = corpus.select(F.col(id_col), F.col(vec_col)).collect()
+    ids = np.array([r[0] for r in c_rows], dtype=np.int64)
+    mat = np.array([r[1] for r in c_rows], dtype=np.float32)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    adj: dict[int, list[int]] = {}
+    for r in graph.select("src", "dst").collect():
+        adj.setdefault(int(r[0]), []).append(int(r[1]))
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+
+    entry_ids = [
+        int(v)
+        for v in sorted(
+            (int(v) for v in ids),
+            key=lambda v: hashlib.md5(f"{seed}:{v}".encode()).hexdigest(),
+        )[:n_entry]
+    ]
+
+    def score_block(qvec64: np.ndarray, vids: list[int]) -> np.ndarray:
+        block = mat[[pos[v] for v in vids]].astype(np.float64)
+        acc = np.zeros(len(vids), dtype=np.float64)
+        for j in range(block.shape[1]):  # sequential per-dim fold = l2_sq
+            d = block[:, j] - qvec64[j]
+            acc = acc + d * d
+        return acc
+
+    out_rows = []
+    for qr in q_rows:
+        qid = int(qr[0])
+        qvec64 = np.asarray(qr[1], dtype=np.float32).astype(np.float64)
+        cand0 = [v for v in entry_ids if include_self or v != qid]
+        d0 = score_block(qvec64, cand0)
+        state: dict[int, list] = {v: [float(d), False] for v, d in zip(cand0, d0)}
+        for _ in range(max_rounds):
+            ranked = sorted(state.items(), key=lambda kv: (kv[1][0], kv[0]))[:beam]
+            frontier = [v for v, st in ranked if not st[1]]
+            if not frontier:
+                break
+            fresh = []
+            seen = set()
+            for v in frontier:
+                state[v][1] = True
+                for n in adj.get(v, ()):  # noqa: B007
+                    if n not in state and n not in seen:
+                        if include_self or n != qid:
+                            seen.add(n)
+                            fresh.append(n)
+            if fresh:
+                dn = score_block(qvec64, fresh)
+                for v, d in zip(fresh, dn):
+                    state[v] = [float(d), False]
+        top = sorted(state.items(), key=lambda kv: (kv[1][0], kv[0]))[:k]
+        for rnk, (v, st) in enumerate(top, start=1):
+            out_rows.append((qid, v, st[0], rnk))
+    return spark.createDataFrame(
+        pd.DataFrame(out_rows, columns=["src", "dst", "dist_sq", "rnk"]),
+        "src long, dst long, dist_sq double, rnk int",
     )

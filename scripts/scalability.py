@@ -1878,7 +1878,12 @@ def _graph_serving_evidence(spark, n: int, d: int) -> dict:
             for _ in range(2):
                 t0 = time.time()
                 got = graph_knn_search(
-                    queries, graph, emb, 5, beam=32, n_entry=n_entry
+                    queries, graph, emb, 5, beam=32, n_entry=n_entry,
+                    # this row's claim is the DISTRIBUTED walk's scaling;
+                    # auto would route the <=100k corpus to the local
+                    # tier (bit-identical, tests) and silently change
+                    # what the wall measures
+                    route="distributed",
                 ).localCheckpoint(eager=True)
                 got.count()
                 graph_s.append(round(time.time() - t0, 2))

@@ -49,10 +49,15 @@ def test_graph_search_recall_vs_exact(spark, emb, graph):
 
 
 def test_graph_search_partitioning_invariant(spark, emb, graph):
+    # force the distributed tier: at this corpus size auto routes
+    # local, which is trivially layout-invariant and would test nothing
     queries = emb.filter(F.col("vec_id") < 8)
-    a = graph_knn_search(queries, graph, emb, k=5, beam=16).collect()
+    a = graph_knn_search(
+        queries, graph, emb, k=5, beam=16, route="distributed"
+    ).collect()
     b = graph_knn_search(
-        queries.repartition(7), graph.repartition(13), emb.repartition(5), k=5, beam=16
+        queries.repartition(7), graph.repartition(13), emb.repartition(5),
+        k=5, beam=16, route="distributed",
     ).collect()
     key = lambda r: (r["src"], r["rnk"])
     assert sorted(((r["src"], r["rnk"], r["dst"]) for r in a)) == sorted(
@@ -106,3 +111,28 @@ def test_graph_search_entry_seeding_bridges_components(spark):
     auto = graph_knn_search(queries, graph, emb, 3, beam=8).collect()  # n_entry=None
     r_auto = _recall(auto, want)
     assert r_auto >= 0.9, f"auto entry seeding should bridge both clusters, recall={r_auto}"
+
+
+def test_graph_search_local_tier_bit_identical(spark, emb, graph):
+    # the auto-routed local tier must return EXACTLY the distributed
+    # walk's rows — ids, ranks, and float64 distances to the last bit
+    # (the local kernel replays l2_sq's sequential per-dim fold)
+    queries = emb.filter(F.col("vec_id") < 15)
+    for include_self in (True, False):
+        loc = graph_knn_search(
+            queries, graph, emb, 5, beam=16, route="local",
+            include_self=include_self,
+        ).collect()
+        dist = graph_knn_search(
+            queries, graph, emb, 5, beam=16, route="distributed",
+            include_self=include_self,
+        ).collect()
+        key = lambda r: (r["src"], r["rnk"])  # noqa: E731
+        l = {key(r): (r["dst"], r["dist_sq"]) for r in loc}
+        d = {key(r): (r["dst"], r["dist_sq"]) for r in dist}
+        assert l == d, include_self
+
+
+def test_graph_search_route_validation(spark, emb, graph):
+    with pytest.raises(ValueError):
+        graph_knn_search(emb.limit(2), graph, emb, 3, route="nope")
