@@ -1135,11 +1135,86 @@ def q119_prefix_dim_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))
 
 
+def _q124_oracle(sf_dir: str) -> str:
+    """Unrolled-CTE replay of the beam walk — the upgrade that moved
+    q124 from a rows-only verdict to a hash check. The walk LOOKS
+    non-SQL-expressible because its round count is data-decided, but
+    the convergence break is an efficiency device, not semantics: once
+    every beam slot is expanded, further rounds are no-ops, so
+    unrolling the full ``max_rounds`` (q113's fixed-round discipline)
+    replays the result exactly. Everything else is deterministic —
+    the exact degree-K graph (q50's oracle CTE), md5-seeded entries,
+    (distance, id) tie-breaks — and the OUTPUT is rank-only, so the
+    oracle needs distance ORDER (list_distance), never bit-equal
+    float accumulation. n_entry is the same O(√n) auto-sizing rule as
+    the engine, computed here from the corpus count."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    con.close()
+    n_entry = max(4, math.isqrt(max(n - 1, 0)) + 1)
+    beam, k_out, rounds = 32, 5, 12
+    cte = [
+        "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""adj AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+             ORDER BY list_distance(a.v, b.v), b.vec_id) AS rnk
+    FROM emb a JOIN emb b ON a.vec_id <> b.vec_id)
+  WHERE rnk <= {K})""",
+        "q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id % 17 = 0)",
+        f"""entries AS MATERIALIZED (
+  SELECT vec_id AS vid FROM emb
+  ORDER BY md5(concat('13:', CAST(vec_id AS VARCHAR))) LIMIT {n_entry})""",
+        """s0 AS MATERIALIZED (
+  SELECT q.qid, e.vid, list_distance(q.qv, emb.v) AS d, FALSE AS expanded
+  FROM q CROSS JOIN entries e JOIN emb ON emb.vec_id = e.vid)""",
+    ]
+    for r in range(rounds):
+        cte.append(f"""f{r} AS MATERIALIZED (
+  SELECT qid, vid FROM (
+    SELECT qid, vid, expanded,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, vid) AS rnk
+    FROM s{r})
+  WHERE rnk <= {beam} AND NOT expanded),
+fr{r} AS MATERIALIZED (
+  SELECT DISTINCT f.qid, a.dst AS vid
+  FROM f{r} f JOIN adj a ON a.src = f.vid
+  WHERE NOT EXISTS (
+    SELECT 1 FROM s{r} s WHERE s.qid = f.qid AND s.vid = a.dst)),
+s{r + 1} AS MATERIALIZED (
+  SELECT s.qid, s.vid, s.d,
+         s.expanded OR EXISTS (
+           SELECT 1 FROM f{r} f WHERE f.qid = s.qid AND f.vid = s.vid)
+         AS expanded
+  FROM s{r} s
+  UNION ALL
+  SELECT fr.qid, fr.vid, list_distance(q.qv, emb.v) AS d, FALSE AS expanded
+  FROM fr{r} fr JOIN q ON q.qid = fr.qid JOIN emb ON emb.vec_id = fr.vid)""")
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"""
+SELECT qid AS src, vid AS dst, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT qid, vid, ROW_NUMBER() OVER (
+    PARTITION BY qid ORDER BY d, vid) AS rnk
+  FROM s{rounds})
+WHERE rnk <= {k_out}"""
+    )
+
+
+
 @register(
     "q124_graph_ann_search",
     # promoted r9: takes a slot ceded by the multi-green r9 rotation
     # (see tests/test_oracle_queries.py DRIVER_SURFACE)
-    oracle=None,  # iterative graph walk (rounds decided by data) — not SQL-expressible; rows-only driver check + pytest recall gate
+    oracle=lambda sf_dir: _q124_oracle(sf_dir),  # UPGRADED r9 from rows-only: see _q124_oracle
     description=(
         "graph-based ANN SERVING (operators/graph_search.graph_knn_search "
         "— the serving half of the flagship's graph-index architecture: "
