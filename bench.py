@@ -65,6 +65,7 @@ def main() -> None:
     # which is why the headline stays the cold sum rather than min.
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    failed: list[str] = []
     total = 0.0
     for name in sorted(specs):
         spec = specs[name]
@@ -73,6 +74,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             print(f"[bench] {name} failed: {exc}", file=sys.stderr)
             dt = float("nan")
+            failed.append(name)
         timings[name] = round(dt, 3)
         if dt == dt:
             total += dt
@@ -80,6 +82,8 @@ def main() -> None:
                 warm[name] = round(run_once(spec), 3)
             except Exception as exc:  # noqa: BLE001
                 print(f"[bench] {name} warm rerun failed: {exc}", file=sys.stderr)
+                if name not in failed:
+                    failed.append(name)
 
     # Output discipline (round-6 postmortem): the grading driver keeps
     # only ~2KB of output, so the round-6 single 3KB line survived as a
@@ -99,6 +103,7 @@ def main() -> None:
         "queries": timings,
         "queries_warm": warm,
         "warm_total": round(sum(warm.values()), 3),
+        "failed": failed,
         "sf": sf,
     }
     local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
@@ -119,6 +124,7 @@ def main() -> None:
                 "sf": sf,
                 "warm_total": full["warm_total"],
                 "n_queries": len(timings),
+                "failed": failed,
                 "full_record": "BENCH_LOCAL.json",
             }
         )
@@ -131,10 +137,18 @@ def main() -> None:
                 "value": full["value"],
                 "unit": "sec",
                 "queries": r2(timings),
+                "failed": failed,
                 "sf": sf,
             }
         )
     )
+    # Round-9 postmortem: a failed query used to ship as a silent NaN
+    # with rc=0 (q136's sf0.1 overflow hid in BENCH_r09.json). A bench
+    # that can lose a query silently will hide the next regression too —
+    # fail loudly so the driver and CI both see red.
+    if failed:
+        print(f"[bench] FAILED queries: {failed}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

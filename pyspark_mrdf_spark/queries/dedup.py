@@ -785,6 +785,7 @@ FROM scrubbed
         "byte-level"
     ),
     tags=("dedup", "text", "pipeline"),
+    driver=False,  # r10 rotation: 2x driver-green (r8,r9), cedes its slot to q137-q155 (substring family stays via q101)
 )
 def q109_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -842,6 +843,7 @@ FROM g1
         "no pairs-by-corpus join, bit-exact on any engine"
     ),
     tags=("dedup", "pipeline", "contrastive", "minhash"),
+    driver=False,  # r10 rotation: 2x driver-green (r8,r9), cedes its slot to q137-q155 (pair mining pytest-covered; dedup keeps q101/q102/q122/q125)
 )
 def q115_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = D.lsh_candidate_pairs(_minhash_buckets(spark, sf_dir)).select(
@@ -897,6 +899,7 @@ FROM hits h LEFT JOIN corpus_fp c ON h.fp = c.fp
         "bloom-join pattern made explicit and cross-engine-checkable"
     ),
     tags=("dedup", "incremental", "sketch"),
+    driver=False,  # r10 rotation: 2x driver-green (r8,r9), cedes its slot to q137-q155 (incremental dedup stays via q122/q125)
 )
 def q118_bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1141,7 +1144,7 @@ _PREFIX_T_E2 = 80
 
 @register(
     "q146_jaccard_prefix_filtered",
-    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    driver=True,  # promoted r10: owed rotation for the r9-registered operators
     oracle=f"""
 WITH post AS (
   SELECT doc_id, unnest({_SHINGLES}) AS shingle FROM documents),

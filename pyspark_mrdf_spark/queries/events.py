@@ -383,6 +383,7 @@ FROM v LEFT JOIN c ON v.user_id = c.user_id
         "— no windows over raw events, nothing corpus-crossed"
     ),
     tags=("events", "funnel", "agg", "join"),
+    driver=False,  # r10 rotation: 2x driver-green (r8,r9), cedes its slot to q137-q155 (events keep q130/q135 + new q149/q150/q152)
 )
 def q93_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
@@ -446,6 +447,7 @@ GROUP BY 1, 2
         "with map-side partials; the matrix output is O(days x weeks)"
     ),
     tags=("events", "cohort", "agg", "join"),
+    driver=False,  # r10 rotation: 2x driver-green (r8,r9), cedes its slot to q137-q155 (events keep q130/q135 + new q149/q150/q152)
 )
 def q94_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
@@ -698,7 +700,7 @@ _GAPFILL_USERS = 20  # bound the output: first N users
 
 @register(
     "q149_hourly_gap_fill",
-    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    driver=True,  # promoted r10: owed rotation for the r9-registered operators
     oracle=f"""
 WITH ev AS (
   SELECT user_id, epoch_us(ts) // 3600000000 AS h,
@@ -782,7 +784,7 @@ def q149_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q150_hourly_rate_spikes",
-    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    driver=True,  # promoted r10: owed rotation for the r9-registered operators
     oracle="""
 WITH ev AS (
   SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events),
@@ -866,7 +868,7 @@ def q150_hourly_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q151_trailing_range_window",
-    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    driver=True,  # promoted r10: owed rotation for the r9-registered operators
     oracle="""
 SELECT event_id, user_id, epoch_us(ts) AS ts_us,
        CAST(COUNT(*) OVER w - 1 AS BIGINT) AS n_prior_2h,
@@ -925,7 +927,7 @@ def q151_trailing_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q152_user_key_skew_profile",
-    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    driver=True,  # promoted r10: owed rotation for the r9-registered operators
     oracle="""
 WITH per_key AS (
   SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id),

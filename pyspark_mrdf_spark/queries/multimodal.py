@@ -347,7 +347,7 @@ _THUMB_STRIDE = 2
 
 @register(
     "q143_bmp_thumbnail_stats",
-    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    driver=True,  # promoted r10: owed rotation for the r9-registered operators
     oracle=f"""
 WITH dims AS (
   SELECT doc_id,

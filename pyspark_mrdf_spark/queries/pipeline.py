@@ -376,6 +376,7 @@ GROUP BY ch.doc_id
         "every step is per-doc or an equi-join, nothing corpus-crossed"
     ),
     tags=("text", "dedup", "pipeline", "chunking"),
+    driver=False,  # r10 rotation: 2x driver-green (r8,r9), cedes its slot to q137-q155 (chunking stays via q103 packing)
 )
 def q91_chunk_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = chunk_documents(load_table(spark, sf_dir, "documents")).select(
@@ -436,6 +437,7 @@ FROM c WHERE n_copies >= 1
         "every engine and every rerun materializes the identical epoch table"
     ),
     tags=("pipeline", "sampling"),
+    driver=False,  # r10 rotation: 2x driver-green (r8,r9), cedes its slot to q137-q155 (pipeline keeps q126/q128)
 )
 def q99_epoch_oversample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize the training-mix epoch table: doc x epoch rows.
@@ -500,6 +502,7 @@ FROM r GROUP BY lang
         "literal split cannot shift a rank"
     ),
     tags=("pipeline", "text", "window"),
+    driver=False,  # r10 rotation: 2x driver-green (r8,r9), cedes its slot to q137-q155 (quantiles stay via q106-history + q128 strata)
 )
 def q100_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus length profile per language — the curation dashboard
@@ -576,6 +579,7 @@ FROM c, UNNEST(generate_series(c0 // {PACK_SEQ_LEN}, (c1 - 1) // {PACK_SEQ_LEN})
         "window arithmetic, bit-exact cross-engine"
     ),
     tags=("pipeline", "sampling", "window"),
+    driver=False,  # r10 rotation: 2x driver-green (r8,r9), cedes its slot to q137-q155 (packing pytest-covered; pipeline keeps q126/q128/q132)
 )
 def q103_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: shard hash-partitions the corpus, the running token
@@ -677,6 +681,7 @@ FROM rk
         "(ratio, doc_id) nearest-rank"
     ),
     tags=("pipeline", "text", "sampling"),
+    driver=False,  # r10 rotation: 2x driver-green (r8,r9), cedes its slot to q137-q155 (importance weights pytest-covered; pipeline keeps q126/q128)
 )
 def q104_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: token explode -> two bucket aggregations (1024-row
@@ -795,6 +800,7 @@ FROM ex e JOIN sm s ON e.lang = s.lang
         "scale notes prescribe; all picks are integer rows, hash-exact"
     ),
     tags=("pipeline", "sketch", "window"),
+    driver=False,  # r10 rotation: 2x driver-green (r8,r9), cedes its slot to q137-q155 (quantile op pytest-covered)
 )
 def q106_sampled_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: the sample side ranks ~rate x n rows per language
@@ -1178,7 +1184,7 @@ def q132_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q138_triangle_counts",
-    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    driver=True,  # promoted r10: owed rotation for the r9-registered operators
     oracle="""
 WITH und AS (
   SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,
@@ -1275,7 +1281,7 @@ GROUP BY node""")
 
 @register(
     "q140_kcore_parts",
-    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    driver=True,  # promoted r10: owed rotation for the r9-registered operators
     oracle=_kcore_oracle(_KCORE_K, _KCORE_ROUNDS),
     description=(
         f"{_KCORE_ROUNDS}-round k-core peel (k={_KCORE_K}) of the "
@@ -1331,7 +1337,7 @@ SELECT node, CAST(label AS BIGINT) AS label FROM l{rounds}""")
 
 @register(
     "q141_part_communities",
-    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    driver=True,  # promoted r10: owed rotation for the r9-registered operators
     oracle=_lpa_oracle(_LPA_ROUNDS),
     description=(
         f"{_LPA_ROUNDS}-round label propagation on the w>=2 co-order "
@@ -1385,7 +1391,7 @@ def q141_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q142_incremental_agg",
-    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    driver=True,  # promoted r10: owed rotation for the r9-registered operators
     oracle="""
 WITH b AS (
   SELECT CASE WHEN doc_id % 7 = 1 THEN text || ' [rev2]' ELSE text END AS text,
@@ -1487,7 +1493,7 @@ _Q144_LANGS = ("en", "de", "fr", "es", "zh")
 
 @register(
     "q144_data_quality_report",
-    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    driver=True,  # promoted r10: owed rotation for the r9-registered operators
     oracle=f"""
 WITH doc_agg AS (
   SELECT
@@ -1595,7 +1601,7 @@ def _ppr_oracle() -> str:
 
 @register(
     "q145_personalized_pagerank",
-    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    driver=True,  # promoted r10: owed rotation for the r9-registered operators
     oracle=_ppr_oracle(),
     description=(
         "personalized PageRank (Haveliwala 2002): teleport + init mass "
@@ -1670,7 +1676,7 @@ def _q147_orc_path(spark: SparkSession, sf_dir: str) -> str:
 
 @register(
     "q147_orc_roundtrip_stats",
-    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    driver=True,  # promoted r10: owed rotation for the r9-registered operators
     oracle="""
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1733,7 +1739,7 @@ def _q148_csv_path(spark: SparkSession, sf_dir: str) -> str:
 
 @register(
     "q148_csv_roundtrip_stats",
-    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    driver=True,  # promoted r10: owed rotation for the r9-registered operators
     oracle="""
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1822,7 +1828,7 @@ def _q154_out_path(spark: SparkSession, sf_dir: str) -> str:
 
 @register(
     "q154_upsert_merge_stats",
-    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    driver=True,  # promoted r10: owed rotation for the r9-registered operators
     oracle="""
 WITH updates AS (
   SELECT doc_id, 'UPD ' || text AS text, source FROM documents WHERE doc_id % 7 = 3

@@ -827,7 +827,7 @@ def q75_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q139_fuzzy_record_linkage",
-    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    driver=True,  # promoted r10: owed rotation for the r9-registered operators
     oracle="""
 WITH clean AS (SELECT DISTINCT p_name AS cn FROM part),
 dirty AS (
@@ -918,7 +918,7 @@ best_{tag} AS (
 
 @register(
     "q153_golden_record",
-    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    driver=True,  # promoted r10: owed rotation for the r9-registered operators
     oracle=f"""
 WITH clean AS (SELECT DISTINCT p_name AS cn FROM part),
 ck AS (

@@ -550,6 +550,7 @@ GROUP BY t.doc_id
         "equi-key, the 100 TB-safe shape"
     ),
     tags=("text", "quality", "pipeline"),
+    driver=False,  # r10 rotation: 2x driver-green (r8,r9), cedes its slot to q137-q155 (text quality stays via q117 NB + new q144 gate)
 )
 def q96_rare_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = load_table(spark, sf_dir, "documents").select(
@@ -697,6 +698,7 @@ FROM (VALUES
         "replica is what upgrades this from a rows-only verdict)"
     ),
     tags=("text", "tokenizer", "pipeline"),
+    driver=False,  # r10 rotation: 2x driver-green (r8,r9), cedes its slot to q137-q155 (BPE stays via q107 train)
 )
 def q108_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: one mapInPandas over documents with broadcast O(k)
@@ -820,6 +822,7 @@ FROM scored GROUP BY doc_id
         "floats, hash-exact across engines"
     ),
     tags=("text", "pipeline", "lm"),
+    driver=False,  # r10 rotation: 2x driver-green (r8,r9), cedes its slot to q137-q155 (LM scoring pytest-covered; text keeps q136 + new q144)
 )
 def q110_lm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-scoring configuration (model trained on the corpus being
@@ -863,6 +866,7 @@ FROM documents d JOIN agg a USING (doc_id)
         "a hash match"
     ),
     tags=("text", "pipeline", "lm"),
+    driver=False,  # r10 rotation: 2x driver-green (r8,r9), cedes its slot to q137-q155 (LM scoring pytest-covered; text keeps q136 + new q144)
 )
 def q111_lm_crosscorpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same operators as q110 with a different `lm_train` input — the
@@ -1280,7 +1284,11 @@ def q136_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "tok",
         "tf",
-        (F.col("tf") * F.expr(f"(1000000 * ({n_docs} + 1)) DIV (df + 1)"))
+        # CAST to BIGINT before the multiply: with a plain int32 literal,
+        # ANSI mode throws ARITHMETIC_OVERFLOW once n_docs >= 2147
+        # (1000000 * 2148 > INT32_MAX) — i.e. exactly at sf0.1+ scale
+        # while passing at the sf0.01 correctness gate (round-9 verdict).
+        (F.col("tf") * F.expr(f"(CAST(1000000 AS BIGINT) * ({n_docs} + 1)) DIV (df + 1)"))
         .cast("bigint")
         .alias("score_e6"),
     )
@@ -1309,7 +1317,7 @@ _HH_K = 50  # report tokens with frequency > N/50 (2% of the stream)
 
 @register(
     "q137_heavy_hitters",
-    driver=False,  # registered r9 after the surface froze; rotation owed next round
+    driver=True,  # promoted r10: owed rotation for the r9-registered operators
     oracle=f"""
 WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
 SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt

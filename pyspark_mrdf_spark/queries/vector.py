@@ -602,6 +602,7 @@ SELECT src, dst, rnk FROM rr WHERE rnk <= 5
         "kernel's exact float nesting with ordered list_sums"
     ),
     tags=("vector", "knn", "quantize", "pipeline"),
+    driver=False,  # r10 rotation: 2x driver-green (r8,r9), cedes its slot to q137-q155 (PQ tier stays via q95 demote-sibling q98 persisted IVF-PQ)
 )
 def q92_pq_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_mrdf_spark.operators.quantize import pq_search
@@ -757,6 +758,7 @@ SELECT src, dst, rnk FROM rr WHERE rnk <= 5
         "residual/ADC sum is a strict sequential fold (q92's discipline)"
     ),
     tags=("vector", "knn", "quantize", "ann", "pipeline"),
+    driver=False,  # r10 rotation: 2x driver-green (r8,r9), cedes its slot to q137-q155 (IVF-PQ stays via q98 persisted index)
 )
 def q95_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_mrdf_spark.operators.quantize import ivfpq_search
@@ -1014,6 +1016,7 @@ FROM per_cell ORDER BY cell
         "training + assignment bit-identically and aggregates per cell"
     ),
     tags=("vector", "quantize", "ann", "agg", "pipeline"),
+    driver=False,  # r10 rotation: 2x driver-green (r8,r9), cedes its slot to q137-q155 (index monitoring stays via q123/q131)
 )
 def q105_index_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_mrdf_spark.operators.quantize import index_cell_stats
@@ -1074,6 +1077,7 @@ SELECT src, dst, rnk FROM rr WHERE rnk <= 5
         "(dist, id) rank portability"
     ),
     tags=("vector", "knn", "quantize", "pipeline"),
+    driver=False,  # r10 rotation: 2x driver-green (r8,r9), cedes its slot to q137-q155 (1-bit tier pytest-covered; quant family keeps q129/q131/q133)
 )
 def q116_binary_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_mrdf_spark.operators.quantize import bq_search
