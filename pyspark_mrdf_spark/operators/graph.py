@@ -104,11 +104,23 @@ def pagerank(
             .withColumn("_seed", F.lit(True))
             .localCheckpoint(eager=False)
         )
-        n_seeds = seed_df.count()
+        # Join BEFORE counting: a seed absent from the node universe
+        # must not inflate the teleport denominator (it would silently
+        # leak 1/n_seeds of the mass every round). And keep the _seed
+        # boolean for the init selection — testing `_base > 0` broke at
+        # damping_e2=100 (base is legitimately 0 for every node there,
+        # zeroing the initial distribution; advisor round 9).
+        node_df = (
+            node_df.join(seed_df, "node", "left")
+            .select("node", F.coalesce("_seed", F.lit(False)).alias("_seed"))
+            .localCheckpoint(eager=False)
+        )
+        n_seeds = node_df.filter(F.col("_seed")).count()
         if n_seeds == 0:
-            raise ValueError("pagerank: empty seed set")
-        node_df = node_df.join(seed_df, "node", "left").select(
+            raise ValueError("pagerank: no seed is present in the node set")
+        node_df = node_df.select(
             "node",
+            "_seed",
             F.when(
                 F.col("_seed"),
                 F.lit((scale * (100 - damping_e2)) // (100 * n_seeds)),
@@ -119,7 +131,7 @@ def pagerank(
         ).localCheckpoint(eager=False)
         p = node_df.select(
             "node",
-            F.when(F.col("_base") > 0, F.lit(scale // n_seeds))
+            F.when(F.col("_seed"), F.lit(scale // n_seeds))
             .otherwise(F.lit(0))
             .cast("long")
             .alias("p"),

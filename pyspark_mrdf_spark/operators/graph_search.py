@@ -82,7 +82,14 @@ def graph_knn_search(
         raise ValueError(f"graph_knn_search: need beam >= k >= 1, got k={k}, beam={beam}")
     if route not in ("auto", "local", "distributed"):
         raise ValueError(f"graph_knn_search: unknown route {route!r}")
-    n_corpus = corpus.count()
+    # The corpus count drives ONLY auto-routing and entry auto-sizing;
+    # a caller that pins route='distributed' and supplies n_entry has
+    # already decided both, so don't charge them a Spark action for it
+    # (advisor round 9).
+    if route == "distributed" and n_entry is not None:
+        n_corpus = None
+    else:
+        n_corpus = corpus.count()
     if n_entry is None:
         import math
 
@@ -209,8 +216,15 @@ def _graph_search_local(
     mat = np.array([r[1] for r in c_rows], dtype=np.float32)
     pos = {int(v): i for i, v in enumerate(ids)}
     adj: dict[int, list[int]] = {}
+    # Drop adjacency entries whose dst is absent from the corpus: the
+    # distributed tier silently sheds such dangling edges via the
+    # corpus join, and the tiers must stay input-equivalent — before
+    # this filter a stale edge crashed the local tier (KeyError in
+    # score_block) on graphs the distributed walk handled (advisor r9).
     for r in graph.select("src", "dst").collect():
-        adj.setdefault(int(r[0]), []).append(int(r[1]))
+        dst = int(r[1])
+        if dst in pos:
+            adj.setdefault(int(r[0]), []).append(dst)
     q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
 
     entry_ids = [

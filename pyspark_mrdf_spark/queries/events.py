@@ -740,7 +740,10 @@ def q149_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id") < _GAPFILL_USERS
     ).select(
         "user_id",
-        (F.unix_micros(F.col("ts")) / 3_600_000_000).cast("long").alias("h"),
+        # integer div on BOTH engines: float-quotient-cast-to-long equals
+        # floor only for non-negative epochs and risks double rounding at
+        # the margins (advisor r9) -- `div` matches the oracle's `//`.
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
         # explicit floor on BOTH sides: Spark's double->bigint cast
         # truncates, DuckDB's rounds half-even — a one-ulp value like
         # 16.15*1e6 = 16149999.999... would split the engines
@@ -829,7 +832,10 @@ def q150_hourly_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
-        (F.unix_micros(F.col("ts")) / 3_600_000_000).cast("long").alias("h"),
+        # integer div on BOTH engines: float-quotient-cast-to-long equals
+        # floor only for non-negative epochs and risks double rounding at
+        # the margins (advisor r9) -- `div` matches the oracle's `//`.
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
     )
     hourly = ev.groupBy("event_type", "h").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")

@@ -42,7 +42,10 @@ def _list_shards(path: str) -> list[str]:
         files = [p for p in glob.glob(os.path.join(path, "*")) if os.path.isfile(p)]
     else:
         files = glob.glob(path)
-    return sorted(files)
+    # _SUCCESS and in-flight _staging-* files are metadata, not shards
+    # (parquet's same convention): invisible to readers and fair game
+    # for the committer to ignore.
+    return sorted(f for f in files if not os.path.basename(f).startswith(("_", ".")))
 
 
 def _shard_rows(path: str) -> int:
@@ -74,12 +77,14 @@ class FvecsDataSource(DataSource):
         return _VecsReader(self.options)
 
     def writer(self, schema, overwrite: bool):
-        if overwrite:
-            # clear prior shards driver-side before tasks launch
-            path = self.options.get("path")
-            if path and os.path.isdir(path):
-                for f in _list_shards(path):
-                    os.remove(f)
+        if not overwrite:
+            # fvecs has no append story: "id = file position" means an
+            # append would renumber every reader's view, and colliding
+            # part-NNNNN shard names would silently clobber prior data.
+            raise NotImplementedError(
+                "fvecs sink supports mode('overwrite') only: the format's "
+                "'id = file position' contract cannot survive appends"
+            )
         return _VecsWriter(self.options, overwrite)
 
 
@@ -115,8 +120,9 @@ class _VecsReader(DataSourceReader):
 
 
 class _ShardCommit(WriterCommitMessage):
-    def __init__(self, path: str, rows: int):
-        self.path = path
+    def __init__(self, staged: str, final: str, rows: int):
+        self.staged = staged
+        self.final = final
         self.rows = rows
 
 
@@ -138,17 +144,30 @@ class _VecsWriter(DataSourceWriter):
         self.overwrite = overwrite
 
     def write(self, iterator):
+        # Commit protocol (round-10, advisor finding): tasks write to
+        # task-attempt-unique STAGING names; the destination's prior
+        # shards are untouched until commit(), which deletes them and
+        # renames staged files into place only after every task has
+        # succeeded. A failed or speculated task therefore never leaves
+        # a half-written or clobbered shard behind — the pre-change
+        # code deleted the destination driver-side before any task ran,
+        # so a failed job emptied it with no way back.
         import numpy as np
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        tc = TaskContext.get()
+        pid = tc.partitionId()
+        attempt = tc.taskAttemptId()
         os.makedirs(self.path, exist_ok=True)
         ext = "ivecs" if self.kind == "ivecs" else "fvecs"
         dtype = np.int32 if self.kind == "ivecs" else np.float32
-        out = os.path.join(self.path, f"part-{pid:05d}.{ext}")
+        final = os.path.join(self.path, f"part-{pid:05d}.{ext}")
+        staged = os.path.join(
+            self.path, f"_staging-part-{pid:05d}-attempt-{attempt}.{ext}"
+        )
         rows = 0
         dim = None
-        with open(out, "wb") as fh:
+        with open(staged, "wb") as fh:
             for row in iterator:
                 vec = np.asarray(row[1], dtype=dtype)
                 if dim is None:
@@ -161,16 +180,41 @@ class _VecsWriter(DataSourceWriter):
                 fh.write(vec.tobytes())
                 rows += 1
         if rows == 0:
-            os.remove(out)
-            return _ShardCommit("", 0)
-        return _ShardCommit(out, rows)
+            os.remove(staged)
+            return _ShardCommit("", "", 0)
+        return _ShardCommit(staged, final, rows)
 
     def commit(self, messages):
-        total = sum(m.rows for m in messages if m is not None)
+        live = [m for m in messages if m is not None and m.staged]
+        # All tasks succeeded: now (and only now) clear prior shards,
+        # then publish staged files under their final names. rename()
+        # is atomic per file, so readers racing the commit see either
+        # the old shard set or a mix of old/new complete shards — never
+        # a torn file.
+        staged_set = {m.staged for m in live}
+        for f in _list_shards(self.path):
+            os.remove(f)
+        for m in live:
+            os.replace(m.staged, m.final)
+        # a retried task's FAILED first attempt never returned a commit
+        # message, so its orphan staging file is only findable by name
+        self._sweep_staging(keep=set())
+        total = sum(m.rows for m in live)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
             fh.write(str(total))
 
     def abort(self, messages):
         for m in messages:
-            if m is not None and m.path and os.path.exists(m.path):
-                os.remove(m.path)
+            if m is not None and m.staged and os.path.exists(m.staged):
+                os.remove(m.staged)
+        # tasks that raised mid-write produced no message at all: their
+        # staging files (invisible to readers) are swept by pattern
+        self._sweep_staging(keep=set())
+
+    def _sweep_staging(self, keep: set[str]) -> None:
+        for f in glob.glob(os.path.join(self.path, "_staging-*")):
+            if f not in keep and os.path.isfile(f):
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass

@@ -702,3 +702,39 @@ def test_personalized_pagerank_matches_integer_replica(spark):
 
     with pytest.raises(ValueError):
         pagerank(edges, seeds=spark.createDataFrame([], "node long"))
+
+
+def test_ppr_full_damping_keeps_seed_mass(spark):
+    # damping_e2=100 is in the validated range: teleport base is 0 for
+    # EVERY node, so seed detection must come from the _seed flag, not
+    # `_base > 0` (which zeroed the initial distribution; advisor r9).
+    from pyspark_mrdf_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    ranks = {r["node"]: r["p"] for r in pagerank(
+        edges, n_iter=3, damping_e2=100, scale=10**6, seeds=seeds
+    ).collect()}
+    # all mass started at seed 0 and walks the ring: after 3 full-damping
+    # rounds it sits on node 0 again — definitely not all-zero
+    assert sum(ranks.values()) > 0
+    assert ranks[0] == 10**6
+
+
+def test_ppr_seed_outside_universe_does_not_leak_mass(spark):
+    # a seed absent from the node set must not inflate the teleport
+    # denominator (silent per-round mass leak); only joined seeds count.
+    from pyspark_mrdf_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    seeds_in = spark.createDataFrame([(0,)], "node long")
+    seeds_mixed = spark.createDataFrame([(0,), (999,)], "node long")
+    a = sorted(pagerank(edges, n_iter=4, seeds=seeds_in, scale=10**9).collect())
+    b = sorted(pagerank(edges, n_iter=4, seeds=seeds_mixed, scale=10**9).collect())
+    assert a == b
+
+    seeds_none = spark.createDataFrame([(999,)], "node long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no seed is present"):
+        pagerank(edges, n_iter=2, seeds=seeds_none)

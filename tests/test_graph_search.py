@@ -136,3 +136,32 @@ def test_graph_search_local_tier_bit_identical(spark, emb, graph):
 def test_graph_search_route_validation(spark, emb, graph):
     with pytest.raises(ValueError):
         graph_knn_search(emb.limit(2), graph, emb, 3, route="nope")
+
+
+def test_graph_search_local_tier_tolerates_dangling_edges(spark, emb, graph):
+    # A stale adjacency entry (dst no longer in the corpus) is silently
+    # shed by the distributed tier's corpus join; the local tier must
+    # shed it identically instead of crashing (advisor round 9).
+    q = emb.limit(3)
+    dangling = spark.createDataFrame(
+        [(int(r["vec_id"]), 10**12) for r in q.collect()], "src long, dst long"
+    )
+    g2 = graph.unionByName(dangling)
+    loc = graph_knn_search(q, g2, emb, k=5, beam=16, route="local").collect()
+    dist = graph_knn_search(q, g2, emb, k=5, beam=16, route="distributed").collect()
+    key = lambda r: (r["src"], r["rnk"])  # noqa: E731
+    assert sorted((r["src"], r["dst"], r["rnk"]) for r in loc) == sorted(
+        (r["src"], r["dst"], r["rnk"]) for r in dist
+    )
+    assert all(r["dst"] != 10**12 for r in loc)
+
+
+def test_graph_search_distributed_skips_count_when_pinned(spark, emb, graph):
+    # route='distributed' + explicit n_entry must not pay the corpus
+    # count action (it drives only auto-routing / entry sizing).
+    q = emb.limit(2)
+    corpus = emb.select("*")
+    corpus.count = lambda: (_ for _ in ()).throw(  # instance-level patch
+        AssertionError("corpus.count() ran despite pinned route + n_entry")
+    )
+    graph_knn_search(q, graph, corpus, k=3, beam=8, n_entry=8, route="distributed")

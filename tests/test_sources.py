@@ -246,3 +246,53 @@ def test_fvecs_datasource_write_roundtrip(spark, tmp):
     df.repartition(2).write.format("fvecs").mode("overwrite").save(out)
     assert len(_g.glob(out + "/part-*.fvecs")) == 2
     assert read_fvecs(spark, out).count() == 60
+
+
+def test_fvecs_datasource_append_rejected(spark, tmp):
+    # fvecs has no append story ("id = file position" breaks, and
+    # colliding part names would clobber prior shards): non-overwrite
+    # saves must fail loudly instead of silently mixing corpora.
+    from pyspark_mrdf_spark.sources.fvecs_datasource import FvecsDataSource
+
+    spark.dataSource.register(FvecsDataSource)
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "vec_id bigint, embedding array<float>"
+    )
+    out = os.path.join(tmp, "append_target")
+    df.write.format("fvecs").mode("overwrite").save(out)
+    with pytest.raises(Exception, match="overwrite"):
+        df.write.format("fvecs").mode("append").save(out)
+    # the rejected append must not have touched the committed data
+    from pyspark_mrdf_spark.sources.fvecs import read_fvecs
+
+    assert read_fvecs(spark, out).count() == 2
+
+
+def test_fvecs_datasource_overwrite_is_staged(spark, tmp):
+    # Commit protocol: a failing overwrite job must leave the prior
+    # committed shard set fully readable (staging names + commit-time
+    # publish; the round-9 advisor caught the driver-side pre-delete).
+    from pyspark_mrdf_spark.sources.fvecs import read_fvecs
+    from pyspark_mrdf_spark.sources.fvecs_datasource import FvecsDataSource
+
+    spark.dataSource.register(FvecsDataSource)
+    good = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(10)],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = os.path.join(tmp, "staged_target")
+    good.write.format("fvecs").mode("overwrite").save(out)
+
+    # ragged vectors fail the write task mid-job
+    bad = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])],
+        "vec_id bigint, embedding array<float>",
+    ).coalesce(1)
+    with pytest.raises(Exception, match="ragged"):
+        bad.write.format("fvecs").mode("overwrite").save(out)
+
+    # destination still serves the previously committed corpus
+    assert read_fvecs(spark, out).count() == 10
+    import glob as _g
+
+    assert not _g.glob(out + "/_staging-*"), "aborted staging files must be cleaned"
