@@ -12,7 +12,7 @@ sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspark_mrdf_spark.cache import memoized_df
@@ -1631,4 +1631,141 @@ def q134_pca_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("xi").alias("sum_e6"),
             F.sum(F.col("xi") * F.col("xi")).alias("sum_sq_e12"),
         )
+    )
+
+
+# --- q155: MRDF with a HASH verdict (pinned unrolled replay) -----------------
+#
+# q56 exercises the flagship at its production dial but is rows-only by
+# design (NN-Descent's randomized inner loop is checked by recall +
+# seeded determinism instead). This query pins every remaining degree of
+# freedom so the WHOLE MRDF pipeline — md5-seeded centroid sampling,
+# recursive nearest-centroid division, per-leaf graph construction,
+# cross-forest top-k merge, final truncation — replays as a DuckDB CTE
+# chain and earns the flagship a rows+schema+hash driver verdict
+# (q124's unrolled-replay technique):
+#
+#  * alpha=64 keeps every leaf below nndescent.EXACT_BLOCK_MAX, so the
+#    local build takes the exact-gemm tier: top-k_work by (dist, id) —
+#    closed form, no NN-Descent sampling.
+#  * tau=-1 disables the early-convergence stop (changed-edge ratio is
+#    never negative), so exactly max_iter=2 forests run: the merge path
+#    (union + dedup + per-src window) executes and is replayed.
+#  * the division loop's data-decided depth unrolls like q124's beam
+#    rounds: each oracle round extends ONLY paths holding >= alpha rows,
+#    so rounds past the engine's break are no-ops; 7 rounds cover
+#    rho=3 splits of any plausible sf (2000 rows need <= 5).
+#  * centroid ranking replays as ORDER BY substring(md5(id || ':' ||
+#    round_seed), 1, 8) — fixed-width lowercase hex compares identically
+#    to the engine's conv(...,16,10)/2^32 uniform (mrdf.py
+#    _sample_centroids), ties by id on both sides.
+#  * output is rank-only (src, dst, rnk by (dist_sq, dst)): both engines
+#    agree on distance ORDER without requiring bit-equal float sums
+#    (the q124 stance); ids and ranks are integers, so the driver hash
+#    is exact.
+#
+# Reference parity: this is the reference's full mrdf.py:13-72 pipeline
+# (centroid_sampling_2 -> tree_path_extension -> local_graph_construction
+# -> graph_update) under a pinned dial, which the reference could not
+# replay at all (unseeded executor randomness, utilities.py:27).
+
+_MRDF_REPLAY_SEED = 7
+_MRDF_REPLAY_K = 10
+_MRDF_REPLAY_RHO = 3
+_MRDF_REPLAY_ALPHA = 64
+_MRDF_REPLAY_ROUNDS = 7  # oracle unroll depth (engine breaks earlier)
+_MRDF_REPLAY_KWORK = 20  # knn_graph's k_work = max(k, 20)
+
+
+def _q155_oracle() -> str:
+    M = "AS MATERIALIZED"  # every CTE is referenced >1x; inlining would
+    # re-evaluate the whole prefix per reference (measured: >10 min vs 0.4 s)
+    rho, alpha, rounds = _MRDF_REPLAY_RHO, _MRDF_REPLAY_ALPHA, _MRDF_REPLAY_ROUNDS
+    ctes = [
+        f"emb {M} (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    ]
+    forests = []
+    for it in (1, 2):
+        ctes.append(f"p_{it}_0 {M} (SELECT id, v, '' AS path FROM emb)")
+        for r in range(1, rounds + 1):
+            # mrdf.knn_graph's per-round seed derivation
+            rs = _MRDF_REPLAY_SEED + 1_000_003 * it + 1_009 * r
+            prev = f"p_{it}_{r - 1}"
+            ctes.append(f"""big_{it}_{r} {M} (
+  SELECT path FROM {prev} GROUP BY path HAVING COUNT(*) >= {alpha})""")
+            ctes.append(f"""win_{it}_{r} {M} (
+  SELECT path, id, v, rn FROM (
+    SELECT path, id, v, ROW_NUMBER() OVER (PARTITION BY path
+      ORDER BY substring(md5(CAST(id AS VARCHAR) || ':{rs}'), 1, 8), id) AS rn
+    FROM {prev} WHERE path IN (SELECT path FROM big_{it}_{r}))
+  WHERE rn <= {rho})""")
+            ctes.append(f"""asg_{it}_{r} {M} (
+  SELECT id, newpath FROM (
+    SELECT d.id, d.path || ',' || CAST(w.rn - 1 AS VARCHAR) AS newpath,
+           ROW_NUMBER() OVER (PARTITION BY d.id
+             ORDER BY list_distance(d.v, w.v), w.rn) AS arnk
+    FROM {prev} d JOIN win_{it}_{r} w ON w.path = d.path)
+  WHERE arnk = 1)""")
+            ctes.append(f"""p_{it}_{r} {M} (
+  SELECT d.id, d.v, COALESCE(a.newpath, d.path) AS path
+  FROM {prev} d LEFT JOIN asg_{it}_{r} a ON a.id = d.id)""")
+        ctes.append(f"""e_{it} {M} (
+  SELECT src, dst FROM (
+    SELECT a.id AS src, b.id AS dst,
+           ROW_NUMBER() OVER (PARTITION BY a.id
+             ORDER BY list_distance(a.v, b.v), b.id) AS rnk
+    FROM p_{it}_{rounds} a JOIN p_{it}_{rounds} b
+      ON a.path = b.path AND a.id <> b.id)
+  WHERE rnk <= {_MRDF_REPLAY_KWORK})""")
+        forests.append(f"SELECT src, dst FROM e_{it}")
+    union = " UNION ".join(forests)  # UNION dedupes = dropDuplicates(src, dst)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+alle {M} ({union})
+SELECT src, dst, rnk FROM (
+  SELECT e.src, e.dst,
+         ROW_NUMBER() OVER (PARTITION BY e.src
+           ORDER BY list_distance(a.v, b.v), e.dst) AS rnk
+  FROM alle e JOIN emb a ON a.id = e.src JOIN emb b ON b.id = e.dst)
+WHERE rnk <= {_MRDF_REPLAY_K}"""
+    )
+
+
+@register(
+    "q155_mrdf_pinned_replay",
+    # registered r10 into the slot the rotation reserved: the flagship's
+    # first hash verdict (q56 stays rows-only at the production dial)
+    oracle=_q155_oracle(),
+    description=(
+        "MRDF kNN-graph build (algorithms/mrdf.knn_graph — the flagship) "
+        "at a PINNED dial: alpha=64 routes every leaf through the "
+        "exact-gemm tier, tau=-1 pins exactly 2 forests, md5-seeded "
+        "division replays as an unrolled CTE chain — the full pipeline "
+        "(sample -> divide -> local build -> merge -> truncate) gets a "
+        "rows+schema+hash driver verdict; rank-only output so the check "
+        "needs distance ORDER, not bit-equal float accumulation"
+    ),
+    tags=("vector", "knn", "mrdf", "graph-build"),
+)
+def q155_mrdf_pinned_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.algorithms.mrdf import knn_graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    g = knn_graph(
+        emb,
+        _MRDF_REPLAY_K,
+        rho=_MRDF_REPLAY_RHO,
+        alpha=_MRDF_REPLAY_ALPHA,
+        tau=-1.0,  # never converge early: exactly max_iter forests
+        seed=_MRDF_REPLAY_SEED,
+        max_iter=2,
+        refine_rounds=0,
+        unconverged_warn_ratio=2.0,  # the max_iter stop is the point here
+    )
+    w = Window.partitionBy("src").orderBy("dist_sq", "dst")
+    return (
+        g.withColumn("rnk", F.row_number().over(w))
+        .select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))
     )

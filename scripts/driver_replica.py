@@ -77,14 +77,27 @@ def diagnose(s: pd.DataFrame, d: pd.DataFrame) -> str:
     return "values equal as str — raw hash artifact"
 
 
-def main(sf_dir: str, only: list[str], include_all: bool = False) -> int:
+def main(
+    sf_dir: str,
+    only: list[str],
+    include_all: bool = False,
+    execute_only: bool = False,
+) -> int:
     # A plain session, as the driver would make it — NOT our tuned builder.
-    spark = (
+    builder = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
         .appName("driver-replica")
         .config("spark.sql.shuffle.partitions", "32")
-        .getOrCreate()
     )
+    if execute_only:
+        # the sf0.1 scale smoke is OUR gate, not a driver replay: give it
+        # the same heap the bench/test sessions get (the driver's plain
+        # 1g default OOMs legitimate sf0.1 sort spills, e.g. q138's
+        # co-order self-join — an artifact of the tiny heap, not the plan)
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+        )
+    spark = builder.getOrCreate()
 
     t0 = time.time()
     df = entry_mod.entry(spark)
@@ -99,11 +112,23 @@ def main(sf_dir: str, only: list[str], include_all: bool = False) -> int:
 
         specs = load_all()
         qs = {n: s.builder for n, s in specs.items()}
-        oracles = {n: resolve_oracle(s.oracle, sf_dir) for n, s in specs.items() if s.oracle}
+        # execute-only never consults an oracle; data-dependent oracles
+        # (q57 trains IVF centroids) would be pure wasted work to resolve
+        oracles = (
+            {}
+            if execute_only
+            else {
+                n: resolve_oracle(s.oracle, sf_dir)
+                for n, s in specs.items()
+                if s.oracle
+            }
+        )
         print(f"[registry] {len(qs)} queries incl. pytest-only, {len(oracles)} with oracle")
     else:
         qs = entry_mod.queries()
-        if sf_dir.rstrip("/") == "/root/testdata/sf0.01":
+        if execute_only:
+            oracles = {}
+        elif sf_dir.rstrip("/") == "/root/testdata/sf0.01":
             # the driver's own interface, end to end (oracle_sql()
             # resolves data-dependent oracles at sf0.01 by contract)
             oracles = entry_mod.oracle_sql()
@@ -132,6 +157,19 @@ def main(sf_dir: str, only: list[str], include_all: bool = False) -> int:
         raise SystemExit("error: query filter matched nothing")
     for name in names:
         t0 = time.time()
+        if execute_only:
+            # scale smoke mode (--execute-only): run the builder to FULL
+            # completion through a noop sink — no oracle, no toPandas —
+            # so scale-dependent execution failures (the q136 int32
+            # overflow fired only at sf0.1's n_docs) can't hide behind
+            # the sf0.01 correctness gate.
+            try:
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                print(f"[exec-ok] {name}: in {time.time()-t0:.1f}s")
+            except Exception as exc:  # noqa: BLE001
+                failed.append((name, f"spark error: {exc}"))
+                print(f"[FAIL] {name}: spark error: {exc}")
+            continue
         try:
             s = canon(qs[name](spark, sf_dir).toPandas(), name + "/spark")
         except Exception as exc:  # noqa: BLE001
@@ -167,7 +205,8 @@ def main(sf_dir: str, only: list[str], include_all: bool = False) -> int:
 if __name__ == "__main__":
     argv = sys.argv[1:]
     include_all = "--all" in argv
-    argv = [a for a in argv if a != "--all"]
+    execute_only = "--execute-only" in argv
+    argv = [a for a in argv if a not in ("--all", "--execute-only")]
     # a path-looking arg MUST be a real directory — a typo'd sf_dir must
     # not silently become a never-matching query filter (vacuous green)
     paths = [a for a in argv if os.sep in a]
@@ -178,4 +217,4 @@ if __name__ == "__main__":
         sys.exit(f"error: multiple sf dirs given: {paths}")
     sf = paths[0] if paths else "/root/testdata/sf0.01"
     only = [a for a in argv if os.sep not in a]
-    sys.exit(main(sf, only, include_all))
+    sys.exit(main(sf, only, include_all, execute_only))

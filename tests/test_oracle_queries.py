@@ -127,49 +127,66 @@ DRIVER_SURFACE = [
     # q120/q136), q84/q85/q90 (pipeline keeps q91/q99/q100/q103/q104 +
     # q126/q128/q132), q57/q89 (vector keeps q50/q56 + ten driver
     # reps). Family sentinels q01/q50/q56/q72 stay put.
-    "q93_funnel_analysis",
-    "q94_cohort_retention",
+    # Round-10 rotation (r9 verdict ask #4): the 18 round-9 operators
+    # that registered after the surface froze — q137 heavy hitters,
+    # q138 triangle counts, q139 fuzzy record linkage, q140 k-core,
+    # q141 LPA communities, q142 incremental maintenance, q143 BMP
+    # thumbnails, q144 data-quality gate, q145 personalized PageRank,
+    # q146 prefix-filtered Jaccard, q147/q148 ORC/CSV fidelity,
+    # q149 gap-fill, q150 rate spikes, q151 RANGE frames, q152 skew
+    # profile, q153 golden record, q154 MERGE fidelity — plus q155
+    # (MRDF pinned unrolled replay: the flagship's first HASH verdict,
+    # r9 verdict ask #6) take the slots of 19 twice-green (r8, r9)
+    # siblings: q93/q94 (events keep q130/q135 + q149/q150/q152),
+    # q91/q103/q104/q99/q100/q106 (pipeline keeps q126/q128/q132 +
+    # the new six), q108 (BPE keeps q107), q109 (substring keeps
+    # q101), q110/q111/q96 (text keeps q117/q120/q136 + q144),
+    # q115/q118 (dedup keeps q101/q102/q122/q123/q125 + q146),
+    # q92/q95 (quantized search keeps q98/q116... q116 also demoted —
+    # quant family keeps q98/q129/q131/q133), q105 (monitoring keeps
+    # q123/q131). Family sentinels q01/q50/q56/q72 stay put.
     "q114_scd2_history",
     "q130_linear_attribution",
     "q135_top_user_paths",
+    "q149_hourly_gap_fill",
+    "q150_hourly_rate_spikes",
+    "q151_trailing_range_window",
+    "q152_user_key_skew_profile",
     "q112_wav_audio_stats",
     "q121_image_dhash_near_dups",
+    "q143_bmp_thumbnail_stats",
     "q01_pricing_summary",
-    "q96_rare_token_filter",
+    "q139_fuzzy_record_linkage",
+    "q153_golden_record",
     "q107_bpe_train",
-    "q108_bpe_tokenize",
-    "q110_lm_quality_filter",
-    "q111_lm_crosscorpus_filter",
     "q117_nb_quality_classifier",
     "q120_hybrid_rrf_retrieval",
     "q136_tfidf_top_terms",
+    "q137_heavy_hitters",
     "q72_dup_clusters",
     "q101_substring_dedup",
     "q102_semantic_dedup",
-    "q109_substring_scrub",
-    "q115_contrastive_pairs",
-    "q118_bloom_incremental_dedup",
     "q122_persisted_dedup_index",
     "q123_dedup_index_stats",
     "q125_persisted_exact_dedup",
-    "q91_chunk_dup_rate",
-    "q99_epoch_oversample",
-    "q100_length_quantiles",
-    "q103_pack_sequences",
-    "q104_dsir_importance",
-    "q106_sampled_quantile",
+    "q146_jaccard_prefix_filtered",
     "q113_pagerank_quality",
     "q126_domain_caps",
     "q128_stratified_sample",
     "q132_corpus_snapshot_diff",
+    "q138_triangle_counts",
+    "q140_kcore_parts",
+    "q141_part_communities",
+    "q142_incremental_agg",
+    "q144_data_quality_report",
+    "q145_personalized_pagerank",
+    "q147_orc_roundtrip_stats",
+    "q148_csv_roundtrip_stats",
+    "q154_upsert_merge_stats",
     "q50_knn_exact",
     "q56_mrdf_recall",
-    "q92_pq_quantized_knn",
-    "q95_ivfpq_knn",
     "q97_recall_vs_ivecs_gt",
     "q98_ivfpq_persisted_index",
-    "q105_index_cell_stats",
-    "q116_binary_quantized_knn",
     "q119_prefix_dim_knn",
     "q124_graph_ann_search",
     "q127_pca_project",
@@ -177,6 +194,7 @@ DRIVER_SURFACE = [
     "q131_sq8_drift_monitor",
     "q133_pca_sq8_knn",
     "q134_pca_energy",
+    "q155_mrdf_pinned_replay",
 ]
 
 
