@@ -1148,6 +1148,19 @@ WHERE frnk <= 10
     tags=("text", "vector", "retrieval", "pipeline"),
 )
 def q120_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-leg hybrid retrieval fused by reciprocal-rank fusion.
+
+    PRODUCTION TIER SWAP (the 100 TB note): the vector leg here is the
+    EXACT blocked scan — O(n_q·n) by design, because exactness is what
+    makes the driver hash verdict meaningful. At corpus scale a caller
+    swaps in any quantized tier through the same ``knn_search`` output
+    contract ((src, dst, dist_sq, rnk), rnk 1..k by (dist_sq, dst)) —
+    ``quantize.sq8_search`` / ``ivfpq_search`` are drop-in replacements
+    whose only delta is bounded recall loss (SQ8@4k candidates is
+    near-exact; SCALABILITY.json: SQ8 serving beats exact at recall 1.0
+    up to n=1M). tests/test_similarity_api.py::
+    test_q120_vector_leg_tier_swap pins the swap: same schema, same
+    contract, leg recall >= 0.9 at the quantized tier."""
     from pyspark.sql import Window
 
     from pyspark_mrdf_spark.operators.similarity import knn_search_blocked

@@ -953,3 +953,35 @@ def test_sq8_range_weights_fix_anisotropic_recall(spark):
     for r in cand:
         want = int((w * (qc[r["src"]] - cc[r["dst"]]) ** 2).sum())
         assert r["code_dist"] == want
+
+
+def test_q120_vector_leg_tier_swap(spark, sf_dir):
+    """q120's 100 TB note, pinned: the hybrid query's exact vector leg
+    (knn_search_blocked) can be swapped for the quantized SQ8 tier
+    through the SAME output contract — identical schema, identical
+    (src, dst) key meaning, rnk 1..k by (dist_sq, dst) — with recall
+    loss bounded by quantization only (>= 0.9 here)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.io import load_table
+    from pyspark_mrdf_spark.operators.quantize import sq8_search
+    from pyspark_mrdf_spark.operators.similarity import knn_search_blocked
+    from pyspark_mrdf_spark.queries.text import _RRF_LEG_K, _RRF_QIDS
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id").isin(list(_RRF_QIDS)))
+    exact = knn_search_blocked(q, e, _RRF_LEG_K, include_self=False)
+    sq8 = sq8_search(q, e, _RRF_LEG_K, include_self=False)
+
+    # drop-in: same columns, same per-query cardinality, same rank range
+    assert exact.columns == sq8.columns
+    ex_rows, sq_rows = exact.collect(), sq8.collect()
+    per_q = lambda rows: {s: {r["dst"] for r in rows if r["src"] == s} for s in _RRF_QIDS}  # noqa: E731
+    ex_m, sq_m = per_q(ex_rows), per_q(sq_rows)
+    assert all(len(v) == _RRF_LEG_K for v in ex_m.values())
+    assert all(len(v) == _RRF_LEG_K for v in sq_m.values())
+    assert max(r["rnk"] for r in sq_rows) == _RRF_LEG_K
+
+    hits = sum(len(ex_m[s] & sq_m[s]) for s in _RRF_QIDS)
+    recall = hits / (len(_RRF_QIDS) * _RRF_LEG_K)
+    assert recall >= 0.9, recall
