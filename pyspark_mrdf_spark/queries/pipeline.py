@@ -1172,6 +1172,33 @@ def q132_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return diff.groupBy("source", "status").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
+def _coorder_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized co-order pair counts (src < dst, w = times
+    co-ordered) — the shared sub-result q138/q140/q141 all start from.
+    The expensive part is the l_orderkey self-join + pair shuffle
+    (sf0.1: 600k lineitem rows -> 1.2M pairs, ~3 s); the three graph
+    queries used to pay it independently. ``cache.memoized_df`` keys it
+    by sf_dir, so within a session (and the bench's warm pass) it
+    builds once — the materialized-view pattern the registry already
+    applies to the exact/MRDF graphs (q50/q55/q56)."""
+    from pyspark_mrdf_spark.cache import memoized_df
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+        return (
+            li.alias("l1")
+            .join(li.alias("l2"), "l_orderkey")
+            .filter(F.col("l1.l_partkey") < F.col("l2.l_partkey"))
+            .groupBy(
+                F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
+            )
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+
+    return memoized_df(spark, ("coorder_pair_counts", sf_dir), build)
+
+
+
 # --- q138: triangle counting over the co-order graph -------------------------
 #
 # The clustering-coefficient numerator on the market-basket graph (parts
@@ -1232,15 +1259,7 @@ def q138_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer."""
     from pyspark_mrdf_spark.operators.graph import triangle_counts
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = (
-        li.alias("l1")
-        .join(li.alias("l2"), "l_orderkey")
-        .filter(F.col("l1.l_partkey") < F.col("l2.l_partkey"))
-        .select(
-            F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
-        )
-    )
+    pairs = _coorder_pair_counts(spark, sf_dir).select("src", "dst")
     return triangle_counts(pairs)
 
 
@@ -1298,15 +1317,7 @@ def q140_kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the basket-bounded l_orderkey self-join."""
     from pyspark_mrdf_spark.operators.graph import kcore_peel
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = (
-        li.alias("l1")
-        .join(li.alias("l2"), "l_orderkey")
-        .filter(F.col("l1.l_partkey") < F.col("l2.l_partkey"))
-        .select(
-            F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
-        )
-    )
+    pairs = _coorder_pair_counts(spark, sf_dir).select("src", "dst")
     return kcore_peel(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS)
 
 
@@ -1355,15 +1366,8 @@ def q141_part_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     label) count + per-node argmax window."""
     from pyspark_mrdf_spark.operators.graph import label_propagation
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pairs = (
-        li.alias("l1")
-        .join(li.alias("l2"), "l_orderkey")
-        .filter(F.col("l1.l_partkey") < F.col("l2.l_partkey"))
-        .groupBy(
-            F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
+        _coorder_pair_counts(spark, sf_dir)
         .filter(F.col("w") >= 2)
         .select("src", "dst")
     )
