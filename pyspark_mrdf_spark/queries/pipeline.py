@@ -1873,3 +1873,162 @@ def q154_upsert_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("content_checksum"),
     )
+
+
+# --- q156: weighted sampling without replacement (A-Res) ---------------------
+#
+# Quality-weighted corpus subsampling — the "sample 10B tokens
+# preferring high-quality docs" step between scoring (q110/q117) and
+# training. Efraimidis & Spirakis 2006: key = u^(1/w) with u an
+# independent uniform per item; the global (here per-source) top-N by
+# key IS an exact weighted sample without replacement. Ordering by
+# ln(u)/w is monotone-equivalent and better conditioned. u is the
+# repo's portable md5 uniform, so the sample is identical on any
+# engine/partitioning; the comparison is float-ORDER-only (the q124
+# stance) and ranks/ids are the integers under the hash.
+
+_WSAMPLE_PER_SOURCE = 10
+_WSAMPLE_SEED = 23
+
+
+@register(
+    "q156_weighted_sample",
+    driver=False,  # registered r10 after the surface froze; rotation owed next round
+    oracle=f"""
+WITH s AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':{_WSAMPLE_SEED}'), 1, 8)) AS BIGINT)
+           / 4294967296.0 AS u
+  FROM documents),
+k AS (
+  SELECT source, doc_id, w,
+         ROW_NUMBER() OVER (PARTITION BY source
+           ORDER BY ln(u) / w DESC, doc_id) AS rank
+  FROM s WHERE w > 0)
+SELECT source, doc_id, w, CAST(rank AS BIGINT) AS rank
+FROM k WHERE rank <= {_WSAMPLE_PER_SOURCE}
+""",
+    description=(
+        "exact weighted sampling WITHOUT replacement (Efraimidis-"
+        "Spirakis A-Res): per-source top-N by ln(u)/w with the portable "
+        "md5 uniform — heavier (longer) docs proportionally likelier, "
+        "reproducible on any engine/partition layout; the per-key top-N "
+        "rides the salted two-stage capped_per_key, so one giant source "
+        "cannot serialize the ranking"
+    ),
+    tags=("pipeline", "sampling", "window"),
+)
+def q156_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted sample: N docs, inclusion probability
+    proportional to token count (the A-Res exponential-key trick).
+
+    Scale shape: one map-side projection computes (w, u, ln(u)/w) —
+    no shuffle until the per-source top-N, which goes through
+    ``capped_per_key``'s salted two-stage ranking (stage-1 supersets
+    per (source, salt), stage-2 re-ranks O(sources·salts·N) rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("doc_id"), F.lit(_WSAMPLE_SEED))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    s = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("w"),
+        u.alias("u"),
+    ).filter(F.col("w") > 0)
+    s = s.withColumn("key", F.log("u") / F.col("w"))
+    out = capped_per_key(
+        s,
+        ["source"],
+        [F.col("key").desc(), F.col("doc_id")],
+        _WSAMPLE_PER_SOURCE,
+        "rank",
+        id_col="doc_id",
+    )
+    return out.select("source", "doc_id", "w", F.col("rank").cast("bigint").alias("rank"))
+
+
+# --- q157: token-budget corpus selection -------------------------------------
+#
+# The mixture-assembly primitive: fill each source's token budget with
+# its best documents (greedy by quality, the standard data-mixing
+# recipe). Quality here is the exact-integer type-token ratio — a
+# deterministic stand-in for any upstream model score (q110/q117 plug
+# in through the same ORDER BY). Everything is integer arithmetic +
+# one per-source ordered window, so the verdict is hash-exact.
+
+_TOKEN_BUDGET_PER_SOURCE = 700
+
+
+@register(
+    "q157_token_budget_selection",
+    driver=False,  # registered r10 after the surface froze; rotation owed next round
+    oracle=f"""
+WITH s AS (
+  SELECT source, doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+  FROM documents),
+q AS (
+  SELECT source, doc_id, n_tok,
+         (1000000 * n_distinct) // n_tok AS ttr_e6
+  FROM s WHERE n_tok > 0),
+c AS (
+  SELECT source, doc_id, n_tok, ttr_e6,
+         CAST(SUM(n_tok) OVER (PARTITION BY source
+           ORDER BY ttr_e6 DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+  FROM q)
+SELECT source, doc_id, n_tok, ttr_e6, cum_tok
+FROM c WHERE cum_tok <= {_TOKEN_BUDGET_PER_SOURCE}
+""",
+    description=(
+        "greedy token-budget selection per source (the data-mixing "
+        "assembly step): rank docs by exact-integer type-token-ratio "
+        "quality, keep while the running token sum fits the budget — "
+        "one source-keyed ordered window over map-side integer "
+        "projections, no corpus-wide sort, hash-exact"
+    ),
+    tags=("pipeline", "sampling", "window"),
+)
+def q157_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs selected into each source's token budget, best-first.
+
+    Scale shape: token/distinct counts are per-row map-side exprs
+    (text never shuffles — only (source, doc_id, two ints) reach the
+    exchange); the cumulative sum is a per-source ROWS window (never
+    global); the budget filter is a row predicate on the window
+    output. At 100 TB the window partitions by source — bounded by the
+    largest single source, the same profile as q114/q135."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    s = d.select(
+        "source",
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+    ).filter(F.col("n_tok") > 0)
+    q = s.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        # `div`, not `/`-then-cast: both engines must floor identically
+        F.expr("(CAST(1000000 AS BIGINT) * n_distinct) div n_tok").alias("ttr_e6"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("ttr_e6").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = q.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return c.filter(F.col("cum_tok") <= _TOKEN_BUDGET_PER_SOURCE)

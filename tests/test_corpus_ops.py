@@ -738,3 +738,86 @@ def test_ppr_seed_outside_universe_does_not_leak_mass(spark):
 
     with _pytest.raises(ValueError, match="no seed is present"):
         pagerank(edges, n_iter=2, seeds=seeds_none)
+
+
+def test_weighted_sample_laws(spark, sf_dir):
+    """q156 (A-Res weighted sampling): per-source size is exactly N,
+    ranks are 1..N, no replacement, and weighting actually biases —
+    across seeds, the mean token count of sampled docs exceeds the
+    corpus mean (heavier docs are proportionally likelier)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.io import load_table
+    from pyspark_mrdf_spark.queries.pipeline import (
+        _WSAMPLE_PER_SOURCE,
+        capped_per_key,
+        q156_weighted_sample,
+    )
+
+    out = q156_weighted_sample(spark, sf_dir).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    for rows in by_src.values():
+        assert len(rows) == _WSAMPLE_PER_SOURCE
+        assert sorted(r["rank"] for r in rows) == list(range(1, _WSAMPLE_PER_SOURCE + 1))
+        ids = [r["doc_id"] for r in rows]
+        assert len(set(ids)) == len(ids)
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus_mean = d.select(
+        F.avg(F.size(F.split("text", " ")).cast("bigint")).alias("m")
+    ).collect()[0]["m"]
+    sample_mean = sum(r["w"] for r in out) / len(out)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+
+def test_token_budget_selection_laws(spark, sf_dir):
+    """q157: per-source cumulative tokens never exceed the budget, the
+    selection is greedy-by-quality (the kept set is a prefix of the
+    (ttr desc, doc_id) order), and adding the next-best doc would
+    overflow the budget (maximality)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from pyspark_mrdf_spark.queries.pipeline import (
+        _TOKEN_BUDGET_PER_SOURCE,
+        q157_token_budget_selection,
+    )
+    from pyspark_mrdf_spark.io import load_table
+
+    out = q157_token_budget_selection(spark, sf_dir)
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        assert max(r["cum_tok"] for r in rs) <= _TOKEN_BUDGET_PER_SOURCE
+
+    # maximality + prefix property from the full ranked list
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    q = d.select(
+        "source", "doc_id",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.expr(
+            "(CAST(1000000 AS BIGINT) * size(array_distinct(split(text, ' ')))) "
+            "div size(split(text, ' '))"
+        ).alias("ttr_e6"),
+    ).filter(F.col("n_tok") > 0)
+    w = Window.partitionBy("source").orderBy(F.col("ttr_e6").desc(), "doc_id")
+    ranked = q.withColumn("pos", F.row_number().over(w)).collect()
+    full = {}
+    for r in ranked:
+        full.setdefault(r["source"], []).append(r)
+    for src, rs in full.items():
+        rs.sort(key=lambda r: r["pos"])
+        kept = {r["doc_id"] for r in by_src.get(src, [])}
+        cum = 0
+        for r in rs:
+            if cum + r["n_tok"] <= _TOKEN_BUDGET_PER_SOURCE:
+                cum += r["n_tok"]
+                assert r["doc_id"] in kept, f"greedy prefix broken at {src}"
+            else:
+                assert r["doc_id"] not in kept
+                break  # first overflow ends the prefix
