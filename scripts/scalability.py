@@ -182,6 +182,10 @@ def main() -> None:
     # beam search over a prebuilt kNN graph (q124) vs the exact scan
     # for one query batch at (--synthetic-n, --synthetic-d)
     graph_serving_only = "--graph-serving-only" in argv
+    # --mixture-sampled-only: ONLY the sampled-recall MRDF design point
+    # (default n=300000 — past the full-exact-scan budget; run with
+    # SPARK_GRAFT_CPUS=16 per the r8 box-bound note)
+    mixture_sampled_only = "--mixture-sampled-only" in argv
     # --ivfpq-io-only: ONLY the IVF-PQ storage-pruning row — on-disk
     # bytes of the probed cells vs the whole cell-partitioned code
     # table, planner PartitionFilters evidence, and pruned-vs-full scan
@@ -243,6 +247,8 @@ def main() -> None:
         synthetic_n = 200_000
     if ivfpq_io_only and not saw_synthetic_flag:
         synthetic_n = 400_000
+    if mixture_sampled_only and not saw_synthetic_flag:
+        synthetic_n = 300_000
     synthetic_d = 512
     saw_d_flag = False
     if "--synthetic-d" in argv:
@@ -273,7 +279,7 @@ def main() -> None:
             "--uniform", "--uniform-tuned", "--uniform-tuned-only", "--grid-only",
             "--mixture-only", "--sq8-only", "--serving-only", "--dedup-only",
             "--pagerank-only", "--bq-serving-only", "--dedup-serving-only",
-            "--graph-serving-only", "--ivfpq-io-only", "--cc-only", "--cc-tiers-only",
+            "--graph-serving-only", "--ivfpq-io-only", "--mixture-sampled-only", "--cc-only", "--cc-tiers-only",
             "--graph-analytics-only", "--heavy-hitters-only",
             "--prefix-filter-only", "--incremental-only",
             "--pca-serving-only",
@@ -291,6 +297,7 @@ def main() -> None:
         ("--dedup-serving-only", dedup_serving_only),
         ("--graph-serving-only", graph_serving_only),
         ("--ivfpq-io-only", ivfpq_io_only),
+        ("--mixture-sampled-only", mixture_sampled_only),
         ("--cc-only", cc_only),
         ("--cc-tiers-only", cc_tiers_only),
         ("--graph-analytics-only", graph_analytics_only),
@@ -328,7 +335,7 @@ def main() -> None:
         )
     if len(only_modes) > 1:
         sys.exit(f"error: {' and '.join(only_modes)} each run exactly one section; pick one")
-    if (grid_only or sq8_only or mixture_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or ivfpq_io_only or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or incremental_only or pca_serving_only) and (include_uniform or include_uniform_tuned):
+    if (grid_only or sq8_only or mixture_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or ivfpq_io_only or mixture_sampled_only or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or incremental_only or pca_serving_only) and (include_uniform or include_uniform_tuned):
         sys.exit(f"error: {only_modes[0]} runs only its own point; drop the uniform flags")
     if tuned_only and include_uniform:
         sys.exit("error: --uniform-tuned-only runs only the tuned point; drop the other flags")
@@ -338,10 +345,10 @@ def main() -> None:
     run_synthetic = (not argv or tuned_only or mixture_only) and not (
         grid_only or sq8_only or serving_only or dedup_only or pagerank_only
         or bq_serving_only or dedup_serving_only or graph_serving_only
-        or ivfpq_io_only
+        or ivfpq_io_only or mixture_sampled_only
         or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or incremental_only or pca_serving_only
     )
-    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or ivfpq_io_only or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or incremental_only or pca_serving_only) and (
+    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or ivfpq_io_only or mixture_sampled_only or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or incremental_only or pca_serving_only) and (
         include_uniform or include_uniform_tuned or saw_synthetic_flag
     ):
         sys.exit(
@@ -479,6 +486,9 @@ def main() -> None:
         print(f"[scalability] {points[-1]}", file=sys.stderr)
     if ivfpq_io_only:
         points.append(_ivfpq_io_evidence(spark, synthetic_n, synthetic_d, **serving_ivfpq))
+        print(f"[scalability] {points[-1]}", file=sys.stderr)
+    if mixture_sampled_only:
+        points.append(_mixture_sampled_evidence(spark, synthetic_n))
         print(f"[scalability] {points[-1]}", file=sys.stderr)
 
     if cc_only:
@@ -1843,6 +1853,66 @@ def _dedup_serving_evidence(spark, n: int) -> dict:
         shutil.rmtree(syn_dir, ignore_errors=True)
     return out
 
+
+
+def _mixture_sampled_evidence(spark, n: int, n_sample: int = 1000) -> dict:
+    """The crossover point past the full-exact-scan budget: MRDF at
+    design size with recall measured against a SAMPLED exact ground
+    truth. At n=300k the full n-squared exact scan alone costs ~25 min
+    on 32 cores (1476.6 s, r8 row) and the 32-worker MRDF phase
+    OOM-killed the 125 GB box — so this row runs MRDF under the
+    documented reduced-worker dial (SPARK_GRAFT_CPUS=16) and replaces
+    the full scan with exact top-k for ``n_sample`` md5-chosen query
+    rows against the full corpus: the blocked grid scan at n_q=1000
+    costs ~n_sample/n of the full scan, and mean recall over a uniform
+    1000-query sample estimates true recall to about +/-0.01 (binomial:
+    k*n_sample = 10k Bernoulli edges). The r8 full-scan rows at
+    n <= 200k pin this same estimator against the exhaustive number."""
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.operators.similarity import knn_search_blocked
+
+    syn_dir = "/root/repo/.scalability_synth_sampled"
+    out: dict = {
+        "sf": f"synthetic-{n}-mixture-sampled-recall", "n": n,
+        "distribution": "mixture", "n_sample_queries": n_sample,
+        "alpha": 16384, "refine_rounds": 1, "max_iter": 3,
+        "workers": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
+    try:
+        _write_synthetic(syn_dir, n, k_clusters=250)
+        emb = spark.read.parquet(os.path.join(syn_dir, "embeddings.parquet"))
+
+        pt = _mrdf_point(
+            spark, emb, "mixture-sampled", rho=4, alpha=16384,
+            centroid_broadcast_max_paths=0,
+        )
+        max_leaf = max(m.get("max_leaf", 0) for m in pt["metrics"])
+        join_rounds = sum(m.get("join_tier_rounds", 0) for m in pt["metrics"])
+        assert max_leaf > 4096, f"tiled-exact leaf tier did not activate: {max_leaf}"
+        assert join_rounds >= 1, "centroid join tier did not activate"
+        g = pt.pop("graph")
+
+        q = (
+            emb.orderBy(F.md5(F.concat(F.lit("31:"), F.col("vec_id").cast("string"))))
+            .limit(n_sample)
+            .localCheckpoint(eager=True)
+        )
+        t0 = time.time()
+        gt = knn_search_blocked(
+            q, emb, K, n_blocks=32, n_query_blocks=4, include_self=False
+        ).localCheckpoint(eager=True)
+        out["sampled_exact_s"] = round(time.time() - t0, 2)
+
+        qid = [r["vec_id"] for r in q.select("vec_id").collect()]
+        g_s = g.filter(F.col("src").isin(qid))
+        out["mrdf_s"] = pt["mrdf_s"]
+        out["mrdf_recall_sampled"] = round(recall(gt.select("src", "dst"), g_s), 4)
+        out["max_leaf"] = int(max_leaf)
+        out["join_tier_rounds"] = int(join_rounds)
+    finally:
+        shutil.rmtree(syn_dir, ignore_errors=True)
+    return out
 
 
 def _ivfpq_io_evidence(spark, n: int, d: int, n_cells: int = 64, n_probe: int = 2) -> dict:
