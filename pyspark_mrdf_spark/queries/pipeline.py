@@ -1039,8 +1039,10 @@ _STRAT_SEED = "evalsplit"
 
 @register(
     "q128_stratified_sample",
-    # promoted r9: takes a slot ceded by the multi-green r9 rotation
-    # (see tests/test_oracle_queries.py DRIVER_SURFACE)
+    # promoted r9; r11 rotation: 2x driver-green (r9,r10), cedes its
+    # slot to q156 (sampling stays driver-verified via q156 weighted
+    # sample; pipeline keeps q126)
+    driver=False,
     oracle=f"""
 WITH r AS (
   SELECT doc_id, lang,
@@ -1116,8 +1118,9 @@ def _snapshot_b(d: DataFrame) -> DataFrame:
 
 @register(
     "q132_corpus_snapshot_diff",
-    # promoted r9: takes a slot ceded by the multi-green r9 rotation
-    # (see tests/test_oracle_queries.py DRIVER_SURFACE)
+    # promoted r9; r11 rotation: 2x driver-green (r9,r10), cedes its
+    # slot to q157 (pipeline keeps q126 + the new q156/q157)
+    driver=False,
     oracle="""
 WITH a AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
 b_kept AS (
@@ -1893,7 +1896,8 @@ _WSAMPLE_SEED = 23
 
 @register(
     "q156_weighted_sample",
-    driver=False,  # registered r10 after the surface froze; rotation owed next round
+    # promoted r11 (r10 verdict ask #2): takes the slot of the
+    # 2x-green q128 (see tests/test_oracle_queries.py DRIVER_SURFACE)
     oracle=f"""
 WITH s AS (
   SELECT source, doc_id,
@@ -1904,7 +1908,7 @@ WITH s AS (
 k AS (
   SELECT source, doc_id, w,
          ROW_NUMBER() OVER (PARTITION BY source
-           ORDER BY ln(u) / w DESC, doc_id) AS rank
+           ORDER BY ln(greatest(u, 1e-12)) / w DESC, doc_id) AS rank
   FROM s WHERE w > 0)
 SELECT source, doc_id, w, CAST(rank AS BIGINT) AS rank
 FROM k WHERE rank <= {_WSAMPLE_PER_SOURCE}
@@ -1944,7 +1948,13 @@ def q156_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("bigint").alias("w"),
         u.alias("u"),
     ).filter(F.col("w") > 0)
-    s = s.withColumn("key", F.log("u") / F.col("w"))
+    # clamp before the log ON BOTH ENGINES: u = 0 (all-zero md5 head,
+    # p ≈ 2^-32/doc) would make Spark's log(0) a NULL (sorts last)
+    # while DuckDB's ln(0) errors out — a cross-engine asymmetry, not
+    # a shared convention. The smallest nonzero u is 2^-32 ≈ 2.3e-10,
+    # so greatest(u, 1e-12) is the identity on every nonzero draw and
+    # both engines key u=0 docs by the identical ln(1e-12)/w double.
+    s = s.withColumn("key", F.log(F.greatest(F.col("u"), F.lit(1e-12))) / F.col("w"))
     out = capped_per_key(
         s,
         ["source"],
@@ -1970,7 +1980,8 @@ _TOKEN_BUDGET_PER_SOURCE = 700
 
 @register(
     "q157_token_budget_selection",
-    driver=False,  # registered r10 after the surface froze; rotation owed next round
+    # promoted r11 (r10 verdict ask #2): takes the slot of the
+    # 2x-green q132 (see tests/test_oracle_queries.py DRIVER_SURFACE)
     oracle=f"""
 WITH s AS (
   SELECT source, doc_id,

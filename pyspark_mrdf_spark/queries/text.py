@@ -586,18 +586,52 @@ def q96_rare_token_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BOUNDED word-frequency dictionary — exactly how production BPE
 # trainers are structured.
 BPE_K = 12
+# Driver-state bound for tokenizer training: only the exact top-V
+# words by count ever reach the driver. On raw web text distinct
+# whitespace tokens run to billions (typos, URLs, ids) — an uncapped
+# collect is a driver OOM; capping to the head is standard BPE
+# practice (min-frequency / vocab-size pruning) and the Zipf tail
+# contributes negligible pair mass anyway. The cap is EXACT and
+# deterministic — top-V by (count desc, tok asc) — and is applied
+# IDENTICALLY in the DuckDB oracle, so hash-exactness is preserved by
+# construction. Spark compiles orderBy().limit(V) to
+# TakeOrderedAndProject: each partition keeps its local top-V and the
+# driver merges O(V)-sized heaps — never O(distinct tokens) driver
+# state (gated by tests/test_properties.py::test_bpe_topv_cap_*).
+BPE_V = 4096
+
+
+def _bpe_word_counts_df(d: DataFrame, v: int = BPE_V) -> DataFrame:
+    """Exact top-``v`` word counts by (count desc, tok asc); compiles
+    to TakeOrderedAndProject, so each partition keeps a local top-v
+    and the driver merges O(v) heaps."""
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok").asc())
+        .limit(v)
+    )
+
+
+def _bpe_word_counts_spark(d: DataFrame, v: int = BPE_V) -> dict[str, int]:
+    """The one sanctioned collect in the BPE path — driver state O(v)
+    regardless of corpus vocabulary."""
+    return {r["tok"]: int(r["c"]) for r in _bpe_word_counts_df(d, v).collect()}
 
 
 def _bpe_merge_rows(sf_dir: str) -> list[tuple[int, str, str, int]]:
-    """Oracle-side replica: word counts via DuckDB, merges via the
-    shared sequential core."""
+    """Oracle-side replica: word counts via DuckDB (same exact top-V
+    cap as the Spark builder), merges via the shared sequential
+    core."""
     import duckdb
 
     from pyspark_mrdf_spark.functions.bpe import bpe_merges
 
     rows = duckdb.sql(
         f"SELECT tok, COUNT(*) AS c FROM (SELECT unnest(string_split(text, ' ')) AS tok "
-        f"FROM '{sf_dir}/documents.parquet') GROUP BY tok"
+        f"FROM '{sf_dir}/documents.parquet') GROUP BY tok "
+        f"ORDER BY c DESC, tok ASC LIMIT {BPE_V}"
     ).fetchall()
     merges = bpe_merges({r[0]: r[1] for r in rows}, BPE_K)
     return [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)]
@@ -632,20 +666,15 @@ FROM (VALUES
     tags=("text", "tokenizer", "pipeline"),
 )
 def q107_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale shape: the collect is bounded by |vocabulary| (Zipf-small
-    vs the corpus; the same legitimate sample-to-driver pattern as IVF
-    centroid training — O(parameters) driver state), and everything
-    corpus-sized stays a distributed agg."""
+    """Scale shape: the only collect is the exact top-BPE_V word
+    counts via TakeOrderedAndProject (O(V) driver state — never
+    O(distinct tokens), which is billions on raw web text); everything
+    corpus-sized stays a distributed agg. The identical cap runs in
+    the DuckDB oracle, so the merge table stays hash-exact."""
     from pyspark_mrdf_spark.functions.bpe import bpe_merges
 
     d = load_table(spark, sf_dir, "documents")
-    wc_rows = (
-        d.select(F.explode(F.split("text", " ")).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    )
-    merges = bpe_merges({r["tok"]: r["c"] for r in wc_rows}, BPE_K)
+    merges = bpe_merges(_bpe_word_counts_spark(d), BPE_K)
     return spark.createDataFrame(
         [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "rank long, left_sym string, right_sym string, pair_count long",
@@ -710,13 +739,7 @@ def q108_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_mrdf_spark.functions.bpe import bpe_merges, bpe_segment
 
     d = load_table(spark, sf_dir, "documents")
-    wc_rows = (
-        d.select(F.explode(F.split("text", " ")).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
-    )
-    merges = bpe_merges({r["tok"]: r["c"] for r in wc_rows}, BPE_K)
+    merges = bpe_merges(_bpe_word_counts_spark(d), BPE_K)
     bmerges = spark.sparkContext.broadcast(merges)
 
     def _tok(batches):
@@ -890,9 +913,10 @@ def q111_lm_crosscorpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus-sized pass); the O(vocabulary) weight table is computed once
 # driver-side in functions/nb.py (shared with the oracle generator,
 # the lloyd_centroids one-source-of-truth discipline) and joined back
-# broadcast. At test scale the vocab table broadcasts; at 100 TB with
-# a web-scale vocabulary the same plan runs as a token-keyed shuffle
-# join (the q110 note) and the weight table would be min_count-pruned.
+# broadcast. Driver state is bounded to the exact top-NB_V tokens by
+# training count (TakeOrderedAndProject), so a web-scale vocabulary
+# never reaches the driver; at 100 TB the broadcast of the O(V) weight
+# table is the plan you'd want anyway.
 #
 # Labels: the synthetic corpus carries NO organic class signal — every
 # lang/source draws from one shared token distribution (measured:
@@ -908,6 +932,14 @@ def q111_lm_crosscorpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Measured held-out accuracy: 0.996 vs 0.5 majority baseline.
 _NB_TRAIN_PRED = "src_id % 4 <> 0"
 _NB_HELD_PRED = "src_id % 4 = 0"
+# Driver-state bound for classifier training: only the exact top-V
+# tokens by total training count (ca+cb desc, tok asc) reach the
+# driver — the same TakeOrderedAndProject shape as BPE_V. On web-scale
+# corpora distinct tokens run to billions; real NB/fastText quality
+# filters prune to a fixed vocabulary for exactly this reason, and
+# dropped tail tokens score 0 via the existing COALESCE. The identical
+# cap runs inside the DuckDB oracle, keeping the verdict hash-exact.
+NB_V = 4096
 _NB_PAIR_SQL = """
   SELECT doc_id * 2 AS doc_id, doc_id AS src_id, TRUE AS clean,
          string_split(text, ' ') AS toks
@@ -933,16 +965,16 @@ def _nb_model(sf_dir: str) -> tuple[dict[str, int], int]:
         f"SELECT clean, unnest(toks) AS tok FROM ({pair}) "
         f"WHERE {_NB_TRAIN_PRED}"
     )
-    ca = dict(
-        duckdb.sql(
-            f"SELECT tok, COUNT(*) FROM ({grams}) WHERE clean GROUP BY tok"
-        ).fetchall()
-    )
-    cb = dict(
-        duckdb.sql(
-            f"SELECT tok, COUNT(*) FROM ({grams}) WHERE NOT clean GROUP BY tok"
-        ).fetchall()
-    )
+    # exact top-NB_V tokens by total training count — the identical
+    # cap the Spark builder applies before its collect
+    rows = duckdb.sql(
+        f"SELECT tok, SUM(CASE WHEN clean THEN 1 ELSE 0 END) AS ca, "
+        f"SUM(CASE WHEN clean THEN 0 ELSE 1 END) AS cb "
+        f"FROM ({grams}) GROUP BY tok "
+        f"ORDER BY ca + cb DESC, tok ASC LIMIT {NB_V}"
+    ).fetchall()
+    ca = {t: int(a) for t, a, b in rows if a}
+    cb = {t: int(b) for t, a, b in rows if b}
     na, nb_ = duckdb.sql(
         f"SELECT SUM(CASE WHEN clean THEN 1 ELSE 0 END), "
         f"SUM(CASE WHEN clean THEN 0 ELSE 1 END) FROM ({pair}) "
@@ -1022,12 +1054,17 @@ def q117_nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = _nb_pair_corpus(load_table(spark, sf_dir, "documents"))
     train = pair.filter(F.expr(_NB_TRAIN_PRED))
     tok = train.select("clean", F.explode("toks").alias("tok"))
+    # exact top-NB_V by total count via TakeOrderedAndProject — O(V)
+    # driver state regardless of corpus vocabulary (the oracle's
+    # _nb_model applies the same cap, so weights stay hash-exact)
     crows = (
         tok.groupBy("tok")
         .agg(
             F.sum(F.when(F.col("clean"), 1).otherwise(0)).alias("ca"),
             F.sum(F.when(~F.col("clean"), 1).otherwise(0)).alias("cb"),
         )
+        .orderBy((F.col("ca") + F.col("cb")).desc(), F.col("tok").asc())
+        .limit(NB_V)
         .collect()
     )
     ca = {r["tok"]: int(r["ca"]) for r in crows if r["ca"]}

@@ -145,6 +145,12 @@ DRIVER_SURFACE = [
     # q92/q95 (quantized search keeps q98/q116... q116 also demoted —
     # quant family keeps q98/q129/q131/q133), q105 (monitoring keeps
     # q123/q131). Family sentinels q01/q50/q56/q72 stay put.
+    # Round-11 rotation (r10 verdict ask #2): q156 weighted sampling
+    # (A-Res) and q157 token-budget selection — registered r10 after
+    # the surface froze — take the slots of the 2x-green (r9, r10)
+    # q128 stratified sample (sampling stays driver-verified via q156)
+    # and q132 snapshot diff (pipeline keeps q126 + the new pair).
+    # Family sentinels q01/q50/q56/q72 stay put.
     "q114_scd2_history",
     "q130_linear_attribution",
     "q135_top_user_paths",
@@ -172,8 +178,6 @@ DRIVER_SURFACE = [
     "q146_jaccard_prefix_filtered",
     "q113_pagerank_quality",
     "q126_domain_caps",
-    "q128_stratified_sample",
-    "q132_corpus_snapshot_diff",
     "q138_triangle_counts",
     "q140_kcore_parts",
     "q141_part_communities",
@@ -183,6 +187,8 @@ DRIVER_SURFACE = [
     "q147_orc_roundtrip_stats",
     "q148_csv_roundtrip_stats",
     "q154_upsert_merge_stats",
+    "q156_weighted_sample",
+    "q157_token_budget_selection",
     "q50_knn_exact",
     "q56_mrdf_recall",
     "q97_recall_vs_ivecs_gt",

@@ -478,3 +478,82 @@ def test_overflow_gate_catches_the_q136_shape(tmp_path):
     tree = ast.parse(seg.strip(), mode="eval")
     val = eval(compile(tree, "<seg>", "eval"))  # noqa: S307
     assert abs(val) > 2**31 - 1
+
+
+# --- top-V training-vocabulary cap (the last driver-collect bound) ---
+# q107/q108/q117 collect ONLY the exact top-V tokens by count; these
+# gates prove the cap is (a) exact vs a sequential replica including
+# rank-V tie behavior, (b) physically a TakeOrderedAndProject (per-
+# partition top-V, O(V) driver state — not a full-vocab collect).
+
+def _topv_corpus(spark, n_words=400, v=16):
+    # vocab (400) >> V (16); counts engineered so ties straddle the
+    # rank-V boundary: words w000..w399, word i appears (i % 40) + 1
+    # times => 10 words share every count value, including at the cut
+    docs = []
+    for i in range(n_words):
+        docs.append((i, " ".join([f"w{i:03d}"] * ((i % 40) + 1))))
+    return spark.createDataFrame(docs, "doc_id long, text string"), v
+
+
+def test_bpe_topv_cap_exact_vs_sequential_replica(spark):
+    from pyspark_mrdf_spark.queries.text import _bpe_word_counts_spark
+
+    d, v = _topv_corpus(spark)
+    got = _bpe_word_counts_spark(d, v=v)
+    # sequential replica of the identical (count desc, tok asc) cut
+    counts = {f"w{i:03d}": (i % 40) + 1 for i in range(400)}
+    want = dict(sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:v])
+    assert got == want
+    assert len(got) == v  # bounded, not full-vocab (400)
+
+
+def test_bpe_topv_cap_is_take_ordered_and_project(spark):
+    from pyspark_mrdf_spark.queries.text import _bpe_word_counts_df
+
+    d, v = _topv_corpus(spark)
+    df = _bpe_word_counts_df(d, v=v)
+    df.collect()  # force AQE to finalize the physical plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_nb_topv_cap_matches_duckdb_replica(spark, tmp_path):
+    """The q117 collect, capped to top-V by (ca+cb desc, tok asc),
+    must match the oracle-side _nb_model cut bit-for-bit on a corpus
+    whose vocabulary exceeds V (ties at the boundary included)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.queries import text as qt
+
+    d, v = _topv_corpus(spark)
+    pq = str(tmp_path / "documents.parquet")
+    d.toPandas().to_parquet(pq)
+
+    pair = qt._nb_pair_corpus(d)
+    train = pair.filter(F.expr(qt._NB_TRAIN_PRED))
+    tok = train.select("clean", F.explode("toks").alias("tok"))
+    crows = (
+        tok.groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("clean"), 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(~F.col("clean"), 1).otherwise(0)).alias("cb"),
+        )
+        .orderBy((F.col("ca") + F.col("cb")).desc(), F.col("tok").asc())
+        .limit(v)
+        .collect()
+    )
+    got = {(r["tok"], int(r["ca"]), int(r["cb"])) for r in crows}
+    assert len(got) == v
+
+    sql_pair = qt._NB_PAIR_SQL.format(docs=f"'{pq}'")
+    rows = duckdb.sql(
+        f"SELECT tok, SUM(CASE WHEN clean THEN 1 ELSE 0 END) AS ca, "
+        f"SUM(CASE WHEN clean THEN 0 ELSE 1 END) AS cb "
+        f"FROM (SELECT clean, unnest(toks) AS tok FROM ({sql_pair}) "
+        f"WHERE {qt._NB_TRAIN_PRED}) GROUP BY tok "
+        f"ORDER BY ca + cb DESC, tok ASC LIMIT {v}"
+    ).fetchall()
+    want = {(t, int(a), int(b)) for t, a, b in rows}
+    assert got == want
