@@ -96,6 +96,7 @@ def knn_graph(
     metrics_out: list | None = None,
     centroid_broadcast_max_paths: int = CENTROID_BROADCAST_MAX_PATHS,
     unconverged_warn_ratio: float | None = None,
+    auto_escalate: bool = True,
 ) -> DataFrame:
     """Approximate k-NN graph: edge DataFrame (src, dst, dist_sq),
     ≤ k edges per src. Signature mirrors reference mrdf.py:13
@@ -119,14 +120,15 @@ def knn_graph(
     50k, 0.72× at 100k, and at n=200k the sign flips — MRDF 585.7s vs
     exact 680.7s (recall 0.9942, same dial, idle 32-core machine) —
     the regime this algorithm exists for, and the gap widens with n
-    (MRDF's per-leaf cost is α-bounded; exact is n²/cluster-width). Uniform noise, the known worst
-    case for partition-based ANN (neighborhoods barely beat random
-    splits), measures ~0.78 at this dial. ``max_iter``/``refine_rounds`` are the recall/cost dial:
-    even on uniform noise, 6 forests + 2 refine rounds reach recall
-    0.9628 in a cleanly-measured 614s on an idle 32-core machine
-    (~1.6× the default dial's 394s; 25× the 24.6s exact scan at this
-    n, a ratio that inverts as n² outgrows the dial's near-linear
-    cost — SCALABILITY.json's uniform-tuned row).
+    (MRDF's per-leaf cost is α-bounded; exact is n²/cluster-width).
+    Uniform noise, the known worst case for partition-based ANN
+    (neighborhoods barely beat random splits), measured ~0.78 at the
+    pinned default dial; with auto-escalation (below, default ON) the
+    same hands-free call reaches recall 0.9628 in a cleanly-measured
+    380 s on an idle 32-core machine (6 forests — the escalated
+    budget — + the extra refine round; 12.7× the 29.9 s exact scan at
+    this n, a ratio that inverts as n² outgrows the dial's
+    near-linear cost — SCALABILITY.json's uniform row, r11).
 
     **Under-convergence signal** (costs zero extra jobs): when the
     loop stops because ``max_iter`` ran out while the changed-edge
@@ -138,7 +140,26 @@ def knn_graph(
     ``refine_rounds``, or let τ drive with ``max_iter=0``) and flags
     the last ``metrics_out`` entry with ``"unconverged": True``. A
     τ-driven stop by definition converged; no warning path exists for
-    it."""
+    it.
+
+    **Auto-escalation (hands-free hard-distribution dial, default
+    ON):** instead of only *telling* the user to raise the dial, the
+    same free signal raises it. When a ``max_iter`` stop would fire
+    while the last measured ratio exceeds ``unconverged_warn_ratio``,
+    the loop continues — now measuring the ratio every iteration and
+    stopping as soon as it drops to ``unconverged_warn_ratio`` — up to
+    a hard cap of ``2·max_iter`` total forests, and one extra refine
+    round runs afterwards. The escalated schedule is bit-identical to
+    having passed the larger dial by hand (forests depend only on
+    ``(seed, i)``); worst-case cost is bounded at ~2× forests + 1
+    refine. Measured on worst-case uniform noise (SCALABILITY.json's
+    uniform row): the default dial alone reaches ~0.78 recall, the
+    escalated schedule ≥0.95 with no hand tuning. Set
+    ``auto_escalate=False`` where a PINNED iteration count is the
+    contract (bench-comparable dials, the q155 unrolled-oracle replay,
+    golden determinism tests) — the warning path then fires as before.
+    If even the escalated cap stops above the warn ratio, the warning
+    fires and ``metrics_out[-1]["unconverged"]`` is still set."""
     spark = df.sparkSession
     sc = spark.sparkContext
     # materialize the working set once: spread a possibly-few-files
@@ -318,6 +339,8 @@ def knn_graph(
     if unconverged_warn_ratio is None:
         unconverged_warn_ratio = max(5 * tau, 0.05)
     last_ratio: float | None = None  # most recent MEASURED ratio
+    max_iter_eff = max_iter  # doubled once if auto-escalation fires
+    escalated = False
     try:
         g: DataFrame | None = None
         iteration = 0
@@ -327,7 +350,7 @@ def knn_graph(
         def _submit_through(target: int) -> None:
             nonlocal next_to_submit
             while next_to_submit <= target and (
-                not max_iter or next_to_submit <= max_iter
+                not max_iter_eff or next_to_submit <= max_iter_eff
             ):
                 futures[next_to_submit] = executor.submit(
                     _build_forest_graph, next_to_submit
@@ -339,7 +362,7 @@ def knn_graph(
             iteration += 1
             iter_t0 = time.monotonic()
             g_prime, divisions, forest_stats = futures.pop(iteration).result()
-            stop_by_iter = bool(max_iter) and iteration >= max_iter
+            stop_by_iter = bool(max_iter_eff) and iteration >= max_iter_eff
             if not stop_by_iter:
                 _submit_through(iteration + lookahead)
 
@@ -410,7 +433,37 @@ def knn_graph(
                         **(forest_stats or {}),
                     }
                 )
-            if stop_by_iter or (ratio is not None and ratio <= tau):
+            # ---- hands-free escalation: the max_iter stop is about to
+            # fire while the last MEASURED ratio says each new forest
+            # was still contributing heavily (the exact condition the
+            # warning below keys on). Double the forest budget ONCE and
+            # keep iterating — now measuring every iteration and
+            # stopping as soon as the ratio leaves the danger zone —
+            # plus one extra refine round after the loop. Identical to
+            # having passed the larger dial by hand (forests depend
+            # only on (seed, i)); worst case ~2× forests + 1 refine.
+            if (
+                stop_by_iter
+                and auto_escalate
+                and not escalated
+                and last_ratio is not None
+                and last_ratio > unconverged_warn_ratio
+            ):
+                escalated = True
+                max_iter_eff = 2 * max_iter
+                stop_by_iter = False
+                if metrics_out is not None and metrics_out:
+                    metrics_out[-1]["escalated"] = True
+                _submit_through(iteration + lookahead)
+            if (
+                stop_by_iter
+                or (ratio is not None and ratio <= tau)
+                or (
+                    escalated
+                    and ratio is not None
+                    and ratio <= unconverged_warn_ratio
+                )
+            ):
                 # under-convergence signal: max_iter cut the loop while
                 # the most recent measured changed-edge ratio says each
                 # new forest was still contributing heavily — recall is
@@ -423,15 +476,19 @@ def knn_graph(
                     and last_ratio is not None
                     and last_ratio > unconverged_warn_ratio
                 ):
+                    esc_note = (
+                        " (auto-escalation already doubled the budget)"
+                        if escalated
+                        else ""
+                    )
                     warnings.warn(
-                        f"knn_graph stopped at max_iter={max_iter} with "
+                        f"knn_graph stopped at max_iter={max_iter_eff} with "
                         f"changed-edge ratio {last_ratio:.3f} > "
-                        f"{unconverged_warn_ratio:.3f} (tau={tau}): the graph was "
+                        f"{unconverged_warn_ratio:.3f} (tau={tau}){esc_note}: "
+                        "the graph was "
                         "still absorbing new edges, so recall may be low on "
                         "hard (uniform-like) distributions. Raise max_iter / "
-                        "refine_rounds, or set max_iter=0 to let tau drive "
-                        "(see SCALABILITY.json: uniform 0.78 at the default "
-                        "dial vs 0.96 at max_iter=6, refine_rounds=2).",
+                        "refine_rounds, or set max_iter=0 to let tau drive.",
                         UserWarning,
                         stacklevel=2,
                     )
@@ -451,6 +508,12 @@ def knn_graph(
     # JVM-side l2 expression; merge keeps k best. One shuffle-bounded
     # round substantially recovers edges that random division split
     # across subsets — the step the reference only ran locally.
+    if escalated:
+        # second half of the hands-free escalation: one extra
+        # neighbor-of-neighbor round (the measured uniform-noise dial —
+        # forests alone plateau, refine is what recovers the split
+        # neighborhoods)
+        refine_rounds = refine_rounds + 1
     for i in range(refine_rounds):
         last = i == refine_rounds - 1
         # The LAST round's merge window keeps k directly instead of

@@ -142,6 +142,33 @@ def l2_topk_candidates(
     return cand, d2
 
 
+def l2_argsort_topm(q: np.ndarray, x: np.ndarray, m: int) -> np.ndarray:
+    """First ``m`` columns of ``np.argsort(pairwise_l2_sq(q, x),
+    axis=1, kind="stable")`` — the nearest-``m`` centers per row, ties
+    to the lowest column id — at gemm speed.
+
+    The broadcast ``(q−x)²`` form is exact but memory-bandwidth-bound:
+    at (10k rows × 256 centers × 128 dims) it measures ~30 s/batch
+    where the gemm runs in milliseconds — it made cell assignment 95%
+    of the IVF-PQ build (SCALABILITY ``*-ivfpq-io-cells256``: 261 s at
+    n=400k). This path nominates candidates with the gemm expansion,
+    re-ranks them with the exact cancellation-free distances, and
+    falls back to a full exact stable argsort for any row whose
+    boundary is within the gemm error margin (``l2_topk_candidates``'s
+    tie patch) — so the output is bit-identical to the slow form under
+    the same guarded-gemm assumption every hash-gated kernel (q50/q51/
+    q57) already relies on, and exact ties still break to the lowest
+    center id."""
+    q = np.asarray(q, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    m = min(m, x.shape[0])
+    cand, d2 = l2_topk_candidates(q, x, m)
+    # order candidates by (exact distance, column id): stable-argsort
+    # semantics restricted to the candidate superset
+    order = np.lexsort((cand, d2), axis=-1)[:, :m]
+    return np.take_along_axis(cand, order, axis=1)
+
+
 def topk_ids(dist_row: np.ndarray, ids: np.ndarray, k: int, exclude: int | None = None) -> list[tuple[int, float]]:
     """Top-k (id, dist) by ascending (dist, id); optional self-exclusion."""
     order = np.lexsort((ids, dist_row))

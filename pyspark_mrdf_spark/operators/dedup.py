@@ -1126,7 +1126,7 @@ def semantic_dedup(
     import numpy as np
     import pandas as pd
 
-    from pyspark_mrdf_spark.functions.vector import pairwise_l2_sq
+    from pyspark_mrdf_spark.functions.vector import l2_argsort_topm
 
     spark = df.sparkSession
     c_mat = np.asarray(centroids, dtype=np.float64)
@@ -1139,8 +1139,7 @@ def semantic_dedup(
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            d2 = pairwise_l2_sq(mat, cm)
-            cell = np.argsort(d2, axis=1, kind="stable")[:, 0]
+            cell = l2_argsort_topm(mat, cm, 1)[:, 0]
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].to_numpy(dtype=np.int64),

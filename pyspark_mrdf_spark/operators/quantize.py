@@ -1067,11 +1067,11 @@ def _ivfpq_params_from_sample(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Pure-NumPy core of ``ivfpq_train`` (oracle-replayable, the
     ``lloyd_centroids``/``pq_codebooks`` exposure contract)."""
-    from pyspark_mrdf_spark.functions.vector import pairwise_l2_sq
+    from pyspark_mrdf_spark.functions.vector import l2_argsort_topm
     from pyspark_mrdf_spark.operators.similarity import lloyd_centroids
 
     coarse = lloyd_centroids(x, n_centroids, iters_coarse)
-    assign = np.argsort(pairwise_l2_sq(x, coarse), axis=1, kind="stable")[:, 0]
+    assign = l2_argsort_topm(x, coarse, 1)[:, 0]
     residuals = x - coarse[assign]
     return coarse, pq_codebooks(residuals, n_subspaces, n_codes, iters_pq)
 
@@ -1086,9 +1086,10 @@ def ivfpq_encode(
     """(id, cell, code binary): each vector stored in its nearest
     coarse cell with the PQ code of its RESIDUAL — n_subspaces bytes +
     a cell id per row, the IVF-PQ stored index. Ties in the coarse
-    assignment break to the lower cell id (stable argsort — the q51
-    oracle discipline)."""
-    from pyspark_mrdf_spark.functions.vector import pairwise_l2_sq
+    assignment break to the lower cell id (gemm-speed exact-tie
+    nearest-cell pick, `l2_argsort_topm` — the q51 oracle
+    discipline)."""
+    from pyspark_mrdf_spark.functions.vector import l2_argsort_topm
 
     cb = codebooks.copy()
     cm = coarse.copy()
@@ -1098,7 +1099,7 @@ def ivfpq_encode(
             if len(pdf) == 0:
                 continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            cell = np.argsort(pairwise_l2_sq(mat, cm), axis=1, kind="stable")[:, 0]
+            cell = l2_argsort_topm(mat, cm, 1)[:, 0]
             codes = pq_assign(mat - cm[cell], cb)
             yield pd.DataFrame(
                 {
@@ -1198,7 +1199,7 @@ def ivfpq_search_encoded(
     (coarse, codebooks, codes); ``corpus`` supplies full-precision
     vectors for the rerank join only). Bit-identical output to the
     per-call ``ivfpq_search``, which delegates here after training."""
-    from pyspark_mrdf_spark.functions.vector import pairwise_l2_sq
+    from pyspark_mrdf_spark.functions.vector import l2_argsort_topm
 
     if k_candidates is None:
         k_candidates = 4 * k
@@ -1206,9 +1207,7 @@ def ivfpq_search_encoded(
     cb = codebooks
     q_ids, q_raw = _collect_queries(queries, id_col, vec_col, "ivfpq_search")
     q_mat = q_raw.astype(np.float64)
-    probe = np.argsort(pairwise_l2_sq(q_mat, coarse), axis=1, kind="stable")[
-        :, :n_probe
-    ]
+    probe = l2_argsort_topm(q_mat, coarse, n_probe)
     n_sub, n_cd, ds = cb.shape
     # Broadcast the RAW inputs (queries + coarse centroids + codebooks,
     # O(n_q·d + parameters) ≈ MBs) and build each cell's ADC tables

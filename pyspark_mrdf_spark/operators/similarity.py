@@ -33,7 +33,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from pyspark_mrdf_spark.functions.vector import l2_topk_candidates, pairwise_l2_sq
+from pyspark_mrdf_spark.functions.vector import (
+    l2_argsort_topm,
+    l2_topk_candidates,
+    pairwise_l2_sq,
+)
 
 KNN_SCHEMA = StructType(
     [
@@ -492,10 +496,10 @@ def ann_ivf(
             if len(pdf) == 0:
                 continue
             q = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            d2 = pairwise_l2_sq(q, cm)
-            # stable argsort + ascending cent ids ⇒ ties break to the
-            # lower cent_id, matching the oracle's (dist, cent_id) order
-            idx = np.argsort(d2, axis=1, kind="stable")[:, :top_cells]
+            # gemm-speed nearest-cells pick; exact distances + stable
+            # ties ⇒ ties break to the lower cent_id, matching the
+            # oracle's (dist, cent_id) order
+            idx = l2_argsort_topm(q, cm, top_cells)
             yield pd.DataFrame(
                 {
                     "id": pdf[id_col].to_numpy(dtype=np.int64),

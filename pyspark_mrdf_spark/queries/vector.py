@@ -63,6 +63,11 @@ def _mrdf_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: knn_graph(
             load_table(spark, sf_dir, "embeddings"),
             K, rho=4, alpha=600, tau=0.01, seed=42, max_iter=3, refine_rounds=1,
+            # bench-pinned dial: recall >= 0.9 is measured AT THIS
+            # BUDGET (SCALABILITY.json), and round-over-round bench
+            # comparability needs a fixed iteration count — the
+            # hands-free escalation is for un-pinned production calls
+            auto_escalate=False,
         ),
         # lazy: q56's recall action (or q55's caller) materializes the
         # checkpoint — one fewer job on the critical path
@@ -1755,11 +1760,9 @@ def q155_mrdf_pinned_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session-memoized like q55/q56's production graph: the pinned dial
     # is deterministic, so within a session (and the bench's warm pass)
     # the build runs once and re-serves from the registry
-    g = memoized_df(
-        spark,
-        ("mrdf_pinned_replay", sf_dir, _MRDF_REPLAY_K, _MRDF_REPLAY_RHO,
-         _MRDF_REPLAY_ALPHA, _MRDF_REPLAY_SEED, 2, 0),
-        lambda: knn_graph(
+    def _build() -> DataFrame:
+        metrics: list = []
+        g = knn_graph(
             load_table(spark, sf_dir, "embeddings"),
             _MRDF_REPLAY_K,
             rho=_MRDF_REPLAY_RHO,
@@ -1769,7 +1772,33 @@ def q155_mrdf_pinned_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_iter=2,
             refine_rounds=0,
             unconverged_warn_ratio=2.0,  # the max_iter stop is the point
-        ),
+            # the oracle unrolls EXACTLY this schedule — the iteration
+            # count is the contract (escalation could not fire at
+            # max_iter=2 anyway: no measured ratio exists yet)
+            auto_escalate=False,
+            metrics_out=metrics,
+        )
+        # oracle-depth guard: the CTE chain unrolls exactly
+        # _MRDF_REPLAY_ROUNDS division rounds (rounds past the engine's
+        # break are no-ops). An input needing MORE rounds — > alpha
+        # near-duplicate vectors, pathological clustering — would make
+        # engine and oracle silently diverge into a bare hash mismatch;
+        # fail loudly with the cause named instead.
+        max_div = max((m["divisions"] for m in metrics), default=0)
+        if max_div > _MRDF_REPLAY_ROUNDS:
+            raise AssertionError(
+                f"q155 replay: knn_graph used {max_div} division rounds "
+                f"> oracle unroll depth _MRDF_REPLAY_ROUNDS="
+                f"{_MRDF_REPLAY_ROUNDS} for {sf_dir} — raise the unroll "
+                "depth (both sides) for this input"
+            )
+        return g
+
+    g = memoized_df(
+        spark,
+        ("mrdf_pinned_replay", sf_dir, _MRDF_REPLAY_K, _MRDF_REPLAY_RHO,
+         _MRDF_REPLAY_ALPHA, _MRDF_REPLAY_SEED, 2, 0),
+        _build,
         eager=False,
     )
     w = Window.partitionBy("src").orderBy("dist_sq", "dst")

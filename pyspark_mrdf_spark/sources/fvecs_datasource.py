@@ -190,8 +190,14 @@ class _VecsWriter(DataSourceWriter):
         # then publish staged files under their final names. rename()
         # is atomic per file, so readers racing the commit see either
         # the old shard set or a mix of old/new complete shards — never
-        # a torn file.
-        staged_set = {m.staged for m in live}
+        # a torn file. _SUCCESS is retracted FIRST and republished
+        # LAST: a driver crash anywhere inside the swap leaves a
+        # directory with no _SUCCESS marker, so a torn commit is
+        # detectable by readers instead of the stale marker silently
+        # advertising the prior row total over a partial shard set.
+        success = os.path.join(self.path, "_SUCCESS")
+        if os.path.exists(success):
+            os.remove(success)
         for f in _list_shards(self.path):
             os.remove(f)
         for m in live:
@@ -200,7 +206,7 @@ class _VecsWriter(DataSourceWriter):
         # message, so its orphan staging file is only findable by name
         self._sweep_staging(keep=set())
         total = sum(m.rows for m in live)
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+        with open(success, "w") as fh:
             fh.write(str(total))
 
     def abort(self, messages):

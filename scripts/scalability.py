@@ -445,6 +445,14 @@ def main() -> None:
                         "mrdf_recall": round(r, 4),
                         "refine_rounds": mrdf_kw.get("refine_rounds", 1),
                         "max_iter": mrdf_kw.get("max_iter", 3),
+                        # hands-free escalation evidence (r10 verdict
+                        # ask #3): forests_run > max_iter + an extra
+                        # refine round whenever the free unconverged
+                        # signal fired — no hand tuning
+                        "forests_run": len(pt["metrics"]),
+                        "escalated": bool(
+                            any(m.get("escalated") for m in pt["metrics"])
+                        ),
                         "alpha": 16384,
                         "max_leaf": int(max_leaf),
                         "join_tier_rounds": int(join_rounds),

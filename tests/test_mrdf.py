@@ -196,7 +196,8 @@ def test_capped_unconverged_run_surfaces_signal(spark):
     # ...and from the capped side: an explicit max_iter that cuts the
     # loop while the changed-edge ratio is still high must emit the
     # under-convergence UserWarning and flag metrics_out — the
-    # explicit signal a user sizing the dial needs
+    # explicit signal a user sizing the dial needs when the hands-free
+    # escalation is pinned off
     import pytest as pt
 
     emb = _uniform_emb(spark)
@@ -207,8 +208,41 @@ def test_capped_unconverged_run_surfaces_signal(spark):
     with pt.warns(UserWarning, match="knn_graph stopped at max_iter"):
         knn_graph(
             emb, 10, rho=4, alpha=512, max_iter=3, metrics_out=metrics,
+            auto_escalate=False,
         ).localCheckpoint(eager=True)
     assert metrics and metrics[-1].get("unconverged") is True
+
+
+def test_capped_unconverged_run_auto_escalates_hands_free(spark):
+    # default-dial call on worst-case uniform data (no hand tuning):
+    # the same free signal that fires the warning must instead raise
+    # the dial — up to 2x the forests plus one extra refine round —
+    # and the escalated graph must beat the pinned-off one. The
+    # escalated schedule is deterministic (forests depend only on
+    # (seed, i)), so this is the hand-tuned dial, reached hands-free.
+    from pyspark_mrdf_spark.operators.similarity import knn_exact_blocked
+
+    emb = _uniform_emb(spark)
+    g_exact = knn_exact_blocked(emb, 10).localCheckpoint(eager=True)
+    metrics_off: list = []
+    metrics_on: list = []
+    import warnings as w
+
+    with w.catch_warnings():
+        w.simplefilter("ignore")  # the pinned-off run warns by design
+        g_off = knn_graph(
+            emb, 10, rho=4, alpha=512, max_iter=3, metrics_out=metrics_off,
+            auto_escalate=False,
+        ).localCheckpoint(eager=True)
+    g_on = knn_graph(
+        emb, 10, rho=4, alpha=512, max_iter=3, metrics_out=metrics_on,
+    ).localCheckpoint(eager=True)
+    assert any(m.get("escalated") for m in metrics_on)
+    # budget honored: never more than 2x max_iter forests
+    assert len(metrics_on) <= 6
+    r_off, r_on = recall(g_exact, g_off), recall(g_exact, g_on)
+    assert r_on > r_off, (r_on, r_off)
+    assert r_on >= 0.9, r_on
 
 
 def test_refine_default_sizing_matches_explicit_blocks(spark, emb):

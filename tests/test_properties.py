@@ -557,3 +557,36 @@ def test_nb_topv_cap_matches_duckdb_replica(spark, tmp_path):
     ).fetchall()
     want = {(t, int(a), int(b)) for t, a, b in rows}
     assert got == want
+
+
+@st.composite
+def centers_case(draw):
+    d = draw(st.integers(2, 12))
+    n_c = draw(st.integers(1, 24))
+    m = draw(st.integers(1, 24))
+    q = draw(arrays(np.float64, (m, d), elements=finite))
+    x = draw(arrays(np.float64, (n_c, d), elements=finite))
+    # duplicate-heavy variant: copy random center rows so exact ties
+    # straddle the selection boundary
+    if draw(st.booleans()) and n_c >= 2:
+        src = draw(st.integers(0, n_c - 1))
+        dst = draw(st.integers(0, n_c - 1))
+        x[dst] = x[src]
+    top = draw(st.integers(1, n_c + 2))
+    return q, x, top
+
+
+@given(centers_case())
+@settings(max_examples=200, deadline=None)
+def test_l2_argsort_topm_matches_stable_argsort(case):
+    # the gemm-speed nearest-m pick must be BIT-IDENTICAL to the
+    # slow broadcast-form stable argsort it replaced in the IVF-PQ /
+    # IVF / SemDeDup assignment paths (ties to the lowest center id)
+    from pyspark_mrdf_spark.functions.vector import l2_argsort_topm
+
+    q, x, top = case
+    got = l2_argsort_topm(q, x, top)
+    want = np.argsort(pairwise_l2_sq(q, x), axis=1, kind="stable")[
+        :, : min(top, x.shape[0])
+    ]
+    assert np.array_equal(got, want)
