@@ -77,14 +77,6 @@ class FvecsDataSource(DataSource):
         return _VecsReader(self.options)
 
     def writer(self, schema, overwrite: bool):
-        if not overwrite:
-            # fvecs has no append story: "id = file position" means an
-            # append would renumber every reader's view, and colliding
-            # part-NNNNN shard names would silently clobber prior data.
-            raise NotImplementedError(
-                "fvecs sink supports mode('overwrite') only: the format's "
-                "'id = file position' contract cannot survive appends"
-            )
         return _VecsWriter(self.options, overwrite)
 
 
@@ -134,7 +126,9 @@ class _VecsWriter(DataSourceWriter):
     the same no-concurrent-appenders contract). Row order within a
     partition is preserved, so ``read → transform → write`` keeps the
     "id = file position" convention per shard; readers reassign global
-    ids by shard offset (see _VecsReader.partitions)."""
+    ids by shard offset (see _VecsReader.partitions). ``mode('append')``
+    continues the part numbering past the existing shards (see
+    __init__), so prior ids never move."""
 
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")
@@ -142,6 +136,35 @@ class _VecsWriter(DataSourceWriter):
             raise ValueError("fvecs data source requires a save path")
         self.kind = options.get("format", "fvecs")
         self.overwrite = overwrite
+        # Append (r10 verdict stretch #8): ids stay stable because the
+        # reader assigns them by shard-name order — new shards continue
+        # the part-NNNNN numbering, so every new file sorts AFTER every
+        # existing one and prior vectors keep their positions; appended
+        # vectors get ids = old_total + in-batch position. The numbering
+        # base is decided ONCE driver-side; the commit never touches
+        # prior shards. Non-standard shard names make the sort-after
+        # guarantee unprovable, so those layouts refuse the append
+        # instead of silently renumbering a reader's view.
+        self.base_index = 0
+        if not overwrite:
+            import re
+
+            shards = _list_shards(self.path) if os.path.exists(self.path) else []
+            pat = re.compile(r"part-(\d{5})\.(fvecs|ivecs)$")
+            idxs = []
+            for f in shards:
+                m = pat.match(os.path.basename(f))
+                if not m:
+                    raise NotImplementedError(
+                        "fvecs append requires the sink's own part-NNNNN "
+                        f"shard layout; found {os.path.basename(f)!r} — "
+                        "id stability cannot be guaranteed, use "
+                        "mode('overwrite')"
+                    )
+                idxs.append(int(m.group(1)))
+            self.base_index = max(idxs) + 1 if idxs else 0
+            if self.base_index >= 99999:
+                raise ValueError("fvecs append: part-NNNNN namespace exhausted")
 
     def write(self, iterator):
         # Commit protocol (round-10, advisor finding): tasks write to
@@ -161,9 +184,10 @@ class _VecsWriter(DataSourceWriter):
         os.makedirs(self.path, exist_ok=True)
         ext = "ivecs" if self.kind == "ivecs" else "fvecs"
         dtype = np.int32 if self.kind == "ivecs" else np.float32
-        final = os.path.join(self.path, f"part-{pid:05d}.{ext}")
+        shard_no = self.base_index + pid
+        final = os.path.join(self.path, f"part-{shard_no:05d}.{ext}")
         staged = os.path.join(
-            self.path, f"_staging-part-{pid:05d}-attempt-{attempt}.{ext}"
+            self.path, f"_staging-part-{shard_no:05d}-attempt-{attempt}.{ext}"
         )
         rows = 0
         dim = None
@@ -198,14 +222,21 @@ class _VecsWriter(DataSourceWriter):
         success = os.path.join(self.path, "_SUCCESS")
         if os.path.exists(success):
             os.remove(success)
-        for f in _list_shards(self.path):
-            os.remove(f)
+        if self.overwrite:
+            for f in _list_shards(self.path):
+                os.remove(f)
+        # append: prior shards untouched — the new part numbers were
+        # reserved past the existing range driver-side, so the renames
+        # below can never collide with (or shadow) a prior shard
         for m in live:
             os.replace(m.staged, m.final)
         # a retried task's FAILED first attempt never returned a commit
         # message, so its orphan staging file is only findable by name
         self._sweep_staging(keep=set())
-        total = sum(m.rows for m in live)
+        # _SUCCESS carries the committed ROW TOTAL of the whole
+        # directory; for append that is prior + new, recounted from the
+        # shard headers (O(files) stat+4-byte reads)
+        total = sum(_shard_rows(f) for f in _list_shards(self.path))
         with open(success, "w") as fh:
             fh.write(str(total))
 

@@ -184,6 +184,16 @@ def main() -> None:
     # beam search over a prebuilt kNN graph (q124) vs the exact scan
     # for one query batch at (--synthetic-n, --synthetic-d)
     graph_serving_only = "--graph-serving-only" in argv
+    # --graph-serving-build mrdf: build the serving graph with
+    # knn_graph instead of the exhaustive scan (r10 verdict ask #5) —
+    # the row label gains a -mrdf suffix
+    graph_serving_build = "exact"
+    if "--graph-serving-build" in argv:
+        i = argv.index("--graph-serving-build")
+        if i + 1 >= len(argv):
+            sys.exit("error: --graph-serving-build needs a value (exact|mrdf)")
+        graph_serving_build = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
     # --mixture-sampled-only: ONLY the sampled-recall MRDF design point
     # (default n=300000 — past the full-exact-scan budget; run with
     # SPARK_GRAFT_CPUS=16 per the r8 box-bound note)
@@ -203,6 +213,18 @@ def main() -> None:
     # frozen params vs full-d persisted SQ8 vs the exact scan, at
     # (--synthetic-n, --synthetic-d)
     pca_serving_only = "--pca-serving-only" in argv
+    # --relational-only: ONLY the 10x-sf0.1 relational/events scale
+    # point (r10 verdict ask #6) — replicate sf0.1's lineitem/orders/
+    # events/part/documents with per-replica key offsets (~6M lineitem,
+    # 1M events) and run the headline relational/events queries
+    relational_only = "--relational-only" in argv
+    relational_factor = 10
+    if "--relational-factor" in argv:
+        i = argv.index("--relational-factor")
+        if i + 1 >= len(argv):
+            sys.exit("error: --relational-factor needs a value")
+        relational_factor = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
     pca_aniso = "--aniso" in argv
     if pca_aniso and not pca_serving_only:
         sys.exit("error: --aniso only applies to --pca-serving-only")
@@ -307,6 +329,7 @@ def main() -> None:
         ("--prefix-filter-only", prefix_filter_only),
         ("--incremental-only", incremental_only),
         ("--pca-serving-only", pca_serving_only),
+        ("--relational-only", relational_only),
     ) if on]
     if only_modes and argv:
         sys.exit("error: the -only modes ignore sf arguments; drop one side")
@@ -348,7 +371,7 @@ def main() -> None:
         grid_only or sq8_only or serving_only or dedup_only or pagerank_only
         or bq_serving_only or dedup_serving_only or graph_serving_only
         or ivfpq_io_only or mixture_sampled_only
-        or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or incremental_only or pca_serving_only
+        or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or incremental_only or pca_serving_only or relational_only
     )
     if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or ivfpq_io_only or mixture_sampled_only or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or incremental_only or pca_serving_only) and (
         include_uniform or include_uniform_tuned or saw_synthetic_flag
@@ -492,7 +515,11 @@ def main() -> None:
         print(f"[scalability] {points[-1]}", file=sys.stderr)
 
     if graph_serving_only:
-        points.append(_graph_serving_evidence(spark, synthetic_n, synthetic_d))
+        points.append(
+            _graph_serving_evidence(
+                spark, synthetic_n, synthetic_d, build=graph_serving_build
+            )
+        )
         print(f"[scalability] {points[-1]}", file=sys.stderr)
     if ivfpq_io_only:
         points.append(_ivfpq_io_evidence(spark, synthetic_n, synthetic_d, **serving_ivfpq))
@@ -529,7 +556,89 @@ def main() -> None:
         points.append(_pca_serving_evidence(spark, synthetic_n, synthetic_d, aniso=pca_aniso))
         print(f"[scalability] {points[-1]}", file=sys.stderr)
 
+    if relational_only:
+        points.append(_relational_evidence(spark, relational_factor))
+        print(f"[scalability] {points[-1]}", file=sys.stderr)
+
     print(json.dumps({"metric": "scalability_sweep", "points": points}))
+
+
+def _relational_evidence(spark, factor: int = 10) -> dict:
+    """The relational surface's first beyond-sf0.1 evidence (r10
+    verdict ask #6): replicate sf0.1's fact tables ``factor``× with
+    per-replica KEY OFFSETS — every replica keeps a disjoint key space,
+    so join fan-outs, group cardinalities, and window partition sizes
+    scale the way a real 10× corpus would (same per-key row counts,
+    ``factor``× more keys; dims like part scale with their pk) — then
+    run the headline relational/events queries cold and record
+    per-query seconds + output rows. No assertions beyond completion:
+    the row IS the would-the-plan-survive-10× measurement."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    base = "/root/testdata/sf0.1"
+    syn = "/root/repo/.scalability_synth_rel"
+    offsets = {
+        "lineitem": ["l_orderkey"],
+        "orders": ["o_orderkey"],
+        "events": ["event_id", "user_id"],
+        "part": ["p_partkey"],
+        "documents": ["doc_id"],
+    }
+    out: dict = {
+        "sf": f"relational-{factor}x-sf0.1",
+        "factor": factor,
+        "rows": {},
+        "queries": {},
+    }
+    try:
+        shutil.rmtree(syn, ignore_errors=True)
+        os.makedirs(syn)
+        for tname, keys in offsets.items():
+            t = pq.read_table(os.path.join(base, f"{tname}.parquet"))
+            span = {k: pc.max(t[k]).as_py() + 1 for k in keys}
+            reps = []
+            for i in range(factor):
+                cols = {}
+                for name in t.column_names:
+                    col = t[name]
+                    if name in keys and i:
+                        col = pc.add(col, i * span[name])
+                    cols[name] = col
+                reps.append(pa.table(cols))
+            big = pa.concat_tables(reps)
+            pq.write_table(big, os.path.join(syn, f"{tname}.parquet"))
+            out["rows"][tname] = big.num_rows
+
+        from pyspark_mrdf_spark.queries import load_all
+
+        specs = load_all()
+        for qname in (
+            "q01_pricing_summary",
+            "q114_scd2_history",
+            "q130_linear_attribution",
+            "q135_top_user_paths",
+            "q149_hourly_gap_fill",
+            "q150_hourly_rate_spikes",
+            "q151_trailing_range_window",
+            "q152_user_key_skew_profile",
+            "q153_golden_record",
+            "q154_upsert_merge_stats",
+        ):
+            t0 = time.time()
+            n_rows = specs[qname].builder(spark, syn).count()
+            out["queries"][qname] = {
+                "s": round(time.time() - t0, 2),
+                "rows": int(n_rows),
+            }
+            print(
+                f"[scalability] {qname}: {out['queries'][qname]}",
+                file=sys.stderr,
+            )
+    finally:
+        shutil.rmtree(syn, ignore_errors=True)
+    return out
 
 
 def _pca_serving_evidence(spark, n: int, d: int, d_out: int = 16, aniso: bool = False) -> dict:
@@ -2062,7 +2171,7 @@ def _ivfpq_io_evidence(spark, n: int, d: int, n_cells: int = 64, n_probe: int = 
     return out
 
 
-def _graph_serving_evidence(spark, n: int, d: int) -> dict:
+def _graph_serving_evidence(spark, n: int, d: int, build: str = "exact") -> dict:
     """Measure graph-ANN serving (q124's batched beam search) against
     the exact scan for one query batch at design size: build the
     degree-10 exact graph once (timed — the index-build cost MRDF
@@ -2076,12 +2185,14 @@ def _graph_serving_evidence(spark, n: int, d: int) -> dict:
     count: corpus passes = graph diameter for the WHOLE batch."""
     from pyspark.sql import functions as F
 
+    from pyspark_mrdf_spark.algorithms.mrdf import knn_graph
     from pyspark_mrdf_spark.operators.graph_search import graph_knn_search
     from pyspark_mrdf_spark.operators.similarity import knn_exact_blocked, knn_search
 
     syn_dir = "/root/repo/.scalability_synth_gsrv"
-    out: dict = {"sf": f"synthetic-{n}x{d}-graph-serving", "n": n, "d": d,
-                 "batch_queries": 100, "k": 5, "beam": 32}
+    suffix = "" if build == "exact" else f"-{build}"
+    out: dict = {"sf": f"synthetic-{n}x{d}-graph-serving{suffix}", "n": n, "d": d,
+                 "batch_queries": 100, "k": 5, "beam": 32, "build": build}
     try:
         _write_synthetic(syn_dir, n, d=d)
         emb = (
@@ -2090,9 +2201,25 @@ def _graph_serving_evidence(spark, n: int, d: int) -> dict:
             .localCheckpoint(eager=True)
         )
         t0 = time.time()
-        graph = (
-            knn_exact_blocked(emb, 10).select("src", "dst").localCheckpoint(eager=True)
-        )
+        if build == "mrdf":
+            # the r10 verdict's ask #5: the serving graph does NOT need
+            # the exhaustive n^2 build — MRDF's approximate kNN graph is
+            # the scale path; the row records the serving-recall delta
+            # vs the same exact-scan ground truth. Dial: alpha=4096
+            # routes every leaf through the one-gemm exact tier (at
+            # d=512 the 16384 tiled leaves measured 727 s — the leaf
+            # quadratic is the whole build, so alpha is the cost dial)
+            graph = (
+                knn_graph(emb, 10, alpha=4096)
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            graph = (
+                knn_exact_blocked(emb, 10)
+                .select("src", "dst")
+                .localCheckpoint(eager=True)
+            )
         out["graph_build_s"] = round(time.time() - t0, 2)
 
         queries = emb.filter(F.col("vec_id") < 100).localCheckpoint(eager=True)

@@ -248,23 +248,69 @@ def test_fvecs_datasource_write_roundtrip(spark, tmp):
     assert read_fvecs(spark, out).count() == 60
 
 
-def test_fvecs_datasource_append_rejected(spark, tmp):
-    # fvecs has no append story ("id = file position" breaks, and
-    # colliding part names would clobber prior shards): non-overwrite
-    # saves must fail loudly instead of silently mixing corpora.
+def test_fvecs_datasource_append_id_stable_roundtrip(spark, tmp):
+    # Append (r10 verdict stretch #8): new shards continue the
+    # part-NNNNN numbering, so they sort AFTER every prior shard and
+    # the reader's "id = shard-order position" assignment keeps every
+    # existing vector's id; appended vectors get ids = old_total + i.
+    import glob as _g
+
+    from pyspark_mrdf_spark.sources.fvecs import read_fvecs
+    from pyspark_mrdf_spark.sources.fvecs_datasource import FvecsDataSource
+
+    spark.dataSource.register(FvecsDataSource)
+    base = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(10)],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = os.path.join(tmp, "append_target")
+    base.repartition(2).write.format("fvecs").mode("overwrite").save(out)
+    before = {
+        r["vec_id"]: list(r["embedding"]) for r in read_fvecs(spark, out).collect()
+    }
+    assert len(before) == 10
+
+    extra = spark.createDataFrame(
+        [(0, [100.0, 1.0]), (1, [101.0, 1.0])],
+        "vec_id bigint, embedding array<float>",
+    ).coalesce(1)
+    extra.write.format("fvecs").mode("append").save(out)
+
+    after = {
+        r["vec_id"]: list(r["embedding"]) for r in read_fvecs(spark, out).collect()
+    }
+    # prior ids and vectors unchanged
+    assert {k: after[k] for k in before} == before
+    # appended ids continue at old_total, in input order
+    assert after[10] == [100.0, 1.0] and after[11] == [101.0, 1.0]
+    assert len(after) == 12
+    # new shard numbers sort after the old ones; _SUCCESS = new total
+    names = sorted(
+        os.path.basename(f) for f in _g.glob(out + "/part-*.fvecs")
+    )
+    assert names == ["part-00000.fvecs", "part-00001.fvecs", "part-00002.fvecs"]
+    with open(os.path.join(out, "_SUCCESS")) as fh:
+        assert fh.read().strip() == "12"
+
+
+def test_fvecs_datasource_append_refuses_nonstandard_layout(spark, tmp):
+    # a foreign-named shard breaks the sort-after-id-stability proof —
+    # the append must refuse loudly instead of silently renumbering
+    from pyspark_mrdf_spark.sources.fvecs import read_fvecs
     from pyspark_mrdf_spark.sources.fvecs_datasource import FvecsDataSource
 
     spark.dataSource.register(FvecsDataSource)
     df = spark.createDataFrame(
         [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "vec_id bigint, embedding array<float>"
     )
-    out = os.path.join(tmp, "append_target")
-    df.write.format("fvecs").mode("overwrite").save(out)
-    with pytest.raises(Exception, match="overwrite"):
+    out = os.path.join(tmp, "append_nonstd")
+    df.coalesce(1).write.format("fvecs").mode("overwrite").save(out)
+    os.rename(
+        os.path.join(out, "part-00000.fvecs"), os.path.join(out, "zzz.fvecs")
+    )
+    with pytest.raises(Exception, match="part-NNNNN"):
         df.write.format("fvecs").mode("append").save(out)
-    # the rejected append must not have touched the committed data
-    from pyspark_mrdf_spark.sources.fvecs import read_fvecs
-
+    # the refused append must not have touched the committed data
     assert read_fvecs(spark, out).count() == 2
 
 
