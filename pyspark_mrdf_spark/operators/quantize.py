@@ -236,12 +236,27 @@ def sq8_candidates(
     )
     b = spark.sparkContext.broadcast((q_ids, q_codes, w))
 
+    # float32 fast tier (unweighted, d ≤ 129): every value in the
+    # assembly is an INTEGER below 2^24, so float32 is exact —
+    # per-dot q·c ≤ d·255² ≤ 129·65025 = 8,388,225 (every gemm partial
+    # sum included), cc ≤ the same, and g = cc − 2q·c spans
+    # [−16,776,450, 8,388,225], all inside float32's 2^24 = 16,777,216
+    # exact-integer range. Halving operand/output bytes matters because
+    # the 32-way-concurrent scan is MEMORY-BANDWIDTH-bound (measured:
+    # the identical gemm runs 6× slower at 32 concurrent tasks than
+    # alone), and the float32 path also skips the fold-key temp below.
+    use_f32 = dim_weights is None and q_codes.shape[1] <= 129
+
     def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qi, qc, wv = b.value
         wf = wv.astype(np.float64)
         # fold the weights into the query operand: Σ w·q·c = (q⊙w)·c,
         # so the corpus-side gemm operand stays the raw 1 B/dim codes
-        qcf = qc.astype(np.float64) * wf[None, :]
+        qcf = (
+            qc.astype(np.float32)
+            if use_f32
+            else qc.astype(np.float64) * wf[None, :]
+        )
         qq = ((qc.astype(np.int64) ** 2) * wv[None, :]).sum(axis=1).astype(np.float64)
         for pdf in batches:
             if len(pdf) == 0:
@@ -254,38 +269,60 @@ def sq8_candidates(
             c_order = np.argsort(c_ids, kind="stable")
             c_ids = c_ids[c_order]
             c_mat = c_mat[c_order]
-            cc = (
-                (c_mat.astype(np.int64) ** 2) * wv[None, :]
-            ).sum(axis=1).astype(np.float64)
+            cf = c_mat.astype(np.float32 if use_f32 else np.float64)
+            if use_f32:
+                cc = np.einsum("ij,ij->i", cf, cf)
+            else:
+                cc = (
+                    (c_mat.astype(np.int64) ** 2) * wv[None, :]
+                ).sum(axis=1).astype(np.float64)
             # rank within a row by g = ||c||² − 2q·c (the row-constant
-            # ||q||² cannot change per-row order). EXACT in float64:
-            # every dot/norm is an integer ≤ 255²·d ≪ 2^53, and float64
-            # is also why this is fast — the gemm takes the BLAS path
-            # (integer matmul has none) and the elementwise assembly is
-            # SIMD (an int64 assembly of the full matrix measured 4.9s
-            # per 5000×12500 task; this form ~0.5s)
-            g = qcf @ c_mat.astype(np.float64).T
+            # ||q||² cannot change per-row order). EXACT in the chosen
+            # float width: every dot/norm is an integer ≤ w·255²·d ≪
+            # 2^53 (float64) or ≤ 255²·129 < 2^24 (float32 tier), and
+            # floats are also why this is fast — the gemm takes the
+            # BLAS path (integer matmul has none) and the elementwise
+            # assembly is SIMD (an int64 assembly of the full matrix
+            # measured 4.9s per 5000×12500 task; this form ~0.5s)
+            g = qcf @ cf.T
             g *= -2.0
             g += cc[None, :]
             if not include_self:
                 g[qi[:, None] == c_ids[None, :]] = np.inf
             n_c = g.shape[1]
             kk = min(k, n_c)
-            if kk < n_c:
+            if kk == n_c:
+                sel = np.broadcast_to(np.arange(n_c), (g.shape[0], n_c)).copy()
+            elif use_f32:
+                # plain introselect on g (4 B/elem — no n_c·g fold-key
+                # temp), then an exact per-row tie repair to the
+                # lowest-dst selection. Integer-valued distances make
+                # the boundary comparison exact; rows without excess
+                # boundary ties (n_le == kk) already hold the unique
+                # true top-kk set. Measured 1.56× the fold-key path
+                # single-threaded, more under the 32-way scan's
+                # bandwidth contention.
+                sel = np.argpartition(g, kk - 1, axis=1)[:, :kk]
+                bnd = np.take_along_axis(g, sel, axis=1).max(axis=1)
+                n_le = (g <= bnd[:, None]).sum(axis=1)
+                for i in np.flatnonzero(n_le > kk):
+                    gi = g[i]
+                    lt = np.flatnonzero(gi < bnd[i])
+                    eq = np.flatnonzero(gi == bnd[i])[: kk - len(lt)]
+                    sel[i] = np.concatenate([lt, eq])
+            else:
                 # select on g·n_c + column_index, NOT on g: quantized
                 # distances tie massively (256 code levels/dim) and
                 # introselect degrades ~6× on duplicate-heavy keys —
                 # folding in the id-ordered column index makes every
                 # key unique (fast) AND breaks ties to the lowest dst
                 # deterministically, so no redo pass exists. Exact in
-                # float64: |g| ≤ 2·d·255² and j < n_c keep
+                # float64: |g| ≤ 2·w·d·255² and j < n_c keep
                 # |g|·n_c + j ≪ 2^53 for any real slab/dim size
                 key = g * float(n_c)
                 key += np.arange(n_c, dtype=np.float64)[None, :]
                 sel = np.argpartition(key, kk - 1, axis=1)[:, :kk]
-            else:
-                sel = np.broadcast_to(np.arange(n_c), (g.shape[0], n_c)).copy()
-            gs = np.take_along_axis(g, sel, axis=1)
+            gs = np.take_along_axis(g, sel, axis=1).astype(np.float64)
             m = np.isfinite(gs)  # masked self rows in short partitions
             dist = (gs + qq[:, None])[m].astype(np.int64)
             src = np.repeat(qi, sel.shape[1]).reshape(sel.shape)[m]

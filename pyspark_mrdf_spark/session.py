@@ -25,8 +25,30 @@ def get_spark(
     is only an upper bound, AQE right-sizes each stage.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Pin the PYTHON WORKERS' BLAS to one thread each. Spark already
+    # parallelizes across tasks; without the pin, 32 concurrent workers
+    # each spawn an N-thread OpenBLAS gemm and the oversubscription
+    # spin-wait is catastrophic — measured on the SQ8 serving kernel at
+    # n=500k: the identical per-slab gemm cost 507 core-seconds inside
+    # workers vs ~11 standalone (~45x), and the contention dragged the
+    # single-threaded argpartition down ~8x alongside it. Workers
+    # inherit these via the JVM's environment (set BEFORE getOrCreate);
+    # the DRIVER's NumPy is typically already imported with its own
+    # threading, so driver-side training kernels keep their parallel
+    # BLAS. spark.executorEnv.* carries the same pin to real clusters.
+    for var in (
+        "OPENBLAS_NUM_THREADS",
+        "OMP_NUM_THREADS",
+        "MKL_NUM_THREADS",
+        "VECLIB_MAXIMUM_THREADS",
+        "NUMEXPR_NUM_THREADS",
+    ):
+        os.environ.setdefault(var, "1")
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -306,7 +306,7 @@ def main() -> None:
             "--graph-serving-only", "--ivfpq-io-only", "--mixture-sampled-only", "--cc-only", "--cc-tiers-only",
             "--graph-analytics-only", "--heavy-hitters-only",
             "--prefix-filter-only", "--incremental-only",
-            "--pca-serving-only",
+            "--pca-serving-only", "--relational-only",
             "--aniso",
         )
     ]
@@ -2209,8 +2209,13 @@ def _graph_serving_evidence(spark, n: int, d: int, build: str = "exact") -> dict
             # routes every leaf through the one-gemm exact tier (at
             # d=512 the 16384 tiled leaves measured 727 s — the leaf
             # quadratic is the whole build, so alpha is the cost dial)
+            # max_iter=2: a serving graph only needs entry-reachable
+            # neighborhoods (the beam re-ranks with true distances) —
+            # the tau-driven build (284.6 s) and this capped one serve
+            # at the same measured recall, so the extra forests buy
+            # nothing here
             graph = (
-                knn_graph(emb, 10, alpha=4096)
+                knn_graph(emb, 10, alpha=4096, max_iter=2)
                 .select("src", "dst")
                 .localCheckpoint(eager=True)
             )
