@@ -25,17 +25,28 @@ def get_spark(
     is only an upper bound, AQE right-sizes each stage.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    # Pin the PYTHON WORKERS' BLAS to one thread each. Spark already
-    # parallelizes across tasks; without the pin, 32 concurrent workers
-    # each spawn an N-thread OpenBLAS gemm and the oversubscription
-    # spin-wait is catastrophic — measured on the SQ8 serving kernel at
-    # n=500k: the identical per-slab gemm cost 507 core-seconds inside
-    # workers vs ~11 standalone (~45x), and the contention dragged the
-    # single-threaded argpartition down ~8x alongside it. Workers
-    # inherit these via the JVM's environment (set BEFORE getOrCreate);
-    # the DRIVER's NumPy is typically already imported with its own
-    # threading, so driver-side training kernels keep their parallel
-    # BLAS. spark.executorEnv.* carries the same pin to real clusters.
+    # Pin the PYTHON WORKERS' BLAS so tasks x threads ≈ machine cores.
+    # Spark already parallelizes across tasks; without the pin, 32
+    # concurrent workers each spawn an N-thread OpenBLAS gemm and the
+    # oversubscription spin-wait is catastrophic — measured on the SQ8
+    # serving kernel at n=500k: the identical per-slab gemm cost 507
+    # core-seconds inside workers vs ~11 standalone (~45x), and the
+    # contention dragged the single-threaded argpartition down ~8x
+    # alongside it (A/B on the full 50-query bench: 105.0 s unpinned vs
+    # 81.5 s pinned, same hour). Deliberately-undersubscribed local
+    # runs (SPARK_GRAFT_CPUS below the core count, e.g. the 8-worker
+    # n=300k MRDF row) keep cores/workers BLAS threads each, so the
+    # leaf gemms still use the whole machine. Workers inherit these via
+    # the JVM's environment (set BEFORE getOrCreate); the DRIVER's
+    # NumPy is typically already imported with its own threading, so
+    # driver-side training kernels keep their parallel BLAS.
+    # spark.executorEnv.* carries the 1-thread pin to real clusters,
+    # where 1 core/task is the scheduling contract.
+    try:
+        n_workers = max(1, int(cpus))
+    except ValueError:  # e.g. SPARK_GRAFT_CPUS="*"
+        n_workers = os.cpu_count() or 32
+    worker_blas = str(max(1, (os.cpu_count() or 32) // n_workers))
     for var in (
         "OPENBLAS_NUM_THREADS",
         "OMP_NUM_THREADS",
@@ -43,7 +54,7 @@ def get_spark(
         "VECLIB_MAXIMUM_THREADS",
         "NUMEXPR_NUM_THREADS",
     ):
-        os.environ.setdefault(var, "1")
+        os.environ.setdefault(var, worker_blas)
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")

@@ -21,8 +21,10 @@ The synthetic corpus is a seeded Gaussian MIXTURE (250 clusters,
 center scale 2.5 — the shape real embedding corpora have; measured
 recall 0.9999). ``--uniform`` adds a pure-Gaussian row: uniform
 high-dim noise is the documented WORST CASE for any partition-based
-ANN (neighborhoods barely beat random splits), measured ~0.78 with
-the same configuration — reported for honesty, not asserted.
+ANN (neighborhoods barely beat random splits) — measured ~0.78 with
+the escalation pinned off, 0.9628 hands-free (knn_graph auto-escalates
+on the unconverged signal since r11). Reported for honesty, not
+asserted.
 
 Recall for every point is measured against the grid-blocked exact
 graph (itself the q50 scale tier). All MRDF points run the SHIPPED
@@ -419,9 +421,10 @@ def main() -> None:
 
     if run_synthetic:
         syn_dir = "/root/repo/.scalability_synth"
-        # (name, k_clusters, mrdf overrides): uniform-tuned runs the
-        # worst-case distribution at the recall/cost dial's ≥0.9
-        # setting — 6 forests + 2 refine rounds (measured 0.9628)
+        # (name, k_clusters, mrdf overrides): the plain uniform row is
+        # hands-free since r11 (auto-escalation reaches 0.9628 from
+        # the default dial); --uniform-tuned keeps the explicit
+        # 6-forest/2-refine dial for A/B against the escalated run
         variants = [] if tuned_only else [("mixture", 250, {})]
         if include_uniform:
             variants.append(("uniform", None, {}))
