@@ -40,8 +40,14 @@ def get_spark(
     # the JVM's environment (set BEFORE getOrCreate); the DRIVER's
     # NumPy is typically already imported with its own threading, so
     # driver-side training kernels keep their parallel BLAS.
-    # spark.executorEnv.* carries the 1-thread pin to real clusters,
-    # where 1 core/task is the scheduling contract.
+    # spark.executorEnv.* must carry the SAME computed value: PySpark
+    # copies executorEnv into sc.environment and hands it to every
+    # Python worker in ALL deploy modes including local (ProcessBuilder
+    # putAll overrides inherited env), so a hardcoded "1" there would
+    # silently defeat the cores/workers sizing for undersubscribed
+    # local runs. On a real cluster os.cpu_count()/n_workers should be
+    # derived from the executor shape instead — 1 core/task deployments
+    # land back at 1 either way.
     try:
         n_workers = max(1, int(cpus))
     except ValueError:  # e.g. SPARK_GRAFT_CPUS="*"
@@ -57,9 +63,9 @@ def get_spark(
         os.environ.setdefault(var, worker_blas)
     builder = (
         SparkSession.builder.appName(app_name)
-        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
-        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
-        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", worker_blas)
+        .config("spark.executorEnv.OMP_NUM_THREADS", worker_blas)
+        .config("spark.executorEnv.MKL_NUM_THREADS", worker_blas)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

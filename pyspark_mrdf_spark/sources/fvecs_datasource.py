@@ -149,7 +149,21 @@ class _VecsWriter(DataSourceWriter):
         if not overwrite:
             import re
 
+            ext = "ivecs" if self.kind == "ivecs" else "fvecs"
             shards = _list_shards(self.path) if os.path.exists(self.path) else []
+            # an existing shard set without a _SUCCESS marker is a TORN
+            # prior commit (commit() retracts the marker first and
+            # republishes it last) — appending over it would recount
+            # and republish _SUCCESS, silently legitimizing a directory
+            # that lost rows. Refuse; the operator decides (re-run the
+            # overwrite, or inspect).
+            if shards and not os.path.exists(os.path.join(self.path, "_SUCCESS")):
+                raise ValueError(
+                    "fvecs append: target has shards but no _SUCCESS marker "
+                    "(torn prior commit or foreign directory) — appending "
+                    "would erase the torn-commit evidence; recover with "
+                    "mode('overwrite') instead"
+                )
             pat = re.compile(r"part-(\d{5})\.(fvecs|ivecs)$")
             idxs = []
             for f in shards:
@@ -160,6 +174,14 @@ class _VecsWriter(DataSourceWriter):
                         f"shard layout; found {os.path.basename(f)!r} — "
                         "id stability cannot be guaranteed, use "
                         "mode('overwrite')"
+                    )
+                if m.group(2) != ext:
+                    # a mixed fvecs/ivecs directory would decode one
+                    # kind's payload as the other's dtype with no error
+                    raise ValueError(
+                        f"fvecs append: target holds .{m.group(2)} shards "
+                        f"but this write is .{ext} — mixing kinds would "
+                        "silently mis-decode on read"
                     )
                 idxs.append(int(m.group(1)))
             self.base_index = max(idxs) + 1 if idxs else 0
@@ -185,6 +207,15 @@ class _VecsWriter(DataSourceWriter):
         ext = "ivecs" if self.kind == "ivecs" else "fvecs"
         dtype = np.int32 if self.kind == "ivecs" else np.float32
         shard_no = self.base_index + pid
+        if shard_no > 99999:
+            # a 6-digit name would lexically sort BEFORE the 5-digit
+            # ones and renumber every prior id — fail the task (staged
+            # files are swept by abort()) before any commit can happen
+            raise ValueError(
+                f"fvecs sink: shard number {shard_no} exceeds the "
+                "part-NNNNN namespace; compact the directory or reduce "
+                "partitions"
+            )
         final = os.path.join(self.path, f"part-{shard_no:05d}.{ext}")
         staged = os.path.join(
             self.path, f"_staging-part-{shard_no:05d}-attempt-{attempt}.{ext}"

@@ -196,6 +196,11 @@ def main() -> None:
             sys.exit("error: --graph-serving-build needs a value (exact|mrdf)")
         graph_serving_build = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
+        if graph_serving_build not in ("exact", "mrdf"):
+            sys.exit(
+                f"error: --graph-serving-build {graph_serving_build!r} "
+                "is not one of exact|mrdf"
+            )
     # --mixture-sampled-only: ONLY the sampled-recall MRDF design point
     # (default n=300000 — past the full-exact-scan budget; run with
     # SPARK_GRAFT_CPUS=16 per the r8 box-bound note)
@@ -429,7 +434,13 @@ def main() -> None:
         if include_uniform:
             variants.append(("uniform", None, {}))
         if include_uniform_tuned:
-            variants.append(("uniform-tuned", None, {"max_iter": 6, "refine_rounds": 2}))
+            # auto_escalate=False: this row IS the fixed-dial A/B arm —
+            # letting the default escalation double it to 12 forests
+            # would measure the wrong schedule
+            variants.append((
+                "uniform-tuned", None,
+                {"max_iter": 6, "refine_rounds": 2, "auto_escalate": False},
+            ))
         for dist_name, k_clusters, mrdf_kw in variants:
             try:
                 _write_synthetic(syn_dir, synthetic_n, k_clusters=k_clusters)
@@ -582,13 +593,25 @@ def _relational_evidence(spark, factor: int = 10) -> dict:
 
     base = "/root/testdata/sf0.1"
     syn = "/root/repo/.scalability_synth_rel"
-    offsets = {
-        "lineitem": ["l_orderkey"],
-        "orders": ["o_orderkey"],
-        "events": ["event_id", "user_id"],
-        "part": ["p_partkey"],
-        "documents": ["doc_id"],
+    # Referential integrity across replicas: l_partkey is offset by the
+    # PART table's pk span (not lineitem's own column span), so replica
+    # i's lineitems reference replica i's parts exactly. p_name gets a
+    # per-replica suffix so NAME-keyed operators (q153's linkage joins)
+    # see factor-x more distinct entities, not factor-x duplicates of
+    # each entity (duplicated names would blow candidate-pair work up
+    # ~factor^2 and misrepresent the 10x cost).
+    part_pk = pq.read_table(
+        os.path.join(base, "part.parquet"), columns=["p_partkey"]
+    )
+    part_span = pc.max(part_pk["p_partkey"]).as_py() + 1
+    offsets: dict[str, dict] = {
+        "lineitem": {"l_orderkey": None, "l_partkey": part_span},
+        "orders": {"o_orderkey": None},
+        "events": {"event_id": None, "user_id": None},
+        "part": {"p_partkey": part_span},
+        "documents": {"doc_id": None},
     }
+    suffix_cols = {"part": ["p_name"]}
     out: dict = {
         "sf": f"relational-{factor}x-sf0.1",
         "factor": factor,
@@ -600,14 +623,22 @@ def _relational_evidence(spark, factor: int = 10) -> dict:
         os.makedirs(syn)
         for tname, keys in offsets.items():
             t = pq.read_table(os.path.join(base, f"{tname}.parquet"))
-            span = {k: pc.max(t[k]).as_py() + 1 for k in keys}
+            span = {
+                k: (s if s is not None else pc.max(t[k]).as_py() + 1)
+                for k, s in keys.items()
+            }
+            sfx = suffix_cols.get(tname, [])
             reps = []
             for i in range(factor):
                 cols = {}
                 for name in t.column_names:
                     col = t[name]
-                    if name in keys and i:
+                    if i and name in span:
                         col = pc.add(col, i * span[name])
+                    elif i and name in sfx:
+                        col = pc.binary_join_element_wise(
+                            pc.cast(col, pa.string()), f" r{i}", ""
+                        )
                     cols[name] = col
                 reps.append(pa.table(cols))
             big = pa.concat_tables(reps)

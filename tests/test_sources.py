@@ -314,6 +314,34 @@ def test_fvecs_datasource_append_refuses_nonstandard_layout(spark, tmp):
     assert read_fvecs(spark, out).count() == 2
 
 
+def test_fvecs_datasource_append_refuses_torn_and_mixed_targets(spark, tmp):
+    # (a) shards without _SUCCESS = a torn prior commit: appending
+    # would recount and republish the marker, erasing the evidence;
+    # (b) mixing .ivecs into an .fvecs directory would silently
+    # mis-decode on read — both must refuse loudly
+    from pyspark_mrdf_spark.sources.fvecs_datasource import FvecsDataSource
+
+    spark.dataSource.register(FvecsDataSource)
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "vec_id bigint, embedding array<float>"
+    )
+    out = os.path.join(tmp, "append_torn")
+    df.coalesce(1).write.format("fvecs").mode("overwrite").save(out)
+    os.remove(os.path.join(out, "_SUCCESS"))  # simulate the torn commit
+    with pytest.raises(Exception, match="_SUCCESS"):
+        df.write.format("fvecs").mode("append").save(out)
+
+    out2 = os.path.join(tmp, "append_mixed")
+    df.coalesce(1).write.format("fvecs").mode("overwrite").save(out2)
+    ints = spark.createDataFrame(
+        [(0, [1, 2])], "vec_id bigint, components array<int>"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="mixing kinds"):
+        ints.write.format("fvecs").option("format", "ivecs").mode(
+            "append"
+        ).save(out2)
+
+
 def test_fvecs_datasource_overwrite_is_staged(spark, tmp):
     # Commit protocol: a failing overwrite job must leave the prior
     # committed shard set fully readable (staging names + commit-time
