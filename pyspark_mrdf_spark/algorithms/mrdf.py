@@ -160,7 +160,10 @@ def knn_graph(
     ``(seed, i)``); worst-case cost is bounded at ~2× forests + 1
     refine. Measured on worst-case uniform noise (SCALABILITY.json's
     uniform row): the default dial alone reaches ~0.78 recall, the
-    escalated schedule ≥0.95 with no hand tuning. Set
+    escalated schedule 0.9628 with no hand tuning — and 1.5× cheaper
+    than the hand-tuned 6-forest/2-refine dial at the IDENTICAL
+    recall (380.0 vs 569.1 s, uniform-tuned A/B row), because the
+    extra forests stop as soon as the ratio leaves the danger zone. Set
     ``auto_escalate=False`` where a PINNED iteration count is the
     contract (bench-comparable dials, the q155 unrolled-oracle replay,
     golden determinism tests) — the warning path then fires as before.
