@@ -168,7 +168,13 @@ def knn_graph(
     contract (bench-comparable dials, the q155 unrolled-oracle replay,
     golden determinism tests) — the warning path then fires as before.
     If even the escalated cap stops above the warn ratio, the warning
-    fires and ``metrics_out[-1]["unconverged"]`` is still set."""
+    fires and ``metrics_out[-1]["unconverged"]`` is still set.
+    Blind spot: both the warning and escalation need at least one
+    MEASURED update ratio, and the first measurement happens on
+    iteration 2's merge — so at ``max_iter=1`` (a single forest, no
+    merge) no ratio exists, neither path can fire, and the hands-free
+    guarantee does not apply; use ``max_iter >= 3`` (or the τ-driven
+    ``max_iter=0``) wherever that guarantee matters (advisor r11)."""
     spark = df.sparkSession
     sc = spark.sparkContext
     # materialize the working set once: spread a possibly-few-files

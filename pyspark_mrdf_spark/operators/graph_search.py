@@ -43,6 +43,52 @@ from pyspark_mrdf_spark.functions.vector import l2_sq
 LOCAL_ROUTE_MAX_CORPUS = 100_000
 
 
+def component_entries(
+    graph: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    seed: int = 13,
+) -> DataFrame:
+    """One md5-argmin entry id per connected component of ``graph``
+    (undirected, restricted to ``corpus`` ids; corpus ids absent from
+    the graph are singleton components — they are unreachable by any
+    walk, so seeding them is the only way they can ever be returned).
+    Returns a one-column frame ``vid``.
+
+    This is the safety half of ``graph_knn_search``'s default entry
+    seeding (``entry_strategy='component'``): O(√n) global seeding
+    alone covers every Θ(√n)-sized component w.h.p. but coupon-collects
+    on corpora with ~√n-many SMALL components (the common clustered
+    production shape — measured 0.504 recall on a 250-cluster d=512
+    mixture before this existed). One entry per component makes
+    coverage exact, not probabilistic. Cost: one star-contraction CC
+    pass over the edge table (O(log) rounds of groupBy·min — the same
+    machinery as ``operators/dedup.connected_components``) plus one
+    per-component argmin window. At serving scale, compute this ONCE at
+    index-build time and pass the result to ``graph_knn_search`` via
+    ``entries=`` instead of paying the CC pass per query batch."""
+    from pyspark_mrdf_spark.operators.dedup import connected_components
+
+    cid = corpus.select(F.col(id_col).alias("vid"))
+    e = (
+        graph.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(cid.select(F.col("vid").alias("u")), "u", "left_semi")
+        .join(cid.select(F.col("vid").alias("v")), "v", "left_semi")
+    )
+    cc = connected_components(e, "u", "v")  # (doc_id, cluster_id)
+    comp = cid.join(cc, cid["vid"] == cc["doc_id"], "left").select(
+        "vid", F.coalesce("cluster_id", F.col("vid")).alias("_cid")
+    )
+    w = Window.partitionBy("_cid").orderBy(
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col("vid").cast("string"))), "vid"
+    )
+    return (
+        comp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vid")
+    )
+
+
 def graph_knn_search(
     queries: DataFrame,
     graph: DataFrame,
@@ -56,6 +102,8 @@ def graph_knn_search(
     vec_col: str = "embedding",
     include_self: bool = True,
     route: str = "auto",
+    entry_strategy: str = "component",
+    entries: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k of ``queries`` against ``corpus`` by beam search over
     ``graph`` ((src, dst) adjacency, e.g. a ``knn_graph`` output):
@@ -71,26 +119,42 @@ def graph_knn_search(
     the 250-cluster d=512 mixture gives recall 0.0 from 4 entry
     points — no walk crosses clusters). Graph-index deployments fix
     this with long-range edges (DiskANN RobustPrune), a hierarchy
-    (HNSW), or ENTRY SEEDING; this operator takes the seeding route:
-    ``n_entry=None`` (default) auto-sizes to max(4, ⌈√n_corpus⌉)
-    md5-seeded entries — the same O(√n) rule as ``auto_n_centroids``
-    — which covers every Θ(√n)-sized component w.h.p. (one count job,
-    matching ``knn_search``'s tier-routing count; the planted-cluster
-    law in tests/test_graph_search.py pins both the failure and the
-    fix)."""
+    (HNSW), or ENTRY SEEDING; this operator takes the seeding route,
+    and the DEFAULT (``entry_strategy='component'``) makes coverage
+    EXACT, not probabilistic: entries = the max(4, ⌈√n_corpus⌉)
+    md5-seeded global entries (the same O(√n) rule as
+    ``auto_n_centroids``) ∪ one md5-argmin entry per connected
+    component of the graph (``component_entries`` — one star-
+    contraction CC pass per call; on a connected graph the extra
+    entry is the global md5-min, already in the √n set, so the entry
+    set — and every result — is unchanged). Rationale: √n seeding
+    alone coupon-collects on corpora with ~√n-many SMALL components
+    (the common clustered production shape — measured recall 0.504 on
+    the 250-cluster d=512 mixture), and that failure was SILENT.
+    ``entry_strategy='global'`` opts out (√n seeding only — the
+    pre-r12 dial, kept measurable; the planted-cluster law in
+    tests/test_graph_search.py pins the failure at that dial and the
+    fix at the default). At serving scale amortize the CC pass:
+    compute ``component_entries`` (∪ your global entries) once at
+    index-build time and pass the frame via ``entries=`` — then no
+    seeding (and no corpus count) runs per batch."""
     if k < 1 or beam < k:
         raise ValueError(f"graph_knn_search: need beam >= k >= 1, got k={k}, beam={beam}")
     if route not in ("auto", "local", "distributed"):
         raise ValueError(f"graph_knn_search: unknown route {route!r}")
+    if entry_strategy not in ("component", "global"):
+        raise ValueError(
+            f"graph_knn_search: unknown entry_strategy {entry_strategy!r}"
+        )
     # The corpus count drives ONLY auto-routing and entry auto-sizing;
-    # a caller that pins route='distributed' and supplies n_entry has
-    # already decided both, so don't charge them a Spark action for it
-    # (advisor round 9).
-    if route == "distributed" and n_entry is not None:
+    # a caller that pins route='distributed' and supplies n_entry (or a
+    # precomputed entry frame) has already decided both, so don't
+    # charge them a Spark action for it (advisor round 9).
+    if route == "distributed" and (n_entry is not None or entries is not None):
         n_corpus = None
     else:
         n_corpus = corpus.count()
-    if n_entry is None:
+    if n_entry is None and entries is None:
         import math
 
         n_entry = max(4, math.isqrt(max(n_corpus - 1, 0)) + 1)
@@ -108,7 +172,7 @@ def graph_knn_search(
     if route == "local" or (route == "auto" and n_corpus <= LOCAL_ROUTE_MAX_CORPUS):
         return _graph_search_local(
             queries, graph, corpus, k, beam, n_entry, max_rounds, seed,
-            id_col, vec_col, include_self,
+            id_col, vec_col, include_self, entry_strategy, entries,
         )
     q = queries.select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("_qvec")
@@ -128,11 +192,21 @@ def graph_knn_search(
             scored = scored.filter(F.col("vid") != F.col("qid"))
         return scored
 
-    entry = (
-        corpus.select(F.col(id_col).alias("vid"))
-        .orderBy(F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))))
-        .limit(n_entry)
-    )
+    if entries is not None:
+        # precomputed entry frame (index-build-time seeding): used
+        # verbatim; ids absent from the corpus are shed by _score's
+        # corpus join, exactly like dangling graph edges
+        entry = entries.select(F.col(entries.columns[0]).alias("vid"))
+    else:
+        entry = (
+            corpus.select(F.col(id_col).alias("vid"))
+            .orderBy(F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))))
+            .limit(n_entry)
+        )
+        if entry_strategy == "component":
+            entry = entry.unionByName(
+                component_entries(graph, corpus, id_col, seed)
+            ).distinct()
     state = (
         _score(q.select("qid").crossJoin(F.broadcast(entry)))
         .withColumn("expanded", F.lit(False))
@@ -199,12 +273,16 @@ def _graph_search_local(
     id_col: str,
     vec_col: str,
     include_self: bool,
+    entry_strategy: str = "component",
+    entries: DataFrame | None = None,
 ) -> DataFrame:
     """Driver-local beam search, bit-identical to the distributed walk
-    (same md5 entries, same round structure, same (d2, vid) tie-break,
-    and the SAME float64 arithmetic: distances accumulate dimension by
-    dimension — l2_sq's sequential left fold — so not even a last-ulp
-    difference separates the tiers)."""
+    (same md5 entries — including the per-component argmin set, here
+    via union-find over the already-collected adjacency instead of a
+    distributed CC pass — same round structure, same (d2, vid)
+    tie-break, and the SAME float64 arithmetic: distances accumulate
+    dimension by dimension — l2_sq's sequential left fold — so not
+    even a last-ulp difference separates the tiers)."""
     import hashlib
 
     import numpy as np
@@ -227,13 +305,44 @@ def _graph_search_local(
             adj.setdefault(int(r[0]), []).append(dst)
     q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
 
-    entry_ids = [
-        int(v)
-        for v in sorted(
-            (int(v) for v in ids),
-            key=lambda v: hashlib.md5(f"{seed}:{v}".encode()).hexdigest(),
-        )[:n_entry]
-    ]
+    def _md5(v: int) -> str:
+        return hashlib.md5(f"{seed}:{v}".encode()).hexdigest()
+
+    if entries is not None:
+        # precomputed frame: shed ids absent from the corpus (the
+        # distributed tier's _score join drops them identically)
+        entry_ids = sorted({int(r[0]) for r in entries.collect()} & pos.keys())
+    else:
+        entry_ids = [
+            int(v)
+            for v in sorted(
+                (int(v) for v in ids), key=lambda v: (_md5(v), int(v))
+            )[:n_entry]
+        ]
+        if entry_strategy == "component":
+            # union-find over the corpus-restricted undirected edges,
+            # then one md5-argmin entry per component — the exact set
+            # component_entries() computes distributedly
+            parent = {int(v): int(v) for v in ids}
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for s, ds in adj.items():
+                if s in parent:
+                    for t in ds:
+                        rs, rt = find(s), find(t)
+                        if rs != rt:
+                            parent[max(rs, rt)] = min(rs, rt)
+            best: dict[int, int] = {}
+            for v in parent:
+                r = find(v)
+                if r not in best or (_md5(v), v) < (_md5(best[r]), best[r]):
+                    best[r] = v
+            entry_ids = sorted(set(entry_ids) | set(best.values()))
 
     def score_block(qvec64: np.ndarray, vids: list[int]) -> np.ndarray:
         block = mat[[pos[v] for v in vids]].astype(np.float64)

@@ -1746,7 +1746,7 @@ def _q148_csv_path(spark: SparkSession, sf_dir: str) -> str:
 
 @register(
     "q148_csv_roundtrip_stats",
-    driver=True,  # promoted r10: owed rotation for the r9-registered operators
+    driver=False,  # r12 rotation: 2x driver-green (r10,r11), cedes its slot to the r11-rewritten q108 (format fidelity keeps q147)
     oracle="""
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,

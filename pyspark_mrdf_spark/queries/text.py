@@ -727,7 +727,11 @@ FROM (VALUES
         "replica is what upgrades this from a rows-only verdict)"
     ),
     tags=("text", "tokenizer", "pipeline"),
-    driver=False,  # r10 rotation: 2x driver-green (r8,r9), cedes its slot to q137-q155 (BPE stays via q107 train)
+    # re-promoted r12 (r11 verdict ask #2): the r11 top-V cap rewrote
+    # this builder while it sat pytest-only — changed code re-earns a
+    # driver verdict; q148 (2x-green, format fidelity keeps q147) cedes
+    # the slot
+    driver=True,
 )
 def q108_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: one mapInPandas over documents with broadcast O(k)

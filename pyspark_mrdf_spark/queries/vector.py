@@ -1156,7 +1156,15 @@ def _q124_oracle(sf_dir: str) -> str:
     (distance, id) tie-breaks — and the OUTPUT is rank-only, so the
     oracle needs distance ORDER (list_distance), never bit-equal
     float accumulation. n_entry is the same O(√n) auto-sizing rule as
-    the engine, computed here from the corpus count."""
+    the engine, computed here from the corpus count. r12: the engine's
+    default seeding became component-aware (global √n md5 entries ∪
+    one md5-argmin entry per graph component — graph_search.py's safe
+    default); the oracle replays that by extracting the SAME exact
+    degree-K edge list (the adj CTE's own SQL), union-finding the
+    components here, and inlining the per-component argmin ids as a
+    VALUES arm of the entries CTE (the same computed-input stance as
+    the Python-computed n_entry — the walk itself stays SQL)."""
+    import hashlib
     import math
 
     import duckdb
@@ -1165,8 +1173,41 @@ def _q124_oracle(sf_dir: str) -> str:
     n = con.execute(
         f"SELECT COUNT(*) FROM '{sf_dir}/embeddings.parquet'"
     ).fetchone()[0]
+    edge_rows = con.execute(
+        f"""WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM '{sf_dir}/embeddings.parquet')
+SELECT src, dst FROM (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+           ORDER BY list_distance(a.v, b.v), b.vec_id) AS rnk
+  FROM emb a JOIN emb b ON a.vec_id <> b.vec_id)
+WHERE rnk <= {K}"""
+    ).fetchall()
     con.close()
     n_entry = max(4, math.isqrt(max(n - 1, 0)) + 1)
+    parent = {v: v for v in range(n)}
+
+    def _find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, t in edge_rows:
+        rs, rt = _find(int(s)), _find(int(t))
+        if rs != rt:
+            parent[max(rs, rt)] = min(rs, rt)
+
+    def _md5(v: int) -> str:
+        return hashlib.md5(f"13:{v}".encode()).hexdigest()
+
+    best: dict[int, int] = {}
+    for v in parent:
+        r = _find(v)
+        if r not in best or (_md5(v), v) < (_md5(best[r]), best[r]):
+            best[r] = v
+    comp_values = ", ".join(f"({v})" for v in sorted(best.values()))
     beam, k_out, rounds = 32, 5, 12
     cte = [
         "emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
@@ -1179,8 +1220,11 @@ def _q124_oracle(sf_dir: str) -> str:
   WHERE rnk <= {K})""",
         "q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id % 17 = 0)",
         f"""entries AS MATERIALIZED (
-  SELECT vec_id AS vid FROM emb
-  ORDER BY md5(concat('13:', CAST(vec_id AS VARCHAR))) LIMIT {n_entry})""",
+  SELECT vid FROM (
+    SELECT vec_id AS vid FROM emb
+    ORDER BY md5(concat('13:', CAST(vec_id AS VARCHAR))) LIMIT {n_entry})
+  UNION
+  SELECT vid FROM (VALUES {comp_values}) comp(vid))""",
         """s0 AS MATERIALIZED (
   SELECT q.qid, e.vid, list_distance(q.qv, emb.v) AS d, FALSE AS expanded
   FROM q CROSS JOIN entries e JOIN emb ON emb.vec_id = e.vid)""",

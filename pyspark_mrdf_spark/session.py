@@ -66,6 +66,13 @@ def get_spark(
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", worker_blas)
         .config("spark.executorEnv.OMP_NUM_THREADS", worker_blas)
         .config("spark.executorEnv.MKL_NUM_THREADS", worker_blas)
+        # the remaining two backends pinned via executorEnv as well:
+        # setdefault inheritance alone is defeated by a pre-existing
+        # user export (e.g. NUMEXPR_NUM_THREADS=32 in the shell), which
+        # would silently reintroduce worker oversubscription on those
+        # backends (advisor r11)
+        .config("spark.executorEnv.VECLIB_MAXIMUM_THREADS", worker_blas)
+        .config("spark.executorEnv.NUMEXPR_NUM_THREADS", worker_blas)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -146,6 +146,7 @@ class _VecsWriter(DataSourceWriter):
         # guarantee unprovable, so those layouts refuse the append
         # instead of silently renumbering a reader's view.
         self.base_index = 0
+        self._reservation = None
         if not overwrite:
             import re
 
@@ -187,6 +188,26 @@ class _VecsWriter(DataSourceWriter):
             self.base_index = max(idxs) + 1 if idxs else 0
             if self.base_index >= 99999:
                 raise ValueError("fvecs append: part-NNNNN namespace exhausted")
+            # Reserve the append EXCLUSIVELY (advisor r11): two
+            # appenders constructed before either commits would compute
+            # the same base_index and their os.replace renames would
+            # silently clobber each other. An O_EXCL marker makes the
+            # second reservation fail loudly instead; commit()/abort()
+            # release it. A crashed appender leaves the marker behind —
+            # deliberately: its staging leftovers need inspection, and
+            # the error names the file to remove.
+            os.makedirs(self.path, exist_ok=True)
+            self._reservation = os.path.join(self.path, "_append-reservation")
+            try:
+                with open(self._reservation, "x") as fh:
+                    fh.write(str(self.base_index))
+            except FileExistsError:
+                raise ValueError(
+                    "fvecs append: another appender holds "
+                    f"{self._reservation} (concurrent append, or a crashed "
+                    "one — inspect the directory, then delete the marker "
+                    "to re-enable appends)"
+                ) from None
 
     def write(self, iterator):
         # Commit protocol (round-10, advisor finding): tasks write to
@@ -270,6 +291,7 @@ class _VecsWriter(DataSourceWriter):
         total = sum(_shard_rows(f) for f in _list_shards(self.path))
         with open(success, "w") as fh:
             fh.write(str(total))
+        self._release_reservation()
 
     def abort(self, messages):
         for m in messages:
@@ -278,6 +300,17 @@ class _VecsWriter(DataSourceWriter):
         # tasks that raised mid-write produced no message at all: their
         # staging files (invisible to readers) are swept by pattern
         self._sweep_staging(keep=set())
+        # an aborted append left no published shards, so the reserved
+        # range is safe to hand to the next appender
+        self._release_reservation()
+
+    def _release_reservation(self) -> None:
+        if self._reservation is not None:
+            try:
+                os.remove(self._reservation)
+            except OSError:
+                pass
+            self._reservation = None
 
     def _sweep_staging(self, keep: set[str]) -> None:
         for f in glob.glob(os.path.join(self.path, "_staging-*")):

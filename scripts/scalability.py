@@ -604,9 +604,18 @@ def _relational_evidence(spark, factor: int = 10) -> dict:
         os.path.join(base, "part.parquet"), columns=["p_partkey"]
     )
     part_span = pc.max(part_pk["p_partkey"]).as_py() + 1
+    # l_orderkey must shift by the ORDERS pk span (not lineitem's own
+    # column span) for the same reason as l_partkey/part_span above:
+    # the two maxima coincide in today's sf0.1 data, but a corpus with
+    # trailing orders that have no lineitems would desynchronize the
+    # replicas' foreign keys (advisor r11).
+    orders_pk = pq.read_table(
+        os.path.join(base, "orders.parquet"), columns=["o_orderkey"]
+    )
+    order_span = pc.max(orders_pk["o_orderkey"]).as_py() + 1
     offsets: dict[str, dict] = {
-        "lineitem": {"l_orderkey": None, "l_partkey": part_span},
-        "orders": {"o_orderkey": None},
+        "lineitem": {"l_orderkey": order_span, "l_partkey": part_span},
+        "orders": {"o_orderkey": order_span},
         "events": {"event_id": None, "user_id": None},
         "part": {"p_partkey": part_span},
         "documents": {"doc_id": None},
@@ -2274,12 +2283,13 @@ def _graph_serving_evidence(spark, n: int, d: int, build: str = "exact") -> dict
         for r in want.collect():
             w.setdefault(r["src"], set()).add(r["dst"])
 
-        def _run_graph(n_entry, key):
+        def _run_graph(n_entry, key, strategy="component"):
             graph_s, got = [], None
             for _ in range(2):
                 t0 = time.time()
                 got = graph_knn_search(
                     queries, graph, emb, 5, beam=32, n_entry=n_entry,
+                    entry_strategy=strategy,
                     # this row's claim is the DISTRIBUTED walk's scaling;
                     # auto would route the <=100k corpus to the local
                     # tier (bit-identical, tests) and silently change
@@ -2297,11 +2307,21 @@ def _graph_serving_evidence(spark, n: int, d: int, build: str = "exact") -> dict
                 hits / sum(len(ds) for ds in w.values()), 4
             )
 
-        # the entry-seeding dial: auto = max(4, ceil(sqrt n)) covers
-        # ~1-exp(-sqrt(n)/n_components) of a clustered corpus's graph
-        # components; 1024 covers ~98% of this corpus's 250
+        # r12: the DEFAULT dial is component-aware (global sqrt-n md5
+        # entries + one md5-argmin entry per graph component — exact
+        # coverage, CC pass included in the measured wall). The
+        # '_global' arm keeps the pre-r12 sqrt-n-only dial measurable
+        # (the coupon-collector failure: sqrt(n)=224 entries over ~250
+        # components -> ~0.50 recall); '_e1024' is the old hand dial
+        # (~98% coverage) for continuity.
+        from pyspark_mrdf_spark.operators.graph_search import component_entries
+
+        t0 = time.time()
+        out["n_components"] = component_entries(graph, emb).count()
+        out["component_entries_s"] = round(time.time() - t0, 2)
         _run_graph(None, "")
-        _run_graph(1024, "_e1024")
+        _run_graph(None, "_global", strategy="global")
+        _run_graph(1024, "_e1024", strategy="global")
     finally:
         shutil.rmtree(syn_dir, ignore_errors=True)
     return out

@@ -83,10 +83,13 @@ def test_graph_search_rejects_bad_beam(spark, emb, graph):
 
 def test_graph_search_entry_seeding_bridges_components(spark):
     """The flat-graph connectivity law: a kNN graph of two far-apart
-    clusters is two components; ONE entry point strands every query
-    whose cluster the entry missed (recall ~0.5 across a query set
-    drawn from both), while the auto O(sqrt n) seeding reaches both.
-    Pins both the failure mode and the fix the docstring claims."""
+    clusters is two components; ONE global entry point (the pre-r12
+    dial, kept measurable as entry_strategy='global') strands every
+    query whose cluster the entry missed (recall ~0.5 across a query
+    set drawn from both), while the DEFAULT component-aware seeding
+    bridges both even at that starved n_entry dial — coverage is
+    exact, not coupon-collector. Pins both the failure mode and the
+    default fix the docstring claims."""
     import numpy as np
 
     n_half, d = 100, 8
@@ -104,13 +107,85 @@ def test_graph_search_entry_seeding_bridges_components(spark):
     queries = emb.filter((F.col("vec_id") < 5) | (F.col("vec_id") >= n_half * 2 - 5))
     want = knn_search(queries, emb, 3).collect()
 
-    one_entry = graph_knn_search(queries, graph, emb, 3, beam=8, n_entry=1).collect()
+    one_entry = graph_knn_search(
+        queries, graph, emb, 3, beam=8, n_entry=1, entry_strategy="global"
+    ).collect()
     r_one = _recall(one_entry, want)
-    assert r_one <= 0.55, f"one entry point should strand a cluster, recall={r_one}"
+    assert r_one <= 0.55, f"one global entry should strand a cluster, recall={r_one}"
 
-    auto = graph_knn_search(queries, graph, emb, 3, beam=8).collect()  # n_entry=None
+    # the DEFAULT strategy at the SAME starved dial: component seeding
+    # adds one entry per component, so nothing is stranded
+    one_comp = graph_knn_search(queries, graph, emb, 3, beam=8, n_entry=1).collect()
+    r_comp = _recall(one_comp, want)
+    assert r_comp >= 0.9, f"component seeding should bridge, recall={r_comp}"
+
+    auto = graph_knn_search(queries, graph, emb, 3, beam=8).collect()  # all defaults
     r_auto = _recall(auto, want)
-    assert r_auto >= 0.9, f"auto entry seeding should bridge both clusters, recall={r_auto}"
+    assert r_auto >= 0.9, f"default seeding should bridge both clusters, recall={r_auto}"
+
+    # tier bit-identity must hold for the component entry set too: the
+    # distributed CC + argmin window and the local union-find must
+    # seed the SAME entries (ids, ranks, and distances then follow)
+    dist = graph_knn_search(
+        queries, graph, emb, 3, beam=8, n_entry=1, route="distributed"
+    ).collect()
+    assert sorted((r["src"], r["rnk"], r["dst"]) for r in one_comp) == sorted(
+        (r["src"], r["rnk"], r["dst"]) for r in dist
+    )
+
+
+def test_graph_search_component_entries_match_tiers(spark):
+    """component_entries (distributed CC + md5-argmin window) returns
+    exactly one entry per component, and precomputed ``entries=``
+    (the index-build-time amortization path) replays the default
+    seeding bit-identically on a multi-component graph."""
+    import numpy as np
+
+    from pyspark_mrdf_spark.operators.graph_search import component_entries
+
+    n_half, d = 60, 8
+    rng = np.random.RandomState(7)
+    a = rng.randn(n_half, d).astype("float32")
+    b = rng.randn(n_half, d).astype("float32") + 500.0
+    c = rng.randn(n_half, d).astype("float32") - 500.0
+    rows = [
+        (int(i), [float(v) for v in vec])
+        for i, vec in enumerate(np.vstack([a, b, c]))
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).localCheckpoint(eager=True)
+    graph = knn_exact_blocked(emb, 4).select("src", "dst").localCheckpoint(eager=True)
+
+    ents = component_entries(graph, emb)
+    got = sorted(r["vid"] for r in ents.collect())
+    assert len(got) == 3  # one per planted component
+    # the three entries live in three different thirds of the id space
+    assert sorted(v // n_half for v in got) == [0, 1, 2]
+
+    # entries= replays the default (global ∪ component) seeding exactly
+    n_entry = max(4, int(np.sqrt(3 * n_half - 1)) + 1)
+    import hashlib
+
+    all_ids = list(range(3 * n_half))
+    glob = sorted(
+        all_ids, key=lambda v: hashlib.md5(f"13:{v}".encode()).hexdigest()
+    )[:n_entry]
+    pre = spark.createDataFrame(
+        [(int(v),) for v in sorted(set(glob) | set(got))], "vid long"
+    )
+    queries = emb.filter(F.col("vec_id") % 29 == 0)
+    dflt = graph_knn_search(queries, graph, emb, 3, beam=8).collect()
+    via_pre = graph_knn_search(queries, graph, emb, 3, beam=8, entries=pre).collect()
+    key = lambda r: (r["src"], r["rnk"])  # noqa: E731
+    assert {key(r): (r["dst"], r["dist_sq"]) for r in dflt} == {
+        key(r): (r["dst"], r["dist_sq"]) for r in via_pre
+    }
+
+
+def test_graph_search_entry_strategy_validation(spark, emb, graph):
+    with pytest.raises(ValueError, match="entry_strategy"):
+        graph_knn_search(emb.limit(1), graph, emb, 3, entry_strategy="nope")
 
 
 def test_graph_search_local_tier_bit_identical(spark, emb, graph):

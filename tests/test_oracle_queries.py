@@ -151,6 +151,11 @@ DRIVER_SURFACE = [
     # q128 stratified sample (sampling stays driver-verified via q156)
     # and q132 snapshot diff (pipeline keeps q126 + the new pair).
     # Family sentinels q01/q50/q56/q72 stay put.
+    # Round-12 rotation (r11 verdict ask #2): q108 BPE application —
+    # whose builder the r11 top-V cap rewrote while it sat pytest-only
+    # — re-earns a driver verdict, taking the slot of the 2x-green
+    # (r10, r11) q148 CSV fidelity (format fidelity keeps q147 ORC).
+    # Family sentinels q01/q50/q56/q72 stay put.
     "q114_scd2_history",
     "q130_linear_attribution",
     "q135_top_user_paths",
@@ -165,6 +170,7 @@ DRIVER_SURFACE = [
     "q139_fuzzy_record_linkage",
     "q153_golden_record",
     "q107_bpe_train",
+    "q108_bpe_tokenize",
     "q117_nb_quality_classifier",
     "q120_hybrid_rrf_retrieval",
     "q136_tfidf_top_terms",
@@ -185,7 +191,6 @@ DRIVER_SURFACE = [
     "q144_data_quality_report",
     "q145_personalized_pagerank",
     "q147_orc_roundtrip_stats",
-    "q148_csv_roundtrip_stats",
     "q154_upsert_merge_stats",
     "q156_weighted_sample",
     "q157_token_budget_selection",

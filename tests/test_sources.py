@@ -291,6 +291,41 @@ def test_fvecs_datasource_append_id_stable_roundtrip(spark, tmp):
     assert names == ["part-00000.fvecs", "part-00001.fvecs", "part-00002.fvecs"]
     with open(os.path.join(out, "_SUCCESS")) as fh:
         assert fh.read().strip() == "12"
+    # the reservation marker is released after a successful commit
+    assert not os.path.exists(os.path.join(out, "_append-reservation"))
+
+
+def test_fvecs_datasource_append_reservation_is_exclusive(spark, tmp):
+    # Two appenders racing would both derive the same base_index and
+    # clobber each other's renames; the O_EXCL reservation marker makes
+    # the SECOND writer's construction fail loudly instead (advisor
+    # r11). Simulated by constructing the writer objects directly —
+    # the API path constructs them the same way driver-side.
+    from pyspark_mrdf_spark.sources.fvecs_datasource import (
+        FvecsDataSource,
+        _VecsWriter,
+    )
+
+    spark.dataSource.register(FvecsDataSource)
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 4.0])], "vec_id bigint, embedding array<float>"
+    )
+    out = os.path.join(tmp, "append_race")
+    df.coalesce(1).write.format("fvecs").mode("overwrite").save(out)
+
+    first = _VecsWriter({"path": out}, overwrite=False)
+    with pytest.raises(ValueError, match="_append-reservation"):
+        _VecsWriter({"path": out}, overwrite=False)
+    # abort (no published shards) releases the reservation...
+    first.abort([])
+    second = _VecsWriter({"path": out}, overwrite=False)
+    assert second.base_index == first.base_index
+    second.abort([])
+    # ...and the API append works again end-to-end afterwards
+    df.coalesce(1).write.format("fvecs").mode("append").save(out)
+    from pyspark_mrdf_spark.sources.fvecs import read_fvecs
+
+    assert read_fvecs(spark, out).count() == 4
 
 
 def test_fvecs_datasource_append_refuses_nonstandard_layout(spark, tmp):
