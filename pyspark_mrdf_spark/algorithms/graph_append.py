@@ -1,0 +1,230 @@
+"""Incremental kNN-graph maintenance: fold an appended vector batch
+into an existing graph instead of rebuilding the forest.
+
+The production twin of the id-preserving fvecs append
+(``sources/fvecs_datasource.py``) and the measured incremental-dedup
+pattern (q142, 17× vs recompute): a serving corpus grows by a 1-5%
+batch per ingest cycle, and rebuilding the whole MRDF forest
+(``algorithms/mrdf.knn_graph``) for every cycle pays O(n) division +
+leaf work for O(m) new information. The reference has no incremental
+path at all (its pipeline — main.py — is build-once); this operator
+completes the build → serve → APPEND lifecycle.
+
+Two tiers, one contract — edge table (src, dst, dist_sq, rnk), ≤ k
+edges per src over the UNION corpus:
+
+ - **exact** — the batch's cross distances are computed exactly both
+   ways (new→old and old→new are the same m×n work; ``knn_search``'s
+   blocked kernel), plus the m×m in-batch graph, then merged with the
+   old adjacency under one per-src top-k window. If the old graph is
+   the exact kNN graph of the old corpus, the result IS the exact kNN
+   graph of the union — bit-identically, not approximately (the law
+   test replays ``knn_exact_blocked`` on the union and compares ids
+   AND float64 distances): an old node's union top-k is the top-k of
+   (its exact top-k among old) ∪ (its exact top-k among new), and both
+   halves are present by construction. Cost O(m·n), vs the rebuild's
+   O(n²) — the dial that makes this a maintenance operator rather
+   than a rebuild.
+ - **graph** — the scale path: new→old candidates come from BEAM
+   SEARCH over the existing graph (``graph_knn_search`` — the serving
+   operator reused for maintenance, component-safe entries included),
+   so the old corpus is never scanned; old→new updates are the
+   REVERSE of those walk results; in-batch edges are exact (m is
+   small by the append contract); then ``refine_rounds``
+   neighbor-of-neighbor rounds (NN-Descent's step, restricted to the
+   AFFECTED set: new nodes + old nodes that gained a new edge) repair
+   the asymmetric misses. Per-cycle cost is batch-proportional —
+   O(m·beam·diameter) walk joins + O(|affected|·k²) refine scoring —
+   never O(n²): at 100 TB the append cycle touches the graph's
+   broadcast-joined frontier and the batch, not the corpus.
+
+``mode='auto'`` routes: exact when the batch-cross work m·n is small
+(≤ ``EXACT_AUTO_MAX_CROSS`` pairs — one driver-side multiply of two
+counts the caller usually already knows), graph otherwise.
+
+Determinism: every step is seeded/tie-broken like the rest of the
+engine (md5 entries, (dist_sq, dst) windows, fixed-order float64), so
+both tiers are run-to-run and partitioning deterministic — the exact
+tier is oracle-checkable end-to-end (q158: oracle = the rebuilt exact
+graph in SQL, because equality-with-rebuild IS the contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyspark_mrdf_spark.functions.vector import l2_sq
+
+EXACT_AUTO_MAX_CROSS = 50_000_000  # m·n pairs; ~the blocked kernel's comfort zone
+
+
+def knn_graph_append(
+    old_graph: DataFrame,
+    old_corpus: DataFrame,
+    new_batch: DataFrame,
+    k: int,
+    mode: str = "auto",
+    beam: int = 32,
+    k_candidates: int | None = None,
+    refine_rounds: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fold ``new_batch`` into ``old_graph`` (built over ``old_corpus``)
+    → (src, dst, dist_sq, rnk) over the union corpus, ≤ k per src,
+    rnk ascending by (dist_sq, dst). Ids must be disjoint between
+    ``old_corpus`` and ``new_batch`` (the fvecs append's id contract).
+
+    ``old_graph`` needs (src, dst); if it carries no ``dist_sq``
+    column (e.g. a re-read adjacency file), distances are re-derived
+    by resolving both endpoints against the union corpus via the JVM
+    ``l2_sq`` expression. CAVEAT: that expression's sequential fold
+    can differ from the blocked exact kernel's accumulation in the
+    LAST ULP (measured ~1e-15 relative at d=64), so the re-derived
+    path preserves ids/ranks except on exact ulp-ties and the
+    bit-identity law below only holds for a ``dist_sq``-carrying
+    graph — which every in-engine builder emits."""
+    if k < 1:
+        raise ValueError(f"knn_graph_append: need k >= 1, got {k}")
+    if mode not in ("auto", "exact", "graph"):
+        raise ValueError(f"knn_graph_append: unknown mode {mode!r}")
+    from pyspark_mrdf_spark.operators.similarity import knn_search
+
+    old_c = old_corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).localCheckpoint(eager=False)
+    new_c = new_batch.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).localCheckpoint(eager=False)
+    # the counts drive auto-routing and materialize the checkpoints;
+    # graph mode still needs m to size the in-batch exact step
+    n_old, m_new = old_c.count(), new_c.count()
+    if mode == "auto":
+        mode = "exact" if n_old * m_new <= EXACT_AUTO_MAX_CROSS else "graph"
+
+    union_c = old_c.unionByName(new_c)
+    old_edges = old_graph.select("src", "dst")
+    if "dist_sq" in old_graph.columns:
+        old_scored = old_graph.select("src", "dst", "dist_sq")
+    else:
+        sv = union_c.select(F.col("vid").alias("src"), F.col("vec").alias("_sv"))
+        dv = union_c.select(F.col("vid").alias("dst"), F.col("vec").alias("_dv"))
+        old_scored = (
+            old_edges.join(sv, "src").join(dv, "dst")
+            .select("src", "dst", l2_sq("_sv", "_dv").alias("dist_sq"))
+        )
+
+    def _as_corpus(c: DataFrame) -> DataFrame:
+        return c.select(F.col("vid").alias(id_col), F.col("vec").alias(vec_col))
+
+    # in-batch edges are exact in BOTH tiers: m is small by the append
+    # contract, and the new points have no graph to walk yet
+    new_new = (
+        knn_search(
+            _as_corpus(new_c), _as_corpus(new_c), min(k, max(m_new - 1, 1)),
+            id_col=id_col, vec_col=vec_col, include_self=False,
+            broadcast_max_rows=None,
+        ).select("src", "dst", "dist_sq")
+        if m_new > 1
+        else old_scored.limit(0)
+    )
+
+    if mode == "exact":
+        # new→old keeps knn_search's tier routing: the old corpus can
+        # be large here (auto admits m·n up to 50M pairs), and the
+        # blocked tier avoids broadcasting it whole
+        new_old = knn_search(
+            _as_corpus(new_c), _as_corpus(old_c), min(k, n_old),
+            id_col=id_col, vec_col=vec_col, include_self=False,
+        ).select("src", "dst", "dist_sq")
+        old_new = knn_search(
+            _as_corpus(old_c), _as_corpus(new_c), min(k, m_new),
+            id_col=id_col, vec_col=vec_col, include_self=False,
+            broadcast_max_rows=None,
+        ).select("src", "dst", "dist_sq")
+        merged = (
+            old_scored.unionByName(new_old)
+            .unionByName(old_new)
+            .unionByName(new_new)
+        )
+        return _topk(merged, k)
+
+    # ---- graph tier --------------------------------------------------
+    from pyspark_mrdf_spark.operators.graph_search import graph_knn_search
+
+    if k_candidates is None:
+        k_candidates = min(max(2 * k, 16), beam)
+    if k_candidates > beam:
+        raise ValueError(
+            f"knn_graph_append: k_candidates {k_candidates} > beam {beam}"
+        )
+    walked = graph_knn_search(
+        _as_corpus(new_c), old_edges, _as_corpus(old_c), k_candidates,
+        beam=beam, id_col=id_col, vec_col=vec_col,
+    ).select("src", "dst", "dist_sq").localCheckpoint(eager=False)
+    # reverse the walk results for the old side: an old node's best new
+    # neighbors are (mostly) the new nodes that found IT — the
+    # asymmetric misses are what refine_rounds repairs
+    reverse = walked.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "dist_sq"
+    )
+    g = _topk(
+        old_scored.unionByName(walked).unionByName(reverse).unionByName(new_new),
+        k,
+    ).localCheckpoint(eager=False)
+
+    if refine_rounds > 0:
+        new_ids = new_c.select(F.col("vid").alias("src"))
+        for _ in range(refine_rounds):
+            # affected = new nodes + old nodes adjacent to a new node:
+            # batch-proportional by construction (≤ m + m·k rows)
+            affected = (
+                g.join(new_ids.select(F.col("src").alias("dst")), "dst", "left_semi")
+                .select("src")
+                .unionByName(new_ids)
+                .distinct()
+            )
+            # one NN-Descent step restricted to the affected set:
+            # candidates = neighbors of neighbors, scored exactly
+            cand = (
+                g.join(F.broadcast(affected), "src")
+                .select("src", F.col("dst").alias("mid"))
+                .join(
+                    g.select(F.col("src").alias("mid"), F.col("dst").alias("cnd")),
+                    "mid",
+                )
+                .select("src", F.col("cnd").alias("dst"))
+                .filter(F.col("src") != F.col("dst"))
+                .distinct()
+                .join(g.select("src", "dst"), ["src", "dst"], "left_anti")
+            )
+            scored = (
+                cand.join(
+                    union_c.select(F.col("vid").alias("src"), F.col("vec").alias("_sv")),
+                    "src",
+                )
+                .join(
+                    union_c.select(F.col("vid").alias("dst"), F.col("vec").alias("_dv")),
+                    "dst",
+                )
+                .select("src", "dst", l2_sq("_sv", "_dv").alias("dist_sq"))
+            )
+            g = _topk(
+                g.select("src", "dst", "dist_sq").unionByName(scored), k
+            ).localCheckpoint(eager=False)
+    return g
+
+
+def _topk(edges: DataFrame, k: int) -> DataFrame:
+    # dedup by MIN distance per (src, dst): candidate branches compute
+    # distances with the same fixed-order arithmetic, so duplicates tie
+    # — min just makes the pick deterministic rather than
+    # partition-dependent
+    w = Window.partitionBy("src").orderBy("dist_sq", "dst")
+    return (
+        edges.groupBy("src", "dst")
+        .agg(F.min("dist_sq").alias("dist_sq"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -995,6 +995,7 @@ def capped_per_key(
     "q126_domain_caps",
     # promoted r9: takes a slot ceded by the multi-green r9 rotation
     # (see tests/test_oracle_queries.py DRIVER_SURFACE)
+    driver=False,  # r12 rotation: 3x driver-green (r9-r11), cedes its slot to q158 incremental graph append (pipeline keeps q156/q157)
     oracle=f"""
 WITH r AS (
   SELECT doc_id, source, n_chars,

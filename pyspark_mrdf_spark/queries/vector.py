@@ -1850,3 +1850,54 @@ def q155_mrdf_pinned_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.withColumn("rnk", F.row_number().over(w))
         .select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+# --- q158: incremental kNN-graph maintenance (append) -----------------------
+
+
+@register(
+    "q158_knn_graph_append",
+    # promoted r12 at registration (r11 verdict ask #3): the 3x-green
+    # q126 cedes its slot (pipeline keeps q156/q157 driver reps)
+    oracle=f"""
+SELECT src, dst, rnk FROM (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_distance(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rnk
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+WHERE rnk <= {K}
+""",
+    description=(
+        "incremental kNN-graph maintenance (algorithms/graph_append."
+        "knn_graph_append — the build->serve->APPEND lifecycle the "
+        "reference lacks): fold a 5% appended batch (vec_id % 20 == 0) "
+        "into the exact graph of the other 95% under one per-src top-k "
+        "merge of the m x n cross distances. The exact tier's CONTRACT "
+        "is equality with the rebuilt exact graph of the union — so the "
+        "oracle is the plain rebuilt-graph CTE (q50's), not a replay of "
+        "the merge mechanics; the law is also bit-identity-tested "
+        "(ids AND float64 distances) in tests/test_graph_append.py, and "
+        "the graph tier (beam-search candidates + reverse edges + "
+        "restricted NN-Descent refine; batch-proportional cost) holds "
+        "recall >= 0.95 of the rebuild there"
+    ),
+    tags=("vector", "knn", "incremental", "maintenance"),
+)
+def q158_knn_graph_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.algorithms.graph_append import knn_graph_append
+    from pyspark_mrdf_spark.operators.similarity import knn_exact_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 20 != 0)
+    new = emb.filter(F.col("vec_id") % 20 == 0)
+    old_graph = memoized_df(
+        spark,
+        ("exact_knn_blocked_old95", sf_dir, K),
+        lambda: knn_exact_blocked(old, K),
+        eager=False,
+    )
+    return knn_graph_append(old_graph, old, new, K, mode="exact").select(
+        "src", "dst", F.col("rnk").cast("bigint").alias("rnk")
+    )

@@ -201,6 +201,10 @@ def main() -> None:
                 f"error: --graph-serving-build {graph_serving_build!r} "
                 "is not one of exact|mrdf"
             )
+    # --graph-append-only: ONLY the incremental kNN-graph maintenance
+    # row — knn_graph_append (graph tier) folding a 2% batch into an
+    # existing MRDF graph vs a full rebuild, sampled-recall protocol
+    graph_append_only = "--graph-append-only" in argv
     # --mixture-sampled-only: ONLY the sampled-recall MRDF design point
     # (default n=300000 — past the full-exact-scan budget; run with
     # SPARK_GRAFT_CPUS=16 per the r8 box-bound note)
@@ -310,7 +314,7 @@ def main() -> None:
             "--uniform", "--uniform-tuned", "--uniform-tuned-only", "--grid-only",
             "--mixture-only", "--sq8-only", "--serving-only", "--dedup-only",
             "--pagerank-only", "--bq-serving-only", "--dedup-serving-only",
-            "--graph-serving-only", "--ivfpq-io-only", "--mixture-sampled-only", "--cc-only", "--cc-tiers-only",
+            "--graph-serving-only", "--graph-append-only", "--ivfpq-io-only", "--mixture-sampled-only", "--cc-only", "--cc-tiers-only",
             "--graph-analytics-only", "--heavy-hitters-only",
             "--prefix-filter-only", "--incremental-only",
             "--pca-serving-only", "--relational-only",
@@ -327,6 +331,7 @@ def main() -> None:
         ("--pagerank-only", pagerank_only), ("--bq-serving-only", bq_serving_only),
         ("--dedup-serving-only", dedup_serving_only),
         ("--graph-serving-only", graph_serving_only),
+        ("--graph-append-only", graph_append_only),
         ("--ivfpq-io-only", ivfpq_io_only),
         ("--mixture-sampled-only", mixture_sampled_only),
         ("--cc-only", cc_only),
@@ -367,7 +372,7 @@ def main() -> None:
         )
     if len(only_modes) > 1:
         sys.exit(f"error: {' and '.join(only_modes)} each run exactly one section; pick one")
-    if (grid_only or sq8_only or mixture_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or ivfpq_io_only or mixture_sampled_only or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or incremental_only or pca_serving_only) and (include_uniform or include_uniform_tuned):
+    if (grid_only or sq8_only or mixture_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or graph_append_only or ivfpq_io_only or mixture_sampled_only or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or incremental_only or pca_serving_only) and (include_uniform or include_uniform_tuned):
         sys.exit(f"error: {only_modes[0]} runs only its own point; drop the uniform flags")
     if tuned_only and include_uniform:
         sys.exit("error: --uniform-tuned-only runs only the tuned point; drop the other flags")
@@ -377,10 +382,10 @@ def main() -> None:
     run_synthetic = (not argv or tuned_only or mixture_only) and not (
         grid_only or sq8_only or serving_only or dedup_only or pagerank_only
         or bq_serving_only or dedup_serving_only or graph_serving_only
-        or ivfpq_io_only or mixture_sampled_only
+        or graph_append_only or ivfpq_io_only or mixture_sampled_only
         or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or incremental_only or pca_serving_only or relational_only
     )
-    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or ivfpq_io_only or mixture_sampled_only or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or incremental_only or pca_serving_only) and (
+    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or graph_append_only or ivfpq_io_only or mixture_sampled_only or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or incremental_only or pca_serving_only) and (
         include_uniform or include_uniform_tuned or saw_synthetic_flag
     ):
         sys.exit(
@@ -537,6 +542,9 @@ def main() -> None:
         print(f"[scalability] {points[-1]}", file=sys.stderr)
     if ivfpq_io_only:
         points.append(_ivfpq_io_evidence(spark, synthetic_n, synthetic_d, **serving_ivfpq))
+        print(f"[scalability] {points[-1]}", file=sys.stderr)
+    if graph_append_only:
+        points.append(_graph_append_evidence(spark, synthetic_n))
         print(f"[scalability] {points[-1]}", file=sys.stderr)
     if mixture_sampled_only:
         points.append(_mixture_sampled_evidence(spark, synthetic_n))
@@ -2072,6 +2080,89 @@ def _mixture_sampled_evidence(spark, n: int, n_sample: int = 1000) -> dict:
         out["mrdf_recall_sampled"] = round(recall(gt.select("src", "dst"), g_s), 4)
         out["max_leaf"] = int(max_leaf)
         out["join_tier_rounds"] = int(join_rounds)
+    finally:
+        shutil.rmtree(syn_dir, ignore_errors=True)
+    return out
+
+
+def _graph_append_evidence(
+    spark, n: int, d: int = 64, batch_frac: float = 0.02, n_sample: int = 1000
+) -> dict:
+    """Incremental kNN-graph maintenance at scale (r11 verdict ask #3):
+    the per-ingest-cycle cost of folding a ``batch_frac`` appended
+    batch into an existing MRDF graph (``knn_graph_append``, graph
+    tier — beam-search candidates over the OLD graph, reverse edges,
+    one restricted refine round) vs REBUILDING the forest on the
+    union. Recall for both is measured against the same sampled exact
+    ground truth (the q56/mixture-sampled estimator: exact top-k for
+    ``n_sample`` md5-chosen queries, ±~0.01); the claim is
+    append_recall ≥ 0.95·rebuild_recall at ≥5× less wall per cycle."""
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.algorithms.graph_append import knn_graph_append
+    from pyspark_mrdf_spark.algorithms.recall import recall
+    from pyspark_mrdf_spark.operators.similarity import knn_search_blocked
+
+    syn_dir = "/root/repo/.scalability_synth_gapp"
+    total = int(n * (1 + batch_frac))
+    out: dict = {
+        "sf": f"synthetic-{n}x{d}-graph-append", "n_old": n,
+        "batch": total - n, "batch_frac": batch_frac, "d": d, "k": K,
+        "n_sample_queries": n_sample,
+    }
+    try:
+        _write_synthetic(syn_dir, total, d=d, k_clusters=250)
+        emb = (
+            spark.read.parquet(os.path.join(syn_dir, "embeddings.parquet"))
+            .localCheckpoint(eager=True)
+        )
+        old = emb.filter(F.col("vec_id") < n).localCheckpoint(eager=True)
+        new = emb.filter(F.col("vec_id") >= n).localCheckpoint(eager=True)
+
+        # the amortized base: the graph that already exists pre-append
+        base = _mrdf_point(
+            spark, old, "append-base", rho=4, alpha=16384,
+            centroid_broadcast_max_paths=0,
+        )
+        out["base_build_s"] = base["mrdf_s"]
+        old_graph = base["graph"]
+
+        # the cost a rebuild-per-cycle deployment pays (same dial)
+        reb = _mrdf_point(
+            spark, emb, "append-rebuild", rho=4, alpha=16384,
+            centroid_broadcast_max_paths=0,
+        )
+        out["rebuild_s"] = reb["mrdf_s"]
+
+        t0 = time.time()
+        inc = knn_graph_append(
+            old_graph, old, new, K, mode="graph"
+        ).localCheckpoint(eager=True)
+        inc.count()
+        out["append_s"] = round(time.time() - t0, 2)
+        out["speedup_vs_rebuild"] = round(out["rebuild_s"] / out["append_s"], 2)
+
+        q = (
+            emb.orderBy(F.md5(F.concat(F.lit("31:"), F.col("vec_id").cast("string"))))
+            .limit(n_sample)
+            .localCheckpoint(eager=True)
+        )
+        t0 = time.time()
+        gt = knn_search_blocked(
+            q, emb, K, n_blocks=32, n_query_blocks=4, include_self=False
+        ).localCheckpoint(eager=True)
+        out["sampled_exact_s"] = round(time.time() - t0, 2)
+        qid = [r["vec_id"] for r in q.select("vec_id").collect()]
+        gt_sd = gt.select("src", "dst")
+        out["append_recall_sampled"] = round(
+            recall(gt_sd, inc.filter(F.col("src").isin(qid))), 4
+        )
+        out["rebuild_recall_sampled"] = round(
+            recall(gt_sd, reb["graph"].filter(F.col("src").isin(qid))), 4
+        )
+        out["recall_ratio"] = round(
+            out["append_recall_sampled"] / max(out["rebuild_recall_sampled"], 1e-9), 4
+        )
     finally:
         shutil.rmtree(syn_dir, ignore_errors=True)
     return out

@@ -151,10 +151,13 @@ DRIVER_SURFACE = [
     # q128 stratified sample (sampling stays driver-verified via q156)
     # and q132 snapshot diff (pipeline keeps q126 + the new pair).
     # Family sentinels q01/q50/q56/q72 stay put.
-    # Round-12 rotation (r11 verdict ask #2): q108 BPE application —
+    # Round-12 rotation (r11 verdict asks #2/#3): q108 BPE application —
     # whose builder the r11 top-V cap rewrote while it sat pytest-only
     # — re-earns a driver verdict, taking the slot of the 2x-green
-    # (r10, r11) q148 CSV fidelity (format fidelity keeps q147 ORC).
+    # (r10, r11) q148 CSV fidelity (format fidelity keeps q147 ORC);
+    # and q158 incremental kNN-graph append (new r12: the
+    # build->serve->APPEND lifecycle) takes the slot of the 3x-green
+    # (r9-r11) q126 domain caps (pipeline keeps q156/q157).
     # Family sentinels q01/q50/q56/q72 stay put.
     "q114_scd2_history",
     "q130_linear_attribution",
@@ -183,7 +186,6 @@ DRIVER_SURFACE = [
     "q125_persisted_exact_dedup",
     "q146_jaccard_prefix_filtered",
     "q113_pagerank_quality",
-    "q126_domain_caps",
     "q138_triangle_counts",
     "q140_kcore_parts",
     "q141_part_communities",
@@ -206,6 +208,7 @@ DRIVER_SURFACE = [
     "q133_pca_sq8_knn",
     "q134_pca_energy",
     "q155_mrdf_pinned_replay",
+    "q158_knn_graph_append",
 ]
 
 
