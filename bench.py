@@ -6,6 +6,20 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Per-query timing includes plan build + execution to a count/collect
 action (results are not shipped to the driver beyond tiny summaries).
+
+Headline discipline (round-12): the r11 round saw a 76.0 -> 92.8 s
+cold swing on an unchanged-path diff that BASELINE.md's adjudication
+rule called box noise (uniform drift across untouched queries, warm
+runs far below cold, same code measuring 81.5 s the same round). A
+single cold pass is one sample of a noisy distribution; the headline
+is now the MEDIAN of 3 independent cold passes — the parent process
+plus 2 child processes, each a fresh JVM, so every pass is genuinely
+cold — which kills one-off contention spikes without hiding real
+regressions (a true slowdown moves all three). First-cold and warm
+remain as secondary series (warm isolates steady-state plan cost;
+first-cold stays comparable with rounds <= 11).
+SPARK_GRAFT_BENCH_PASSES=1 skips the extra passes for quick local
+iteration.
 """
 
 from __future__ import annotations
@@ -13,38 +27,20 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+_CHILD_ENV = "SPARK_GRAFT_BENCH_CHILD"
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else None
 
-    from pyspark_mrdf_spark.session import get_spark
-    from pyspark_mrdf_spark.queries import driver_registry, load_all
-
-    spark = get_spark(app_name="pyspark-mrdf-bench", master=f"local[{cpus}]")
-    spark.sparkContext.setLogLevel("ERROR")
-    # Headline = the driver-facing surface (the 50 queries graded for
-    # correctness). SPARK_GRAFT_BENCH_ALL=1 also times the pytest-only
-    # overflow queries. This keeps the bench from paying MRDF twice:
-    # q55 (graph only) is pytest-only, q56 (graph + recall) is timed.
-    specs = load_all() if os.environ.get("SPARK_GRAFT_BENCH_ALL") else driver_registry()
-
-    # Warmup: pay one-time JVM/codegen/Python-worker startup before the
-    # first timed query so per-query numbers measure the engine, not
-    # session initialization — including the first parquet-reader spin-up
-    # on the largest fact table (q01 otherwise absorbs it).
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).selectExpr(
-        "sum(l_partkey)"
-    ).collect()
+def _measure(spark, specs, sf_dir: str, with_warm: bool):
+    """One pass over the surface: per-query cold wall (plan build +
+    noop-sink execution), optionally followed by an immediate warm
+    rerun. Returns (timings, warm, failed)."""
 
     def run_once(spec) -> float:
         t0 = time.time()
@@ -53,20 +49,9 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    # Each query runs TWICE. "queries" is the first (cold-in-order)
-    # run — comparable with earlier rounds and with what a fresh
-    # session pays. "queries_warm" is the immediate second run: JIT,
-    # parquet footers, and the session materialization registry are
-    # hot, so it isolates steady-state plan cost from sandbox noise —
-    # a cold/warm pair that diverges by 2-3x on an unchanged code path
-    # is startup/noise, not a regression (see BASELINE.md, variance).
-    # For index-building queries (q50/q56/q57...) warm is the SERVING
-    # number (registry hit) and cold the BUILD number; both are real,
-    # which is why the headline stays the cold sum rather than min.
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     failed: list[str] = []
-    total = 0.0
     for name in sorted(specs):
         spec = specs[name]
         try:
@@ -76,32 +61,133 @@ def main() -> None:
             dt = float("nan")
             failed.append(name)
         timings[name] = round(dt, 3)
-        if dt == dt:
-            total += dt
+        if with_warm and dt == dt:
             try:
                 warm[name] = round(run_once(spec), 3)
             except Exception as exc:  # noqa: BLE001
                 print(f"[bench] {name} warm rerun failed: {exc}", file=sys.stderr)
                 if name not in failed:
                     failed.append(name)
+    return timings, warm, failed
+
+
+def _start_session():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark_mrdf_spark.session import get_spark
+
+    spark = get_spark(app_name="pyspark-mrdf-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    # Warmup: pay one-time JVM/codegen/Python-worker startup before the
+    # first timed query so per-query numbers measure the engine, not
+    # session initialization — including the first parquet-reader spin-up
+    # on the largest fact table (q01 otherwise absorbs it).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).selectExpr(
+        "sum(l_partkey)"
+    ).collect()
+    return spark, sf_dir
+
+
+def _load_specs():
+    from pyspark_mrdf_spark.queries import driver_registry, load_all
+
+    # Headline = the driver-facing surface (the 50 queries graded for
+    # correctness). SPARK_GRAFT_BENCH_ALL=1 also times the pytest-only
+    # overflow queries. This keeps the bench from paying MRDF twice:
+    # q55 (graph only) is pytest-only, q56 (graph + recall) is timed.
+    return load_all() if os.environ.get("SPARK_GRAFT_BENCH_ALL") else driver_registry()
+
+
+def _child_main() -> None:
+    """Cold-only pass in a fresh JVM; one JSON line on stdout."""
+    spark, sf_dir = _start_session()
+    timings, _, failed = _measure(spark, _load_specs(), sf_dir, with_warm=False)
+    print(json.dumps({"queries": timings, "failed": failed}))
+
+
+def _run_child_pass(idx: int) -> dict[str, float] | None:
+    env = dict(os.environ)
+    env[_CHILD_ENV] = "1"
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+    except Exception as exc:  # noqa: BLE001
+        print(f"[bench] cold pass {idx} failed to run: {exc}", file=sys.stderr)
+        return None
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")]
+    if proc.returncode != 0 or not lines:
+        print(
+            f"[bench] cold pass {idx} rc={proc.returncode}; stderr tail: "
+            f"{proc.stderr[-300:]}",
+            file=sys.stderr,
+        )
+        return None
+    rec = json.loads(lines[-1])
+    if rec.get("failed"):
+        print(f"[bench] cold pass {idx} failed queries: {rec['failed']}", file=sys.stderr)
+    return rec.get("queries", {})
+
+
+def main() -> None:
+    if os.environ.get(_CHILD_ENV):
+        _child_main()
+        return
+    sf_env = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_env)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+
+    spark, sf_dir = _start_session()
+    specs = _load_specs()
+
+    # Pass 1 (this process): cold + immediate warm rerun per query.
+    # "queries" is the first cold pass — comparable with rounds <= 11
+    # and with what a fresh session pays. "queries_warm" isolates
+    # steady-state plan cost: for index-building queries (q50/q56...)
+    # warm is the SERVING number (registry hit) and cold the BUILD
+    # number; both are real.
+    timings, warm, failed = _measure(spark, specs, sf_dir, with_warm=True)
+    cold_passes: list[dict[str, float]] = [timings]
+
+    # Passes 2..n: fresh JVMs, cold-only — the median inputs.
+    for idx in range(2, max(n_passes, 1) + 1):
+        rec = _run_child_pass(idx)
+        if rec is not None:
+            cold_passes.append(rec)
+
+    def _median(name: str) -> float:
+        vals = [p[name] for p in cold_passes if name in p and p[name] == p[name]]
+        return round(statistics.median(vals), 3) if vals else float("nan")
+
+    cold_median = {name: _median(name) for name in timings}
+    median_total = round(sum(v for v in cold_median.values() if v == v), 3)
+    first_total = round(sum(v for v in timings.values() if v == v), 3)
 
     # Output discipline (round-6 postmortem): the grading driver keeps
-    # only ~2KB of output, so the round-6 single 3KB line survived as a
-    # clipped, unparseable tail. Three lines now, sized so EVERY capture
-    # mode keeps a parseable record: (1) a tiny totals summary first
-    # (survives head-capture), (2) the warm per-query dict on its own
-    # line, (3) the contract line LAST — cold per-query timings at
-    # 2-decimal precision (~1.5KB for 50 queries, fits a 2KB tail) —
-    # so a "parse the last line" driver still gets the full headline.
-    # The complete 3-decimal record also lands in BENCH_LOCAL.json,
-    # committed in-repo, so the round's numbers never depend on the
-    # driver's capture width again.
+    # only ~2KB of output, so a single large line survives only as a
+    # clipped tail. Four lines, sized so EVERY capture mode keeps a
+    # parseable record: (1) a tiny totals summary first (survives
+    # head-capture), (2) the warm per-query dict, (3) the first-cold
+    # per-query dict, (4) the contract line LAST — the MEDIAN cold
+    # per-query timings at 2-decimal precision (~1.5KB, fits a 2KB
+    # tail), so a "parse the last line" driver gets the headline the
+    # adjudication rule wants. The complete 3-decimal record (all cold
+    # passes included) lands in BENCH_LOCAL.json, committed in-repo.
     full = {
         "metric": "engine_headline_queries_total_wall",
-        "value": round(total, 3),
+        "value": median_total,
+        "series": f"cold_median_of_{len(cold_passes)}",
         "unit": "sec",
-        "queries": timings,
+        "queries_cold_median": cold_median,
+        "queries_first_cold": timings,
+        "queries_cold_passes": cold_passes,
         "queries_warm": warm,
+        "first_cold_total": first_total,
         "warm_total": round(sum(warm.values()), 3),
         "failed": failed,
         "sf": sf,
@@ -120,23 +206,28 @@ def main() -> None:
             {
                 "metric": full["metric"],
                 "value": full["value"],
+                "series": full["series"],
                 "unit": "sec",
                 "sf": sf,
+                "first_cold_total": first_total,
                 "warm_total": full["warm_total"],
                 "n_queries": len(timings),
+                "n_cold_passes": len(cold_passes),
                 "failed": failed,
                 "full_record": "BENCH_LOCAL.json",
             }
         )
     )
     print(json.dumps({"queries_warm": r2(warm)}))
+    print(json.dumps({"queries_first_cold": r2(timings)}))
     print(
         json.dumps(
             {
                 "metric": full["metric"],
                 "value": full["value"],
+                "series": full["series"],
                 "unit": "sec",
-                "queries": r2(timings),
+                "queries": r2(cold_median),
                 "failed": failed,
                 "sf": sf,
             }
