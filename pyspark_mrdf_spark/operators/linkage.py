@@ -24,7 +24,7 @@ test); the per-record argmin is a (distance, name) window with rank 1,
 deterministic under ties.
 
 Scale shape: two equi-joins on short block keys (hot blocks are a
-data-quality smell — a stoplist of oversized blocks is the standard
+data-quality smell — the ``max_block`` stoplist below is the standard
 guard and composes exactly like dedup.py's ``max_df`` shingle
 stoplist), one window partitioned by dirty-record id (millions of
 small partitions — no skew), zero cartesian products.
@@ -44,13 +44,28 @@ def blocked_levenshtein_link(
     clean_name_col: str = "name",
     max_dist: int = 1,
     prefix_len: int = 3,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Best clean-side match per dirty record →
     (id_col, name_col, matched_name, dist); records with no candidate
     within ``max_dist`` are absent (filter-left-join to keep them).
 
     ``clean`` is deduplicated on ``clean_name_col`` — linkage is to a
-    NAME, not a row; resolve name→rows downstream if needed."""
+    NAME, not a row; resolve name→rows downstream if needed.
+
+    ``max_block`` (the hot-block stoplist): candidate-pair mass is
+    Σ_blocks |dirty_block|·|clean_block|, so one non-discriminative
+    key (a shared 3-char prefix across a large name family) grows the
+    plan QUADRATICALLY in that family's size — the measured 30×
+    relational replication shape, where every replica of a name
+    shares its prefix block. With ``max_block`` set, block keys whose
+    CLEAN-side distinct-name frequency exceeds it are dropped from
+    BOTH passes (the join is on the key, so filtering the clean side
+    filters the pair). The recall cost is honest and data-dependent:
+    a dirty record whose every key is hot gets no candidates — the
+    30× evidence row (`scripts/scalability.py --relational-only
+    --relational-factor 30`) records wall AND match-agreement for
+    capped vs uncapped on the same corpus."""
     d = dirty.select(F.col(id_col), F.col(name_col).alias("_dn"))
     c = clean.select(F.col(clean_name_col).alias("_cn")).distinct()
 
@@ -71,6 +86,14 @@ def blocked_levenshtein_link(
         .select("_cn", F.explode("_bk").alias("_k"))
         .distinct()
     )
+    if max_block is not None:
+        hot = (
+            ck.groupBy("_k")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_block)
+            .select("_k")
+        )
+        ck = ck.join(F.broadcast(hot), "_k", "left_anti")
     cand = (
         dk.join(ck, "_k")
         .select(id_col, "_dn", "_cn")

@@ -551,6 +551,41 @@ def test_blocked_link_tie_breaks_deterministically(spark):
     assert [(r["matched_name"], r["dist"]) for r in rows] == [("bat", 1)]
 
 
+def test_blocked_link_max_block_stoplist(spark):
+    from pyspark_mrdf_spark.operators.linkage import blocked_levenshtein_link
+
+    # a non-discriminative prefix family ("aaa ...", 5 clean names) vs a
+    # discriminative one ("red widget"): with max_block=4 the hot "aaa"
+    # prefix block is dropped, so the family member is only reachable
+    # through its (cold) suffix block; a family member whose BOTH keys
+    # are hot would get no candidates — the documented recall cost
+    clean = spark.createDataFrame(
+        [(f"aaa name {i}",) for i in range(5)] + [("red widget",)], ["name"]
+    )
+    dirty = spark.createDataFrame(
+        [(1, "aaa name 3x"), (2, "red widge")], ["rec_id", "name"]
+    )
+    # uncapped: both link
+    full = {
+        r["rec_id"]: r["matched_name"]
+        for r in blocked_levenshtein_link(dirty, clean).collect()
+    }
+    assert full == {1: "aaa name 3", 2: "red widget"}
+    capped = {
+        r["rec_id"]: r["matched_name"]
+        for r in blocked_levenshtein_link(dirty, clean, max_block=4).collect()
+    }
+    # rec 1's prefix block ('aaa') is stopped; its suffix block (' 3x')
+    # matches no clean suffix -> record absent. rec 2 unaffected.
+    assert capped == {2: "red widget"}
+    # max_block above every block size = identical to uncapped
+    same = {
+        r["rec_id"]: r["matched_name"]
+        for r in blocked_levenshtein_link(dirty, clean, max_block=100).collect()
+    }
+    assert same == full
+
+
 # --- k-core + label propagation (q140/q141 / operators/graph.py) --------
 
 
