@@ -2123,6 +2123,33 @@ def _mixture_sampled_evidence(spark, n: int, n_sample: int = 1000) -> dict:
         "alpha": 16384, "refine_rounds": 1, "max_iter": 3,
         "workers": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
+    # Peak-memory watch (box-wide used = MemTotal - MemAvailable,
+    # sampled at 1 Hz): the r8 n=300k OOM was only diagnosed by ad-hoc
+    # RSS sampling — the frontier rows carry the number permanently so
+    # a regression in kernel chunking shows up as a memory spike, not
+    # a dead box. Box-wide (not driver RSS) because the working set
+    # lives in the pyspark worker processes and the JVM.
+    import threading
+
+    peak = {"used_gib": 0.0}
+    stop_evt = threading.Event()
+
+    def _watch():
+        while not stop_evt.is_set():
+            try:
+                info = {}
+                with open("/proc/meminfo") as fh:
+                    for line in fh:
+                        k, v = line.split(":", 1)
+                        info[k] = int(v.strip().split()[0])
+                used = (info["MemTotal"] - info["MemAvailable"]) / (1 << 20)
+                peak["used_gib"] = max(peak["used_gib"], used)
+            except (OSError, KeyError, ValueError):
+                pass
+            stop_evt.wait(1.0)
+
+    watcher = threading.Thread(target=_watch, daemon=True)
+    watcher.start()
     try:
         _write_synthetic(syn_dir, n, k_clusters=250)
         emb = spark.read.parquet(os.path.join(syn_dir, "embeddings.parquet"))
@@ -2155,6 +2182,9 @@ def _mixture_sampled_evidence(spark, n: int, n_sample: int = 1000) -> dict:
         out["max_leaf"] = int(max_leaf)
         out["join_tier_rounds"] = int(join_rounds)
     finally:
+        stop_evt.set()
+        watcher.join(timeout=3)
+        out["peak_box_used_gib"] = round(peak["used_gib"], 1)
         shutil.rmtree(syn_dir, ignore_errors=True)
     return out
 
