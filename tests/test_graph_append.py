@@ -64,6 +64,20 @@ def test_exact_tier_rederives_missing_distances(spark, emb, split):
         assert abs(gd2 - d2) <= 1e-9 * max(1.0, abs(d2)), key
 
 
+def test_exact_tier_chains_across_cycles(spark, emb):
+    """Append cycles CHAIN on the operator's own rank-carrying output
+    (the zero-shuffle pass-through path): two successive exact appends
+    equal one rebuild of the final union, bit-identically."""
+    old = emb.filter(F.col("vec_id") % 10 >= 2).localCheckpoint(eager=True)
+    b1 = emb.filter(F.col("vec_id") % 10 == 0).localCheckpoint(eager=True)
+    b2 = emb.filter(F.col("vec_id") % 10 == 1).localCheckpoint(eager=True)
+    k = 5
+    g0 = knn_exact_blocked(old, k)
+    g1 = knn_graph_append(g0, old, b1, k, mode="exact").localCheckpoint(eager=True)
+    g2 = knn_graph_append(g1, old.unionByName(b1), b2, k, mode="exact")
+    assert _rows(g2) == _rows(knn_exact_blocked(emb, k))
+
+
 def test_graph_tier_recall_vs_rebuild(spark, emb, split):
     """The scale path: beam-search candidates + reverse edges + one
     restricted refine round must land within 5% of the full rebuild's
