@@ -88,6 +88,87 @@ def pca_train(
     return pca_components(x, d_out)
 
 
+def opq_balanced_order(variances: np.ndarray, n_subspaces: int) -> np.ndarray:
+    """Eigenvalue-allocation permutation (the parametric OPQ of Ge et
+    al., CVPR 2013 — public method): assign PCA dimensions to
+    ``n_subspaces`` equal-capacity buckets so the per-bucket variance
+    PRODUCTS balance. Greedy: walk dims by descending variance, give
+    each to the unfull bucket with the smallest current log-product.
+    Returns the dim permutation (bucket-0 dims first, then bucket-1,
+    ...), so contiguous ``d_sub`` slices of the permuted space are the
+    balanced subspaces PQ trains on.
+
+    Why products: a subquantizer's distortion at a fixed code budget
+    scales with the GEOMETRIC mean of its dims' variances, so the
+    contiguous-PCA split (all the top eigenvalues in subspace 0) wastes
+    codebook capacity on one subspace while the tail subspaces encode
+    noise — exactly the imbalance this permutation removes."""
+    variances = np.asarray(variances, dtype=np.float64)
+    d = len(variances)
+    if d % n_subspaces:
+        raise ValueError(f"d={d} not divisible by n_subspaces={n_subspaces}")
+    cap = d // n_subspaces
+    order_desc = np.argsort(-variances, kind="stable")
+    buckets: list[list[int]] = [[] for _ in range(n_subspaces)]
+    logprod = np.zeros(n_subspaces)
+    for dim in order_desc:
+        open_b = [b for b in range(n_subspaces) if len(buckets[b]) < cap]
+        # ties (identical log-products, e.g. the first n_sub dims of a
+        # flat spectrum) break to the lowest bucket index: deterministic
+        b = min(open_b, key=lambda i: (logprod[i], i))
+        buckets[b].append(int(dim))
+        logprod[b] += float(np.log(max(variances[dim], 1e-300)))
+    return np.array([dim for b in buckets for dim in b], dtype=np.int64)
+
+
+def opq_components(x: np.ndarray, n_subspaces: int) -> tuple[np.ndarray, np.ndarray]:
+    """(mean, rotation) for OPQ-lite PQ pre-rotation from a float64
+    sample matrix — the single source of truth oracles could replay
+    (same exposure contract as ``pca_components``, which it builds on).
+
+    rotation: (d, d) orthogonal — the FULL PCA basis with columns
+    permuted by ``opq_balanced_order`` so contiguous subspace slices
+    have balanced variance products. Rotating is an isometry (plus the
+    mean shift, which L2 distances ignore), so exact neighbors are
+    unchanged; only the PQ code geometry improves."""
+    x = np.asarray(x, dtype=np.float64)
+    mean, comp = pca_components(x, x.shape[1])
+    xc = x - mean
+    # per-PCA-dim sample variances = eigenvalues (computed as the
+    # projected sample's second moments, so the allocation sees exactly
+    # the basis pca_components fixed the signs of)
+    var = np.square(xc @ comp).sum(axis=0) / max(len(x) - 1, 1)
+    return mean, comp[:, opq_balanced_order(var, n_subspaces)]
+
+
+def opq_train(
+    df: DataFrame,
+    n_subspaces: int,
+    sample_size: int = 2048,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train the OPQ-lite rotation on the md5-ordered bounded sample
+    (the ``pca_train`` discipline: same rows on any engine or
+    partitioning; driver state bounded at sample_size·d floats).
+    Returns (mean (d,), rotation (d, d)); apply with
+    ``pca_project_vec`` (d_out = d), then PQ-train on the rotated
+    corpus with contiguous subspaces as usual."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    pdf = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", h)
+        .orderBy("_h")
+        .limit(sample_size)
+        .select(vec_col)
+    ).toPandas()
+    if len(pdf) == 0:
+        raise ValueError("opq_train: empty corpus (no vectors to train on)")
+    x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+    return opq_components(x, n_subspaces)
+
+
 def project_kernel(v: np.ndarray, mean: np.ndarray, comp: np.ndarray) -> np.ndarray:
     """(n, d_out) projection with STRICTLY SEQUENTIAL accumulation over
     input dims: out_j = fold-left over i of (v_i - mean_i)·comp[i, j] —

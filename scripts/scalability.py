@@ -205,6 +205,13 @@ def main() -> None:
     # row — knn_graph_append (graph tier) folding a 2% batch into an
     # existing MRDF graph vs a full rebuild, sampled-recall protocol
     graph_append_only = "--graph-append-only" in argv
+    # --graph-append-chain-only: CHAINED maintenance cycles — C
+    # successive 2% batches folded on the operator's OWN rank-carrying
+    # output (the zero-shuffle chaining contract), per-cycle wall +
+    # sampled recall, one final rebuild comparand: does serving recall
+    # DRIFT over repeated appends without a rebuild, and does the
+    # per-cycle cost stay batch-proportional as the graph grows?
+    graph_append_chain_only = "--graph-append-chain-only" in argv
     # --mixture-sampled-only: ONLY the sampled-recall MRDF design point
     # (default n=300000 — past the full-exact-scan budget; run with
     # SPARK_GRAFT_CPUS=16 per the r8 box-bound note)
@@ -237,8 +244,24 @@ def main() -> None:
         relational_factor = int(argv[i + 1])
         argv = argv[:i] + argv[i + 2 :]
     pca_aniso = "--aniso" in argv
-    if pca_aniso and not pca_serving_only:
-        sys.exit("error: --aniso only applies to --pca-serving-only")
+    if pca_aniso and not (pca_serving_only or serving_only):
+        sys.exit("error: --aniso only applies to --pca-serving-only/--serving-only")
+    # --serving-rotate opq: OPQ-lite pre-rotation arm of the serving
+    # row (r11 verdict ask #5's second lever) — full-rank PCA basis
+    # with eigenvalue-allocation-balanced subspaces applied before the
+    # IVF-PQ build and to each query batch; the row label gains a
+    # -rotate-opq suffix
+    serving_rotate = None
+    if "--serving-rotate" in argv:
+        i = argv.index("--serving-rotate")
+        if i + 1 >= len(argv):
+            sys.exit("error: --serving-rotate needs a value (opq)")
+        serving_rotate = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+        if serving_rotate != "opq":
+            sys.exit(f"error: --serving-rotate {serving_rotate!r} is not opq")
+        if not serving_only:
+            sys.exit("error: --serving-rotate only applies to --serving-only")
     # --cc-only: ONLY the connected-components row — q72's
     # star-contraction tier over a synthesized chain graph with known
     # components (diameter = chain length, the propagation-hostile
@@ -284,6 +307,8 @@ def main() -> None:
         synthetic_n = 400_000
     if mixture_sampled_only and not saw_synthetic_flag:
         synthetic_n = 300_000
+    if graph_append_chain_only and not saw_synthetic_flag:
+        synthetic_n = 100_000
     synthetic_d = 512
     saw_d_flag = False
     if "--synthetic-d" in argv:
@@ -314,7 +339,7 @@ def main() -> None:
             "--uniform", "--uniform-tuned", "--uniform-tuned-only", "--grid-only",
             "--mixture-only", "--sq8-only", "--serving-only", "--dedup-only",
             "--pagerank-only", "--bq-serving-only", "--dedup-serving-only",
-            "--graph-serving-only", "--graph-append-only", "--ivfpq-io-only", "--mixture-sampled-only", "--cc-only", "--cc-tiers-only",
+            "--graph-serving-only", "--graph-append-only", "--graph-append-chain-only", "--ivfpq-io-only", "--mixture-sampled-only", "--cc-only", "--cc-tiers-only",
             "--graph-analytics-only", "--heavy-hitters-only",
             "--prefix-filter-only", "--incremental-only",
             "--pca-serving-only", "--relational-only",
@@ -332,6 +357,7 @@ def main() -> None:
         ("--dedup-serving-only", dedup_serving_only),
         ("--graph-serving-only", graph_serving_only),
         ("--graph-append-only", graph_append_only),
+        ("--graph-append-chain-only", graph_append_chain_only),
         ("--ivfpq-io-only", ivfpq_io_only),
         ("--mixture-sampled-only", mixture_sampled_only),
         ("--cc-only", cc_only),
@@ -372,7 +398,7 @@ def main() -> None:
         )
     if len(only_modes) > 1:
         sys.exit(f"error: {' and '.join(only_modes)} each run exactly one section; pick one")
-    if (grid_only or sq8_only or mixture_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or graph_append_only or ivfpq_io_only or mixture_sampled_only or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or incremental_only or pca_serving_only) and (include_uniform or include_uniform_tuned):
+    if (grid_only or sq8_only or mixture_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or graph_append_only or graph_append_chain_only or ivfpq_io_only or mixture_sampled_only or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or incremental_only or pca_serving_only) and (include_uniform or include_uniform_tuned):
         sys.exit(f"error: {only_modes[0]} runs only its own point; drop the uniform flags")
     if tuned_only and include_uniform:
         sys.exit("error: --uniform-tuned-only runs only the tuned point; drop the other flags")
@@ -382,10 +408,10 @@ def main() -> None:
     run_synthetic = (not argv or tuned_only or mixture_only) and not (
         grid_only or sq8_only or serving_only or dedup_only or pagerank_only
         or bq_serving_only or dedup_serving_only or graph_serving_only
-        or graph_append_only or ivfpq_io_only or mixture_sampled_only
+        or graph_append_only or graph_append_chain_only or ivfpq_io_only or mixture_sampled_only
         or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or incremental_only or pca_serving_only or relational_only
     )
-    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or graph_append_only or ivfpq_io_only or mixture_sampled_only or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or incremental_only or pca_serving_only) and (
+    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or graph_append_only or graph_append_chain_only or ivfpq_io_only or mixture_sampled_only or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or incremental_only or pca_serving_only) and (
         include_uniform or include_uniform_tuned or saw_synthetic_flag
     ):
         sys.exit(
@@ -514,7 +540,7 @@ def main() -> None:
         print(f"[scalability] {points[-1]}", file=sys.stderr)
 
     if serving_only:
-        points.append(_serving_evidence(spark, synthetic_n, synthetic_d, **serving_ivfpq))
+        points.append(_serving_evidence(spark, synthetic_n, synthetic_d, rotate=serving_rotate, aniso=pca_aniso, **serving_ivfpq))
         print(f"[scalability] {points[-1]}", file=sys.stderr)
 
     if dedup_only:
@@ -545,6 +571,9 @@ def main() -> None:
         print(f"[scalability] {points[-1]}", file=sys.stderr)
     if graph_append_only:
         points.append(_graph_append_evidence(spark, synthetic_n))
+        print(f"[scalability] {points[-1]}", file=sys.stderr)
+    if graph_append_chain_only:
+        points.append(_graph_append_chain_evidence(spark, synthetic_n))
         print(f"[scalability] {points[-1]}", file=sys.stderr)
     if mixture_sampled_only:
         points.append(_mixture_sampled_evidence(spark, synthetic_n))
@@ -1593,7 +1622,8 @@ def _grid_evidence(spark, n: int) -> dict:
 
 def _serving_evidence(spark, n: int, d: int, n_cells: int = 64,
                       n_probe: int = 8, n_codes: int = 16,
-                      k_cand: int | None = None) -> dict:
+                      k_cand: int | None = None, rotate: str | None = None,
+                      aniso: bool = False) -> dict:
     """The quantized-tier WIN regime, measured: at high dimension the
     exact scan is memory-bound (the precision-safe (q-x)² kernel moves
     n_q·n·d·16 bytes per batch — at n=200k, d=512, 2000 queries that is
@@ -1636,14 +1666,17 @@ def _serving_evidence(spark, n: int, d: int, n_cells: int = 64,
     n_sub = d // ds_sub
     if k_cand is None:
         k_cand = 64 * K
+    suffix = ("-aniso" if aniso else "") + (f"-rotate-{rotate}" if rotate else "")
     out: dict = {
-        "sf": f"synthetic-{n}x{d}-serving", "n": n, "d": d,
+        "sf": f"synthetic-{n}x{d}-serving{suffix}", "n": n, "d": d,
         "batch_size": batch_size, "n_batches": n_batches,
         "ivfpq_cells": n_cells, "ivfpq_probe": n_probe,
         "ivfpq_subspaces": n_sub, "ivfpq_scan_fraction": n_probe / n_cells,
     }
+    if rotate not in (None, "opq"):
+        raise ValueError(f"_serving_evidence: unknown rotate {rotate!r}")
     try:
-        _write_synthetic(syn_dir, n, d=d)
+        _write_synthetic(syn_dir, n, d=d, aniso=aniso)
         emb = spark.read.parquet(os.path.join(syn_dir, "embeddings.parquet"))
         emb = emb.localCheckpoint(eager=True)
         dp = spark.sparkContext.defaultParallelism
@@ -1702,10 +1735,33 @@ def _serving_evidence(spark, n: int, d: int, n_cells: int = 64,
         out["sq8_index_bytes_per_row"] = d + 8
 
         # IVF-PQ: train+encode+persist once (cell-partitioned codes),
-        # serve batches off the loaded index
+        # serve batches off the loaded index. rotate='opq': the
+        # OPQ-lite pre-rotation (opq_train — full-rank PCA basis,
+        # eigenvalue-allocation-permuted so PQ's contiguous subspaces
+        # see balanced variance products) is applied to the corpus
+        # before the build and to each query batch before serving;
+        # rotation is an isometry, so recall is still scored against
+        # the ORIGINAL-space exact ids, and the per-batch rotation pass
+        # (one mapInPandas gemm) is included in the measured wall.
+        ivfpq_emb, ivfpq_batches = emb, batches
+        if rotate == "opq":
+            from pyspark_mrdf_spark.operators.project import (
+                opq_train,
+                pca_project_vec,
+            )
+
+            t0 = time.time()
+            r_mean, r_rot = opq_train(emb, n_sub)
+            ivfpq_emb = pca_project_vec(emb, r_mean, r_rot).localCheckpoint(
+                eager=True
+            )
+            out["rotation_train_s"] = round(time.time() - t0, 2)
+            ivfpq_batches = [
+                pca_project_vec(q, r_mean, r_rot) for q in batches
+            ]
         t0 = time.time()
         build_ivfpq_index(
-            emb, os.path.join(idx_root, "ivfpq"),
+            ivfpq_emb, os.path.join(idx_root, "ivfpq"),
             n_centroids=n_cells, n_subspaces=n_sub, n_codes=n_codes,
             sample_size=max(4096, 16 * n_cells, 16 * n_codes),
         )
@@ -1719,10 +1775,10 @@ def _serving_evidence(spark, n: int, d: int, n_cells: int = 64,
         # the order; 160 candidates measured 0.47 here, the budget is
         # the dial (same lesson as the flat-PQ sweep at d=64)
         ivfpq_s, ivfpq_g = [], None
-        for i, q in enumerate(batches):
+        for i, q in enumerate(ivfpq_batches):
             g, dt = _timed(
                 lambda: ivfpq_search_encoded(
-                    q, codes, coarse, cb, emb, K,
+                    q, codes, coarse, cb, ivfpq_emb, K,
                     k_candidates=k_cand, n_probe=n_probe, include_self=False,
                 )
             )
@@ -2266,6 +2322,118 @@ def _graph_append_evidence(
         )
         out["recall_ratio"] = round(
             out["append_recall_sampled"] / max(out["rebuild_recall_sampled"], 1e-9), 4
+        )
+    finally:
+        shutil.rmtree(syn_dir, ignore_errors=True)
+    return out
+
+
+def _graph_append_chain_evidence(
+    spark, n: int, d: int = 64, batch_frac: float = 0.02, cycles: int = 5,
+    n_sample: int = 1000,
+) -> dict:
+    """CHAINED incremental maintenance (r12): the single-append row
+    (synthetic-100000x64-graph-append) proves one fold is 10× cheaper
+    than a rebuild — this row answers the question a deployment
+    actually has: what happens over MANY ingest cycles with NO rebuild?
+    Two failure modes are possible in principle and neither is visible
+    from a single append: (a) recall drift — each graph-tier fold walks
+    the previous fold's (approximate) graph for candidates, so error
+    could compound cycle over cycle; (b) cost creep — if the
+    affected-only merge ever re-windowed more than O(batch) rows, the
+    per-cycle wall would grow with the accumulated corpus. The chain
+    runs ``cycles`` successive ``batch_frac`` batches, each folded onto
+    the operator's OWN rank-carrying output (zero-shuffle chaining, the
+    module-docstring contract), and measures per cycle: append wall and
+    sampled recall against an exact ground truth of the CURRENT union
+    (the q56 estimator, ±~0.01). One final rebuild at the full size
+    gives the comparand; the honest claims are final_recall ≥
+    0.95·rebuild_recall AND a flat (batch-proportional) wall curve."""
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.algorithms.graph_append import knn_graph_append
+    from pyspark_mrdf_spark.algorithms.recall import recall
+    from pyspark_mrdf_spark.operators.similarity import knn_search_blocked
+
+    syn_dir = "/root/repo/.scalability_synth_gapp_chain"
+    m = int(n * batch_frac)
+    total = n + cycles * m
+    out: dict = {
+        "sf": f"synthetic-{n}x{d}-graph-append-chain", "n_base": n,
+        "batch": m, "batch_frac": batch_frac, "cycles": cycles, "d": d,
+        "k": K, "n_sample_queries": n_sample,
+    }
+    try:
+        _write_synthetic(syn_dir, total, d=d, k_clusters=250)
+        emb = (
+            spark.read.parquet(os.path.join(syn_dir, "embeddings.parquet"))
+            .localCheckpoint(eager=True)
+        )
+        corpus = emb.filter(F.col("vec_id") < n).localCheckpoint(eager=True)
+
+        base = _mrdf_point(
+            spark, corpus, "chain-base", rho=4, alpha=16384,
+            centroid_broadcast_max_paths=0,
+        )
+        out["base_build_s"] = base["mrdf_s"]
+        graph = base["graph"]
+
+        def _sampled_recall(cur_corpus, cur_graph):
+            q = (
+                cur_corpus.orderBy(
+                    F.md5(F.concat(F.lit("31:"), F.col("vec_id").cast("string")))
+                )
+                .limit(n_sample)
+                .localCheckpoint(eager=True)
+            )
+            gt = knn_search_blocked(
+                q, cur_corpus, K, n_blocks=32, n_query_blocks=4,
+                include_self=False,
+            ).localCheckpoint(eager=True)
+            qid = [r["vec_id"] for r in q.select("vec_id").collect()]
+            return round(
+                recall(
+                    gt.select("src", "dst"),
+                    cur_graph.filter(F.col("src").isin(qid)),
+                ),
+                4,
+            )
+
+        chain: list = []
+        for c in range(cycles):
+            lo, hi = n + c * m, n + (c + 1) * m
+            new = emb.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            ).localCheckpoint(eager=True)
+            t0 = time.time()
+            # mode='graph' pinned: auto would route these m·n sizes to
+            # the exact tier, and the chain claim is about the scale path
+            graph = knn_graph_append(
+                graph, corpus, new, K, mode="graph"
+            ).localCheckpoint(eager=True)
+            graph.count()
+            append_s = round(time.time() - t0, 2)
+            corpus = emb.filter(F.col("vec_id") < hi).localCheckpoint(eager=True)
+            chain.append(
+                {
+                    "cycle": c + 1,
+                    "append_s": append_s,
+                    "recall_sampled": _sampled_recall(corpus, graph),
+                }
+            )
+        out["chain"] = chain
+        out["total_append_s"] = round(sum(x["append_s"] for x in chain), 2)
+
+        reb = _mrdf_point(
+            spark, corpus, "chain-rebuild", rho=4, alpha=16384,
+            centroid_broadcast_max_paths=0,
+        )
+        out["rebuild_s"] = reb["mrdf_s"]
+        out["rebuild_recall_sampled"] = _sampled_recall(corpus, reb["graph"])
+        out["final_recall_ratio"] = round(
+            chain[-1]["recall_sampled"]
+            / max(out["rebuild_recall_sampled"], 1e-9),
+            4,
         )
     finally:
         shutil.rmtree(syn_dir, ignore_errors=True)

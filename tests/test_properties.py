@@ -364,6 +364,52 @@ def test_pca_components_orthonormal_descending_and_kernel_order():
             assert out[r, j] == acc
 
 
+def test_opq_rotation_isometric_balanced_and_deterministic():
+    import numpy as np
+
+    from pyspark_mrdf_spark.operators.project import (
+        opq_balanced_order,
+        opq_components,
+    )
+
+    rng = np.random.default_rng(13)
+    # decaying spectrum: the regime where the contiguous-PCA split is
+    # maximally imbalanced and the allocation has real work to do
+    x = rng.standard_normal((600, 32)) * np.linspace(4, 0.1, 32)[None, :]
+    n_sub, ds = 4, 8
+    mean, rot = opq_components(x, n_sub)
+    # orthogonal: rotation preserves L2 distances exactly up to fp
+    assert np.allclose(rot.T @ rot, np.eye(32), atol=1e-10)
+    a, b = x[:50], x[50:100]
+    d_orig = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    ar, br = (a - mean) @ rot, (b - mean) @ rot
+    d_rot = ((ar[:, None, :] - br[None, :, :]) ** 2).sum(-1)
+    assert np.allclose(d_orig, d_rot, rtol=1e-9)
+    # balance: per-subspace log-variance products of the ROTATED space
+    # are strictly tighter than the contiguous-PCA split's
+    xr = (x - mean) @ rot
+    var = xr.var(axis=0)
+
+    def spread(v):
+        lp = [np.log(v[m * ds:(m + 1) * ds]).sum() for m in range(n_sub)]
+        return max(lp) - min(lp)
+
+    var_pca = np.sort(var)[::-1]  # contiguous split of the unpermuted basis
+    assert spread(var) < spread(var_pca) / 4, (spread(var), spread(var_pca))
+    # determinism: same sample -> same permutation and rotation
+    mean2, rot2 = opq_components(x.copy(), n_sub)
+    assert np.array_equal(rot, rot2) and np.array_equal(mean, mean2)
+    # allocation puts the top-n_sub dims in DISTINCT buckets
+    order = opq_balanced_order(var_pca, n_sub)
+    top_positions = [int(np.where(order == i)[0][0]) // ds for i in range(n_sub)]
+    assert sorted(top_positions) == list(range(n_sub))
+    # indivisible d refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        opq_balanced_order(var, 5)
+
+
 def test_stratified_sample_exact_counts_and_determinism(spark, sf_dir):
     # q128 law: EXACTLY min(STRATUM_N, stratum size) docs per language,
     # and the same sample on a repartitioned input (order independence)

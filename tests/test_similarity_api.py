@@ -842,6 +842,51 @@ def test_pca_search_beats_raw_prefix_on_anisotropic_data(spark):
     assert r_pca > r_raw + 0.3, (r_pca, r_raw)
 
 
+def test_opq_rotation_lifts_pq_recall_on_anisotropic_data(spark):
+    # The reason opq_train exists (OPQ-lite, eigenvalue allocation): on
+    # a decaying spectrum, PQ's contiguous subspace split concentrates
+    # variance in subspace 0 and wastes the other codebooks on noise.
+    # The balanced rotation is an ISOMETRY (exact neighbors unchanged),
+    # so at the same code budget and candidate budget recall can only
+    # come from better code geometry. Prototype-measured on this corpus:
+    # raw 0.188, PCA-contiguous 0.188 (rotation alone buys nothing),
+    # OPQ-balanced 0.356 — the allocation is the whole effect.
+    import numpy as np
+
+    from pyspark_mrdf_spark.operators.project import opq_train, pca_project_vec
+    from pyspark_mrdf_spark.operators.quantize import pq_search
+    from pyspark_mrdf_spark.operators.similarity import knn_search_blocked
+
+    rng = np.random.default_rng(5)
+    n, d = 600, 32
+    scales = np.linspace(4.0, 0.1, d)
+    x = (rng.standard_normal((n, d)) * scales[None, :]).astype(np.float32)
+    rows = [(int(i), x[i].tolist()) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    emb = emb.localCheckpoint(eager=True)
+    queries = emb.filter("vec_id % 19 = 0")
+
+    exact = knn_search_blocked(queries, emb, 5, include_self=False)
+    truth = {(r["src"], r["dst"]) for r in exact.collect()}
+
+    def rec(df):
+        got = {(r["src"], r["dst"]) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    dials = dict(k_candidates=20, n_subspaces=4, n_codes=4, include_self=False)
+    r_plain = rec(pq_search(queries, emb, 5, **dials))
+
+    mean, rot = opq_train(emb, n_subspaces=4)
+    emb_r = pca_project_vec(emb, mean, rot).localCheckpoint(eager=True)
+    q_r = pca_project_vec(queries, mean, rot)
+    # recall scored against ORIGINAL-space exact ids — valid because
+    # the rotation preserves L2 distances (also checks id stability)
+    r_opq = rec(pq_search(q_r, emb_r, 5, **dials))
+
+    assert r_opq >= 0.28, (r_opq, r_plain)
+    assert r_opq > r_plain + 0.08, (r_opq, r_plain)
+
+
 def test_merge_rejects_in_place_dst(spark, sf_dir, tmp_path):
     # merging into one of the sources would overwrite codes/ while
     # lazily reading it — must fail loudly at CALL time, not as an
