@@ -1454,6 +1454,7 @@ WHERE rnk <= 5
     # promoted r9: takes a slot ceded by the multi-green r9 rotation
     # (see tests/test_oracle_queries.py DRIVER_SURFACE)
     oracle=_q129_oracle,
+    driver=False,  # r12 rotation: 3x driver-green (r9-r11), cedes its slot to q159 OPQ-balanced PQ (PCA candidate search stays driver-verified via q133's composition; projection via q127/q134)
     description=(
         "two-stage search in the ROTATED truncated space "
         "(operators/project.pca_search): exact candidates over the "
@@ -1901,3 +1902,151 @@ def q158_knn_graph_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph_append(old_graph, old, new, K, mode="exact").select(
         "src", "dst", F.col("rnk").cast("bigint").alias("rnk")
     )
+
+
+# --- q159: OPQ-lite balanced rotation + PQ search ----------------------------
+
+_OPQ_CFG = dict(n_subspaces=8, n_codes=16, sample_size=512, iters=8, seed=42)
+
+
+def _q159_oracle(sf_dir: str) -> str:
+    """Data-dependent oracle for the full OPQ composition (q92's
+    replay discipline extended one stage earlier): train the balanced
+    rotation on DuckDB-loaded rows through the same ``opq_components``
+    NumPy code, rotate the SAME md5 sample through ``project_kernel``
+    (bit-equal to the engine's ``pca_project_vec`` values for those
+    rows), train codebooks through the shared ``pq_codebooks`` core,
+    then inline EVERYTHING as mantissa-transported literals: the d·d
+    rotation as left-assoc projection columns (q127's technique, full
+    rank), the codebooks as exact DOUBLE[] values (stronger than q92's
+    repr literals). Encoding, ADC, and the rotated-space rerank mirror
+    the kernels' fold orders, so the only cross-engine lean is the
+    q50-proven (dist, id) rank portability of the final rerank."""
+    import duckdb
+
+    import numpy as np
+
+    from pyspark_mrdf_spark.operators.project import (
+        opq_components,
+        project_kernel,
+    )
+    from pyspark_mrdf_spark.operators.quantize import pq_codebooks
+
+    cfg = _OPQ_CFG
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY md5('{cfg['seed']}:' || CAST(vec_id AS VARCHAR)) "
+        f"LIMIT {cfg['sample_size']}"
+    ).fetchall()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    d = x.shape[1]
+    mean, rot = opq_components(x, cfg["n_subspaces"])
+    xr = project_kernel(x, mean, rot)
+    cb = pq_codebooks(xr, cfg["n_subspaces"], cfg["n_codes"], cfg["iters"])
+    n_sub, n_codes, ds = cb.shape
+
+    proj_cols = []
+    for j in range(d):
+        terms = " + ".join(
+            f"(CAST(embedding[{i + 1}] AS DOUBLE) - {exact_double_sql(mean[i])})"
+            f" * {exact_double_sql(rot[i, j])}"
+            for i in range(d)
+        )
+        proj_cols.append(f"({terms}) AS p{j}")
+    proj_sql = ",\n    ".join(proj_cols)
+    pv = "list_value(" + ", ".join(f"p{j}" for j in range(d)) + ")"
+    cb_vals = ",\n  ".join(
+        "({}, {}, [{}])".format(
+            m + 1, c,
+            ", ".join(exact_double_sql(float(v)) for v in cb[m, c]),
+        )
+        for m in range(n_sub)
+        for c in range(n_codes)
+    )
+    return f"""
+WITH proj AS (
+  SELECT vec_id,
+    {proj_sql}
+  FROM embeddings),
+parr AS (SELECT vec_id, {pv} AS pv FROM proj),
+cb(m, code, cvec) AS (VALUES
+  {cb_vals}),
+sub2 AS (
+  SELECT vec_id, m, pv[(m - 1) * {ds} + 1 : m * {ds}] AS svec
+  FROM (SELECT vec_id, unnest(generate_series(1, {n_sub})) AS m, pv
+        FROM parr)),
+enc AS (
+  -- argmin by the UN-sqrted sequential-fold d² (exactly the kernel's
+  -- _seq_sq_dists values), ties to the lowest code — pq_assign's order
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+             ORDER BY list_sum(list_transform(generate_series(1, {ds}),
+                      i -> (s.svec[i] - c.cvec[i]) * (s.svec[i] - c.cvec[i]))),
+                      c.code) AS rn
+    FROM sub2 s JOIN cb c USING (m)) WHERE rn = 1),
+terms AS (
+  SELECT q.vec_id AS src, e.vec_id AS dst, q.m,
+         list_sum(list_transform(generate_series(1, {ds}),
+                  i -> (q.svec[i] - c.cvec[i]) * (q.svec[i] - c.cvec[i]))) AS term
+  FROM (SELECT * FROM sub2 WHERE vec_id % 13 = 0) q
+  JOIN enc e ON e.vec_id <> q.vec_id AND e.m = q.m
+  JOIN cb c ON c.m = q.m AND c.code = e.code),
+adc AS (
+  SELECT src, dst, list_sum(list(term ORDER BY m)) AS adc
+  FROM terms GROUP BY src, dst),
+topc AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY adc, dst) AS crnk
+  FROM adc),
+rr AS (
+  -- rerank in the ROTATED space (the engine reranks on the rotated
+  -- corpus — same distances as the original space up to the isometry)
+  SELECT t.src, t.dst,
+         ROW_NUMBER() OVER (PARTITION BY t.src
+           ORDER BY list_sum(list_transform(generate_series(1, {d}),
+                    i -> (qp.pv[i] - cp.pv[i]) * (qp.pv[i] - cp.pv[i]))),
+                    t.dst) AS rnk
+  FROM topc t
+  JOIN parr qp ON qp.vec_id = t.src
+  JOIN parr cp ON cp.vec_id = t.dst
+  WHERE t.crnk <= 20)
+SELECT src, dst, rnk FROM rr WHERE rnk <= 5
+"""
+
+
+@register(
+    "q159_opq_pq_knn",
+    # promoted r12 at registration: the 3x-green q129 cedes its slot
+    # (see tests/test_oracle_queries.py DRIVER_SURFACE)
+    oracle=_q159_oracle,
+    description=(
+        "OPQ-lite balanced-rotation PQ search (operators/project."
+        "opq_train + operators/quantize.pq_search): rotate by the full "
+        "PCA basis with columns permuted by eigenvalue allocation so "
+        "PQ's contiguous subspaces see balanced variance products — an "
+        "isometry, so exact neighbors are unchanged while code geometry "
+        "improves (law-tested: recall 0.188 raw = 0.188 PCA-contiguous "
+        "vs 0.356 balanced on a decaying spectrum at the same budgets) "
+        "— then encode, ADC candidates, rotated-space exact rerank. The "
+        "oracle replays rotation AND codebook training bit-identically "
+        "(md5 sample through opq_components/project_kernel/pq_codebooks, "
+        "mantissa-transported literals) and mirrors every fold order — "
+        "the deepest quantization composition in the registry"
+    ),
+    tags=("vector", "knn", "quantize", "reduce", "pipeline"),
+)
+def q159_opq_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.project import opq_train, pca_project_vec
+    from pyspark_mrdf_spark.operators.quantize import pq_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    mean, rot = opq_train(
+        emb, _OPQ_CFG["n_subspaces"],
+        sample_size=_OPQ_CFG["sample_size"], seed=_OPQ_CFG["seed"],
+    )
+    emb_r = pca_project_vec(emb, mean, rot).localCheckpoint(eager=False)
+    q_r = emb_r.filter(F.col("vec_id") % 13 == 0)
+    return pq_search(
+        q_r, emb_r, 5, k_candidates=20, include_self=False, **_OPQ_CFG
+    ).select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))

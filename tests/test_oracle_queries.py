@@ -158,6 +158,11 @@ DRIVER_SURFACE = [
     # and q158 incremental kNN-graph append (new r12: the
     # build->serve->APPEND lifecycle) takes the slot of the 3x-green
     # (r9-r11) q126 domain caps (pipeline keeps q156/q157).
+    # Also r12: q159 OPQ-balanced PQ (new — rotation + codebook
+    # training both replayed bit-identically in the oracle) takes the
+    # slot of the 3x-green (r9-r11) q129 PCA-prefix search (PCA
+    # candidate search stays driver-verified via q133's composition;
+    # projection via q127/q134).
     # Family sentinels q01/q50/q56/q72 stay put.
     "q114_scd2_history",
     "q130_linear_attribution",
@@ -203,12 +208,12 @@ DRIVER_SURFACE = [
     "q119_prefix_dim_knn",
     "q124_graph_ann_search",
     "q127_pca_project",
-    "q129_pca_prefix_knn",
     "q131_sq8_drift_monitor",
     "q133_pca_sq8_knn",
     "q134_pca_energy",
     "q155_mrdf_pinned_replay",
     "q158_knn_graph_append",
+    "q159_opq_pq_knn",
 ]
 
 
