@@ -80,6 +80,17 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Iterative drivers (MRDF's loop runs 1000+ stages per build)
+        # retire a shuffle's files only when the ContextCleaner sees
+        # its RDD unreferenced — which needs a JVM GC, and a mostly-
+        # idle multi-GB heap can go the default 30 MINUTES without
+        # one. Measured failure (r12, n=1M mixture): ~200 GB of dead
+        # shuffle/checkpoint blocks accumulated in ~35 min and filled
+        # the disk at MRDF stage ~1365 twice in a row. A 2-minute
+        # periodic GC bounds dead-file residency at roughly
+        # (bytes-shuffled-per-2min), turning disk use from
+        # O(run length) into O(working set).
+        .config("spark.cleaner.periodicGC.interval", "2min")
         # Scheduler mode stays FIFO (the default). FAIR was tried for
         # the background-index-build overlap (q56's exact-side thread)
         # but bare spark.scheduler.mode=FAIR is a no-op — without an
