@@ -84,6 +84,7 @@ def knn_graph_append(
     refine_rounds: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = False,
 ) -> DataFrame:
     """Fold ``new_batch`` into ``old_graph`` (built over ``old_corpus``)
     → (src, dst, dist_sq, rnk) over the union corpus, ≤ k per src,
@@ -99,7 +100,18 @@ def knn_graph_append(
     LAST ULP (measured ~1e-15 relative at d=64), so the re-derived
     path preserves ids/ranks except on exact ulp-ties and the
     bit-identity law only holds for a ``dist_sq``-carrying graph —
-    which every in-engine builder emits."""
+    which every in-engine builder emits.
+
+    ``materialize=True`` returns the result EAGERLY computed and
+    stats-pinned (``cache.pin_stats``) — REQUIRED when the output
+    feeds the next append cycle (the chained-maintenance deployment
+    shape). Without it, each cycle's plan snapshot carries the
+    previous cycle's multiplied sizeInBytes estimates and Catalyst's
+    size-only stats visitor compounds them exponentially: the
+    measured round-12 failure was a 25+ minute DRIVER stall inside
+    BigInteger multiplication by cycle 3 (EXPLAIN.md), executors
+    idle. Values are identical either way (law-tested); the default
+    stays lazy for one-shot appends (q158's oracle flow)."""
     if k < 1:
         raise ValueError(f"knn_graph_append: need k >= 1, got {k}")
     if mode not in ("auto", "exact", "graph"):
@@ -181,6 +193,13 @@ def knn_graph_append(
         untouched = old_ranked.join(F.broadcast(affected), "src", "left_anti")
         return untouched.unionByName(merged_aff).unionByName(_topk(new_side, k))
 
+    def _finish(result: DataFrame) -> DataFrame:
+        if materialize:
+            from pyspark_mrdf_spark.cache import pin_stats
+
+            return pin_stats(result)
+        return result
+
     if mode == "exact":
         # new→old keeps knn_search's tier routing: the old corpus can
         # be large here (auto admits m·n up to 50M pairs), and the
@@ -194,7 +213,7 @@ def knn_graph_append(
             id_col=id_col, vec_col=vec_col, include_self=False,
             broadcast_max_rows=None,
         ).select("src", "dst", "dist_sq")
-        return _merge_affected(old_new, new_old.unionByName(new_new))
+        return _finish(_merge_affected(old_new, new_old.unionByName(new_new)))
 
     # ---- graph tier --------------------------------------------------
     from pyspark_mrdf_spark.operators.graph_search import graph_knn_search
@@ -281,7 +300,7 @@ def knn_graph_append(
             g_active = _topk(
                 g_active.select("src", "dst", "dist_sq").unionByName(scored), k
             ).localCheckpoint(eager=False)
-    return g_rest.unionByName(g_active)
+    return _finish(g_rest.unionByName(g_active))
 
 
 def _topk(edges: DataFrame, k: int) -> DataFrame:

@@ -36,6 +36,48 @@ _LOCK = Lock()
 _BUILDING: dict[tuple, Lock] = {}
 
 
+def pin_stats(df: DataFrame) -> DataFrame:
+    """Materialize ``df`` (eager localCheckpoint) and rebuild it as a
+    fresh leaf WITHOUT the origin plan's statistics snapshot.
+
+    Why this exists: ``localCheckpoint`` — lazy AND eager — truncates
+    the *lineage* but snapshots the origin plan's ESTIMATED statistics
+    onto the resulting ``LogicalRDD`` (measured on this Spark: a
+    checkpointed 3-way join keeps its multiplied sizeInBytes product).
+    Catalyst's size-only estimator multiplies join children, so an
+    operator whose output feeds back into itself across calls (chained
+    ``knn_graph_append`` cycles) compounds those products
+    EXPONENTIALLY: by cycle ~3 the driver sat 25+ minutes inside
+    ``SizeInBytesOnlyStatsPlanVisitor`` multiplying BigIntegers large
+    enough to hit Toom-Cook-3 (EXPLAIN.md round-12 note), executors
+    idle. Eager materialization alone does NOT fix this — the snapshot
+    is taken either way.
+
+    The rebuild goes through the JVM session's
+    ``internalCreateDataFrame`` over the checkpointed rows, which
+    constructs a ``LogicalRDD`` with no origin stats — it reports the
+    bounded session default (``defaultSizeInBytes``), so downstream
+    plans start from a clean slate. Values, schema, and the
+    materialized blocks are exactly the checkpoint's; only the stats
+    metadata is dropped. Consequence for planning: the pinned leaf
+    reads as LARGE, so Catalyst will never auto-broadcast it — callers
+    that want a broadcast say ``F.broadcast`` explicitly (this
+    engine's rule everywhere already). If the private JVM hook is ever
+    unavailable, falls back to the plain eager checkpoint — correct,
+    just planner-slower when chained."""
+    ck = df.localCheckpoint(eager=True)
+    try:
+        spark = df.sparkSession
+        jrdd = ck._jdf.queryExecution().toRdd()
+        jschema = spark._jvm.org.apache.spark.sql.types.DataType.fromJson(
+            ck.schema.json()
+        )
+        jdf = spark._jsparkSession.internalCreateDataFrame(jrdd, jschema, False)
+        return DataFrame(jdf, spark)
+    except Exception:  # pragma: no cover - depends on private JVM API
+        return ck
+
+
 def memoized_df(
     spark: SparkSession,
     key: tuple,

@@ -102,22 +102,54 @@ def opq_balanced_order(variances: np.ndarray, n_subspaces: int) -> np.ndarray:
     scales with the GEOMETRIC mean of its dims' variances, so the
     contiguous-PCA split (all the top eigenvalues in subspace 0) wastes
     codebook capacity on one subspace while the tail subspaces encode
-    noise — exactly the imbalance this permutation removes."""
+    noise — exactly the imbalance this permutation removes.
+
+    SCALE-INVARIANCE (r13 advisor fix, strengthened): the r12 greedy
+    ran raw log-variances through plain argmin-sum (LPT). That
+    degenerates when every variance is < 1 (all logs negative — e.g.
+    L2-normalized embeddings): whichever bucket has the MOST dims has
+    the smallest log-sum and attracts every subsequent dim until
+    full, so the permutation silently collapses to the identity — the
+    contiguous PCA split the balancing exists to beat (advisor-
+    measured: zero recall gain). Plain mean-centering (the advisor's
+    sketch) removes the degenerate attractor but is NOT
+    balance-preserving either — the shift is per-dim, so buckets at
+    different fill counts compare shifted by different totals, and on
+    the decaying spectrum it measured 1.7× WORSE spread than the r12
+    greedy. The fix that dominates both (measured spreads on the
+    test spectrum: r12 6.81, centered-argmin 11.26, this 0.78 —
+    identical on the spectrum × any constant):
+     - center the logs (logv −= logv.mean()), making the permutation
+       a function of the spectrum's SHAPE alone (total = 0, so the
+       per-bucket target is 0);
+     - process dims by DESCENDING |centered log| (the dims that can
+       unbalance most get placed while buckets are still comparable —
+       LPT's rationale, applied to signed values);
+     - assign a positive-log dim to the open bucket with the SMALLEST
+       running sum, a negative-log dim to the LARGEST (pairing
+       extremes drives every bucket toward the zero target; argmin
+       for negatives would pile the tail into one bucket).
+    Ties (flat spectra) break by lowest bucket index, then the stable
+    dim order — deterministic, same as r12."""
     variances = np.asarray(variances, dtype=np.float64)
     d = len(variances)
     if d % n_subspaces:
         raise ValueError(f"d={d} not divisible by n_subspaces={n_subspaces}")
     cap = d // n_subspaces
-    order_desc = np.argsort(-variances, kind="stable")
+    logv = np.log(np.maximum(variances, 1e-300))
+    logv = logv - logv.mean()
+    order = np.argsort(-np.abs(logv), kind="stable")
     buckets: list[list[int]] = [[] for _ in range(n_subspaces)]
     logprod = np.zeros(n_subspaces)
-    for dim in order_desc:
+    for dim in order:
         open_b = [b for b in range(n_subspaces) if len(buckets[b]) < cap]
-        # ties (identical log-products, e.g. the first n_sub dims of a
-        # flat spectrum) break to the lowest bucket index: deterministic
-        b = min(open_b, key=lambda i: (logprod[i], i))
+        lv = float(logv[dim])
+        if lv > 0:
+            b = min(open_b, key=lambda i: (logprod[i], i))
+        else:
+            b = min(open_b, key=lambda i: (-logprod[i], i))
         buckets[b].append(int(dim))
-        logprod[b] += float(np.log(max(variances[dim], 1e-300)))
+        logprod[b] += lv
     return np.array([dim for b in buckets for dim in b], dtype=np.int64)
 
 

@@ -2376,7 +2376,12 @@ def _graph_append_chain_evidence(
             centroid_broadcast_max_paths=0,
         )
         out["base_build_s"] = base["mrdf_s"]
-        graph = base["graph"]
+        # stats-pin the chain's entry graph: the build plan's stats
+        # snapshot would otherwise seed cycle 1's compounding (the r12
+        # wedge — see cache.pin_stats)
+        from pyspark_mrdf_spark.cache import pin_stats
+
+        graph = pin_stats(base["graph"])
 
         def _sampled_recall(cur_corpus, cur_graph):
             q = (
@@ -2407,11 +2412,14 @@ def _graph_append_chain_evidence(
             ).localCheckpoint(eager=True)
             t0 = time.time()
             # mode='graph' pinned: auto would route these m·n sizes to
-            # the exact tier, and the chain claim is about the scale path
+            # the exact tier, and the chain claim is about the scale
+            # path. materialize=True is the chained-deployment dial:
+            # eager + stats-pinned output, so cycle c+1 plans on a
+            # bounded leaf instead of compounding snapshot products
+            # (the r12 planner wedge, cleared r13)
             graph = knn_graph_append(
-                graph, corpus, new, K, mode="graph"
-            ).localCheckpoint(eager=True)
-            graph.count()
+                graph, corpus, new, K, mode="graph", materialize=True
+            )
             append_s = round(time.time() - t0, 2)
             corpus = emb.filter(F.col("vec_id") < hi).localCheckpoint(eager=True)
             chain.append(

@@ -91,3 +91,71 @@ def test_sf_dirs_never_cross_serve(spark):
     assert counts["/root/testdata/sf0.001"] != counts["/root/testdata/sf0.01"]
     for sf_dir, n in counts.items():
         assert n == load_table(spark, sf_dir, "lineitem").count()
+
+
+def _stats_size(df) -> int:
+    """Digits of the optimized plan's estimated sizeInBytes — the
+    quantity Catalyst's size-only visitor multiplies; Long.Max (the
+    session default for a stats-free leaf) is 19 digits."""
+    return len(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+
+
+def test_pin_stats_drops_origin_stats_snapshot(spark):
+    """localCheckpoint (eager or lazy) SNAPSHOTS the origin plan's
+    multiplied stats — the round-12 chained-append wedge mechanism —
+    while pin_stats rebuilds a leaf whose estimate is the bounded
+    session default, with identical rows."""
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.cache import pin_stats
+
+    base = spark.range(200).select(
+        F.col("id").alias("src"), (F.col("id") % 7).alias("dst")
+    )
+    j = base.join(base.withColumnRenamed("src", "s2"), "dst").join(
+        base.withColumnRenamed("dst", "d2"), "src"
+    )
+    def _size(df) -> str:
+        return str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+    ck = j.localCheckpoint(eager=True)
+    pinned = pin_stats(j)
+    # the checkpoint keeps the origin join-product estimate verbatim;
+    # the pin reads as the bounded session default instead
+    assert _size(ck) == _size(j)
+    assert _size(pinned) != _size(ck)
+    assert _stats_size(pinned) <= 19
+    assert sorted(map(tuple, pinned.collect())) == sorted(map(tuple, ck.collect()))
+    assert pinned.schema == ck.schema
+
+
+def test_pin_stats_bounds_compounding_across_cycles(spark):
+    """Self-feeding plans (output joins itself next cycle) grow the
+    snapshot stats exponentially without the pin and stay flat with
+    it — the planner-cost law behind knn_graph_append(materialize=True)."""
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.cache import pin_stats
+
+    def cycle(df):
+        other = df.select("dst", F.col("src").alias("s2"))
+        return (
+            df.join(other, "dst")
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .select("src", "dst")
+        )
+
+    base = spark.range(50).select(
+        F.col("id").alias("src"), (F.col("id") % 5).alias("dst")
+    )
+    raw, pinned = base, base
+    raw_digits, pinned_digits = [], []
+    for _ in range(3):
+        raw = cycle(raw).localCheckpoint(eager=True)
+        pinned = pin_stats(cycle(pinned))
+        raw_digits.append(_stats_size(raw))
+        pinned_digits.append(_stats_size(pinned))
+    assert raw_digits[-1] > raw_digits[0], raw_digits
+    assert max(pinned_digits) <= 25, pinned_digits
+    assert sorted(map(tuple, raw.collect())) == sorted(map(tuple, pinned.collect()))

@@ -126,3 +126,35 @@ def test_validation(spark, emb, split):
         knn_graph_append(g, old, new, 0)
     with pytest.raises(ValueError, match="k_candidates"):
         knn_graph_append(g, old, new, 3, mode="graph", beam=8, k_candidates=16)
+
+
+def test_materialize_chains_bit_identically_with_bounded_stats(spark, emb):
+    """materialize=True (the chained-deployment dial) must change
+    NOTHING about values — the chaining law holds bit-identically —
+    while keeping each cycle's planner estimate at the bounded leaf
+    default (the round-12 wedge was Catalyst multiplying compounded
+    snapshot stats into Toom-Cook-3-sized BigIntegers by cycle 3)."""
+    old = emb.filter(F.col("vec_id") % 10 >= 3).localCheckpoint(eager=True)
+    k = 4
+    g = knn_exact_blocked(old, k).localCheckpoint(eager=True)
+    corpus = old
+    for m in range(3):
+        batch = emb.filter(F.col("vec_id") % 10 == m).localCheckpoint(eager=True)
+        g = knn_graph_append(g, corpus, batch, k, mode="exact", materialize=True)
+        corpus = corpus.unionByName(batch)
+        digits = len(
+            str(g._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        assert digits <= 19, f"cycle {m}: stats estimate {digits} digits"
+    assert _rows(g) == _rows(
+        knn_exact_blocked(emb.filter(F.col("vec_id") % 10 <= 9), k)
+    )
+
+
+def test_materialize_graph_tier_values_identical(spark, emb, split):
+    old, new = split
+    k = 3
+    old_graph = knn_exact_blocked(old, k).localCheckpoint(eager=True)
+    lazy = knn_graph_append(old_graph, old, new, k, mode="graph")
+    mat = knn_graph_append(old_graph, old, new, k, mode="graph", materialize=True)
+    assert _rows(lazy) == _rows(mat)

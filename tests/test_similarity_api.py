@@ -1030,3 +1030,172 @@ def test_q120_vector_leg_tier_swap(spark, sf_dir):
     hits = sum(len(ex_m[s] & sq_m[s]) for s in _RRF_QIDS)
     recall = hits / (len(_RRF_QIDS) * _RRF_LEG_K)
     assert recall >= 0.9, recall
+
+
+def test_rotated_ivfpq_index_roundtrip_append_and_serving(spark, sf_dir, tmp_path):
+    """The persisted-OPQ lifecycle (r12 verdict task #2): a
+    rotate='opq' build stores (mean, rotation) with the frozen params;
+    appends encode through the FROZEN rotation (append ≡ union-rebuild,
+    bit-identical); serving rotates the query batch driver-side
+    (rotation=) and returns ids identical to the fully-inline rotated
+    composition, with dist_sq in the ORIGINAL space (isometry: equal to
+    the rotated-space values up to fp)."""
+    import numpy as np
+
+    from pyspark_mrdf_spark.operators.project import pca_project_vec
+    from pyspark_mrdf_spark.operators.quantize import (
+        append_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_encode,
+        ivfpq_search_encoded,
+        read_index_rotation,
+        read_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") < 250)
+    new = emb.filter(F.col("vec_id") >= 250)
+    queries = emb.filter(F.col("vec_id") < 40)
+    cfg = dict(n_centroids=8, n_subspaces=8, n_codes=16,
+               sample_size=256, iters_coarse=5, iters_pq=5, seed=3)
+
+    path = str(tmp_path / "ivfpq_rot")
+    build_ivfpq_index(old, path, rotate="opq", **cfg)
+    rot = read_index_rotation(path)
+    assert rot is not None
+    mean, r = rot
+    d = len(mean)
+    assert r.shape == (d, d)
+    assert np.allclose(r.T @ r, np.eye(d), atol=1e-10)
+
+    # append-equals-rebuild THROUGH the frozen rotation
+    append_ivfpq_index(path, new)
+    coarse, cb, codes = read_ivfpq_index(spark, path)
+    assert codes.count() == emb.count()
+    union_rot = pca_project_vec(emb, mean, r)
+    rebuilt = ivfpq_encode(union_rot, coarse, cb)
+    got = {(x["vec_id"], x["cell"], bytes(x["code"])) for x in codes.collect()}
+    want = {(x["vec_id"], x["cell"], bytes(x["code"])) for x in rebuilt.collect()}
+    assert got == want
+
+    # serving: rotation= (queries rotated driver-side, rerank in the
+    # ORIGINAL space) returns the same ids as the fully-inline rotated
+    # composition, with isometry-equal distances
+    served = ivfpq_search_encoded(
+        queries, codes, coarse, cb, emb, 5,
+        k_candidates=60, n_probe=3, include_self=False, rotation=rot,
+    ).collect()
+    q_rot = pca_project_vec(queries, mean, r)
+    inline = ivfpq_search_encoded(
+        q_rot, codes, coarse, cb, union_rot, 5,
+        k_candidates=60, n_probe=3, include_self=False,
+    ).collect()
+    s = {(x["src"], x["rnk"]): (x["dst"], x["dist_sq"]) for x in served}
+    i = {(x["src"], x["rnk"]): (x["dst"], x["dist_sq"]) for x in inline}
+    assert set(s) == set(i)
+    for key, (dst, d2) in i.items():
+        assert s[key][0] == dst, key
+        assert abs(s[key][1] - d2) <= 1e-9 * max(1.0, abs(d2)), key
+
+
+def test_rotated_pq_index_roundtrip_and_append(spark, sf_dir, tmp_path):
+    import numpy as np
+
+    from pyspark_mrdf_spark.operators.project import pca_project_vec
+    from pyspark_mrdf_spark.operators.quantize import (
+        append_pq_index,
+        build_pq_index,
+        pq_encode,
+        pq_search_encoded,
+        read_index_rotation,
+        read_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") < 250)
+    new = emb.filter(F.col("vec_id") >= 250)
+    queries = emb.filter(F.col("vec_id") < 40)
+
+    path = str(tmp_path / "pq_rot")
+    cb = build_pq_index(
+        old, path, n_subspaces=8, n_codes=16, sample_size=256, iters=5,
+        seed=7, rotate="opq",
+    )
+    rot = read_index_rotation(path)
+    assert rot is not None
+    append_pq_index(path, new)
+    cb_r, codes = read_pq_index(spark, path)
+    assert np.array_equal(cb, cb_r)
+    assert codes.count() == emb.count()
+    # append ≡ union-encode through the frozen rotation, bit-identical
+    rebuilt = pq_encode(pca_project_vec(emb, rot[0], rot[1]), cb_r)
+    got = {(x["vec_id"], bytes(x["code"])) for x in codes.collect()}
+    want = {(x["vec_id"], bytes(x["code"])) for x in rebuilt.collect()}
+    assert got == want
+    # serving smoke with the persisted rotation: contract shape + self
+    # exclusion hold, rerank distances are original-space exact
+    res = pq_search_encoded(
+        queries, codes, cb_r, emb, 5, k_candidates=80,
+        include_self=False, rotation=rot,
+    )
+    rows = res.collect()
+    assert {x["rnk"] for x in rows} <= {1, 2, 3, 4, 5}
+    assert all(x["src"] != x["dst"] for x in rows)
+
+
+def test_unrotated_index_has_no_rotation_and_merge_gates_rotation(
+    spark, sf_dir, tmp_path
+):
+    """read_index_rotation is None for a plain build; merging a rotated
+    index with an unrotated one — or two indexes with DIFFERENT
+    rotations — refuses loudly (frozen-params discipline extends to the
+    rotation); shards sharing one frozen rotation merge and the merged
+    index keeps it."""
+    import pytest as _pytest
+
+    from pyspark_mrdf_spark.operators.quantize import (
+        _read_params,
+        build_ivfpq_index,
+        ivfpq_encode,
+        merge_ivfpq_indexes,
+        read_index_rotation,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from pyspark_mrdf_spark.operators.project import pca_project_vec
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") < 200)
+    b = emb.filter(F.col("vec_id") >= 200)
+    cfg = dict(n_centroids=4, n_subspaces=8, n_codes=8,
+               sample_size=128, iters_coarse=3, iters_pq=3, seed=3)
+
+    plain = str(tmp_path / "plain")
+    build_ivfpq_index(a, plain, **cfg)
+    assert read_index_rotation(plain) is None
+
+    rot_a = str(tmp_path / "rot_a")
+    build_ivfpq_index(a, rot_a, rotate="opq", **cfg)
+    with _pytest.raises(ValueError, match="rotated"):
+        merge_ivfpq_indexes(spark, [rot_a, plain], str(tmp_path / "m1"))
+
+    # different training corpus -> different rotation bytes -> refuse
+    rot_b = str(tmp_path / "rot_b")
+    build_ivfpq_index(b, rot_b, rotate="opq", **cfg)
+    with _pytest.raises(ValueError, match="differs"):
+        merge_ivfpq_indexes(spark, [rot_a, rot_b], str(tmp_path / "m2"))
+
+    # shard encoded with THE SAME frozen params merges; rotation rides
+    p = _read_params(rot_a)
+    rot = (p["rot_mean"], p["rotation"])
+    shard_b = str(tmp_path / "shard_b")
+    write_ivfpq_index(
+        shard_b, p["coarse"], p["codebooks"],
+        ivfpq_encode(pca_project_vec(b, rot[0], rot[1]), p["coarse"], p["codebooks"]),
+        rotation=rot,
+    )
+    merged = str(tmp_path / "merged")
+    merge_ivfpq_indexes(spark, [rot_a, shard_b], merged)
+    assert read_index_rotation(merged) is not None
+    _, _, codes = read_ivfpq_index(spark, merged)
+    assert codes.count() == emb.count()
