@@ -23,17 +23,124 @@ distance, identical semantics to DuckDB's ``levenshtein`` — pinned by
 test); the per-record argmin is a (distance, name) window with rank 1,
 deterministic under ties.
 
-Scale shape: two equi-joins on short block keys (hot blocks are a
-data-quality smell — the ``max_block`` stoplist below is the standard
-guard and composes exactly like dedup.py's ``max_df`` shingle
-stoplist), one window partitioned by dirty-record id (millions of
-small partitions — no skew), zero cartesian products.
+Scale shape: two equi-joins on short block keys, one window
+partitioned by dirty-record id (millions of small partitions — no
+skew), zero cartesian products. Hot blocks — a shared
+non-discriminative key across a large name family — grow pair mass
+QUADRATICALLY in the family size; ``max_block`` bounds them, and its
+default action SPLITS the hot block by deletion-neighborhood
+sub-blocking (exact for edit distance, see
+``_deletion_variants``) instead of dropping it, so the bound costs
+zero matches.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _deletion_variants(name: Column, n_del: int) -> Column:
+    """array<string> of every string obtainable from ``name`` by
+    deleting 0..``n_del`` characters — the SymSpell/FastSS deletion
+    neighborhood (public method: Garbe's SymSpell, the FastSS paper of
+    Bocek et al. 2007). The law that makes it an EXACT blocking key:
+    levenshtein(x, y) <= n iff the n-deletion neighborhoods of x and y
+    intersect (for n=1: a substitution at i makes x and y equal after
+    each deletes position i; an insertion/deletion makes one side a
+    0-deletion of the other). So sub-blocking an oversized block on
+    (block key, variant) preserves EVERY within-distance pair the
+    block contained — unlike a stoplist, which discards them — while
+    true near-pairs are the only strings that share a full-length
+    variant, so sub-block sizes track match density, not family size.
+
+    Pure JVM expression (transform over a sequence; no Python on the
+    row path). Cost per name: O(len) variants at n_del=1, O(len²) at
+    n_del=2 — applied only to members of oversized blocks (and, at
+    max_dist=1, only to SHORT members — long names take the O(1)
+    segment keys of ``_sub_block_keys``)."""
+    out = F.array_distinct(F.array(name))
+    cur = out
+    for _ in range(n_del):
+        cur = F.array_distinct(
+            F.flatten(
+                F.transform(
+                    cur,
+                    lambda s: F.when(
+                        F.length(s) >= 1,
+                        F.transform(
+                            F.sequence(F.lit(1), F.length(s)),
+                            lambda i: F.concat(
+                                s.substr(F.lit(1), i - F.lit(1)),
+                                s.substr(i + F.lit(1), F.length(s)),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<string>")),
+                )
+            )
+        )
+        out = F.array_distinct(F.concat(out, cur))
+    return out
+
+
+def _sub_block_keys(name: Column, max_dist: int, is_dirty: bool) -> Column:
+    """array<string> of EXACT sub-block keys for hot-block members.
+
+    max_dist=1 (the cheap path): the 2-segment pigeonhole of PassJoin
+    (Li, Deng, Feng, ICDE 2011 — public method). For clean length t,
+    one edit leaves either the first ⌈t/2⌉ characters intact
+    (edit strictly after them — insert/delete there shifts only the
+    tail) or the LAST ⌊t/2⌋ characters intact (edit in the first
+    half — counting from the right absorbs the ±1 alignment shift).
+    So clean emits 2 keys ('L:t:prefix', 'R:t:suffix' with t = its own
+    length); dirty emits the same 2 key shapes for each candidate
+    clean length t ∈ {m−1, m, m+1} (edit distance 1 bounds the length
+    gap) — ≤ 6 short keys per member instead of O(len) full-length
+    deletion variants, which is what keeps the 30× whale blocks
+    (every member of the corpus) linear to fan out. The pigeonhole
+    argument needs t ≥ 5 (shorter strings can straddle both halves
+    with one edit once clamping kicks in), so keys for t ≤ 4 fall
+    back to the ≤1-deletion SymDelete neighborhood ('V:' namespace) —
+    a ≤ 5-string set at those lengths. The two key families share no
+    namespace, and a within-distance pair always agrees on which
+    family covers it (the clean side's length decides), so the union
+    key set is exact.
+
+    max_dist=2: the full ≤2-deletion SymDelete neighborhood (exact;
+    O(len²) variants per member — documented cost of the deeper
+    dial)."""
+    m = F.length(name)
+    if max_dist >= 2:
+        return F.transform(
+            _deletion_variants(name, max_dist), lambda v: F.concat(F.lit("V:"), v)
+        )
+    keys = []
+    deltas = (-1, 0, 1) if is_dirty else (0,)
+    for delta in deltas:
+        t = m + F.lit(delta)
+        half = F.ceil(t / F.lit(2)).cast("int")
+        lo = (t - half).cast("int")
+        pref = F.concat(
+            F.lit("L:"), t.cast("string"), F.lit(":"), name.substr(F.lit(1), half)
+        )
+        suf = F.concat(
+            F.lit("R:"), t.cast("string"), F.lit(":"),
+            name.substr(F.greatest(m - lo + F.lit(1), F.lit(1)), lo),
+        )
+        keys.append(F.when(t >= 5, F.array(pref, suf)).otherwise(
+            F.array().cast("array<string>")
+        ))
+    short_gate = (m <= 5) if is_dirty else (m <= 4)
+    variants = F.when(
+        F.lit(True) & short_gate,
+        F.transform(
+            _deletion_variants(name, 1), lambda v: F.concat(F.lit("V:"), v)
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = keys[0]
+    for k in keys[1:]:
+        out = F.concat(out, k)
+    return F.array_distinct(F.concat(out, variants))
 
 
 def blocked_levenshtein_link(
@@ -45,6 +152,7 @@ def blocked_levenshtein_link(
     max_dist: int = 1,
     prefix_len: int = 3,
     max_block: int | None = None,
+    hot_block_action: str = "split",
 ) -> DataFrame:
     """Best clean-side match per dirty record →
     (id_col, name_col, matched_name, dist); records with no candidate
@@ -53,19 +161,42 @@ def blocked_levenshtein_link(
     ``clean`` is deduplicated on ``clean_name_col`` — linkage is to a
     NAME, not a row; resolve name→rows downstream if needed.
 
-    ``max_block`` (the hot-block stoplist): candidate-pair mass is
+    ``max_block`` (the hot-block bound): candidate-pair mass is
     Σ_blocks |dirty_block|·|clean_block|, so one non-discriminative
     key (a shared 3-char prefix across a large name family) grows the
     plan QUADRATICALLY in that family's size — the measured 30×
     relational replication shape, where every replica of a name
-    shares its prefix block. With ``max_block`` set, block keys whose
-    CLEAN-side distinct-name frequency exceeds it are dropped from
-    BOTH passes (the join is on the key, so filtering the clean side
-    filters the pair). The recall cost is honest and data-dependent:
-    a dirty record whose every key is hot gets no candidates — the
-    30× evidence row (`scripts/scalability.py --relational-only
+    shares its prefix block. Block keys whose CLEAN-side
+    distinct-name frequency exceeds the dial are diverted per
+    ``hot_block_action``:
+
+     - ``'split'`` (default, r13): members of the oversized block are
+       re-blocked on (key, sub-key) with EXACT sub-keys
+       (``_sub_block_keys``: 2-segment pigeonhole at max_dist=1,
+       SymDelete deletion neighborhoods for short strings and at
+       max_dist=2), so every within-``max_dist`` pair the hot block
+       contained is still co-blocked (law-tested: capped == uncapped
+       match set, agreement 1.0) while sub-block sizes track match
+       density, not family size. Requires ``max_dist <= 2``.
+     - ``'drop'`` (the r12 stoplist): the key is removed from BOTH
+       passes. Cheaper, but a dirty record whose every key is hot
+       gets no candidates — measured 0.873 agreement on the 30× feed.
+       Kept for junk-key deployments where hot blocks ARE noise.
+
+    The 30× evidence row (`scripts/scalability.py --relational-only
     --relational-factor 30`) records wall AND match-agreement for
-    capped vs uncapped on the same corpus."""
+    both actions vs uncapped on the same corpus."""
+    if hot_block_action not in ("split", "drop"):
+        raise ValueError(
+            f"blocked_levenshtein_link: unknown hot_block_action "
+            f"{hot_block_action!r}"
+        )
+    if max_block is not None and hot_block_action == "split" and max_dist > 2:
+        raise ValueError(
+            "blocked_levenshtein_link: hot_block_action='split' supports "
+            f"max_dist <= 2 (O(len^max_dist) variants per member), got "
+            f"{max_dist} — use hot_block_action='drop' or raise max_block"
+        )
     d = dirty.select(F.col(id_col), F.col(name_col).alias("_dn"))
     c = clean.select(F.col(clean_name_col).alias("_cn")).distinct()
 
@@ -93,10 +224,39 @@ def blocked_levenshtein_link(
             .filter(F.col("_n") > max_block)
             .select("_k")
         )
-        ck = ck.join(F.broadcast(hot), "_k", "left_anti")
+        ck_cold = ck.join(F.broadcast(hot), "_k", "left_anti")
+        pairs = dk.join(ck_cold, "_k").select(id_col, "_dn", "_cn")
+        if hot_block_action == "split":
+            # deletion-neighborhood sub-blocking WITHIN each hot key:
+            # only hot-block members pay the variant fan-out, the join
+            # stays an equi-join on (key, variant), and the final
+            # levenshtein filter discards any variant-collision false
+            # positives — the same candidates-then-verify shape
+            dvar = (
+                dk.join(F.broadcast(hot), "_k", "left_semi")
+                .select(
+                    id_col, "_dn", "_k",
+                    F.explode(
+                        _sub_block_keys(F.col("_dn"), max_dist, is_dirty=True)
+                    ).alias("_v"),
+                )
+            )
+            cvar = (
+                ck.join(F.broadcast(hot), "_k", "left_semi")
+                .select(
+                    "_cn", "_k",
+                    F.explode(
+                        _sub_block_keys(F.col("_cn"), max_dist, is_dirty=False)
+                    ).alias("_v"),
+                )
+            )
+            pairs = pairs.unionByName(
+                dvar.join(cvar, ["_k", "_v"]).select(id_col, "_dn", "_cn")
+            )
+    else:
+        pairs = dk.join(ck, "_k").select(id_col, "_dn", "_cn")
     cand = (
-        dk.join(ck, "_k")
-        .select(id_col, "_dn", "_cn")
+        pairs
         .distinct()
         .withColumn("dist", F.levenshtein("_dn", "_cn"))
         .filter(F.col("dist") <= max_dist)

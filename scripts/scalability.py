@@ -775,22 +775,31 @@ def _linkage_cap_probe(spark, syn: str, out: dict) -> None:
     ).localCheckpoint(eager=True)
     n_full = full.count()
     out["linkage_uncapped_s"] = round(time.time() - t0, 2)
-    t0 = time.time()
-    capped = blocked_levenshtein_link(
-        dirty, clean, clean_name_col="p_name", max_block=max_block
-    ).localCheckpoint(eager=True)
-    n_capped = capped.count()
-    out["linkage_capped_s"] = round(time.time() - t0, 2)
-    agree = full.join(
-        capped, ["rec_id", "matched_name"], "left_semi"
-    ).count()
     out["linkage_matches_uncapped"] = int(n_full)
-    out["linkage_matches_capped"] = int(n_capped)
-    out["linkage_match_agreement"] = round(agree / max(n_full, 1), 4)
+    # both hot-block actions against the same uncapped comparand: the
+    # r12 stoplist ('drop', measured 0.873 agreement at 30×) vs the r13
+    # deletion-neighborhood SPLIT, whose law is agreement 1.0 at a wall
+    # still bounded by sub-block (match-density) pair mass
+    for action in ("split", "drop"):
+        t0 = time.time()
+        capped = blocked_levenshtein_link(
+            dirty, clean, clean_name_col="p_name", max_block=max_block,
+            hot_block_action=action,
+        ).localCheckpoint(eager=True)
+        n_capped = capped.count()
+        out[f"linkage_{action}_s"] = round(time.time() - t0, 2)
+        agree = full.join(
+            capped, ["rec_id", "matched_name"], "left_semi"
+        ).count()
+        out[f"linkage_matches_{action}"] = int(n_capped)
+        out[f"linkage_{action}_agreement"] = round(agree / max(n_full, 1), 4)
     print(
         "[scalability] linkage cap probe: "
-        f"uncapped {out['linkage_uncapped_s']}s capped {out['linkage_capped_s']}s "
-        f"agreement {out['linkage_match_agreement']}",
+        f"uncapped {out['linkage_uncapped_s']}s "
+        f"split {out['linkage_split_s']}s (agreement "
+        f"{out['linkage_split_agreement']}) "
+        f"drop {out['linkage_drop_s']}s (agreement "
+        f"{out['linkage_drop_agreement']})",
         file=sys.stderr,
     )
 
@@ -1649,6 +1658,7 @@ def _serving_evidence(spark, n: int, d: int, n_cells: int = 64,
         build_ivfpq_index,
         build_sq8_index,
         ivfpq_search_encoded,
+        read_index_rotation,
         read_ivfpq_index,
         read_sq8_index,
         sq8_search_encoded,
@@ -1735,37 +1745,34 @@ def _serving_evidence(spark, n: int, d: int, n_cells: int = 64,
         out["sq8_index_bytes_per_row"] = d + 8
 
         # IVF-PQ: train+encode+persist once (cell-partitioned codes),
-        # serve batches off the loaded index. rotate='opq': the
-        # OPQ-lite pre-rotation (opq_train — full-rank PCA basis,
-        # eigenvalue-allocation-permuted so PQ's contiguous subspaces
-        # see balanced variance products) is applied to the corpus
-        # before the build and to each query batch before serving;
-        # rotation is an isometry, so recall is still scored against
-        # the ORIGINAL-space exact ids, and the per-batch rotation pass
-        # (one mapInPandas gemm) is included in the measured wall.
-        ivfpq_emb, ivfpq_batches = emb, batches
-        if rotate == "opq":
-            from pyspark_mrdf_spark.operators.project import (
-                opq_train,
-                pca_project_vec,
-            )
-
-            t0 = time.time()
-            r_mean, r_rot = opq_train(emb, n_sub)
-            ivfpq_emb = pca_project_vec(emb, r_mean, r_rot).localCheckpoint(
-                eager=True
-            )
-            out["rotation_train_s"] = round(time.time() - t0, 2)
-            ivfpq_batches = [
-                pca_project_vec(q, r_mean, r_rot) for q in batches
-            ]
+        # serve batches off the loaded index. rotate='opq' (r13: the
+        # PERSISTED path — rotation trained by build_ivfpq_index,
+        # stored in params.parquet, read back with the index): each
+        # query batch serves through the frozen rotation
+        # (rotation= on ivfpq_search_encoded — rotated driver-side,
+        # reranked in the ORIGINAL space on the original corpus), so
+        # this row measures exactly the train-once/search-many
+        # deployment q159's inline win previously could not serve.
+        # Timing split (r12 advisor): rotation_train_s is opq_train
+        # alone; corpus rotate+encode rides inside ivfpq_index_build_s
+        # like every other encode cost.
         t0 = time.time()
         build_ivfpq_index(
-            ivfpq_emb, os.path.join(idx_root, "ivfpq"),
+            emb, os.path.join(idx_root, "ivfpq"),
             n_centroids=n_cells, n_subspaces=n_sub, n_codes=n_codes,
             sample_size=max(4096, 16 * n_cells, 16 * n_codes),
+            rotate=rotate,
         )
         out["ivfpq_index_build_s"] = round(time.time() - t0, 2)
+        if rotate == "opq":
+            from pyspark_mrdf_spark.operators.project import opq_train
+
+            t0 = time.time()
+            opq_train(emb, n_sub)
+            out["rotation_train_s"] = round(time.time() - t0, 2)
+            out["rotation_persisted"] = True
+        rotation = read_index_rotation(os.path.join(idx_root, "ivfpq"))
+        assert (rotation is not None) == (rotate == "opq")
         coarse, cb, codes = read_ivfpq_index(spark, os.path.join(idx_root, "ivfpq"))
         codes = codes.localCheckpoint(eager=True)
         # candidate budget 64·K: at d=512 same-cluster distances
@@ -1775,11 +1782,12 @@ def _serving_evidence(spark, n: int, d: int, n_cells: int = 64,
         # the order; 160 candidates measured 0.47 here, the budget is
         # the dial (same lesson as the flat-PQ sweep at d=64)
         ivfpq_s, ivfpq_g = [], None
-        for i, q in enumerate(ivfpq_batches):
+        for i, q in enumerate(batches):
             g, dt = _timed(
                 lambda: ivfpq_search_encoded(
-                    q, codes, coarse, cb, ivfpq_emb, K,
+                    q, codes, coarse, cb, emb, K,
                     k_candidates=k_cand, n_probe=n_probe, include_self=False,
+                    rotation=rotation,
                 )
             )
             ivfpq_s.append(dt)
