@@ -85,6 +85,7 @@ def knn_graph_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     materialize: bool = False,
+    return_delta: bool = False,
 ) -> DataFrame:
     """Fold ``new_batch`` into ``old_graph`` (built over ``old_corpus``)
     → (src, dst, dist_sq, rnk) over the union corpus, ≤ k per src,
@@ -111,7 +112,16 @@ def knn_graph_append(
     measured round-12 failure was a 25+ minute DRIVER stall inside
     BigInteger multiplication by cycle 3 (EXPLAIN.md), executors
     idle. Values are identical either way (law-tested); the default
-    stays lazy for one-shot appends (q158's oracle flow)."""
+    stays lazy for one-shot appends (q158's oracle flow).
+
+    ``return_delta=True`` returns ONLY the rows of srcs this append
+    may have changed (the affected old srcs' re-windowed adjacency +
+    the new srcs'), i.e. a per-src REPLACEMENT delta: overlaying it
+    on the old graph (delta rows win per src) reproduces the full
+    output exactly (law-tested). This is the streaming-maintenance
+    shape (``streaming/ingest.graph_append_stream``): each micro-batch
+    persists an O(batch)-row delta partition instead of rewriting the
+    O(n·k) edge table."""
     if k < 1:
         raise ValueError(f"knn_graph_append: need k >= 1, got {k}")
     if mode not in ("auto", "exact", "graph"):
@@ -173,12 +183,36 @@ def knn_graph_append(
         else old_ranked.select("src", "dst", "dist_sq").limit(0)
     )
 
-    def _merge_affected(cand_old: DataFrame, new_side: DataFrame) -> DataFrame:
+    def _merge_affected(
+        cand_old: DataFrame, new_side: DataFrame, reduce_kth: bool = False
+    ) -> DataFrame:
         """Final union-graph assembly: candidates for old srcs are
         kth-prefiltered; only surviving srcs re-window; everything
-        else passes through verbatim."""
+        else passes through verbatim.
+
+        ``reduce_kth`` (the GRAPH tier, where cand_old's srcs are
+        batch-proportional): shrink the O(n)-row kth table to the
+        candidate srcs with a broadcast semi-join BEFORE the left
+        join, so the kth side is one column-pruned scan — never an
+        O(n) shuffle. Without this, a stats-pinned chained input
+        (materialize=True leaves read as LARGE) demoted the join to
+        an O(n)-shuffle sort-merge every cycle — measured 2× the
+        whole cycle wall at n=100k (25.0 → 51.4 s between cycles 1
+        and 2). The EXACT tier keeps the plain join: there cand_old
+        spans every old src (O(n) ids — nothing to reduce, and the
+        id-list broadcast would itself be corpus-sized)."""
+        if reduce_kth:
+            kth_side = F.broadcast(
+                kth.join(
+                    F.broadcast(cand_old.select("src").distinct()),
+                    "src",
+                    "left_semi",
+                )
+            )
+        else:
+            kth_side = kth
         survivors = (
-            cand_old.join(kth, "src", "left")
+            cand_old.join(kth_side, "src", "left")
             .filter(F.col("_kth").isNull() | (F.col("dist_sq") <= F.col("_kth")))
             .select("src", "dst", "dist_sq")
             .localCheckpoint(eager=False)
@@ -191,7 +225,7 @@ def knn_graph_append(
             k,
         )
         untouched = old_ranked.join(F.broadcast(affected), "src", "left_anti")
-        return untouched.unionByName(merged_aff).unionByName(_topk(new_side, k))
+        return untouched, merged_aff.unionByName(_topk(new_side, k))
 
     def _finish(result: DataFrame) -> DataFrame:
         if materialize:
@@ -213,7 +247,12 @@ def knn_graph_append(
             id_col=id_col, vec_col=vec_col, include_self=False,
             broadcast_max_rows=None,
         ).select("src", "dst", "dist_sq")
-        return _finish(_merge_affected(old_new, new_old.unionByName(new_new)))
+        untouched, changed = _merge_affected(
+            old_new, new_old.unionByName(new_new)
+        )
+        return _finish(
+            changed if return_delta else untouched.unionByName(changed)
+        )
 
     # ---- graph tier --------------------------------------------------
     from pyspark_mrdf_spark.operators.graph_search import graph_knn_search
@@ -234,7 +273,10 @@ def knn_graph_append(
     reverse = walked.select(
         F.col("dst").alias("src"), F.col("src").alias("dst"), "dist_sq"
     )
-    g_full = _merge_affected(reverse, walked.unionByName(new_new))
+    g_untouched, g_changed = _merge_affected(
+        reverse, walked.unionByName(new_new), reduce_kth=True
+    )
+    g_full = g_untouched.unionByName(g_changed)
     # split active (srcs that saw any candidate this cycle — batch-
     # proportional) from the untouched remainder: refine re-windows
     # active rows only
@@ -300,7 +342,9 @@ def knn_graph_append(
             g_active = _topk(
                 g_active.select("src", "dst", "dist_sq").unionByName(scored), k
             ).localCheckpoint(eager=False)
-    return _finish(g_rest.unionByName(g_active))
+    # g_active covers exactly the srcs this append touched (reverse
+    # srcs + new ids) — the graph tier's replacement delta
+    return _finish(g_active if return_delta else g_rest.unionByName(g_active))
 
 
 def _topk(edges: DataFrame, k: int) -> DataFrame:

@@ -158,3 +158,134 @@ def test_materialize_graph_tier_values_identical(spark, emb, split):
     lazy = knn_graph_append(old_graph, old, new, k, mode="graph")
     mat = knn_graph_append(old_graph, old, new, k, mode="graph", materialize=True)
     assert _rows(lazy) == _rows(mat)
+
+
+def test_return_delta_overlay_reproduces_full_output(spark, emb, split):
+    """The replacement-delta law (the streaming-maintenance contract):
+    overlaying the delta on the old ranked graph — delta srcs replaced
+    wholesale, every other src untouched — reproduces the full append
+    output bit-identically, on both tiers."""
+    old, new = split
+    k = 4
+    old_graph = knn_exact_blocked(old, k).localCheckpoint(eager=True)
+    for mode in ("exact", "graph"):
+        full = knn_graph_append(old_graph, old, new, k, mode=mode)
+        delta = knn_graph_append(
+            old_graph, old, new, k, mode=mode, return_delta=True
+        ).localCheckpoint(eager=True)
+        overlay = old_graph.join(
+            delta.select("src").distinct(), "src", "left_anti"
+        ).unionByName(delta)
+        assert _rows(overlay) == _rows(full), mode
+
+
+def _write_vec_json(path, df, ts):
+    import json
+    import os
+
+    with open(path, "w") as f:
+        for r in df.collect():
+            f.write(
+                json.dumps(
+                    {
+                        "vec_id": r["vec_id"],
+                        "embedding": [float(x) for x in r["embedding"]],
+                    }
+                )
+                + "\n"
+            )
+    os.utime(path, (ts, ts))
+
+
+def test_graph_append_stream_equals_batch_chain_exact(spark, emb, tmp_path):
+    """Streaming graph maintenance == chained batch appends == one
+    rebuild (exact tier, so the equality is bit-identical): two vector
+    micro-batches fold into the persisted state as O(batch) delta
+    partitions; read_graph_state resolves base+deltas latest-wins; a
+    checkpoint restart with no new input changes nothing."""
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.streaming.ingest import (
+        graph_append_stream,
+        read_graph_state,
+        write_graph_state,
+    )
+
+    base = emb.filter(F.col("vec_id") % 10 >= 2).localCheckpoint(eager=True)
+    b1 = emb.filter(F.col("vec_id") % 10 == 0)
+    b2 = emb.filter(F.col("vec_id") % 10 == 1)
+    k = 4
+    state = str(tmp_path / "gstate")
+    write_graph_state(base, knn_exact_blocked(base, k), state)
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    _write_vec_json(src / "b1.json", b1, 1_000_000_000)
+    _write_vec_json(src / "b2.json", b2, 1_000_000_100)
+    ckpt = str(tmp_path / "ckpt")
+
+    def _stream(name):
+        s = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        return graph_append_stream(s, state, ckpt, k, mode="exact", query_name=name)
+
+    assert _stream("gapp_test").awaitTermination(180), "stream did not drain"
+    corpus, graph = read_graph_state(spark, state)
+    assert corpus.count() == emb.count()
+    assert _rows(graph) == _rows(knn_exact_blocked(emb, k))
+    # two delta partitions, each O(batch): srcs = affected + new only
+    import glob as _glob
+
+    parts = sorted(_glob.glob(f"{state}/graph/stream/batch=*"))
+    assert len(parts) == 2
+    n_delta = spark.read.parquet(f"{state}/graph/stream").count()
+    assert n_delta < graph.count()  # strictly less than a full rewrite
+
+    # restart, no new files: state unchanged (exactly-once)
+    assert _stream("gapp_test2").awaitTermination(180)
+    _, graph2 = read_graph_state(spark, state)
+    assert _rows(graph2) == _rows(graph)
+
+
+def test_graph_append_stream_graph_tier_matches_batch(spark, emb, tmp_path):
+    """The scale tier streams too: deterministic beam-walk folds give
+    the stream bit-identical state to the equivalent batch chain."""
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.streaming.ingest import (
+        graph_append_stream,
+        read_graph_state,
+        write_graph_state,
+    )
+
+    base = emb.filter(F.col("vec_id") % 10 >= 2).localCheckpoint(eager=True)
+    b1 = emb.filter(F.col("vec_id") % 10 == 0).localCheckpoint(eager=True)
+    b2 = emb.filter(F.col("vec_id") % 10 == 1).localCheckpoint(eager=True)
+    k = 3
+    g0 = knn_exact_blocked(base, k).localCheckpoint(eager=True)
+    state = str(tmp_path / "gstate")
+    write_graph_state(base, g0, state)
+    src = tmp_path / "vecs"
+    src.mkdir()
+    _write_vec_json(src / "b1.json", b1, 1_000_000_000)
+    _write_vec_json(src / "b2.json", b2, 1_000_000_100)
+    s = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = graph_append_stream(
+        s, state, str(tmp_path / "ckpt"), k, mode="graph",
+        query_name="gapp_graph_tier",
+    )
+    assert q.awaitTermination(180)
+    _, streamed = read_graph_state(spark, state)
+
+    g1 = knn_graph_append(g0, base, b1, k, mode="graph", materialize=True)
+    g2 = knn_graph_append(
+        g1, base.unionByName(b1), b2, k, mode="graph"
+    )
+    assert _rows(streamed) == _rows(g2)
