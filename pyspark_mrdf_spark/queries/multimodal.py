@@ -347,7 +347,7 @@ _THUMB_STRIDE = 2
 
 @register(
     "q143_bmp_thumbnail_stats",
-    driver=True,  # promoted r10: owed rotation for the r9-registered operators
+    driver=False,  # r13 rotation: 4x driver-green (r9-r12), cedes its slot to q162 (multimodal keeps q112/q121)
     oracle=f"""
 WITH dims AS (
   SELECT doc_id,

@@ -827,7 +827,7 @@ def q75_unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q139_fuzzy_record_linkage",
-    driver=True,  # promoted r10: owed rotation for the r9-registered operators
+    driver=False,  # r13 rotation: 3x driver-green (r10-r12), cedes its slot to q160 (its superset: same chain + hot-block split)
     oracle="""
 WITH clean AS (SELECT DISTINCT p_name AS cn FROM part),
 dirty AS (
@@ -992,4 +992,87 @@ def q153_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("ra"), big), F.coalesce(F.col("rb"), big)
             ).cast("bigint").alias("first_rec_id"),
         )
+    )
+
+
+# --- q160: hot-block SPLIT linkage -------------------------------------------
+#
+# The r13 hot-block bound (operators/linkage.py hot_block_action=
+# 'split'): oversized blocks re-block on exact sub-keys (2-segment
+# pigeonhole / deletion neighborhoods) instead of dropping the key.
+# The exactness LAW — splitting loses nothing — lets the oracle be the
+# plain UNCAPPED blocking chain (q139's SQL with a different feed):
+# the engine runs the full hot-detection + sub-key machinery with a
+# max_block low enough that the shared-first-word prefix blocks of
+# p_name are genuinely hot at every sf, and the hash verdict IS the
+# law on real data.
+
+
+@register(
+    "q160_linkage_hot_split",
+    # promoted r13 at registration: the 3x-green q139 cedes its slot
+    # (see tests/test_oracle_queries.py DRIVER_SURFACE) — q160 is its
+    # superset (same chain + the hot-block split machinery)
+    oracle="""
+WITH clean AS (SELECT DISTINCT p_name AS cn FROM part),
+dirty AS (
+  SELECT p_partkey AS rec_id,
+         concat(substring(p_name, 1, CAST((3 * p_partkey) % length(p_name) AS INTEGER)),
+                substring(p_name, CAST((3 * p_partkey) % length(p_name) AS INTEGER) + 2)) AS dn
+  FROM part WHERE p_partkey % 4 = 2),
+dk AS (
+  SELECT rec_id, dn, substring(dn, 1, 3) AS k FROM dirty
+  UNION
+  SELECT rec_id, dn, substring(dn, greatest(length(dn) - 2, 1), 3) AS k FROM dirty),
+ck AS (
+  SELECT DISTINCT cn, k FROM (
+    SELECT cn, substring(cn, 1, 3) AS k FROM clean
+    UNION
+    SELECT cn, substring(cn, greatest(length(cn) - 2, 1), 3) AS k FROM clean)),
+scored AS (
+  SELECT DISTINCT rec_id, dn, cn FROM dk JOIN ck USING (k)),
+best AS (
+  SELECT rec_id, dn, cn, levenshtein(dn, cn) AS dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY rec_id ORDER BY levenshtein(dn, cn), cn) AS r
+  FROM scored WHERE levenshtein(dn, cn) <= 1)
+SELECT rec_id, dn AS name, cn AS matched_name, CAST(dist AS INTEGER) AS dist
+FROM best WHERE r = 1
+""",
+    description=(
+        "hot-block SPLIT record linkage (operators/linkage.py r13): "
+        "block keys whose clean-side frequency exceeds max_block=8 — "
+        "at every sf that includes the shared-first-word p_name prefix "
+        "blocks — are re-blocked on exact sub-keys (2-segment "
+        "pigeonhole; deletion neighborhoods for short strings) instead "
+        "of dropped. The oracle replays the UNCAPPED chain: hash "
+        "equality is the exactness law (split loses nothing) verified "
+        "on real data, where the r12 stoplist measured 0.873 agreement "
+        "at 30x"
+    ),
+    tags=("linkage", "join", "text"),
+)
+def q160_linkage_hot_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q139's chain with a deliberately hot dial: max_block=8 makes
+    every first-word prefix block oversized, so most candidates route
+    through the split sub-keys — and the result must still equal the
+    uncapped chain exactly.
+
+    Scale shape: hot members emit <= 6 SHORT segment keys each (not
+    O(len) deletion variants), the sub-block join is an equi-join on
+    (key, sub-key), and sub-block sizes track match density — the 30x
+    probe measures the wall next to the lossy 'drop' dial."""
+    from pyspark_mrdf_spark.operators.linkage import blocked_levenshtein_link
+
+    p = load_table(spark, sf_dir, "part")
+    corrupt = (
+        "concat(substring(p_name, 1, cast((3 * p_partkey) % length(p_name) as int)), "
+        "substring(p_name, cast((3 * p_partkey) % length(p_name) as int) + 2))"
+    )
+    dirty = p.filter(F.col("p_partkey") % 4 == 2).select(
+        F.col("p_partkey").alias("rec_id"), F.expr(corrupt).alias("name")
+    )
+    return blocked_levenshtein_link(
+        dirty, p.select("p_name"), id_col="rec_id", name_col="name",
+        clean_name_col="p_name", max_block=8, hot_block_action="split",
     )

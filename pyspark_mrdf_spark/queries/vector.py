@@ -1096,8 +1096,7 @@ def q116_binary_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q119_prefix_dim_knn",
-    # promoted r9: takes a slot ceded by the multi-green r9 rotation
-    # (see tests/test_oracle_queries.py DRIVER_SURFACE)
+    driver=False,  # r13 rotation: 4x driver-green (r9-r12), cedes its slot to q161 (prefix-dim candidates stay verified via q133's PCA composition)
     oracle="""
 SELECT src, dst, rnk FROM (
   SELECT t.src, t.dst,
@@ -1909,7 +1908,7 @@ def q158_knn_graph_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OPQ_CFG = dict(n_subspaces=8, n_codes=16, sample_size=512, iters=8, seed=42)
 
 
-def _q159_oracle(sf_dir: str) -> str:
+def _q159_oracle(sf_dir: str, rerank: str = "rotated") -> str:
     """Data-dependent oracle for the full OPQ composition (q92's
     replay discipline extended one stage earlier): train the balanced
     rotation on DuckDB-loaded rows through the same ``opq_components``
@@ -1919,9 +1918,15 @@ def _q159_oracle(sf_dir: str) -> str:
     then inline EVERYTHING as mantissa-transported literals: the d·d
     rotation as left-assoc projection columns (q127's technique, full
     rank), the codebooks as exact DOUBLE[] values (stronger than q92's
-    repr literals). Encoding, ADC, and the rotated-space rerank mirror
-    the kernels' fold orders, so the only cross-engine lean is the
-    q50-proven (dist, id) rank portability of the final rerank."""
+    repr literals). Encoding, ADC, and the rerank mirror the kernels'
+    fold orders, so the only cross-engine lean is the q50-proven
+    (dist, id) rank portability of the final rerank.
+
+    ``rerank``: 'rotated' replays q159's inline composition (rerank on
+    the rotated corpus); 'original' replays the PERSISTED-index serving
+    contract (q161: candidates in the rotated space where the codes
+    live, exact rerank on the ORIGINAL vectors — the isometry makes the
+    two rank-equal, and both are replayed rather than assumed)."""
     import duckdb
 
     import numpy as np
@@ -2000,8 +2005,16 @@ topc AS (
          ROW_NUMBER() OVER (PARTITION BY src ORDER BY adc, dst) AS crnk
   FROM adc),
 rr AS (
-  -- rerank in the ROTATED space (the engine reranks on the rotated
-  -- corpus — same distances as the original space up to the isometry)
+{_rerank_cte(rerank, d)})
+SELECT src, dst, rnk FROM rr WHERE rnk <= 5
+"""
+
+
+def _rerank_cte(rerank: str, d: int) -> str:
+    if rerank == "rotated":
+        # the engine reranks on the rotated corpus — same distances as
+        # the original space up to the isometry
+        return f"""
   SELECT t.src, t.dst,
          ROW_NUMBER() OVER (PARTITION BY t.src
            ORDER BY list_sum(list_transform(generate_series(1, {d}),
@@ -2010,9 +2023,19 @@ rr AS (
   FROM topc t
   JOIN parr qp ON qp.vec_id = t.src
   JOIN parr cp ON cp.vec_id = t.dst
-  WHERE t.crnk <= 20)
-SELECT src, dst, rnk FROM rr WHERE rnk <= 5
-"""
+  WHERE t.crnk <= 20"""
+    # 'original': the persisted-serving contract — exact rerank on the
+    # raw vectors (q50's list_distance rank portability)
+    return """
+  SELECT t.src, t.dst,
+         ROW_NUMBER() OVER (PARTITION BY t.src
+           ORDER BY list_distance(CAST(qe.embedding AS DOUBLE[]),
+                                  CAST(ce.embedding AS DOUBLE[])),
+                    t.dst) AS rnk
+  FROM topc t
+  JOIN embeddings qe ON qe.vec_id = t.src
+  JOIN embeddings ce ON ce.vec_id = t.dst
+  WHERE t.crnk <= 20"""
 
 
 @register(
@@ -2050,3 +2073,131 @@ def q159_opq_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_search(
         q_r, emb_r, 5, k_candidates=20, include_self=False, **_OPQ_CFG
     ).select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))
+
+
+# --- q161: persisted rotated-PQ index serving --------------------------------
+#
+# q159 proved the OPQ rotation's recall win inline; r13 persisted the
+# rotation INTO the index format (operators/quantize.write_pq_index
+# rotation=). This query is the deployment shape: build-once (train
+# rotation + codebooks, encode the rotated corpus, store everything in
+# params.parquet + codes/), then serve a query batch through the
+# FROZEN rotation (pq_search_encoded rotation= — queries rotated
+# driver-side, candidates in the rotated space where the codes live,
+# exact rerank on the ORIGINAL vectors). The oracle replays the whole
+# persisted composition — rotation, codebooks, codes, ADC, and the
+# original-space rerank — so the float64-exact parquet roundtrip of
+# the frozen params is part of what the hash verdict covers.
+
+_ROT_PQ_IDX: dict[str, str] = {}
+
+
+def _rotated_pq_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """The per-(process, sf) persisted rotated PQ index of the
+    embeddings corpus: built on first use, then served read-only, as
+    deployed (the q122 persisted-dedup-index pattern)."""
+    import tempfile
+
+    from pyspark_mrdf_spark.operators.quantize import build_pq_index
+
+    path = _ROT_PQ_IDX.get(sf_dir)
+    if path is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="mrdf_rotpq_idx_")
+        build_pq_index(emb, path, rotate="opq", **_OPQ_CFG)
+        _ROT_PQ_IDX[sf_dir] = path
+    return path
+
+
+@register(
+    "q161_rotated_pq_serving",
+    # promoted r13 at registration: the 4x-green q119 cedes its slot
+    # (prefix-dim candidates stay verified via q133's PCA composition)
+    oracle=lambda sf_dir: _q159_oracle(sf_dir, rerank="original"),
+    description=(
+        "persisted rotated-PQ index serving (r13: write/read/"
+        "append_pq_index carry the OPQ rotation with the frozen "
+        "params): build-once on the rotated corpus, serve the query "
+        "batch through the frozen rotation with pq_search_encoded("
+        "rotation=) — candidates in the rotated code space, exact "
+        "rerank on the ORIGINAL vectors. The oracle replays rotation, "
+        "codebooks, encoding, ADC and the original-space rerank, so "
+        "the hash verdict covers the params' parquet roundtrip and "
+        "the serving contract q159's inline win could not"
+    ),
+    tags=("vector", "knn", "quantize", "reduce", "serving"),
+)
+def q161_rotated_pq_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.quantize import (
+        pq_search_encoded,
+        read_index_rotation,
+        read_pq_index,
+    )
+
+    path = _rotated_pq_index_path(spark, sf_dir)
+    cb, codes = read_pq_index(spark, path)
+    rot = read_index_rotation(path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 13 == 0)
+    return pq_search_encoded(
+        queries, codes, cb, emb, 5, k_candidates=20,
+        include_self=False, rotation=rot,
+    ).select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))
+
+
+# --- q162: chained incremental graph maintenance ----------------------------
+#
+# q158 verified ONE append; the r13 planner fix (materialize=True →
+# cache.pin_stats) is what makes CHAINS deployable — so the chain gets
+# its own hash verdict: two successive exact appends, each folding onto
+# the previous MATERIALIZED output, must equal the rebuilt exact graph
+# of the final union (the chaining law, bit-identity-tested in
+# tests/test_graph_append.py; the oracle is the plain rebuilt-graph
+# CTE exactly like q158's). The driver run exercises pin_stats on its
+# own session — the r12 wedge shape, now under a verdict.
+
+
+@register(
+    "q162_chained_graph_append",
+    # promoted r13 at registration: the 4x-green q143 cedes its slot
+    # (multimodal keeps q112/q121)
+    oracle=f"""
+SELECT src, dst, rnk FROM (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_distance(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rnk
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+WHERE rnk <= {K}
+""",
+    description=(
+        "CHAINED incremental kNN-graph maintenance (knn_graph_append x2 "
+        "with materialize=True — cache.pin_stats output, the r13 fix "
+        "for the r12 stats-compounding planner wedge): two successive "
+        "5% batches fold onto the operator's own materialized "
+        "rank-carrying output, and the chain must equal the rebuilt "
+        "exact graph of the final union — the oracle is q158's plain "
+        "rebuilt-graph CTE over the whole corpus"
+    ),
+    tags=("vector", "knn", "incremental", "maintenance"),
+)
+def q162_chained_graph_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.algorithms.graph_append import knn_graph_append
+    from pyspark_mrdf_spark.operators.similarity import knn_exact_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 10 >= 2)
+    b1 = emb.filter(F.col("vec_id") % 10 == 0)
+    b2 = emb.filter(F.col("vec_id") % 10 == 1)
+    g0 = memoized_df(
+        spark,
+        ("exact_knn_blocked_old80", sf_dir, K),
+        lambda: knn_exact_blocked(old, K),
+        eager=False,
+    )
+    g1 = knn_graph_append(g0, old, b1, K, mode="exact", materialize=True)
+    g2 = knn_graph_append(
+        g1, old.unionByName(b1), b2, K, mode="exact"
+    )
+    return g2.select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))

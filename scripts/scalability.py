@@ -212,6 +212,18 @@ def main() -> None:
     # DRIFT over repeated appends without a rebuild, and does the
     # per-cycle cost stay batch-proportional as the graph grows?
     graph_append_chain_only = "--graph-append-chain-only" in argv
+    # --chain-serve / --chain-retrain-below X: the r13 lifecycle dials
+    # of the chain row — final-graph serving at the q124 component
+    # default, and the sampled-recall drift monitor wired to a
+    # measured mid-chain rebuild (r12 verdict ask #6)
+    chain_serve = "--chain-serve" in argv
+    chain_retrain_below = None
+    if "--chain-retrain-below" in argv:
+        i = argv.index("--chain-retrain-below")
+        if i + 1 >= len(argv):
+            sys.exit("error: --chain-retrain-below needs a value")
+        chain_retrain_below = float(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
     # --mixture-sampled-only: ONLY the sampled-recall MRDF design point
     # (default n=300000 — past the full-exact-scan budget; run with
     # SPARK_GRAFT_CPUS=16 per the r8 box-bound note)
@@ -339,7 +351,7 @@ def main() -> None:
             "--uniform", "--uniform-tuned", "--uniform-tuned-only", "--grid-only",
             "--mixture-only", "--sq8-only", "--serving-only", "--dedup-only",
             "--pagerank-only", "--bq-serving-only", "--dedup-serving-only",
-            "--graph-serving-only", "--graph-append-only", "--graph-append-chain-only", "--ivfpq-io-only", "--mixture-sampled-only", "--cc-only", "--cc-tiers-only",
+            "--graph-serving-only", "--graph-append-only", "--graph-append-chain-only", "--chain-serve", "--ivfpq-io-only", "--mixture-sampled-only", "--cc-only", "--cc-tiers-only",
             "--graph-analytics-only", "--heavy-hitters-only",
             "--prefix-filter-only", "--incremental-only",
             "--pca-serving-only", "--relational-only",
@@ -573,7 +585,10 @@ def main() -> None:
         points.append(_graph_append_evidence(spark, synthetic_n))
         print(f"[scalability] {points[-1]}", file=sys.stderr)
     if graph_append_chain_only:
-        points.append(_graph_append_chain_evidence(spark, synthetic_n))
+        points.append(_graph_append_chain_evidence(
+            spark, synthetic_n, serve=chain_serve,
+            retrain_below=chain_retrain_below,
+        ))
         print(f"[scalability] {points[-1]}", file=sys.stderr)
     if mixture_sampled_only:
         points.append(_mixture_sampled_evidence(spark, synthetic_n))
@@ -2338,7 +2353,8 @@ def _graph_append_evidence(
 
 def _graph_append_chain_evidence(
     spark, n: int, d: int = 64, batch_frac: float = 0.02, cycles: int = 5,
-    n_sample: int = 1000,
+    n_sample: int = 1000, serve: bool = False,
+    retrain_below: float | None = None,
 ) -> dict:
     """CHAINED incremental maintenance (r12): the single-append row
     (synthetic-100000x64-graph-append) proves one fold is 10× cheaper
@@ -2356,7 +2372,18 @@ def _graph_append_chain_evidence(
     sampled recall against an exact ground truth of the CURRENT union
     (the q56 estimator, ±~0.01). One final rebuild at the full size
     gives the comparand; the honest claims are final_recall ≥
-    0.95·rebuild_recall AND a flat (batch-proportional) wall curve."""
+    0.95·rebuild_recall AND a flat (batch-proportional) wall curve.
+
+    The r13 LIFECYCLE dials (r12 verdict ask #6): ``retrain_below``
+    wires the drift monitor into the loop — the per-cycle sampled
+    recall IS the production estimator (one O(s·n) blocked exact pass
+    per cycle, the q131-discipline monitor for graphs), and the first
+    cycle that lands below the dial triggers a REBUILD of the base
+    (measured; the chain then continues on the fresh graph; its wall
+    doubles as the rebuild comparand). ``serve=True`` closes the loop
+    with the q124 operator at its component-safe DEFAULT dial over the
+    final maintained graph — the row then covers the whole
+    build → append× → monitor → retrain → serve operating mode."""
     from pyspark.sql import functions as F
 
     from pyspark_mrdf_spark.algorithms.graph_append import knn_graph_append
@@ -2413,6 +2440,7 @@ def _graph_append_chain_evidence(
             )
 
         chain: list = []
+        retrained_wall = None
         for c in range(cycles):
             lo, hi = n + c * m, n + (c + 1) * m
             new = emb.filter(
@@ -2430,27 +2458,89 @@ def _graph_append_chain_evidence(
             )
             append_s = round(time.time() - t0, 2)
             corpus = emb.filter(F.col("vec_id") < hi).localCheckpoint(eager=True)
-            chain.append(
-                {
-                    "cycle": c + 1,
-                    "append_s": append_s,
-                    "recall_sampled": _sampled_recall(corpus, graph),
-                }
-            )
+            row = {
+                "cycle": c + 1,
+                "append_s": append_s,
+                "recall_sampled": _sampled_recall(corpus, graph),
+            }
+            if retrain_below is not None and row["recall_sampled"] < retrain_below:
+                # the monitor fired: rebuild on the CURRENT corpus and
+                # continue the chain from the fresh graph — the
+                # deployment's retrain step, measured in place
+                t0 = time.time()
+                reb_mid = _mrdf_point(
+                    spark, corpus, f"chain-retrain-c{c + 1}", rho=4,
+                    alpha=16384, centroid_broadcast_max_paths=0,
+                )
+                retrained_wall = reb_mid["mrdf_s"]
+                graph = pin_stats(reb_mid["graph"])
+                row["retrain_triggered"] = True
+                row["retrain_s"] = retrained_wall
+                row["recall_after_retrain"] = _sampled_recall(corpus, graph)
+            chain.append(row)
+            print(f"[scalability] chain cycle {row}", file=sys.stderr)
         out["chain"] = chain
+        out["retrain_below"] = retrain_below
         out["total_append_s"] = round(sum(x["append_s"] for x in chain), 2)
 
-        reb = _mrdf_point(
-            spark, corpus, "chain-rebuild", rho=4, alpha=16384,
-            centroid_broadcast_max_paths=0,
-        )
-        out["rebuild_s"] = reb["mrdf_s"]
-        out["rebuild_recall_sampled"] = _sampled_recall(corpus, reb["graph"])
+        if retrained_wall is not None:
+            # the mid-chain retrain already measured a full rebuild at
+            # (approximately) the final size — reuse it as the
+            # comparand instead of paying a second multi-hundred-second
+            # build; the final maintained graph's recall stands on the
+            # per-cycle sampled rows above
+            out["rebuild_s"] = retrained_wall
+            out["rebuild_recall_sampled"] = chain[-1].get(
+                "recall_after_retrain", chain[-1]["recall_sampled"]
+            )
+        else:
+            reb = _mrdf_point(
+                spark, corpus, "chain-rebuild", rho=4, alpha=16384,
+                centroid_broadcast_max_paths=0,
+            )
+            out["rebuild_s"] = reb["mrdf_s"]
+            out["rebuild_recall_sampled"] = _sampled_recall(corpus, reb["graph"])
         out["final_recall_ratio"] = round(
-            chain[-1]["recall_sampled"]
+            chain[-1].get("recall_after_retrain", chain[-1]["recall_sampled"])
             / max(out["rebuild_recall_sampled"], 1e-9),
             4,
         )
+
+        if serve:
+            # q124 at its component-safe DEFAULT dial over the final
+            # MAINTAINED graph: the lifecycle's serving leg. Recall is
+            # scored against the same sampled exact GT protocol.
+            from pyspark_mrdf_spark.operators.graph_search import (
+                graph_knn_search,
+            )
+
+            qs = (
+                corpus.orderBy(
+                    F.md5(F.concat(F.lit("73:"), F.col("vec_id").cast("string")))
+                )
+                .limit(2000)
+                .localCheckpoint(eager=True)
+            )
+            t0 = time.time()
+            served = graph_knn_search(
+                qs, graph.select("src", "dst"), corpus, K, beam=64,
+                include_self=False,
+            ).localCheckpoint(eager=True)
+            served.count()
+            out["serve_batch_s"] = round(time.time() - t0, 2)
+            gt = knn_search_blocked(
+                qs, corpus, K, n_blocks=32, n_query_blocks=4,
+                include_self=False,
+            ).localCheckpoint(eager=True)
+            qid = [r["vec_id"] for r in qs.select("vec_id").collect()]
+            out["serve_recall"] = round(
+                recall(
+                    gt.select("src", "dst"),
+                    served.filter(F.col("src").isin(qid)),
+                ),
+                4,
+            )
+            out["serve_batch_size"] = 2000
     finally:
         shutil.rmtree(syn_dir, ignore_errors=True)
     return out

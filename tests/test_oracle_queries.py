@@ -164,6 +164,18 @@ DRIVER_SURFACE = [
     # candidate search stays driver-verified via q133's composition;
     # projection via q127/q134).
     # Family sentinels q01/q50/q56/q72 stay put.
+    # Round-13 rotation (r12 verdict ask #8): the three r13 operators —
+    # q160 hot-block SPLIT linkage (oracle = the UNCAPPED chain, so the
+    # hash verdict IS the split-loses-nothing law on real data), q161
+    # persisted rotated-PQ serving (rotation stored in the index
+    # format; oracle replays rotation/codebooks/codes/ADC + the
+    # original-space rerank), q162 chained graph append (two
+    # materialize=True folds == one rebuild — pin_stats under a driver
+    # verdict) — take the slots of the 3x-green q139 (q160 is its
+    # superset; linkage keeps q153), the 4x-green q119 (prefix-dim
+    # candidates stay verified via q133), and the 4x-green q143
+    # (multimodal keeps q112/q121).
+    # Family sentinels q01/q50/q56/q72 stay put.
     "q114_scd2_history",
     "q130_linear_attribution",
     "q135_top_user_paths",
@@ -173,10 +185,9 @@ DRIVER_SURFACE = [
     "q152_user_key_skew_profile",
     "q112_wav_audio_stats",
     "q121_image_dhash_near_dups",
-    "q143_bmp_thumbnail_stats",
     "q01_pricing_summary",
-    "q139_fuzzy_record_linkage",
     "q153_golden_record",
+    "q160_linkage_hot_split",
     "q107_bpe_train",
     "q108_bpe_tokenize",
     "q117_nb_quality_classifier",
@@ -205,7 +216,6 @@ DRIVER_SURFACE = [
     "q56_mrdf_recall",
     "q97_recall_vs_ivecs_gt",
     "q98_ivfpq_persisted_index",
-    "q119_prefix_dim_knn",
     "q124_graph_ann_search",
     "q127_pca_project",
     "q131_sq8_drift_monitor",
@@ -214,6 +224,8 @@ DRIVER_SURFACE = [
     "q155_mrdf_pinned_replay",
     "q158_knn_graph_append",
     "q159_opq_pq_knn",
+    "q161_rotated_pq_serving",
+    "q162_chained_graph_append",
 ]
 
 
