@@ -2210,8 +2210,10 @@ def _mixture_sampled_evidence(spark, n: int, n_sample: int = 1000) -> dict:
     # lives in the pyspark worker processes and the JVM.
     import threading
 
-    peak = {"used_gib": 0.0}
+    peak = {"used_gib": 0.0, "at": 0.0}
     stop_evt = threading.Event()
+    t_start = time.time()
+    phases: list[tuple[str, float, float]] = []
 
     def _watch():
         while not stop_evt.is_set():
@@ -2222,21 +2224,41 @@ def _mixture_sampled_evidence(spark, n: int, n_sample: int = 1000) -> dict:
                         k, v = line.split(":", 1)
                         info[k] = int(v.strip().split()[0])
                 used = (info["MemTotal"] - info["MemAvailable"]) / (1 << 20)
-                peak["used_gib"] = max(peak["used_gib"], used)
+                if used > peak["used_gib"]:
+                    peak["used_gib"] = used
+                    peak["at"] = time.time() - t_start
             except (OSError, KeyError, ValueError):
                 pass
             stop_evt.wait(1.0)
 
+    def _phase(name):
+        # attribute the eventual peak to the phase active when it was
+        # sampled (r12's 124.4-of-125 GiB frontier number had no owner;
+        # the chunking fix needs to know WHICH stage to chunk)
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _cm():
+            t0 = time.time() - t_start
+            try:
+                yield
+            finally:
+                phases.append((name, round(t0, 1), round(time.time() - t_start, 1)))
+
+        return _cm()
+
     watcher = threading.Thread(target=_watch, daemon=True)
     watcher.start()
     try:
-        _write_synthetic(syn_dir, n, k_clusters=250)
+        with _phase("write_synthetic"):
+            _write_synthetic(syn_dir, n, k_clusters=250)
         emb = spark.read.parquet(os.path.join(syn_dir, "embeddings.parquet"))
 
-        pt = _mrdf_point(
-            spark, emb, "mixture-sampled", rho=4, alpha=16384,
-            centroid_broadcast_max_paths=0,
-        )
+        with _phase("mrdf_build"):
+            pt = _mrdf_point(
+                spark, emb, "mixture-sampled", rho=4, alpha=16384,
+                centroid_broadcast_max_paths=0,
+            )
         max_leaf = max(m.get("max_leaf", 0) for m in pt["metrics"])
         join_rounds = sum(m.get("join_tier_rounds", 0) for m in pt["metrics"])
         assert max_leaf > 4096, f"tiled-exact leaf tier did not activate: {max_leaf}"
@@ -2249,21 +2271,30 @@ def _mixture_sampled_evidence(spark, n: int, n_sample: int = 1000) -> dict:
             .localCheckpoint(eager=True)
         )
         t0 = time.time()
-        gt = knn_search_blocked(
-            q, emb, K, n_blocks=32, n_query_blocks=4, include_self=False
-        ).localCheckpoint(eager=True)
+        with _phase("sampled_exact_gt"):
+            gt = knn_search_blocked(
+                q, emb, K, n_blocks=32, n_query_blocks=4, include_self=False
+            ).localCheckpoint(eager=True)
         out["sampled_exact_s"] = round(time.time() - t0, 2)
 
         qid = [r["vec_id"] for r in q.select("vec_id").collect()]
         g_s = g.filter(F.col("src").isin(qid))
         out["mrdf_s"] = pt["mrdf_s"]
-        out["mrdf_recall_sampled"] = round(recall(gt.select("src", "dst"), g_s), 4)
+        with _phase("recall_score"):
+            out["mrdf_recall_sampled"] = round(
+                recall(gt.select("src", "dst"), g_s), 4
+            )
         out["max_leaf"] = int(max_leaf)
         out["join_tier_rounds"] = int(join_rounds)
     finally:
         stop_evt.set()
         watcher.join(timeout=3)
         out["peak_box_used_gib"] = round(peak["used_gib"], 1)
+        out["peak_at_s"] = round(peak["at"], 1)
+        out["peak_phase"] = next(
+            (nm for nm, a, b in phases if a <= peak["at"] <= b), "unknown"
+        )
+        out["phase_spans_s"] = [list(p) for p in phases]
         shutil.rmtree(syn_dir, ignore_errors=True)
     return out
 

@@ -571,12 +571,22 @@ def test_blocked_link_max_block_stoplist(spark):
         for r in blocked_levenshtein_link(dirty, clean).collect()
     }
     assert full == {1: "aaa name 3", 2: "red widget"}
-    capped = {
+    # r13: the DEFAULT hot-block action is the exact SPLIT — capping
+    # loses nothing (the law tests/test_linkage.py pins exhaustively)
+    split = {
         r["rec_id"]: r["matched_name"]
         for r in blocked_levenshtein_link(dirty, clean, max_block=4).collect()
     }
-    # rec 1's prefix block ('aaa') is stopped; its suffix block (' 3x')
-    # matches no clean suffix -> record absent. rec 2 unaffected.
+    assert split == full
+    capped = {
+        r["rec_id"]: r["matched_name"]
+        for r in blocked_levenshtein_link(
+            dirty, clean, max_block=4, hot_block_action="drop"
+        ).collect()
+    }
+    # the r12 stoplist dial: rec 1's prefix block ('aaa') is dropped;
+    # its suffix block (' 3x') matches no clean suffix -> record
+    # absent. rec 2 unaffected.
     assert capped == {2: "red widget"}
     # max_block above every block size = identical to uncapped
     same = {
