@@ -2187,12 +2187,15 @@ def q162_chained_graph_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_mrdf_spark.operators.similarity import knn_exact_blocked
 
     emb = load_table(spark, sf_dir, "embeddings")
-    old = emb.filter(F.col("vec_id") % 10 >= 2)
-    b1 = emb.filter(F.col("vec_id") % 10 == 0)
-    b2 = emb.filter(F.col("vec_id") % 10 == 1)
+    # same 95/5 split as q158, with the 5% fed in TWO chained batches —
+    # so the session-memoized exact base graph is shared with q158
+    # (the registry's materialized-view discipline)
+    old = emb.filter(F.col("vec_id") % 20 != 0)
+    b1 = emb.filter(F.col("vec_id") % 40 == 0)
+    b2 = emb.filter(F.col("vec_id") % 40 == 20)
     g0 = memoized_df(
         spark,
-        ("exact_knn_blocked_old80", sf_dir, K),
+        ("exact_knn_blocked_old95", sf_dir, K),
         lambda: knn_exact_blocked(old, K),
         eager=False,
     )
