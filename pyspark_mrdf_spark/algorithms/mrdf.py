@@ -199,25 +199,24 @@ def knn_graph(
     # every random draw is derived from (seed, iteration, division,
     # path, id), never from the partition layout. coalesce() on the
     # checkpointed base is narrow — no shuffle.
-    refine_blocks = 1
-    if n_total:
-        dim = len(base.select("vec").first()["vec"])
-        ideal = max(1, min(sc.defaultParallelism, -(-(n_total * dim * 8) // (32 << 20))))
-        if ideal < sc.defaultParallelism:
-            base = base.coalesce(ideal)
-        # refine blocking: at least one block per 32 MB of vector
-        # payload (caps a block task's vector copy), at least
-        # defaultParallelism blocks (the pair-distance compute fans out
-        # even when the vector table is small)
-        refine_blocks = max(
-            sc.defaultParallelism, int(-(-(n_total * dim * 8) // (32 << 20)))
-        )
     # Working width: local graphs, merge, and refinement all run at
     # k_work ≥ k; truncation to k happens once at the end. Keeping the
     # wider frontier is what lets union-of-trees + refinement recover
     # edges that any single random division splits (see nndescent
     # k_build note).
     k_work = max(k, 20)
+    refine_grid = (1, 1)
+    if n_total:
+        dim = len(base.select("vec").first()["vec"])
+        ideal = max(1, min(sc.defaultParallelism, -(-(n_total * dim * 8) // (32 << 20))))
+        if ideal < sc.defaultParallelism:
+            base = base.coalesce(ideal)
+        # refine grid: pair mass is ~n·(2·k_work)² (the 2-hop fan-out
+        # of a k_work-wide graph) — size the cell grid from BOTH the
+        # pair stream and the per-cell vector slices (see _refine_grid)
+        refine_grid = _refine_grid(
+            n_total, dim, n_total * (2 * k_work) ** 2, sc.defaultParallelism
+        )
 
     def _build_forest_graph(iteration: int) -> tuple[DataFrame, int, dict | None]:
         """Division + per-subset NN-Descent for one iteration: the
@@ -542,7 +541,7 @@ def knn_graph(
         # (dist_sq, dst) order, so the results are identical and the
         # standalone final truncation window below is fused away — one
         # fewer full-edge-table shuffle on q55/q56's critical path.
-        g = _refine(base, g, k if last else k_work, n_blocks=refine_blocks)
+        g = _refine(base, g, k if last else k_work, grid=refine_grid)
         # last round stays lazy: the caller's first action (write /
         # collect / the memoized checkpoint) materializes it — earlier
         # rounds stay eager because the next round's 2-hop join
@@ -647,20 +646,73 @@ def _extend_by_join(data: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _refine_grid(
+    n_rows: int, dim: int, pairs_est: float, parallelism: int
+) -> tuple[int, int]:
+    """(Ba, Bb) cell grid for ``_refine``: square grid sized so that
+    BOTH per-cell working sets are bounded — the pair stream
+    (``pairs_est·16 B / cells ≤ ~64 MB``) and the two vector slices a
+    cell task gathers from (``(n/Ba + n/Bb)·d·8 B ≤ ~32 MB``) — with
+    at least ``parallelism`` cells so the distance compute fans out
+    even on small inputs. Both bounds shrink as the grid grows, so a
+    1000-executor cluster at 100× the data just gets a wider grid."""
+    cells_pairs = -(-int(pairs_est) * 16 // (64 << 20))
+    side = 1
+    cells = max(1, cells_pairs, parallelism)
+    while side * side < cells:
+        side += 1
+    side = max(side, int(-(-(2 * n_rows * dim * 8) // (32 << 20))))
+    return (side, side)
+
+
 def _refine(
-    base: DataFrame, g: DataFrame, k: int, n_blocks: int | None = None
+    base: DataFrame,
+    g: DataFrame,
+    k: int,
+    n_blocks: int | None = None,
+    grid: tuple[int, int] | None = None,
 ) -> DataFrame:
     """One neighbor-of-neighbor refinement round (deterministic).
 
     Candidate pairs = distinct 2-hop pairs of ``g`` not already edges.
-    Distances are computed per hash-block of the src id via cogroup:
-    each block task receives its pair list plus ONE copy of the vector
-    table, and gathers operands locally by index. The per-pair-join
-    variant shipped both d-dim vectors with EVERY pair through Arrow —
-    |pairs|·2d floats, and |pairs| ≈ n·(2k)² dwarfs n — whereas the
-    block shape moves |pairs|·2 longs + B·n·d floats; with B sized so a
-    block's vector copy is ~32 MB, the pair stream dominates and is
-    minimal. Same einsum, bit-identical distances."""
+    Distances run per GRID CELL: pair (a, b) lands in cell
+    (hash(a) mod Ba, hash(b) mod Bb), and each cell task receives two
+    DETERMINISTIC vector slices — the rows with hash(id) mod Ba = i
+    (possible a-operands) plus the rows with hash(id) mod Bb = j
+    (possible b-operands) — and gathers operands locally by index.
+
+    Why a grid (r14) and not the r13 per-src-hash blocks that shipped
+    ONE FULL vector-table copy per block: with working degree κ the
+    2-hop pair list references ~n·(2κ)² ids, so at κ=20 every
+    per-src block's referenced-id set saturates at ~n (coupon
+    collector) — a pair-id semi-join would still ship nearly the whole
+    table to every block AND read the expensive 2-hop distinct twice.
+    The measured consequence of full replication was the r13 500k
+    mixture point's 76.4 GiB box-wide peak, owned by exactly this
+    window (SCALABILITY.json per-phase attribution). The grid bounds
+    the per-task vector slice at (n/Ba + n/Bb) rows BY CONSTRUCTION,
+    ships each vector to exactly Ba + Bb cells (total (Ba+Bb)·n·d
+    bytes vs B·n·d replicated — strictly less for B ≥ 4), consumes
+    the 2-hop distinct once, and needs no extra sizing job. The
+    per-pair-join variant remains worse than either: |pairs|·2d floats
+    through the shuffle, and |pairs| dwarfs n.
+
+    Per-pair arithmetic — gather a, gather b, subtract, row-wise
+    einsum per fixed-size chunk — is IDENTICAL under any grid, so
+    distances are bit-identical to any other blocking (pinned by
+    test_refine_default_sizing_matches_explicit_blocks and the grid
+    invariance test)."""
+    # RAW 2-hop pairs — deliberately NOT globally deduplicated: at
+    # working degree κ the raw stream is ~n·2κ² rows, and a global
+    # .distinct() / anti-join / dropDuplicates on it is a corpus-pair-
+    # sized HASH AGGREGATE — the exact shape that exhausted JVM
+    # execution memory at n=500k (BytesToBytesMap could not even
+    # allocate its spill sorter under 16 concurrent tasks). Every copy
+    # of a pair (a, b) hashes to the SAME grid cell, so dedup — and
+    # the skip-known-edges anti-join — run CELL-LOCALLY in the kernel
+    # (one lexsort + group-boundary scan per cell): known edges ride
+    # the same shuffle as flagged rows (e=1) and suppress their pair
+    # group, replacing the global anti-join at zero extra shuffles.
     hop2 = (
         g.select(F.col("src").alias("a"), F.col("dst").alias("mid"))
         .join(
@@ -670,43 +722,92 @@ def _refine(
             "mid",
         )
         .filter(F.col("a") != F.col("b"))
-        .select("a", "b")
-        .distinct()
-        # skip pairs already in the graph — their distances are known
-        .join(
-            g.select(F.col("src").alias("a"), F.col("dst").alias("b")),
-            ["a", "b"],
-            "left_anti",
+        .select("a", "b", F.lit(0).alias("e"))
+        .unionByName(
+            g.select(
+                F.col("src").alias("a"), F.col("dst").alias("b"),
+                F.lit(1).alias("e"),
+            )
         )
     )
     vecs = base.select("id", "vec")
-    if n_blocks is None:
-        # ~32 MB of replicated vector payload per block task; base is
-        # tiny in local runs (1 block) and fans out on a cluster.
-        # Row count and dimension come from ONE aggregate job (not a
-        # first() + count() pair — this sizing runs per direct call;
-        # ``knn_graph`` passes n_blocks and skips it entirely).
-        stats = vecs.agg(
-            F.count(F.lit(1)).alias("n"), F.max(F.size("vec")).alias("dim")
-        ).collect()[0]
-        n_rows, dim = stats["n"], stats["dim"] or 1
-        n_blocks = max(1, int(-(-(n_rows * dim * 8) // (32 << 20))))
-    pairs_b = hop2.withColumn("blk", F.pmod(F.hash("a"), F.lit(n_blocks)))
+    if grid is None:
+        if n_blocks is not None:
+            # legacy hint: interpret as a total-cell target
+            side = 1
+            while side * side < max(1, n_blocks):
+                side += 1
+            grid = (side, side)
+        else:
+            # Row count, dimension, and edge count come from ONE
+            # aggregate job (this sizing runs only on direct calls;
+            # ``knn_graph`` passes the grid and skips it entirely).
+            # pairs ≈ n·(2κ)² with κ = edges/n the graph's mean degree.
+            stats = (
+                vecs.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max(F.size("vec")).alias("dim"),
+                )
+                .crossJoin(g.agg(F.count(F.lit(1)).alias("edges")))
+                .collect()[0]
+            )
+            n_rows = max(stats["n"], 1)
+            dim = stats["dim"] or 1
+            kappa = stats["edges"] / n_rows
+            grid = _refine_grid(
+                n_rows, dim, 4.0 * kappa * kappa * n_rows,
+                base.sparkSession.sparkContext.defaultParallelism,
+            )
+    ba, bb = grid
+    pairs_b = hop2.withColumn(
+        "blk",
+        (F.pmod(F.hash("a"), F.lit(ba)) * bb + F.pmod(F.hash("b"), F.lit(bb))).cast(
+            "int"
+        ),
+    )
+    ha = F.pmod(F.hash("id"), F.lit(ba))
+    hb = F.pmod(F.hash("id"), F.lit(bb))
+    a_cells = F.transform(
+        F.sequence(F.lit(0), F.lit(bb - 1)), lambda j: (ha * bb + j).cast("int")
+    )
+    b_cells = F.transform(
+        F.sequence(F.lit(0), F.lit(ba - 1)), lambda i: (i * bb + hb).cast("int")
+    )
     vecs_b = vecs.withColumn(
-        "blk", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+        "blk", F.explode(F.array_distinct(F.concat(a_cells, b_cells)))
     )
 
     def _dist_block(key: tuple, pairs: pd.DataFrame, vv: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"src": [], "dst": [], "dist_sq": []}).astype(
+            {"src": np.int64, "dst": np.int64, "dist_sq": np.float64}
+        )
         if len(pairs) == 0 or len(vv) == 0:
-            return pd.DataFrame({"src": [], "dst": [], "dist_sq": []}).astype(
-                {"src": np.int64, "dst": np.int64, "dist_sq": np.float64}
-            )
+            return empty
+        a = pairs["a"].to_numpy(dtype=np.int64)
+        b = pairs["b"].to_numpy(dtype=np.int64)
+        e = pairs["e"].to_numpy(dtype=np.int8)
+        # cell-local dedup + known-edge suppression (the global
+        # distinct/anti-join, executed here): lexsort by (a, b), mark
+        # group boundaries, drop any group containing a flagged edge
+        # row, keep one representative per surviving group. Depends
+        # only on VALUES (stable under any input row order), so the
+        # result — and the chunk order below — is deterministic.
+        idx = np.lexsort((b, a))
+        a_s, b_s, e_s = a[idx], b[idx], e[idx]
+        new_grp = np.empty(len(a_s), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        grp_id = np.cumsum(new_grp) - 1
+        has_edge = np.bincount(grp_id, weights=e_s) > 0
+        rep_idx = np.flatnonzero(new_grp)[~has_edge]
+        a = a_s[rep_idx]
+        b = b_s[rep_idx]
+        if len(a) == 0:
+            return empty
         ids = vv["id"].to_numpy(dtype=np.int64)
         mat = np.stack(vv["vec"].to_numpy()).astype(np.float64)
         order = np.argsort(ids, kind="stable")
         sorted_ids = ids[order]
-        a = pairs["a"].to_numpy(dtype=np.int64)
-        b = pairs["b"].to_numpy(dtype=np.int64)
         ia = order[np.searchsorted(sorted_ids, a)]
         ib = order[np.searchsorted(sorted_ids, b)]
         # CHUNK the pair stream: an unchunked `mat[ia] - mat[ib]` is an
@@ -731,7 +832,11 @@ def _refine(
         .cogroup(vecs_b.groupBy("blk"))
         .applyInPandas(_dist_block, "src long, dst long, dist_sq double")
     )
-    unioned = g.unionByName(scored).dropDuplicates(["src", "dst"])
+    # scored is unique per (src, dst) and DISJOINT from g by
+    # construction (cell-local dedup + edge suppression above), so no
+    # dropDuplicates is needed — that was the third corpus-pair-sized
+    # hash aggregate this plan used to carry
+    unioned = g.unionByName(scored)
     wk = Window.partitionBy("src").orderBy("dist_sq", "dst")
     return (
         unioned.withColumn("rn", F.row_number().over(wk))

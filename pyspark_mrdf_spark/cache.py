@@ -20,6 +20,7 @@ Safety rules:
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Callable
 from threading import Lock
 
@@ -64,7 +65,25 @@ def pin_stats(df: DataFrame) -> DataFrame:
     that want a broadcast say ``F.broadcast`` explicitly (this
     engine's rule everywhere already). If the private JVM hook is ever
     unavailable, falls back to the plain eager checkpoint — correct,
-    just planner-slower when chained."""
+    just planner-slower when chained — and WARNS (below).
+
+    Consumption contract: the rebuilt leaf wraps
+    ``queryExecution().toRdd()``, whose scan may REUSE its UnsafeRow
+    buffer per partition (Spark's own checkpoint path inserts a
+    ``.map(_.copy())``; this one deliberately does not — the copy
+    would double the materialized bytes). That is safe for SQL
+    operators — every Spark SQL consumer (exchange, sort, aggregate,
+    window, Python/Arrow serializers) copies rows it retains, by
+    Spark's own internal-row conventions — but the returned DataFrame
+    must NOT be dropped to ``.rdd`` and iterated with row retention.
+    Nothing in this engine touches ``.rdd`` on data paths (repo-wide
+    rule, re-audited r13), so the contract holds by construction.
+
+    JVM hook pinned on: Spark 4.1.x (``internalCreateDataFrame`` on
+    ``SparkSession``, verified by ``test_pin_stats_*`` — those tests
+    fail loudly if an upgrade removes it, and the fallback path warns
+    at runtime so chained deployments can detect the planner-cost
+    regression without reading CI)."""
     ck = df.localCheckpoint(eager=True)
     try:
         spark = df.sparkSession
@@ -74,7 +93,18 @@ def pin_stats(df: DataFrame) -> DataFrame:
         )
         jdf = spark._jsparkSession.internalCreateDataFrame(jrdd, jschema, False)
         return DataFrame(jdf, spark)
-    except Exception:  # pragma: no cover - depends on private JVM API
+    except Exception as exc:  # pragma: no cover - depends on private JVM API
+        warnings.warn(
+            "pin_stats: the private JVM hook "
+            "SparkSession.internalCreateDataFrame is unavailable on this "
+            f"Spark ({exc!r}); falling back to a plain eager localCheckpoint. "
+            "Values are unchanged, but the origin plan's statistics snapshot "
+            "is kept — chained self-feeding operators (knn_graph_append "
+            "materialize=True cycles) will pay the compounding planner cost "
+            "pin_stats exists to prevent.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return ck
 
 

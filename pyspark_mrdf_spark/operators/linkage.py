@@ -36,8 +36,21 @@ zero matches.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# The auto hot-block dial (max_block="auto", the r14 default): cap =
+# max(AUTO_BLOCK_FLOOR, AUTO_BLOCK_MULT · median clean block size) —
+# typical blocks are fine; only keys far above typical are
+# non-discriminative. MULT=3 is the measured 30× probe's own choice
+# (median 64 → cap 192); FLOOR=32 keeps the dial quiet on small
+# corpora where even the max block is cheap (the sf0.01/sf0.1 oracle
+# corpora top out at 8 distinct names per key — law-tested that the
+# dial NEVER fires there, so driver verdicts are provably unaffected).
+AUTO_BLOCK_FLOOR = 32
+AUTO_BLOCK_MULT = 3
 
 
 def _deletion_variants(name: Column, n_del: int) -> Column:
@@ -143,6 +156,26 @@ def _sub_block_keys(name: Column, max_dist: int, is_dirty: bool) -> Column:
     return F.array_distinct(F.concat(out, variants))
 
 
+def _resolve_auto_block(ck: DataFrame) -> int | None:
+    """Resolve ``max_block="auto"`` against the clean side's keyed
+    block-size distribution (``ck``: one row per (key, distinct
+    name)): cap = max(AUTO_BLOCK_FLOOR, AUTO_BLOCK_MULT · median block
+    size), and ``None`` — the uncapped plan, byte-identical — when no
+    block exceeds the cap. One driver aggregate over the (small)
+    per-key count table; this is the operator's only eager step."""
+    stats = (
+        ck.groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.max("_n").alias("_mx"),
+            F.expr("percentile_approx(_n, 0.5)").alias("_med"),
+        )
+        .collect()[0]
+    )
+    cap = max(AUTO_BLOCK_FLOOR, AUTO_BLOCK_MULT * int(stats["_med"] or 0))
+    return cap if (stats["_mx"] or 0) > cap else None
+
+
 def blocked_levenshtein_link(
     dirty: DataFrame,
     clean: DataFrame,
@@ -151,7 +184,7 @@ def blocked_levenshtein_link(
     clean_name_col: str = "name",
     max_dist: int = 1,
     prefix_len: int = 3,
-    max_block: int | None = None,
+    max_block: int | str | None = "auto",
     hot_block_action: str = "split",
 ) -> DataFrame:
     """Best clean-side match per dirty record →
@@ -168,7 +201,24 @@ def blocked_levenshtein_link(
     relational replication shape, where every replica of a name
     shares its prefix block. Block keys whose CLEAN-side
     distinct-name frequency exceeds the dial are diverted per
-    ``hot_block_action``:
+    ``hot_block_action``.
+
+    ``max_block="auto"`` (the r14 DEFAULT — the scale-safe path is
+    the default path): the cap is derived from the clean side's own
+    block-size distribution, ``max(AUTO_BLOCK_FLOOR, AUTO_BLOCK_MULT ·
+    median block size)`` — one small driver aggregate over the
+    distinct block keys at call time (the operator's only eager step;
+    pass an int or ``None`` to stay fully lazy). If no block exceeds
+    the derived cap the hot-block machinery is SKIPPED entirely — the
+    plan is byte-identical to the uncapped one (law-tested on the
+    sf0.01 oracle corpus, where the max block is 8 and the dial can
+    never fire). When blocks do exceed it, the default 'split' action
+    is lossless (capped == uncapped match set), so engaging the dial
+    can never change results — only the wall: the 30× probe measures
+    80.9 s uncapped → ~22 s split at match agreement 1.0. At
+    ``max_dist > 2`` the lossless split is unavailable, so "auto"
+    disengages to uncapped with a warning rather than silently
+    dropping matches. Actions:
 
      - ``'split'`` (default, r13): members of the oversized block are
        re-blocked on (key, sub-key) with EXACT sub-keys
@@ -191,6 +241,24 @@ def blocked_levenshtein_link(
             f"blocked_levenshtein_link: unknown hot_block_action "
             f"{hot_block_action!r}"
         )
+    if isinstance(max_block, str) and max_block != "auto":
+        raise ValueError(
+            f"blocked_levenshtein_link: max_block must be an int, None, or "
+            f"'auto', got {max_block!r}"
+        )
+    if max_block == "auto" and hot_block_action == "split" and max_dist > 2:
+        # the lossless split needs max_dist <= 2; rather than silently
+        # dropping matches (or erroring on the DEFAULT dial), the auto
+        # cap steps aside and says so
+        warnings.warn(
+            "blocked_levenshtein_link: max_block='auto' disengaged — the "
+            f"lossless 'split' action supports max_dist <= 2, got {max_dist}. "
+            "Running uncapped; pass an explicit max_block with "
+            "hot_block_action='drop' to bound hot blocks lossily.",
+            UserWarning,
+            stacklevel=2,
+        )
+        max_block = None
     if max_block is not None and hot_block_action == "split" and max_dist > 2:
         raise ValueError(
             "blocked_levenshtein_link: hot_block_action='split' supports "
@@ -217,6 +285,8 @@ def blocked_levenshtein_link(
         .select("_cn", F.explode("_bk").alias("_k"))
         .distinct()
     )
+    if max_block == "auto":
+        max_block = _resolve_auto_block(ck)
     if max_block is not None:
         hot = (
             ck.groupBy("_k")

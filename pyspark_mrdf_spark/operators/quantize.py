@@ -1606,6 +1606,7 @@ def write_pq_index(
     codebooks: np.ndarray,
     codes: DataFrame,
     rotation: tuple[np.ndarray, np.ndarray] | None = None,
+    rotation_env: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> None:
     """Persist a PQ index: (n_subspaces, n_codes, d_sub) codebooks +
     the n_subspaces-B/row code table (a ``pq_encode`` output).
@@ -1624,6 +1625,10 @@ def write_pq_index(
     parts = {"codebooks": codebooks}
     if rotation is not None:
         parts["rot_mean"], parts["rotation"] = rotation
+    if rotation_env is not None:
+        # the rotated-space training envelope (rotation_drift_stats's
+        # frozen comparand) rides the same params file
+        parts["rot_env_mn"], parts["rot_env_mx"] = rotation_env
     _write_params(path, parts)
     codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
 
@@ -1656,12 +1661,70 @@ def read_index_rotation(
     return p["rot_mean"], p["rotation"]
 
 
+def rotation_drift_stats(
+    batch: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rotation-aware drift monitor for a rotate='opq' PQ/IVF-PQ index
+    (r13 verdict ask #6): rotate the appended batch through the FROZEN
+    persisted rotation, then count per-ROTATED-dimension envelope
+    violations against the persisted training-sample envelope
+    (``rot_env_mn``/``rot_env_mx``) — the ``sq8_drift_stats`` schema
+    (dim, n_below, n_above, n_values, viol_e6), one row per rotated
+    dimension.
+
+    Why the rotated basis: the rotation is frozen training state — it
+    balanced per-subspace variance FOR THE TRAINING DISTRIBUTION. A
+    drifted append can hold its original-space ranges (invisible to
+    ``sq8_drift_stats``-style monitors and barely moving
+    ``index_cell_stats`` skew) while running far outside the envelope
+    along a rotated direction the training data kept narrow — exactly
+    the regime where ADC ranking quality decays, because the PQ
+    codebooks never allocated codes there. Violation rates per rotated
+    dim are the retrain trigger the persisted-rotation format promises
+    (``read_index_rotation``'s note), now measured.
+
+    Determinism/verifiability: the projection is ``project_kernel``
+    (strictly sequential accumulation — bit-equal to a left-assoc SQL
+    fold of transported constants), the envelope is elements of the
+    training sample (no arithmetic), and the counts are integer exact
+    comparisons — the whole monitor is hash-verifiable cross-engine,
+    like q131's SQ8 sibling.
+
+    Scale shape: one O(batch) mapInPandas projection + the d-key hash
+    aggregate; the frozen params are O(d²) driver-side constants."""
+    from pyspark_mrdf_spark.operators.project import pca_project_vec
+
+    p = _read_params(path)
+    if "rotation" not in p:
+        raise ValueError(
+            f"rotation_drift_stats: index at {path!r} is unrotated — use "
+            "sq8_drift_stats / index_cell_stats for unrotated tiers"
+        )
+    if "rot_env_mn" not in p:
+        raise ValueError(
+            f"rotation_drift_stats: index at {path!r} predates the "
+            "persisted rotation envelope — rebuild with rotate='opq' to "
+            "freeze rot_env_mn/rot_env_mx alongside the rotation"
+        )
+    rotated = pca_project_vec(
+        batch, p["rot_mean"], p["rotation"], id_col=id_col, vec_col=vec_col
+    )
+    return sq8_drift_stats(
+        rotated, p["rot_env_mn"], p["rot_env_mx"],
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
 def write_ivfpq_index(
     path: str,
     coarse: np.ndarray,
     codebooks: np.ndarray,
     codes: DataFrame,
     rotation: tuple[np.ndarray, np.ndarray] | None = None,
+    rotation_env: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> None:
     """Persist an IVF-PQ index: coarse centroids + residual codebooks +
     the (vec_id, cell, code) table (an ``ivfpq_encode`` output). The
@@ -1675,6 +1738,10 @@ def write_ivfpq_index(
     parts = {"coarse": coarse, "codebooks": codebooks}
     if rotation is not None:
         parts["rot_mean"], parts["rotation"] = rotation
+    if rotation_env is not None:
+        # the rotated-space training envelope (rotation_drift_stats's
+        # frozen comparand) rides the same params file
+        parts["rot_env_mn"], parts["rot_env_mx"] = rotation_env
     _write_params(path, parts)
     codes.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, "codes")
@@ -1728,23 +1795,54 @@ def _train_index_rotation(
     seed: int,
     id_col: str,
     vec_col: str,
-) -> tuple[tuple[np.ndarray, np.ndarray], DataFrame]:
-    """(rotation, rotated_corpus) for a rotate='opq' index build: train
+    metrics_out: dict | None = None,
+) -> tuple[tuple[np.ndarray, np.ndarray], DataFrame, tuple[np.ndarray, np.ndarray]]:
+    """(rotation, rotated_corpus, rotated_env) for a rotate='opq' index build: train
     the OPQ-lite rotation (``project.opq_train`` — full PCA basis,
     eigenvalue-allocation-permuted) on the corpus sample, then project
     the corpus once (checkpointed: the coarse/PQ training sample, the
     encode pass, and any caller reuse would otherwise each re-run the
     projection mapInPandas)."""
+    import time as _time
+
     from pyspark_mrdf_spark.operators.project import opq_train, pca_project_vec
 
+    _t0 = _time.time()
     rotation = opq_train(
         corpus, n_subspaces, sample_size=sample_size, seed=seed,
         id_col=id_col, vec_col=vec_col,
     )
+    if metrics_out is not None:
+        # attribution WITHOUT a second training run (advisor r13: the
+        # serving row used to re-run opq_train just to time it,
+        # double-counting the cost across two reported metrics)
+        metrics_out["rotation_train_s"] = round(_time.time() - _t0, 2)
+    # rotated-space TRAINING ENVELOPE (r14): per-dim min/max of the
+    # SAME md5-ordered training sample opq_train drew, pushed through
+    # the same bit-exact project_kernel — frozen alongside the
+    # rotation so ``rotation_drift_stats`` can measure when appended
+    # batches leave the training distribution IN THE ROTATED BASIS
+    # (drift along a direction the rotation deemed low-variance is
+    # invisible to original-space monitors). Elements of the data, no
+    # arithmetic beyond the projection — bit-reproducible on any
+    # engine that replays the sample.
+    from pyspark_mrdf_spark.operators.project import project_kernel
+
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    sample = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("_h", h)
+        .orderBy("_h")
+        .limit(sample_size)
+        .select(vec_col)
+    ).toPandas()
+    x = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    proj = project_kernel(x, rotation[0], rotation[1])
+    env = (proj.min(axis=0), proj.max(axis=0))
     rotated = pca_project_vec(
         corpus, rotation[0], rotation[1], id_col, vec_col
     ).localCheckpoint(eager=False)
-    return rotation, rotated
+    return rotation, rotated, env
 
 
 def build_pq_index(
@@ -1758,6 +1856,7 @@ def build_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rotate: str | None = None,
+    metrics_out: dict | None = None,
 ) -> np.ndarray:
     """Train + encode + persist a flat-PQ index; returns the codebooks.
     ``rotate='opq'`` trains the OPQ-lite pre-rotation first, trains and
@@ -1767,15 +1866,18 @@ def build_pq_index(
     if rotate not in (None, "opq"):
         raise ValueError(f"build_pq_index: unknown rotate {rotate!r}")
     rotation = None
+    rotation_env = None
     if rotate == "opq":
-        rotation, corpus = _train_index_rotation(
-            corpus, n_subspaces, sample_size, seed, id_col, vec_col
+        rotation, corpus, rotation_env = _train_index_rotation(
+            corpus, n_subspaces, sample_size, seed, id_col, vec_col,
+            metrics_out=metrics_out,
         )
     cb = pq_train(
         corpus, n_subspaces, n_codes, sample_size, iters, seed, id_col, vec_col
     )
     write_pq_index(
-        path, cb, pq_encode(corpus, cb, id_col, vec_col), rotation=rotation
+        path, cb, pq_encode(corpus, cb, id_col, vec_col), rotation=rotation,
+        rotation_env=rotation_env,
     )
     return cb
 
@@ -1793,6 +1895,7 @@ def build_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rotate: str | None = None,
+    metrics_out: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Train + encode + persist an IVF-PQ index; returns (coarse,
     codebooks). The one-time cost a deployment amortizes over every
@@ -1803,9 +1906,11 @@ def build_ivfpq_index(
     if rotate not in (None, "opq"):
         raise ValueError(f"build_ivfpq_index: unknown rotate {rotate!r}")
     rotation = None
+    rotation_env = None
     if rotate == "opq":
-        rotation, corpus = _train_index_rotation(
-            corpus, n_subspaces, sample_size, seed, id_col, vec_col
+        rotation, corpus, rotation_env = _train_index_rotation(
+            corpus, n_subspaces, sample_size, seed, id_col, vec_col,
+            metrics_out=metrics_out,
         )
     coarse, cb = ivfpq_train(
         corpus, n_centroids, n_subspaces, n_codes, sample_size,
@@ -1813,7 +1918,7 @@ def build_ivfpq_index(
     )
     write_ivfpq_index(
         path, coarse, cb, ivfpq_encode(corpus, coarse, cb, id_col, vec_col),
-        rotation=rotation,
+        rotation=rotation, rotation_env=rotation_env,
     )
     return coarse, cb
 
@@ -1991,7 +2096,7 @@ def _assert_same_params(
     # must agree on HAVING one (codes in rotated vs raw space cannot
     # merge) and on its exact bytes — fold the rotation keys into the
     # gate whenever any shard carries them
-    rot_keys = ("rot_mean", "rotation")
+    rot_keys = ("rot_mean", "rotation", "rot_env_mn", "rot_env_mx")
     if any(k in p for p in params for k in rot_keys):
         keys = keys + rot_keys
     for p_, path_ in zip(params[1:], paths[1:]):
@@ -2081,6 +2186,10 @@ def merge_ivfpq_indexes(spark, src_paths: list[str], dst_path: str) -> None:
         dst_path, params[0]["coarse"], params[0]["codebooks"], codes,
         rotation=(
             (rot["rot_mean"], rot["rotation"]) if "rotation" in rot else None
+        ),
+        rotation_env=(
+            (rot["rot_env_mn"], rot["rot_env_mx"])
+            if "rot_env_mn" in rot else None
         ),
     )
 

@@ -1289,8 +1289,7 @@ _TFIDF_TOP = 5
 
 @register(
     "q136_tfidf_top_terms",
-    # promoted r9: takes a slot ceded by the multi-green r9 rotation
-    # (see tests/test_oracle_queries.py DRIVER_SURFACE)
+    driver=False,  # r14 rotation: 5x driver-green (r9-r13), cedes its slot to q164 (text keeps q117/q120/q144 as driver reps)
     oracle=f"""
 WITH tok AS (
   SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -1380,8 +1380,7 @@ def _q127_oracle(sf_dir: str) -> str:
 
 @register(
     "q127_pca_project",
-    # promoted r9: takes a slot ceded by the multi-green r9 rotation
-    # (see tests/test_oracle_queries.py DRIVER_SURFACE)
+    driver=False,  # r14 rotation: 5x driver-green (r9-r13), cedes its slot to q163 (whose oracle transports the FULL d-by-d rotation through the same project_kernel; projection stays driver-verified via q133/q134)
     oracle=_q127_oracle,
     description=(
         f"PCA dimensionality reduction (operators/project.py): rotation "
@@ -2204,3 +2203,219 @@ def q162_chained_graph_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         g1, old.unionByName(b1), b2, K, mode="exact"
     )
     return g2.select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))
+
+
+# --- q163: rotation-aware drift monitoring -----------------------------------
+#
+# The r14 monitor the persisted-rotation format promises (r13 verdict
+# ask #6): the rotation is frozen training state, so drift must be
+# measured IN THE ROTATED BASIS — a batch can hold its original-space
+# ranges (quiet on sq8-style monitors, barely moving cell skew) while
+# running far outside the training envelope along a rotated direction
+# the codebooks never allocated codes for. The index persisted at
+# build time both the rotation AND the training-sample envelope
+# (rot_env_mn/rot_env_mx); the monitor rotates the batch through the
+# frozen params and counts per-rotated-dim violations.
+
+
+def _q163_oracle(sf_dir: str) -> str:
+    """Data-dependent oracle: replay the rotation training (md5 sample
+    through ``opq_components`` — q159's discipline), recompute the
+    training envelope through the same ``project_kernel`` (elements of
+    the sample; no arithmetic beyond the bit-exact projection), then
+    render the batch projection as left-assoc transported-constant
+    sums and count envelope violations per rotated dim. Comparisons
+    are exact (both sides bit-equal doubles), counts are integers —
+    the whole monitor is hash-pinned, including the frozen params'
+    parquet roundtrip."""
+    import duckdb
+
+    import numpy as np
+
+    from pyspark_mrdf_spark.operators.project import (
+        opq_components,
+        project_kernel,
+    )
+
+    cfg = _OPQ_CFG
+    rows = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        f"ORDER BY md5('{cfg['seed']}:' || CAST(vec_id AS VARCHAR)) "
+        f"LIMIT {cfg['sample_size']}"
+    ).fetchall()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    d = x.shape[1]
+    mean, rot = opq_components(x, cfg["n_subspaces"])
+    proj = project_kernel(x, mean, rot)
+    env_mn, env_mx = proj.min(axis=0), proj.max(axis=0)
+
+    proj_cols = []
+    for j in range(d):
+        terms = " + ".join(
+            f"(e[{i + 1}] - {exact_double_sql(mean[i])})"
+            f" * {exact_double_sql(rot[i, j])}"
+            for i in range(d)
+        )
+        proj_cols.append(f"({terms}) AS p{j}")
+    proj_sql = ",\n    ".join(proj_cols)
+    pv = "list_value(" + ", ".join(f"p{j}" for j in range(d)) + ")"
+    env_vals = ",\n  ".join(
+        f"({i + 1}, {exact_double_sql(float(env_mn[i]))},"
+        f" {exact_double_sql(float(env_mx[i]))})"
+        for i in range(d)
+    )
+    return f"""
+WITH batch AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id % 5 = 1
+  UNION ALL
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0 + 1.0) AS e
+  FROM embeddings WHERE vec_id % 5 = 2),
+proj AS (
+  SELECT vec_id,
+    {proj_sql}
+  FROM batch),
+parr AS (SELECT vec_id, {pv} AS pv FROM proj),
+env(dim, mn, mx) AS (VALUES
+  {env_vals}),
+ex AS (
+  SELECT g.i AS dim, pv[g.i] AS v
+  FROM parr, generate_series(1, {d}) AS g(i))
+SELECT CAST(e.dim AS BIGINT) AS dim,
+       CAST(SUM(CASE WHEN ex.v < e.mn THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       CAST(SUM(CASE WHEN ex.v > e.mx THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(((SUM(CASE WHEN ex.v < e.mn THEN 1 ELSE 0 END)
+              + SUM(CASE WHEN ex.v > e.mx THEN 1 ELSE 0 END)) * 1000000)
+            // COUNT(*) AS BIGINT) AS viol_e6
+FROM ex JOIN env e ON e.dim = ex.dim
+GROUP BY e.dim
+"""
+
+
+@register(
+    "q163_rotation_drift",
+    oracle=_q163_oracle,
+    description=(
+        "rotation-aware drift monitor for the persisted rotated index "
+        "(operators/quantize.rotation_drift_stats — r14): rotate a "
+        "mixed batch (60%-of-corpus in-distribution rows + an affine-"
+        "shifted drifted slice) through q161's FROZEN persisted "
+        "rotation and count per-ROTATED-dim violations of the persisted "
+        "training-sample envelope — the retrain trigger the rotated "
+        "index format promises, now under a hash verdict (bit-exact "
+        "projection via mantissa-transported constants, exact integer "
+        "counts; the verdict covers the envelope's parquet roundtrip)"
+    ),
+    tags=("vector", "quantize", "monitoring", "serving"),
+)
+def q163_rotation_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.operators.quantize import rotation_drift_stats
+
+    path = _rotated_pq_index_path(spark, sf_dir)  # shared with q161
+    emb = load_table(spark, sf_dir, "embeddings")
+    quiet = emb.filter(F.col("vec_id") % 5 == 1).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+    )
+    # deterministic drifted slice: exact double affine (x*2+1), so the
+    # oracle replays it bit-equally — original-space ranges move, and
+    # the ROTATED envelope is what catches it
+    drifted = emb.filter(F.col("vec_id") % 5 == 2).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(x as double) * 2.0d + 1.0d)"
+        ).alias("embedding"),
+    )
+    return rotation_drift_stats(quiet.unionByName(drifted), path)
+
+
+# --- q164: graph-state compaction --------------------------------------------
+#
+# The bound on graph_append_stream's delta growth (r13 verdict ask #3):
+# read_graph_state pays one overlay per committed delta, linear in
+# delta count; compact_graph_state folds base + deltas into a fresh
+# single-base state (the merge_sq8_indexes single-source pattern).
+# This query puts the WHOLE persisted lifecycle under one hash verdict:
+# seed state (95% exact graph) -> commit the 5% batch's replacement
+# delta exactly as the stream writes it -> compact -> serve from the
+# compacted state. The exact tier's law makes the oracle the plain
+# rebuilt-graph CTE over the full corpus (q158's), so the verdict
+# covers the delta write, the latest-wins overlay, the compaction
+# fold, AND the compacted read.
+
+_COMPACT_STATE: dict[str, str] = {}
+
+
+def _compacted_state_path(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from pyspark_mrdf_spark.algorithms.graph_append import knn_graph_append
+    from pyspark_mrdf_spark.operators.similarity import knn_exact_blocked
+    from pyspark_mrdf_spark.streaming.ingest import (
+        compact_graph_state,
+        write_graph_state,
+    )
+
+    path = _COMPACT_STATE.get(sf_dir)
+    if path is None:
+        emb = load_table(spark, sf_dir, "embeddings")
+        old = emb.filter(F.col("vec_id") % 20 != 0)
+        new = emb.filter(F.col("vec_id") % 20 == 0)
+        g0 = memoized_df(
+            spark,
+            ("exact_knn_blocked_old95", sf_dir, K),  # shared with q158/q162
+            lambda: knn_exact_blocked(old, K),
+            eager=False,
+        )
+        root = tempfile.mkdtemp(prefix="mrdf_gstate_")
+        live = os.path.join(root, "live")
+        write_graph_state(old, g0, live)
+        delta = knn_graph_append(
+            g0, old, new, K, mode="exact", return_delta=True
+        )
+        # commit the batch exactly as graph_append_stream does: corpus
+        # partition first (crash-consistency order), then the delta
+        new.select("vec_id", "embedding").write.mode("overwrite").parquet(
+            f"{live}/corpus/stream/batch=0"
+        )
+        delta.write.mode("overwrite").parquet(f"{live}/graph/stream/batch=0")
+        path = os.path.join(root, "compacted")
+        compact_graph_state(spark, live, path)
+        _COMPACT_STATE[sf_dir] = path
+    return path
+
+
+@register(
+    "q164_compacted_graph_state",
+    oracle=f"""
+SELECT src, dst, rnk FROM (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_distance(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rnk
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+WHERE rnk <= {K}
+""",
+    description=(
+        "graph-state COMPACTION (streaming/ingest.compact_graph_state "
+        "— r14): seed the persisted state with the 95% exact graph, "
+        "commit the 5% batch's replacement delta exactly as "
+        "graph_append_stream writes it, fold base+delta into a fresh "
+        "single-base state (the merge_sq8_indexes single-source "
+        "pattern, not-in-place guarded), and serve from the COMPACTED "
+        "state — which must equal the rebuilt exact graph of the full "
+        "corpus (the exact tier's law), so the oracle is q158's plain "
+        "rebuilt-graph CTE and the verdict covers delta write, "
+        "latest-wins overlay, compaction fold, and compacted read"
+    ),
+    tags=("vector", "knn", "incremental", "maintenance", "streaming"),
+)
+def q164_compacted_graph_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.streaming.ingest import read_graph_state
+
+    _, graph = read_graph_state(spark, _compacted_state_path(spark, sf_dir))
+    return graph.select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))

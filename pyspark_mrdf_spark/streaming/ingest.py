@@ -256,7 +256,10 @@ def read_graph_state(
     ``_exclude_stream_batch``: replay idempotency (the
     ``ingest_dedup_stream`` rule) — a crash-replayed batch must see
     exactly the state the original attempt saw, so its own (possibly
-    partially written) partitions are excluded from both reads."""
+    partially written) partitions are excluded from both reads.
+
+    Delta growth is bounded by ``compact_graph_state`` (below), not by
+    hand-rebuilding base."""
     from pyspark_mrdf_spark.streaming.sinks import _hadoop_fs
 
     base = state_path.rstrip("/")
@@ -286,6 +289,54 @@ def read_graph_state(
         latest = graph.groupBy("src").agg(F.max("_b").alias("_b"))
         graph = graph.join(latest, ["src", "_b"])
     return corpus, graph.select("src", "dst", "dist_sq", "rnk")
+
+
+def compact_graph_state(spark, state_path: str, dst_path: str) -> None:
+    """Fold ``state_path``'s base + every committed stream delta into
+    a FRESH single-base state at ``dst_path`` — the
+    ``merge_sq8_indexes`` single-source COMPACTION pattern
+    (operators/quantize.py), including the guarded not-in-place
+    contract.
+
+    Why it exists: ``read_graph_state`` pays one ``unionByName`` +
+    latest-wins overlay join per serve/maintenance read, LINEAR in
+    committed delta count — a long-running ``graph_append_stream``
+    accumulates deltas without bound, and each is a small file (the
+    many-small-files scan tax on top of the overlay). Compaction folds
+    the RESOLVED graph into ``graph/base`` and the streamed vectors
+    into ``corpus/base``, so the overlay restarts empty; serving reads
+    off the compacted state are row-identical to the uncompacted
+    overlay (equivalence-tested).
+
+    Caller contract (same discipline as the SQ8 single-source merge):
+     - ``dst_path`` must be a fresh directory — compacting in place
+       would overwrite ``graph/base`` while lazily reading it
+       (guarded; swap dst into place after the write commits).
+     - Run while the stream is QUIESCENT (cleanly stopped, or between
+       ``availableNow`` drains with no uncommitted batch): a batch
+       that crashed mid-write and later REPLAYS must read state with
+       its own partitions excluded, which is impossible once they are
+       folded into base. A cleanly stopped stream has no such batch.
+       Restart the stream against ``dst_path`` with the SAME
+       checkpoint — subsequent batch ids are strictly newer than every
+       folded one, so the exclusion contract stays intact
+       (checkpoint-restart-tested across a compaction)."""
+    import os
+
+    def canon(p: str) -> str:
+        return os.path.abspath(p) if "://" not in p else p.rstrip("/")
+
+    if canon(state_path) == canon(dst_path):
+        raise ValueError(
+            f"compact_graph_state: dst_path {dst_path!r} is the source state "
+            "— compact into a fresh directory, then swap it into place"
+        )
+    corpus, graph = read_graph_state(spark, state_path)
+    dst = dst_path.rstrip("/")
+    corpus.write.mode("overwrite").parquet(f"{dst}/corpus/base")
+    graph.select("src", "dst", "dist_sq", "rnk").write.mode(
+        "overwrite"
+    ).parquet(f"{dst}/graph/base")
 
 
 def graph_append_stream(
@@ -339,11 +390,17 @@ def graph_append_stream(
             id_col=id_col, vec_col=vec_col, return_delta=True,
             **append_kwargs,
         )
-        delta.write.mode("overwrite").parquet(
-            f"{base}/graph/stream/batch={batch_id}"
-        )
+        # corpus FIRST, graph delta second: a crash between the two
+        # writes then leaves a serving-time read_graph_state (no batch
+        # exclusion) at worst consistently STALE — a graph over a
+        # corpus superset — never a graph whose delta rows reference
+        # vec_ids absent from the corpus (the dangling-edge window the
+        # reverse order had until the stream replayed the batch).
         batch_df.select(id_col, vec_col).write.mode("overwrite").parquet(
             f"{base}/corpus/stream/batch={batch_id}"
+        )
+        delta.write.mode("overwrite").parquet(
+            f"{base}/graph/stream/batch={batch_id}"
         )
 
     return (

@@ -786,11 +786,25 @@ def _linkage_cap_probe(spark, syn: str, out: dict) -> None:
 
     t0 = time.time()
     full = blocked_levenshtein_link(
-        dirty, clean, clean_name_col="p_name"
+        dirty, clean, clean_name_col="p_name", max_block=None
     ).localCheckpoint(eager=True)
     n_full = full.count()
     out["linkage_uncapped_s"] = round(time.time() - t0, 2)
     out["linkage_matches_uncapped"] = int(n_full)
+    # the r14 DEFAULT dial (max_block="auto"): cap derived from the
+    # clean side's own block-size distribution, split action — the
+    # wall q139/q153 now pay with NO hand dial, agreement 1.0 by law
+    t0 = time.time()
+    auto = blocked_levenshtein_link(
+        dirty, clean, clean_name_col="p_name"
+    ).localCheckpoint(eager=True)
+    n_auto = auto.count()
+    out["linkage_auto_s"] = round(time.time() - t0, 2)
+    agree_auto = full.join(
+        auto, ["rec_id", "matched_name"], "left_semi"
+    ).count()
+    out["linkage_matches_auto"] = int(n_auto)
+    out["linkage_auto_agreement"] = round(agree_auto / max(n_full, 1), 4)
     # both hot-block actions against the same uncapped comparand: the
     # r12 stoplist ('drop', measured 0.873 agreement at 30×) vs the r13
     # deletion-neighborhood SPLIT, whose law is agreement 1.0 at a wall
@@ -1772,19 +1786,19 @@ def _serving_evidence(spark, n: int, d: int, n_cells: int = 64,
         # alone; corpus rotate+encode rides inside ivfpq_index_build_s
         # like every other encode cost.
         t0 = time.time()
+        build_metrics: dict = {}
         build_ivfpq_index(
             emb, os.path.join(idx_root, "ivfpq"),
             n_centroids=n_cells, n_subspaces=n_sub, n_codes=n_codes,
             sample_size=max(4096, 16 * n_cells, 16 * n_codes),
-            rotate=rotate,
+            rotate=rotate, metrics_out=build_metrics,
         )
         out["ivfpq_index_build_s"] = round(time.time() - t0, 2)
         if rotate == "opq":
-            from pyspark_mrdf_spark.operators.project import opq_train
-
-            t0 = time.time()
-            opq_train(emb, n_sub)
-            out["rotation_train_s"] = round(time.time() - t0, 2)
+            # rotation training time attributed by the build itself
+            # (advisor r13: no second opq_train run, no double count —
+            # rotation_train_s is a SUBSET of ivfpq_index_build_s)
+            out["rotation_train_s"] = build_metrics.get("rotation_train_s")
             out["rotation_persisted"] = True
         rotation = read_index_rotation(os.path.join(idx_root, "ivfpq"))
         assert (rotation is not None) == (rotate == "opq")
@@ -2472,6 +2486,7 @@ def _graph_append_chain_evidence(
 
         chain: list = []
         retrained_wall = None
+        retrained_recall = None
         for c in range(cycles):
             lo, hi = n + c * m, n + (c + 1) * m
             new = emb.filter(
@@ -2508,6 +2523,12 @@ def _graph_append_chain_evidence(
                 row["retrain_triggered"] = True
                 row["retrain_s"] = retrained_wall
                 row["recall_after_retrain"] = _sampled_recall(corpus, graph)
+                # capture the REBUILD's recall AT RETRAIN TIME as the
+                # comparand (advisor r13: reusing chain[-1]'s own final
+                # recall as both numerator and denominator made
+                # final_recall_ratio 1.0 by construction whenever the
+                # dial fired)
+                retrained_recall = row["recall_after_retrain"]
             chain.append(row)
             print(f"[scalability] chain cycle {row}", file=sys.stderr)
         out["chain"] = chain
@@ -2518,12 +2539,12 @@ def _graph_append_chain_evidence(
             # the mid-chain retrain already measured a full rebuild at
             # (approximately) the final size — reuse it as the
             # comparand instead of paying a second multi-hundred-second
-            # build; the final maintained graph's recall stands on the
-            # per-cycle sampled rows above
+            # build. The comparand recall is the REBUILD's recall AT
+            # RETRAIN TIME (advisor r13), never the chain's own final
+            # number — so the ratio below measures maintained-vs-
+            # rebuilt honestly when the dial fires mid-chain.
             out["rebuild_s"] = retrained_wall
-            out["rebuild_recall_sampled"] = chain[-1].get(
-                "recall_after_retrain", chain[-1]["recall_sampled"]
-            )
+            out["rebuild_recall_sampled"] = retrained_recall
         else:
             reb = _mrdf_point(
                 spark, corpus, "chain-rebuild", rho=4, alpha=16384,
@@ -2531,6 +2552,11 @@ def _graph_append_chain_evidence(
             )
             out["rebuild_s"] = reb["mrdf_s"]
             out["rebuild_recall_sampled"] = _sampled_recall(corpus, reb["graph"])
+        # numerator = the recall of the FINAL graph as maintained: the
+        # last cycle's sampled recall — or its post-retrain recall in
+        # the corner case where the dial fired on the very last cycle
+        # (the final graph IS that rebuild, and the ratio saying 1.0
+        # is then the true statement, not an artifact)
         out["final_recall_ratio"] = round(
             chain[-1].get("recall_after_retrain", chain[-1]["recall_sampled"])
             / max(out["rebuild_recall_sampled"], 1e-9),

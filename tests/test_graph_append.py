@@ -289,3 +289,113 @@ def test_graph_append_stream_graph_tier_matches_batch(spark, emb, tmp_path):
         g1, base.unionByName(b1), b2, k, mode="graph"
     )
     assert _rows(streamed) == _rows(g2)
+
+
+def test_compact_graph_state_serves_identically(spark, emb, tmp_path):
+    """Compaction law: a compacted state serves ROW-IDENTICALLY to the
+    uncompacted base+delta overlay, with zero delta partitions left to
+    pay for — the read_graph_state overlay cost goes back to one base
+    scan."""
+    import glob as _glob
+
+    from pyspark_mrdf_spark.streaming.ingest import (
+        compact_graph_state,
+        graph_append_stream,
+        read_graph_state,
+        write_graph_state,
+    )
+
+    base = emb.filter(F.col("vec_id") % 10 >= 2).localCheckpoint(eager=True)
+    b1 = emb.filter(F.col("vec_id") % 10 == 0)
+    b2 = emb.filter(F.col("vec_id") % 10 == 1)
+    k = 4
+    state = str(tmp_path / "gstate")
+    write_graph_state(base, knn_exact_blocked(base, k), state)
+    src = tmp_path / "vecs"
+    src.mkdir()
+    _write_vec_json(src / "b1.json", b1, 1_000_000_000)
+    _write_vec_json(src / "b2.json", b2, 1_000_000_100)
+    s = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = graph_append_stream(
+        s, state, str(tmp_path / "ckpt"), k, mode="exact",
+        query_name="gapp_compact_eq",
+    )
+    assert q.awaitTermination(180)
+    corpus0, graph0 = read_graph_state(spark, state)
+
+    dst = str(tmp_path / "gstate_compacted")
+    compact_graph_state(spark, state, dst)
+    corpus1, graph1 = read_graph_state(spark, dst)
+    assert _rows(graph1) == _rows(graph0)
+    assert sorted(r["vec_id"] for r in corpus1.select("vec_id").collect()) == sorted(
+        r["vec_id"] for r in corpus0.select("vec_id").collect()
+    )
+    # the compacted state has NO delta partitions — the overlay is gone
+    assert _glob.glob(f"{dst}/graph/stream/batch=*") == []
+    assert _glob.glob(f"{dst}/corpus/stream/batch=*") == []
+
+    # in-place compaction is refused (the merge_sq8_indexes contract)
+    with pytest.raises(ValueError, match="fresh directory"):
+        compact_graph_state(spark, state, state)
+
+
+def test_checkpoint_restart_across_compaction(spark, emb, tmp_path):
+    """The lifecycle the contract promises: stream two batches → clean
+    stop → compact → RESTART against the compacted state with the SAME
+    checkpoint → stream a third batch. Final graph must equal the
+    never-compacted run over the same three batches (exact tier:
+    bit-identical)."""
+    from pyspark_mrdf_spark.streaming.ingest import (
+        compact_graph_state,
+        graph_append_stream,
+        read_graph_state,
+        write_graph_state,
+    )
+
+    base = emb.filter(F.col("vec_id") % 10 >= 3).localCheckpoint(eager=True)
+    b1 = emb.filter(F.col("vec_id") % 10 == 0)
+    b2 = emb.filter(F.col("vec_id") % 10 == 1)
+    b3 = emb.filter(F.col("vec_id") % 10 == 2)
+    k = 4
+    g0 = knn_exact_blocked(base, k).localCheckpoint(eager=True)
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    _write_vec_json(src / "b1.json", b1, 1_000_000_000)
+    _write_vec_json(src / "b2.json", b2, 1_000_000_100)
+
+    def _stream(state, ckpt, name):
+        s = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        return graph_append_stream(s, state, ckpt, k, mode="exact", query_name=name)
+
+    # compacted lifecycle
+    state_a = str(tmp_path / "state_a")
+    ckpt_a = str(tmp_path / "ckpt_a")
+    write_graph_state(base, g0, state_a)
+    assert _stream(state_a, ckpt_a, "gapp_pre_compact").awaitTermination(180)
+    state_a2 = str(tmp_path / "state_a_compacted")
+    compact_graph_state(spark, state_a, state_a2)
+    _write_vec_json(src / "b3.json", b3, 1_000_000_200)
+    assert _stream(state_a2, ckpt_a, "gapp_post_compact").awaitTermination(180)
+    _, graph_a = read_graph_state(spark, state_a2)
+    # only the post-compaction batch left a delta on the new state
+    import glob as _glob
+
+    assert len(_glob.glob(f"{state_a2}/graph/stream/batch=*")) == 1
+
+    # never-compacted comparand (same three batches, fresh checkpoint)
+    state_b = str(tmp_path / "state_b")
+    write_graph_state(base, g0, state_b)
+    assert _stream(state_b, str(tmp_path / "ckpt_b"), "gapp_no_compact").awaitTermination(180)
+    _, graph_b = read_graph_state(spark, state_b)
+    assert _rows(graph_a) == _rows(graph_b)
+    # and both equal the from-scratch exact graph (the tier's law)
+    assert _rows(graph_a) == _rows(knn_exact_blocked(emb, k))

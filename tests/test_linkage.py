@@ -209,3 +209,79 @@ def test_sub_block_keys_constant_fanout_for_long_names(spark):
     ).collect()[0]["n"]
     assert n_d <= 6, n_d
     assert n_c <= 2, n_c
+
+
+def test_auto_dial_never_fires_on_oracle_corpus(spark, sf_dir):
+    """The r14 auto-cap law the driver verdicts stand on: on the
+    oracle corpora the part catalog's clean-side blocks top out at 8
+    distinct names per key — far under AUTO_BLOCK_FLOOR — so
+    max_block="auto" resolves to None and the plan IS the uncapped
+    plan (q139/q153's oracles are provably unaffected by the new
+    default)."""
+    from pyspark_mrdf_spark.io import load_table
+    from pyspark_mrdf_spark.operators.linkage import _resolve_auto_block
+
+    p = load_table(spark, sf_dir, "part")
+    c = p.select(F.col("p_name").alias("_cn")).distinct()
+    ck = (
+        c.select(
+            "_cn",
+            F.explode(
+                F.array(
+                    F.substring("_cn", 1, 3),
+                    F.expr("substring(_cn, greatest(length(_cn) - 2, 1), 3)"),
+                )
+            ).alias("_k"),
+        )
+        .distinct()
+    )
+    assert _resolve_auto_block(ck) is None
+
+
+def test_auto_dial_engages_on_whale_blocks_and_stays_lossless(spark):
+    # mixed corpus: many cold 1-name blocks keep the median tiny, one
+    # whale prefix family far above the floor — the auto cap must fire
+    # (resolve to an int) and, because split is the action, results
+    # must STILL equal the truly-uncapped run
+    clean_names = [f"AAA-{i:04d}X" for i in range(150)] + [
+        f"Q{i:03d}-cold-{i:03d}" for i in range(80)
+    ]
+    clean = spark.createDataFrame([(n,) for n in clean_names], "name string")
+    dirty = spark.createDataFrame(
+        [(i, f"AAA-{i:04d}") for i in range(0, 150, 3)],
+        "rec_id long, name string",
+    )
+    from pyspark_mrdf_spark.operators.linkage import _resolve_auto_block
+
+    ck = (
+        clean.select(F.col("name").alias("_cn"))
+        .distinct()
+        .select(
+            "_cn",
+            F.explode(
+                F.array(
+                    F.substring("_cn", 1, 3),
+                    F.expr("substring(_cn, greatest(length(_cn) - 2, 1), 3)"),
+                )
+            ).alias("_k"),
+        )
+        .distinct()
+    )
+    cap = _resolve_auto_block(ck)
+    assert isinstance(cap, int) and cap >= 32
+    auto = _rows(blocked_levenshtein_link(dirty, clean))  # default dial
+    uncapped = _rows(blocked_levenshtein_link(dirty, clean, max_block=None))
+    assert auto == uncapped and len(auto) == dirty.count()
+
+
+def test_auto_dial_disengages_with_warning_at_deep_max_dist(spark):
+    # max_dist=3: the lossless split is unavailable, so the DEFAULT
+    # dial must fall back to uncapped with a warning — never a lossy
+    # drop, never an error on default arguments
+    import warnings as _w
+
+    dirty, clean = _hot_corpus(spark, n_family=6)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        blocked_levenshtein_link(dirty, clean, max_dist=3).collect()
+    assert any("auto' disengaged" in str(r.message) for r in rec)

@@ -262,3 +262,26 @@ def test_refine_default_sizing_matches_explicit_blocks(spark, emb):
         map(tuple, _refine(base, g0, 5, n_blocks=3).select("src", "dst").collect())
     )
     assert auto == explicit and len(auto) > 0
+
+
+def test_refine_grid_invariance_bit_identical(spark, emb):
+    # The r14 grid blocking: cell shape must never change the refined
+    # graph — per-pair gather→subtract→einsum is identical under any
+    # (Ba, Bb), including the degenerate single cell. dist_sq compared
+    # EXACTLY (bit-identical, the r10 chunking discipline).
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.algorithms.mrdf import _refine
+
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("id"), F.col("embedding").alias("vec")
+    ).localCheckpoint(eager=True)
+    g0 = knn_exact(emb, 3).select("src", "dst", "dist_sq").localCheckpoint(eager=True)
+
+    def run(grid):
+        return sorted(
+            map(tuple, _refine(base, g0, 5, grid=grid).collect())
+        )
+
+    single = run((1, 1))
+    assert single == run((3, 2)) == run((4, 4)) and len(single) > 0
