@@ -89,6 +89,55 @@ def component_entries(
     )
 
 
+def append_entries(
+    entries: DataFrame,
+    delta: DataFrame,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Entry-set top-up for a MAINTAINED graph (r14) — the build-time
+    amortization contract, kept honest across appends.
+
+    ``component_entries`` computed at build time stays complete for
+    the OLD region, but the beam walk follows DIRECTED src→dst edges:
+    an appended node is reachable only through an old→new edge, which
+    exists iff the new vector displaced into some old node's top-k.
+    A batch member that entered NOBODY's top-k (an outlier, or any
+    vector in a dense region whose old neighbors are all mutually
+    closer) has in-degree 0 in the maintained graph — provably
+    unreachable from ANY entry set that doesn't contain it. Note this
+    is NOT fixed by recomputing ``component_entries`` on the
+    maintained graph either: the CC pass is undirected, so the new
+    node's own out-edges merge it into the old component and it gets
+    no entry of its own (law-pinned in tests/test_graph_append.py).
+
+    The O(batch) rule: the replacement delta carries EVERY edge of
+    every affected src, so old→new edges are precisely the delta rows
+    with dst in the batch and src outside it — batch ids absent from
+    that dst set join the entry set. Deliberately CONSERVATIVE:
+    new→new in-edges don't count (a batch-internal chain must bottom
+    out in a topped-up or old-adopted node, so coverage holds without
+    computing a reachability closure; the extra entries stay O(batch)).
+    No CC pass, no corpus scan; apply once per append (or per
+    compaction) and keep serving with ``entries=``.
+    """
+    new_ids = new_vectors.select(F.col(id_col).alias("vid"))
+    old_to_new = (
+        delta.select(F.col("src"), F.col("dst").alias("vid"))
+        .join(new_ids, "vid", "left_semi")
+        .join(
+            new_ids.select(F.col("vid").alias("src")), "src", "left_anti"
+        )
+        .select("vid")
+        .distinct()
+    )
+    return (
+        entries.select(F.col(entries.columns[0]).alias("vid"))
+        .unionByName(new_ids.join(old_to_new, "vid", "left_anti"))
+        .distinct()
+    )
+
+
 def graph_knn_search(
     queries: DataFrame,
     graph: DataFrame,

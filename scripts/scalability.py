@@ -243,6 +243,12 @@ def main() -> None:
     # frozen params vs full-d persisted SQ8 vs the exact scan, at
     # (--synthetic-n, --synthetic-d)
     pca_serving_only = "--pca-serving-only" in argv
+    # --rotation-drift-only: ONLY the rotation-aware drift-monitor row
+    # (r13 verdict ask #6): build a rotated IVF-PQ index at design
+    # size, then rotation_drift_stats on an in-distribution append vs
+    # a drifted one — the monitor must FIRE on drift and stay QUIET on
+    # the in-distribution batch
+    rotation_drift_only = "--rotation-drift-only" in argv
     # --relational-only: ONLY the 10x-sf0.1 relational/events scale
     # point (r10 verdict ask #6) — replicate sf0.1's lineitem/orders/
     # events/part/documents with per-replica key offsets (~6M lineitem,
@@ -355,6 +361,7 @@ def main() -> None:
             "--graph-analytics-only", "--heavy-hitters-only",
             "--prefix-filter-only", "--incremental-only",
             "--pca-serving-only", "--relational-only",
+            "--rotation-drift-only",
             "--aniso",
         )
     ]
@@ -379,6 +386,7 @@ def main() -> None:
         ("--prefix-filter-only", prefix_filter_only),
         ("--incremental-only", incremental_only),
         ("--pca-serving-only", pca_serving_only),
+        ("--rotation-drift-only", rotation_drift_only),
         ("--relational-only", relational_only),
     ) if on]
     if only_modes and argv:
@@ -422,8 +430,9 @@ def main() -> None:
         or bq_serving_only or dedup_serving_only or graph_serving_only
         or graph_append_only or graph_append_chain_only or ivfpq_io_only or mixture_sampled_only
         or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or incremental_only or pca_serving_only or relational_only
+        or rotation_drift_only
     )
-    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or graph_append_only or graph_append_chain_only or ivfpq_io_only or mixture_sampled_only or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or incremental_only or pca_serving_only) and (
+    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or graph_append_only or graph_append_chain_only or ivfpq_io_only or mixture_sampled_only or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or incremental_only or pca_serving_only or rotation_drift_only) and (
         include_uniform or include_uniform_tuned or saw_synthetic_flag
     ):
         sys.exit(
@@ -616,6 +625,10 @@ def main() -> None:
 
     if incremental_only:
         points.append(_incremental_evidence(spark, synthetic_n))
+        print(f"[scalability] {points[-1]}", file=sys.stderr)
+
+    if rotation_drift_only:
+        points.append(_rotation_drift_evidence(spark, synthetic_n, synthetic_d))
         print(f"[scalability] {points[-1]}", file=sys.stderr)
 
     if pca_serving_only:
@@ -831,6 +844,80 @@ def _linkage_cap_probe(spark, syn: str, out: dict) -> None:
         f"{out['linkage_drop_agreement']})",
         file=sys.stderr,
     )
+
+
+def _rotation_drift_evidence(spark, n: int, d: int = 64) -> dict:
+    """The rotation-aware drift monitor, measured (r13 verdict ask #6):
+    build a rotate='opq' IVF-PQ index on a mixture corpus, then run
+    ``rotation_drift_stats`` on (a) an IN-DISTRIBUTION append — fresh
+    noise from the same mixture (same seed → same centers; the batch is
+    the tail slice of a longer draw) — and (b) a DRIFTED append (the
+    same rows through an affine shift). Claim under test: the monitor
+    fires on drift and stays quiet in distribution, at O(batch +
+    d-aggregate) cost. Quiet is not zero: a sample envelope is crossed
+    by out-of-sample rows at ~2/sample_size per dim per row — the row
+    records both levels so the dial (dims with viol_e6 > 50k, i.e. >5%
+    of the batch outside the envelope on that rotated dim) is evidence,
+    not assertion."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.operators.quantize import (
+        build_ivfpq_index,
+        rotation_drift_stats,
+    )
+
+    m = max(1000, n // 50)
+    syn = tempfile.mkdtemp(prefix="rotdrift_")
+    out: dict = {"sf": f"synthetic-{n}x{d}-rotation-drift", "n": n, "batch": m}
+    try:
+        _write_synthetic(os.path.join(syn, "all"), n + m, d=d)
+        allv = spark.read.parquet(os.path.join(syn, "all", "embeddings.parquet"))
+        corpus = allv.filter(F.col("vec_id") < n).localCheckpoint(eager=True)
+        batch = allv.filter(F.col("vec_id") >= n).localCheckpoint(eager=True)
+        idx = os.path.join(syn, "idx")
+        t0 = time.time()
+        metrics: dict = {}
+        build_ivfpq_index(
+            corpus, idx, n_centroids=64, n_subspaces=8, n_codes=16,
+            sample_size=4096, rotate="opq", metrics_out=metrics,
+        )
+        out["index_build_s"] = round(time.time() - t0, 2)
+        out["rotation_train_s"] = metrics.get("rotation_train_s")
+
+        def monitor(b):
+            t0 = time.time()
+            rows = rotation_drift_stats(b, idx).collect()
+            v = sorted(r["viol_e6"] for r in rows)
+            return {
+                "monitor_s": round(time.time() - t0, 2),
+                "viol_e6_max": int(v[-1]),
+                "viol_e6_median": int(v[len(v) // 2]),
+                "dims_over_5pct": sum(1 for x in v if x > 50_000),
+                "n_dims": len(v),
+            }
+
+        out["in_distribution"] = monitor(batch)
+        drifted = batch.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> cast(x * 1.5 + 3.0 as float))"
+            ).alias("embedding"),
+        )
+        out["drifted"] = monitor(drifted)
+        out["fires_on_drift_only"] = (
+            out["drifted"]["dims_over_5pct"] > 0
+            and out["in_distribution"]["dims_over_5pct"] == 0
+        )
+        print(
+            "[scalability] rotation drift: quiet "
+            f"{out['in_distribution']} vs drifted {out['drifted']}",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(syn, ignore_errors=True)
+    return out
 
 
 def _pca_serving_evidence(spark, n: int, d: int, d_out: int = 16, aniso: bool = False) -> dict:
@@ -2564,10 +2651,20 @@ def _graph_append_chain_evidence(
         )
 
         if serve:
-            # q124 at its component-safe DEFAULT dial over the final
-            # MAINTAINED graph: the lifecycle's serving leg. Recall is
-            # scored against the same sampled exact GT protocol.
+            # Serving-DIAL sweep over the final MAINTAINED graph (r13
+            # verdict ask #5): the r13 row read walk recall 0.8368 at
+            # the beam=64 default where BUILT-graph rows buy 0.95 at
+            # e1024 — so sweep beam with AMORTIZED maintained entries
+            # (build-time component+sqrt(n) recipe ∪ the in-degree-0
+            # top-up: any node with no in-edge is provably unreachable
+            # by the directed walk — the end-state form of
+            # graph_search.append_entries' per-append rule) and record
+            # the dial rule next to the built-graph rows. The per-call
+            # 'component' default stays as the comparand.
+            import math
+
             from pyspark_mrdf_spark.operators.graph_search import (
+                component_entries,
                 graph_knn_search,
             )
 
@@ -2578,25 +2675,62 @@ def _graph_append_chain_evidence(
                 .limit(2000)
                 .localCheckpoint(eager=True)
             )
-            t0 = time.time()
-            served = graph_knn_search(
-                qs, graph.select("src", "dst"), corpus, K, beam=64,
-                include_self=False,
-            ).localCheckpoint(eager=True)
-            served.count()
-            out["serve_batch_s"] = round(time.time() - t0, 2)
+            n_corpus = corpus.count()
+            global_seeds = (
+                corpus.orderBy(
+                    F.md5(F.concat(F.lit("13:"), F.col("vec_id").cast("string")))
+                )
+                .limit(max(4, math.isqrt(max(n_corpus - 1, 0)) + 1))
+                .select(F.col("vec_id").alias("vid"))
+            )
+            indeg0 = corpus.select(F.col("vec_id").alias("vid")).join(
+                graph.select(F.col("dst").alias("vid")).distinct(),
+                "vid", "left_anti",
+            )
+            ent = (
+                component_entries(graph, corpus)
+                .unionByName(global_seeds)
+                .unionByName(indeg0)
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            out["serve_entries"] = ent.count()
+            out["serve_entries_indeg0_topup"] = indeg0.count()
             gt = knn_search_blocked(
                 qs, corpus, K, n_blocks=32, n_query_blocks=4,
                 include_self=False,
             ).localCheckpoint(eager=True)
             qid = [r["vec_id"] for r in qs.select("vec_id").collect()]
-            out["serve_recall"] = round(
-                recall(
-                    gt.select("src", "dst"),
-                    served.filter(F.col("src").isin(qid)),
-                ),
-                4,
-            )
+            sweep = []
+            for beam, entry_frame, label in (
+                (64, None, "component-per-call"),
+                (64, ent, "amortized+topup"),
+                (256, ent, "amortized+topup"),
+                (1024, ent, "amortized+topup"),
+            ):
+                t0 = time.time()
+                served = graph_knn_search(
+                    qs, graph.select("src", "dst"), corpus, K, beam=beam,
+                    include_self=False, entries=entry_frame,
+                ).localCheckpoint(eager=True)
+                served.count()
+                row = {
+                    "beam": beam, "entries": label,
+                    "serve_batch_s": round(time.time() - t0, 2),
+                    "serve_recall": round(
+                        recall(
+                            gt.select("src", "dst"),
+                            served.filter(F.col("src").isin(qid)),
+                        ),
+                        4,
+                    ),
+                }
+                sweep.append(row)
+                print(f"[scalability] serve dial {row}", file=sys.stderr)
+            out["serve_sweep"] = sweep
+            # headline fields stay comparable with the r13 row
+            out["serve_batch_s"] = sweep[0]["serve_batch_s"]
+            out["serve_recall"] = sweep[0]["serve_recall"]
             out["serve_batch_size"] = 2000
     finally:
         shutil.rmtree(syn_dir, ignore_errors=True)
