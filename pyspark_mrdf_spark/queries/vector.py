@@ -2419,3 +2419,76 @@ def q164_compacted_graph_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _, graph = read_graph_state(spark, _compacted_state_path(spark, sf_dir))
     return graph.select("src", "dst", F.col("rnk").cast("bigint").alias("rnk"))
+
+
+# --- q165: maintained-graph entry-set top-up ---------------------------------
+
+_Q165_SEEDS = 16
+
+
+@register(
+    "q165_append_entries",
+    # r14 rotation: takes the slot of the 6x-green q114 (events keeps
+    # q130/q135/q149-q154 — eight driver reps)
+    oracle=f"""
+WITH union_graph AS (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_distance(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), b.vec_id) AS rnk
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+  WHERE rnk <= {K}),
+adopted AS (
+  SELECT DISTINCT dst AS vid FROM union_graph
+  WHERE src % 20 <> 0 AND dst % 20 = 0),
+seeds AS (
+  SELECT vec_id AS vid FROM embeddings WHERE vec_id % 20 <> 0
+  ORDER BY md5('165:' || CAST(vec_id AS VARCHAR)) LIMIT {_Q165_SEEDS}),
+topup AS (
+  SELECT vec_id AS vid FROM embeddings
+  WHERE vec_id % 20 = 0
+    AND vec_id NOT IN (SELECT vid FROM adopted))
+SELECT DISTINCT vid
+FROM (SELECT vid FROM seeds UNION ALL SELECT vid FROM topup)
+""",
+    description=(
+        "maintained-graph entry-set top-up (operators/graph_search."
+        "append_entries — r14): fold the 5% batch into the 95% exact "
+        "graph as a REPLACEMENT delta (knn_graph_append return_delta), "
+        "then top an md5-seeded build-time entry set up with exactly "
+        "the batch ids no OLD node adopted — the delta rows with dst "
+        "in the batch and src outside it are precisely the union "
+        "graph's old->new adoptions (a changed src's delta carries its "
+        "whole adjacency), so the oracle recomputes adoption from the "
+        "rebuilt exact union graph and the verdict pins the operator's "
+        "exact O(batch) top-up rule: entries = seeds UNION (batch \\ "
+        "adopted). The rule's WHY (an unadopted appended node has "
+        "in-degree 0 and is unreachable by the directed walk; the "
+        "undirected CC pass cannot save it) is law-pinned in "
+        "tests/test_graph_append.py"
+    ),
+    tags=("vector", "knn", "incremental", "maintenance", "serving"),
+)
+def q165_append_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark_mrdf_spark.algorithms.graph_append import knn_graph_append
+    from pyspark_mrdf_spark.operators.graph_search import append_entries
+    from pyspark_mrdf_spark.operators.similarity import knn_exact_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 20 != 0)
+    new = emb.filter(F.col("vec_id") % 20 == 0)
+    old_graph = memoized_df(
+        spark,
+        ("exact_knn_blocked_old95", sf_dir, K),
+        lambda: knn_exact_blocked(old, K),
+        eager=False,
+    )
+    delta = knn_graph_append(old_graph, old, new, K, mode="exact", return_delta=True)
+    entries0 = (
+        old.orderBy(F.md5(F.concat(F.lit("165:"), F.col("vec_id").cast("string"))))
+        .limit(_Q165_SEEDS)
+        .select(F.col("vec_id").alias("vid"))
+    )
+    return append_entries(entries0, delta, new)

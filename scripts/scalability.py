@@ -243,6 +243,11 @@ def main() -> None:
     # frozen params vs full-d persisted SQ8 vs the exact scan, at
     # (--synthetic-n, --synthetic-d)
     pca_serving_only = "--pca-serving-only" in argv
+    # --graph-compaction-only: ONLY the compaction read-cost row —
+    # stream ≥20 real delta commits onto a graph state, price
+    # read_graph_state's overlay + small-files tax, compact, re-price;
+    # identity by distributed edge checksum
+    graph_compaction_only = "--graph-compaction-only" in argv
     # --rotation-drift-only: ONLY the rotation-aware drift-monitor row
     # (r13 verdict ask #6): build a rotated IVF-PQ index at design
     # size, then rotation_drift_stats on an in-distribution append vs
@@ -361,7 +366,7 @@ def main() -> None:
             "--graph-analytics-only", "--heavy-hitters-only",
             "--prefix-filter-only", "--incremental-only",
             "--pca-serving-only", "--relational-only",
-            "--rotation-drift-only",
+            "--rotation-drift-only", "--graph-compaction-only",
             "--aniso",
         )
     ]
@@ -387,6 +392,7 @@ def main() -> None:
         ("--incremental-only", incremental_only),
         ("--pca-serving-only", pca_serving_only),
         ("--rotation-drift-only", rotation_drift_only),
+        ("--graph-compaction-only", graph_compaction_only),
         ("--relational-only", relational_only),
     ) if on]
     if only_modes and argv:
@@ -395,10 +401,11 @@ def main() -> None:
     # anywhere else they'd be consumed and silently dead — the exact
     # wrong-provenance hazard the sf-list guard below rejects (a row
     # measured at the defaults while its flags claim otherwise)
-    if saw_d_flag and not (serving_only or bq_serving_only or graph_serving_only or pca_serving_only or ivfpq_io_only):
+    if saw_d_flag and not (serving_only or bq_serving_only or graph_serving_only or pca_serving_only or ivfpq_io_only or rotation_drift_only or graph_compaction_only):
         sys.exit(
             "error: --synthetic-d only applies to --serving-only/--bq-serving-only/"
-            "--graph-serving-only/--pca-serving-only/--ivfpq-io-only; drop the flag or run those modes"
+            "--graph-serving-only/--pca-serving-only/--ivfpq-io-only/"
+            "--rotation-drift-only/--graph-compaction-only; drop the flag or run those modes"
         )
     if ivfpq_io_only:
         # --ivfpq-cells/--ivfpq-probe parameterize the I/O row's coarse
@@ -430,9 +437,9 @@ def main() -> None:
         or bq_serving_only or dedup_serving_only or graph_serving_only
         or graph_append_only or graph_append_chain_only or ivfpq_io_only or mixture_sampled_only
         or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or incremental_only or pca_serving_only or relational_only
-        or rotation_drift_only
+        or rotation_drift_only or graph_compaction_only
     )
-    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or graph_append_only or graph_append_chain_only or ivfpq_io_only or mixture_sampled_only or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or incremental_only or pca_serving_only or rotation_drift_only) and (
+    if not (run_synthetic or grid_only or sq8_only or serving_only or dedup_only or pagerank_only or bq_serving_only or dedup_serving_only or graph_serving_only or graph_append_only or graph_append_chain_only or ivfpq_io_only or mixture_sampled_only or cc_only or cc_tiers_only or graph_analytics_only or heavy_hitters_only or prefix_filter_only or incremental_only or pca_serving_only or rotation_drift_only or graph_compaction_only) and (
         include_uniform or include_uniform_tuned or saw_synthetic_flag
     ):
         sys.exit(
@@ -629,6 +636,10 @@ def main() -> None:
 
     if rotation_drift_only:
         points.append(_rotation_drift_evidence(spark, synthetic_n, synthetic_d))
+        print(f"[scalability] {points[-1]}", file=sys.stderr)
+
+    if graph_compaction_only:
+        points.append(_graph_compaction_evidence(spark, synthetic_n, synthetic_d))
         print(f"[scalability] {points[-1]}", file=sys.stderr)
 
     if pca_serving_only:
@@ -913,6 +924,127 @@ def _rotation_drift_evidence(spark, n: int, d: int = 64) -> dict:
         print(
             "[scalability] rotation drift: quiet "
             f"{out['in_distribution']} vs drifted {out['drifted']}",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(syn, ignore_errors=True)
+    return out
+
+
+def _graph_compaction_evidence(
+    spark, n: int, d: int = 64, k: int = 8, n_batches: int = 24
+) -> dict:
+    """Per-batch read cost before/after ``compact_graph_state`` at
+    ≥20 committed deltas (r13 verdict ask #3's measurement half).
+    The claim: ``read_graph_state`` pays a latest-wins overlay join
+    plus a many-small-files scan LINEAR in committed delta count, and
+    compaction returns both to one base scan — row-identically
+    (the law tests prove identity; this row prices it). The deltas
+    are REAL stream commits: ``graph_append_stream`` over an ndjson
+    source at maxFilesPerTrigger=1, exactly the lifecycle deployments
+    run. Read cost = read_graph_state + a count that forces the
+    overlay, median of 3; identity check = distributed edge-checksum
+    equality (no corpus-sized collect)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspark_mrdf_spark.operators.similarity import knn_exact_blocked
+    from pyspark_mrdf_spark.streaming.ingest import (
+        compact_graph_state,
+        graph_append_stream,
+        read_graph_state,
+        write_graph_state,
+    )
+
+    batch = max(200, n // 40)
+    syn = tempfile.mkdtemp(prefix="gcompact_")
+    out: dict = {
+        "sf": f"synthetic-{n}x{d}-graph-compaction",
+        "n_base": n, "batch": batch, "n_batches": n_batches, "k": k,
+    }
+    try:
+        total = n + n_batches * batch
+        _write_synthetic(os.path.join(syn, "all"), total, d=d)
+        allv = spark.read.parquet(os.path.join(syn, "all", "embeddings.parquet"))
+        base = allv.filter(F.col("vec_id") < n).localCheckpoint(eager=True)
+        t0 = time.time()
+        g0 = knn_exact_blocked(base, k, n_blocks=16).localCheckpoint(eager=True)
+        out["base_build_s"] = round(time.time() - t0, 2)
+        state = os.path.join(syn, "state")
+        write_graph_state(base, g0, state)
+
+        # ndjson batch files — one stream trigger each
+        src_dir = os.path.join(syn, "vecs")
+        os.makedirs(src_dir)
+        pdf = (
+            allv.filter(F.col("vec_id") >= n)
+            .orderBy("vec_id")
+            .toPandas()
+        )
+        for b in range(n_batches):
+            rows = pdf.iloc[b * batch : (b + 1) * batch]
+            with open(os.path.join(src_dir, f"b{b:03d}.json"), "w") as f:
+                for _, r in rows.iterrows():
+                    f.write(
+                        '{"vec_id": %d, "embedding": [%s]}\n'
+                        % (r["vec_id"], ",".join(str(float(x)) for x in r["embedding"]))
+                    )
+        s = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .json(src_dir)
+        )
+        t0 = time.time()
+        q = graph_append_stream(
+            s, state, os.path.join(syn, "ckpt"), k, mode="graph",
+            query_name="gcompact_probe",
+        )
+        q.awaitTermination(3600)
+        out["stream_total_s"] = round(time.time() - t0, 2)
+        out["stream_per_batch_s"] = round(out["stream_total_s"] / n_batches, 2)
+
+        import glob as _glob
+
+        def read_cost(path):
+            walls = []
+            checksum = None
+            n_edges = None
+            for _ in range(3):
+                t0 = time.time()
+                _, graph = read_graph_state(spark, path)
+                agg = graph.agg(
+                    F.count("*").alias("n"),
+                    F.sum(
+                        F.xxhash64("src", "dst", "rnk").cast("decimal(38,0)")
+                    ).alias("chk"),
+                ).collect()[0]
+                walls.append(time.time() - t0)
+                checksum, n_edges = int(agg["chk"]), int(agg["n"])
+            walls.sort()
+            return round(walls[1], 2), n_edges, checksum
+
+        out["deltas_committed"] = len(
+            _glob.glob(os.path.join(state, "graph/stream/batch=*"))
+        )
+        out["delta_files"] = len(
+            _glob.glob(os.path.join(state, "graph/stream/batch=*/*.parquet"))
+        ) + len(_glob.glob(os.path.join(state, "corpus/stream/batch=*/*.parquet")))
+        w, n_edges, chk = read_cost(state)
+        out["read_s_with_deltas"] = w
+        compacted = os.path.join(syn, "state_compacted")
+        t0 = time.time()
+        compact_graph_state(spark, state, compacted)
+        out["compact_s"] = round(time.time() - t0, 2)
+        w2, n_edges2, chk2 = read_cost(compacted)
+        out["read_s_compacted"] = w2
+        out["read_speedup"] = round(w / max(w2, 1e-9), 2)
+        out["edges"] = n_edges
+        out["row_identical"] = bool(n_edges == n_edges2 and chk == chk2)
+        print(
+            f"[scalability] compaction: {out['deltas_committed']} deltas, "
+            f"read {w} s -> {w2} s ({out['read_speedup']}x), "
+            f"identical={out['row_identical']}",
             file=sys.stderr,
         )
     finally:

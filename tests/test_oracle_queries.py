@@ -190,8 +190,13 @@ DRIVER_SURFACE = [
     # The r14 auto-linkage dial needs no new slot: it is the DEFAULT
     # path of q139/q153 (law: auto == uncapped on the oracle corpora,
     # tests/test_linkage.py) and q160 pins the split action itself.
+    # Second r14 rotation: q165 append_entries (the maintained-graph
+    # entry-set top-up under a hash verdict — the oracle recomputes
+    # old->new adoption from the rebuilt exact union graph, pinning
+    # the operator's exact O(batch) rule) takes the slot of the
+    # 6x-green (r8-r13) q114 (events keep q130/q135/q149-q154 —
+    # eight driver reps).
     # Family sentinels q01/q50/q56/q72 stay put.
-    "q114_scd2_history",
     "q130_linear_attribution",
     "q135_top_user_paths",
     "q149_hourly_gap_fill",
@@ -241,6 +246,7 @@ DRIVER_SURFACE = [
     "q162_chained_graph_append",
     "q163_rotation_drift",
     "q164_compacted_graph_state",
+    "q165_append_entries",
 ]
 
 
