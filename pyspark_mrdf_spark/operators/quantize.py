@@ -2095,8 +2095,14 @@ def _assert_same_params(
     # rotation is frozen training state like any other param: shards
     # must agree on HAVING one (codes in rotated vs raw space cannot
     # merge) and on its exact bytes — fold the rotation keys into the
-    # gate whenever any shard carries them
-    rot_keys = ("rot_mean", "rotation", "rot_env_mn", "rot_env_mx")
+    # gate whenever any shard carries them. The training-sample
+    # ENVELOPE rides with the rotation but is MONITOR state, not
+    # code-space-defining: a shard legitimately encoded through a
+    # pre-supplied frozen rotation (write_*_index(rotation=...))
+    # carries no envelope, so env presence may differ across shards —
+    # env bytes are gated only where both sides have them.
+    rot_keys = ("rot_mean", "rotation")
+    env_keys = ("rot_env_mn", "rot_env_mx")
     if any(k in p for p in params for k in rot_keys):
         keys = keys + rot_keys
     for p_, path_ in zip(params[1:], paths[1:]):
@@ -2108,6 +2114,13 @@ def _assert_same_params(
                     "with an unrotated one (codes live in different spaces)"
                 )
             if not np.array_equal(p0.get(k), p_.get(k)):
+                raise ValueError(
+                    f"merge_{kind}_indexes: '{k}' differs between "
+                    f"{path0} and {path_} — shards must be encoded with "
+                    "the same frozen params (train once, encode per shard)"
+                )
+        for k in env_keys:
+            if k in p0 and k in p_ and not np.array_equal(p0[k], p_[k]):
                 raise ValueError(
                     f"merge_{kind}_indexes: '{k}' differs between "
                     f"{path0} and {path_} — shards must be encoded with "
@@ -2182,14 +2195,18 @@ def merge_ivfpq_indexes(spark, src_paths: list[str], dst_path: str) -> None:
         _, _, c = read_ivfpq_index(spark, p)
         codes = c if codes is None else codes.unionByName(c)
     rot = params[0]
+    # the envelope may ride on any shard (a pre-supplied-rotation
+    # shard carries none) — keep the first one present, so merging
+    # never silently drops the drift monitor's reference state
+    env_p = next((p for p in params if "rot_env_mn" in p), None)
     write_ivfpq_index(
         dst_path, params[0]["coarse"], params[0]["codebooks"], codes,
         rotation=(
             (rot["rot_mean"], rot["rotation"]) if "rotation" in rot else None
         ),
         rotation_env=(
-            (rot["rot_env_mn"], rot["rot_env_mx"])
-            if "rot_env_mn" in rot else None
+            (env_p["rot_env_mn"], env_p["rot_env_mx"])
+            if env_p is not None else None
         ),
     )
 
