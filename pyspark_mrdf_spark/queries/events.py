@@ -476,7 +476,9 @@ _SCD2_OPEN_US = (1 << 63) - 1
 @register(
     "q114_scd2_history",
     # promoted r8 (fourth rotation): q07/q12/q19/q29/q64/q66 ceded slots
-    driver=False,  # r14 rotation: 6x driver-green (r8-r13), cedes its slot to q165 append_entries (events keep q130/q135/q149-q154 — eight driver reps)
+    # r14 is an OPTIMIZATION round: the declared surface is frozen to the
+    # r13 set (a query that disappears = regression), so the planned
+    # q165 rotation is deferred; q165 runs in the pytest oracle gate.
     oracle=f"""
 WITH ordered AS (
   SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,

@@ -1289,7 +1289,9 @@ _TFIDF_TOP = 5
 
 @register(
     "q136_tfidf_top_terms",
-    driver=False,  # r14 rotation: 5x driver-green (r9-r13), cedes its slot to q164 (text keeps q117/q120/q144 as driver reps)
+    # r14 is an OPTIMIZATION round: the declared surface is frozen to the
+    # r13 set, so the planned q164 rotation is deferred; q164 runs in the
+    # pytest oracle gate instead.
     oracle=f"""
 WITH tok AS (
   SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -1380,7 +1380,9 @@ def _q127_oracle(sf_dir: str) -> str:
 
 @register(
     "q127_pca_project",
-    driver=False,  # r14 rotation: 5x driver-green (r9-r13), cedes its slot to q163 (whose oracle transports the FULL d-by-d rotation through the same project_kernel; projection stays driver-verified via q133/q134)
+    # r14 is an OPTIMIZATION round: the declared surface is frozen to the
+    # r13 set, so the planned q163 rotation is deferred; q163 runs in the
+    # pytest oracle gate instead.
     oracle=_q127_oracle,
     description=(
         f"PCA dimensionality reduction (operators/project.py): rotation "
@@ -2296,6 +2298,10 @@ GROUP BY e.dim
 
 @register(
     "q163_rotation_drift",
+    # r14 is an OPTIMIZATION round with a frozen driver surface (the r13
+    # set); this r14 operator is oracle-verified in the pytest gate and
+    # is a rotation candidate for the next build round.
+    driver=False,
     oracle=_q163_oracle,
     description=(
         "rotation-aware drift monitor for the persisted rotated index "
@@ -2390,6 +2396,9 @@ def _compacted_state_path(spark: SparkSession, sf_dir: str) -> str:
 
 @register(
     "q164_compacted_graph_state",
+    # r14 optimization round: frozen driver surface — pytest oracle gate
+    # only; rotation candidate for the next build round.
+    driver=False,
     oracle=f"""
 SELECT src, dst, rnk FROM (
   SELECT a.vec_id AS src, b.vec_id AS dst,
@@ -2428,8 +2437,9 @@ _Q165_SEEDS = 16
 
 @register(
     "q165_append_entries",
-    # r14 rotation: takes the slot of the 6x-green q114 (events keeps
-    # q130/q135/q149-q154 — eight driver reps)
+    # r14 optimization round: frozen driver surface — pytest oracle gate
+    # only; rotation candidate for the next build round.
+    driver=False,
     oracle=f"""
 WITH union_graph AS (
   SELECT src, dst FROM (
