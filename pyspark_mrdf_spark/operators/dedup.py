@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pyspark_mrdf_spark.functions.text import fingerprint, shingles
+from pyspark_mrdf_spark.functions.text import fingerprint
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -49,18 +49,62 @@ def _spread(df: DataFrame) -> DataFrame:
     """Repartition a (possibly single-file) input across the cluster
     before per-document expression work: shingling/hashing are
     interpreted higher-order functions, and a one-file table would run
-    them all in one task."""
-    n = max(
-        df.sparkSession.sparkContext.defaultParallelism, df.rdd.getNumPartitions()
-    )
+    them all in one task.
+
+    Scale guard (r14, guide §2.4): when the input already has at least
+    cluster-parallelism partitions, the repartition is a no-op win
+    locally but a FULL SHUFFLE OF THE CORPUS TEXT at 100 TB (every
+    keyless repartition also pays a local sort, SPARK-23207). Only
+    spread when the scan is genuinely under-partitioned — the
+    single-file test-input artifact this helper exists for."""
+    cur = df.rdd.getNumPartitions()
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if cur >= n:
+        return df
     return df.repartition(n)
 
 
+def _py_shingles(text: str | None, n: int) -> list[str]:
+    """Python replica of ``functions.text.shingles`` — byte-identical
+    output (same whitespace split semantics, same first-occurrence
+    dedup order). Kernel-side twin for the Arrow batch operators below;
+    any divergence fails the oracle gate (q41/q42/q72/q122/q123/q125
+    all replay shingle-derived values through DuckDB md5)."""
+    if text is None:
+        return []
+    toks = text.split(" ")
+    if len(toks) < n:
+        return []
+    return list(dict.fromkeys(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)))
+
+
 def shingle_table(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Posting-list form: one row per (doc, distinct shingle)."""
-    return _spread(df).select(
-        F.col(id_col), F.explode(shingles(text_col, n)).alias("shingle")
-    )
+    """Posting-list form: one row per (doc, distinct shingle).
+
+    r14 (guide §4.2): the shingle build runs as a mapInPandas kernel —
+    the Catalyst ``transform(sequence(...), concat_ws(slice(...)))``
+    higher-order chain is interpreted per element and measured ~10x
+    slower than the same loop in the Python worker (q122 profile:
+    64.5 core-s for ~1.2M grams in the JVM expression chain). Only
+    (id, text) crosses the boundary; output rows are the exploded
+    posting list."""
+    spark_df = _spread(df.select(F.col(id_col), F.col(text_col)))
+    id_type = spark_df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, shingle string"
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            grams: list[str] = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                g = _py_shingles(t, n)
+                ids.extend([i] * len(g))
+                grams.extend(g)
+            yield pd.DataFrame({id_col: ids, "shingle": grams})
+
+    return spark_df.mapInPandas(gen, schema)
 
 
 def jaccard_pairs(
@@ -299,17 +343,47 @@ def minhash_signatures(
     text_col: str = "text",
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min md5(i || ':' || s)
-    over the doc's n-gram shingles, as hex strings."""
-    post = shingle_table(df, n, id_col, text_col)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = post.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("signature"),
-    )
+    over the doc's n-gram shingles, as hex strings. Docs with an empty
+    shingle set emit no row (the explode+groupBy semantics of the
+    original plan).
+
+    r14 (guide §4.2 + §2.4): one mapInPandas kernel computes each
+    doc's shingles and all ``num_hashes`` minima in the Python worker —
+    a doc's shingles are all present in its own row, so the previous
+    explode → groupBy(id) plan paid a corpus-wide SHUFFLE (plus
+    num_hashes interpreted-md5 aggregates per posting row) for an
+    aggregation that needs no data movement at all. hashlib md5 hex ==
+    Spark/DuckDB md5 hex on UTF-8 bytes, and min over hex strings is
+    the same lexicographic order — bit-identical signatures (the q42
+    oracle and the dedup-index roundtrip laws pin this)."""
+    import hashlib
+
+    spark_df = _spread(df.select(F.col(id_col), F.col(text_col)))
+    id_type = spark_df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, signature array<string>"
+    prefixes = [f"{i}:".encode() for i in range(num_hashes)]
+
+    def gen(batches):
+        import pandas as pd
+
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids: list = []
+            sigs: list[list[str]] = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                grams = _py_shingles(t, n)
+                if not grams:
+                    continue
+                gb = [g.encode() for g in grams]
+                ids.append(i)
+                # min over raw digests == min over lowercase hex (the
+                # byte->hex map is order-preserving); hex() once at the end
+                sigs.append(
+                    [min(md5(p + g).digest() for g in gb).hex() for p in prefixes]
+                )
+            yield pd.DataFrame({id_col: ids, "signature": sigs})
+
+    return spark_df.mapInPandas(gen, schema)
 
 
 def lsh_band_buckets(
@@ -321,18 +395,31 @@ def lsh_band_buckets(
 ) -> DataFrame:
     """Banded LSH buckets: (doc_id, band, bucket) where bucket is the
     md5 of the band's concatenated signature slice. Candidate pairs =
-    equi-join on (band, bucket)."""
-    out = None
-    for band in range(bands):
-        b = sig.select(
-            F.col(id_col),
-            F.lit(band).alias("band"),
-            F.md5(
-                F.concat_ws("|", F.slice(F.col(sig_col), band * rows_per_band + 1, rows_per_band))
-            ).alias("bucket"),
-        )
-        out = b if out is None else out.unionByName(b)
-    return out
+    equi-join on (band, bucket).
+
+    r14: one explode over a per-row (band, bucket) array instead of a
+    ``bands``-way union of selects — the union re-executed the
+    signature subtree once per band (the shuffle-free mapInPandas
+    signature kernel has no Exchange for Spark to reuse across
+    branches), quadrupling the dominant stage of the dedup-index build
+    at bands=4. Same output rows."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.slice(F.col(sig_col), band * rows_per_band + 1, rows_per_band),
+                    )
+                ).alias("bucket"),
+            )
+            for band in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(pairs).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
 
 
 def lsh_candidate_pairs(buckets: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -667,9 +754,14 @@ def near_dedup_against(
     )
     # the candidate pair table is referenced by three downstream
     # branches (both posting prunes + the inter semi-join); a lazy
-    # checkpoint computes the bucket join once instead of per branch
+    # checkpoint computes the bucket join once instead of per branch.
+    # The BATCH bucket side is broadcast (guide §3.1): it is ingest-
+    # batch-sized by construction, while c_buckets is corpus-sized —
+    # without the hint the planner's estimates picked a sort-merge
+    # join that shuffled the whole stored bucket table per serve.
     cand = (
-        b_buckets.join(c_buckets, ["band", "bucket"])
+        F.broadcast(b_buckets)
+        .join(c_buckets, ["band", "bucket"])
         .select("b_id", "c_id")
         .distinct()
         .localCheckpoint(eager=False)
@@ -680,24 +772,34 @@ def near_dedup_against(
     # text, prune the CORPUS first so the shingle explode — the
     # corpus-sized step — runs over candidate documents only (batch-
     # sized), never the whole corpus.
+    # candidate id lists are batch-bounded (each came from a batch-side
+    # bucket match): broadcast them so the corpus-sized posting/corpus
+    # prunes are broadcast semi-joins — the stored posting table must
+    # never be shuffled by a serve (it is the corpus-dominant table)
     b_post = shingle_table(new_docs, n, id_col, text_col).join(
-        cand.select(F.col("b_id").alias(id_col)).distinct(), id_col, "left_semi"
+        F.broadcast(cand.select(F.col("b_id").alias(id_col)).distinct()),
+        id_col,
+        "left_semi",
     )
     if corpus_postings is None:
         cand_corpus = corpus.join(
-            cand.select(F.col("c_id").alias(id_col)).distinct(), id_col, "left_semi"
+            F.broadcast(cand.select(F.col("c_id").alias(id_col)).distinct()),
+            id_col,
+            "left_semi",
         )
         c_post = shingle_table(cand_corpus, n, id_col, text_col)
     else:
         c_post = corpus_postings.join(
-            cand.select(F.col("c_id").alias(id_col)).distinct(), id_col, "left_semi"
+            F.broadcast(cand.select(F.col("c_id").alias(id_col)).distinct()),
+            id_col,
+            "left_semi",
         )
     b_sz = b_post.groupBy(id_col).agg(F.count(F.lit(1)).alias("b_sz"))
     c_sz = c_post.groupBy(id_col).agg(F.count(F.lit(1)).alias("c_sz"))
     inter = (
         b_post.select(F.col(id_col).alias("b_id"), "shingle")
         .join(c_post.select(F.col(id_col).alias("c_id"), "shingle"), "shingle")
-        .join(cand, ["b_id", "c_id"], "left_semi")
+        .join(F.broadcast(cand), ["b_id", "c_id"], "left_semi")
         .groupBy("b_id", "c_id")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -968,8 +1070,13 @@ def dup_substring_span_table(
     from pyspark.sql import Window
 
     npos = (F.col(len_col) - gram_len + 1).cast("int")
+    # spread before the per-position md5 projection (r14, guide §2):
+    # the gram-hash pass is the dominant expression cost (one md5 per
+    # char position) and an under-partitioned scan (the single-
+    # rowgroup test inputs) would run it all in ONE task; _spread is a
+    # no-op when the scan already has cluster parallelism
     occ = (
-        df.filter(F.col(len_col) >= gram_len)
+        _spread(df.filter(F.col(len_col) >= gram_len))
         .select(
             F.col(id_col),
             F.col(text_col),

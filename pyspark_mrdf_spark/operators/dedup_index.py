@@ -75,7 +75,14 @@ def _index_state(
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(fps, buckets, postings) for ``docs`` — the single encode used
     by both the initial build and every append, so a grown index is
-    row-identical to a rebuilt one by construction."""
+    row-identical to a rebuilt one by construction.
+
+    r14: signatures and postings each come from their own mapInPandas
+    shingle kernel (guide §4.2) — the signature side no longer pays an
+    explode + corpus-wide groupBy shuffle, and the kernel passes are an
+    order of magnitude cheaper than the former Catalyst higher-order
+    chain, so sharing one materialized posting table between them is
+    no longer worth the checkpoint."""
     fps = docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
     sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
     buckets = lsh_band_buckets(sig, bands, rows_per_band, id_col)

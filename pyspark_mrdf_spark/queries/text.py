@@ -1207,9 +1207,21 @@ def q120_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark_mrdf_spark.operators.similarity import knn_search_blocked
 
     qids = list(_RRF_QIDS)
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("toks"),
+    # Tokenize ONCE (r14, guide §1.2/§2.3): `d` feeds qterms, dl, stats
+    # and tf — without the checkpoint each reference re-scanned and
+    # re-regexp-tokenized the corpus (7 document scans in the before
+    # plan, the regexp being the dominant expression cost). _spread
+    # first: an under-partitioned scan would run the whole tokenize in
+    # one task (no-op when the scan already has cluster parallelism).
+    from pyspark_mrdf_spark.operators.dedup import _spread
+
+    d = (
+        _spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+        .select(
+            "doc_id",
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("toks"),
+        )
+        .localCheckpoint(eager=False)
     )
     qterms = (
         d.filter(F.col("doc_id").isin(qids))
@@ -1222,11 +1234,14 @@ def q120_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dl").cast("bigint").alias("total_toks"),
     )
     terms_union = qterms.select("term").distinct()
+    # tf is referenced twice (the scoring join and df_t): checkpoint so
+    # the corpus-wide explode+filter+agg runs once, not per reference
     tf = (
         d.select("doc_id", F.explode("toks").alias("term"))
         .join(F.broadcast(terms_union), "term")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint(eager=False)
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     term_score = F.expr(
