@@ -102,7 +102,8 @@ def shingle_table(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: s
                 g = _py_shingles(t, n)
                 ids.extend([i] * len(g))
                 grams.extend(g)
-            yield pd.DataFrame({id_col: ids, "shingle": grams})
+            if ids:  # an all-empty batch would yield wrongly-typed columns
+                yield pd.DataFrame({id_col: ids, "shingle": grams})
 
     return spark_df.mapInPandas(gen, schema)
 
@@ -381,7 +382,8 @@ def minhash_signatures(
                 sigs.append(
                     [min(md5(p + g).digest() for g in gb).hex() for p in prefixes]
                 )
-            yield pd.DataFrame({id_col: ids, "signature": sigs})
+            if ids:  # an all-empty batch would yield wrongly-typed columns
+                yield pd.DataFrame({id_col: ids, "signature": sigs})
 
     return spark_df.mapInPandas(gen, schema)
 
@@ -814,7 +816,9 @@ def near_dedup_against(
         .select(F.col("b_id").alias(id_col))
         .distinct()
     )
-    return new_docs.join(dup_ids, id_col, "left_anti")
+    # dup_ids ⊆ the batch's ids — broadcast keeps the survivor anti-join
+    # shuffle-free too
+    return new_docs.join(F.broadcast(dup_ids), id_col, "left_anti")
 
 
 def connected_components(
