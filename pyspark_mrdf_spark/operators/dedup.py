@@ -124,10 +124,12 @@ def jaccard_pairs(
     to bound the join fan-out.
 
     Set sizes are derived FROM the posting table (groupBy count), not
-    recomputed from text: the shingle expression is a Catalyst
-    higher-order function (interpreted per element), so it should run
-    once; the two join branches share one exchange via ReusedExchange."""
-    post = shingle_table(df, n, id_col, text_col)
+    recomputed from text. r14: the posting table is lazily checkpointed —
+    its consumers (sizes, optional hot-shingle stoplist, and BOTH sides
+    of the self-join, whose differing aliases defeat ReusedExchange) each
+    re-executed the shingle kernel otherwise (profiled: 3 kernel
+    executions per q72 run before the checkpoint, 1 after)."""
+    post = shingle_table(df, n, id_col, text_col).localCheckpoint(eager=False)
     sizes = post.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     if max_df is not None:
         # stoplist hot shingles: a shingle appearing in > max_df docs
