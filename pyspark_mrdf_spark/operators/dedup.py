@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyspark_mrdf_spark.functions.text import fingerprint
+from pyspark_mrdf_spark.operators.util import lazy_checkpoint, spread
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -45,23 +46,9 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition a (possibly single-file) input across the cluster
-    before per-document expression work: shingling/hashing are
-    interpreted higher-order functions, and a one-file table would run
-    them all in one task.
-
-    Scale guard (r14, guide §2.4): when the input already has at least
-    cluster-parallelism partitions, the repartition is a no-op win
-    locally but a FULL SHUFFLE OF THE CORPUS TEXT at 100 TB (every
-    keyless repartition also pays a local sort, SPARK-23207). Only
-    spread when the scan is genuinely under-partitioned — the
-    single-file test-input artifact this helper exists for."""
-    cur = df.rdd.getNumPartitions()
-    n = df.sparkSession.sparkContext.defaultParallelism
-    if cur >= n:
-        return df
-    return df.repartition(n)
+# r15: promoted to operators/util.py (three call sites across two
+# modules); the old private name stays importable for its existing users.
+_spread = spread
 
 
 def _py_shingles(text: str | None, n: int) -> list[str]:
@@ -108,6 +95,58 @@ def shingle_table(df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: s
     return spark_df.mapInPandas(gen, schema)
 
 
+def _posting_key_table(
+    df: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Hashed posting list with per-doc set sizes baked in:
+    (id, key BINARY — the 16-byte md5 digest of the shingle, sz BIGINT
+    — the doc's distinct-shingle count). The internal form behind
+    ``jaccard_pairs``/``jaccard_pairs_prefix``, which only ever test
+    shingle EQUALITY and never expose shingle text.
+
+    Why (r15, guide §2.3 "shuffle keys instead of payloads" + the r14
+    verdict's item 2): the raw posting table carries the shingle
+    STRING through every downstream exchange — the self-join shuffles
+    each posting row twice, so key bytes dominate shuffle bytes. A
+    16-byte digest is narrower than almost any word n-gram, fixed
+    width (cheaper hash/compare than varlen UTF-8), and never even
+    crosses the Python→JVM boundary as text. Equivalence: join/group
+    by md5(shingle) equals join/group by shingle iff md5 is injective
+    on the corpus's shingle set — the same md5-equality discipline the
+    exact-dedup tier (``fingerprint``) already rests on; a collision
+    needs ~2^64 distinct shingles (birthday bound), ~10^-15 probability
+    at 10^12 shingles. ``sz`` is ``len(_py_shingles(text, n))`` — the
+    posting table holds one row per (doc, DISTINCT shingle), so this
+    IS the groupBy-count the callers used to recompute with a shuffle
+    (pinned by tests/test_dedup_kernels.py).
+    """
+    spark_df = spread(df.select(F.col(id_col), F.col(text_col)))
+    id_type = spark_df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, key binary, sz long"
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list = []
+            keys: list[bytes] = []
+            szs: list[int] = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                g = _py_shingles(t, n)
+                if not g:
+                    continue
+                m = len(g)
+                ids.extend([i] * m)
+                keys.extend(hashlib.md5(s.encode("utf-8")).digest() for s in g)
+                szs.extend([m] * m)
+            if ids:  # an all-empty batch would yield wrongly-typed columns
+                yield pd.DataFrame({id_col: ids, "key": keys, "sz": szs})
+
+    return spark_df.mapInPandas(gen, schema)
+
+
 def jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -123,37 +162,41 @@ def jaccard_pairs(
     stop-listed (drop shingles with document frequency above a cap)
     to bound the join fan-out.
 
-    Set sizes are derived FROM the posting table (groupBy count), not
-    recomputed from text. r14: the posting table is lazily checkpointed —
-    its consumers (sizes, optional hot-shingle stoplist, and BOTH sides
-    of the self-join, whose differing aliases defeat ReusedExchange) each
-    re-executed the shingle kernel otherwise (profiled: 3 kernel
-    executions per q72 run before the checkpoint, 1 after)."""
-    post = shingle_table(df, n, id_col, text_col).localCheckpoint(eager=False)
-    sizes = post.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    r15 plan shape (guide §2.3/§2.4): the posting table is the HASHED
+    form (``_posting_key_table`` — 16-byte md5 keys, per-doc set size
+    carried on every row), so (a) the self-join shuffles fixed-width
+    digests instead of shingle strings, and (b) the former
+    sizes-groupBy + two post-join sizes equi-joins are GONE — sizes
+    ride through the self-join and into the final aggregate's keys
+    (functionally dependent on the doc ids, so the groups are
+    unchanged). The posting table is lazily checkpointed — both
+    self-join sides re-executed the kernel otherwise (their differing
+    aliases defeat ReusedExchange)."""
+    post = lazy_checkpoint(_posting_key_table(df, n, id_col, text_col))
     if max_df is not None:
         # stoplist hot shingles: a shingle appearing in > max_df docs
         # contributes O(df²) join rows but almost no Jaccard signal.
-        # Set sizes stay TRUE sizes (computed above, pre-filter), so
-        # capped Jaccard is a strict under-estimate — candidates only.
+        # Set sizes stay TRUE sizes (baked in pre-filter by the
+        # kernel), so capped Jaccard is a strict under-estimate —
+        # candidates only.
         hot = (
-            post.groupBy("shingle")
+            post.groupBy("key")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_df)
-            .select("shingle")
+            .select("key")
         )
-        post = post.join(F.broadcast(hot), "shingle", "left_anti")
-    a = post.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = post.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        post = post.join(F.broadcast(hot), "key", "left_anti")
+    a = post.select(
+        F.col(id_col).alias("doc_a"), "key", F.col("sz").alias("size_a")
+    )
+    b = post.select(
+        F.col(id_col).alias("doc_b"), "key", F.col("sz").alias("size_b")
     )
     return (
-        inter.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("size_a")), "doc_a")
-        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("size_b")), "doc_b")
+        a.join(b, "key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
         .select(
             "doc_a",
             "doc_b",
@@ -182,7 +225,7 @@ def jaccard_pairs_prefix(
 
     The prefix-filter lemma: order every doc's shingles by one GLOBAL
     total order (ascending document frequency, rarest first — ties by
-    shingle, so the order is engine-reproducible) and keep only each
+    the shingle's md5 digest, so the order is engine-reproducible) and keep only each
     doc's first |s| − ⌈t·|s|⌉ + 1 shingles; any pair with Jaccard ≥ t
     MUST share a shingle within these prefixes (if all of a∩b sat in
     a's suffix, the suffix's ⌈t·|a|⌉ − 1 slots could not hold the
@@ -208,14 +251,20 @@ def jaccard_pairs_prefix(
     known-unique."""
     if not 1 <= threshold_e2 <= 100:
         raise ValueError(f"threshold_e2={threshold_e2} outside [1, 100]")
-    post = shingle_table(df, n, id_col, text_col).localCheckpoint(eager=False)
-    sizes = post.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    dfreq = post.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy(id_col).orderBy(F.col("df"), F.col("shingle"))
+    # r15: hashed posting form (16-byte md5 keys + kernel-computed set
+    # sizes — see _posting_key_table): the sizes-groupBy and all three
+    # sizes equi-joins are gone, every exchange below carries digests
+    # instead of shingle strings. The GLOBAL total order behind the
+    # prefix lemma is now (df, digest) instead of (df, shingle): the
+    # lemma holds for ANY fixed total order over the vocabulary, so the
+    # candidate set changes but the verified, thresholded OUTPUT does
+    # not (verification recomputes exact intersections; oracle-pinned).
+    post = lazy_checkpoint(_posting_key_table(df, n, id_col, text_col))
+    dfreq = post.groupBy("key").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col).orderBy(F.col("df"), F.col("key"))
     ranked = (
-        post.join(dfreq, "shingle")
+        post.join(dfreq, "key")
         .withColumn("_r", F.row_number().over(w))
-        .join(sizes, id_col)
         # prefix length |s| - ceil(t|s|) + 1, all-integer ceil
         # (div, not float /: a float quotient cast to long can floor
         # one ulp wrong on exact multiples)
@@ -223,34 +272,32 @@ def jaccard_pairs_prefix(
             F.col("_r")
             <= F.col("sz") - F.expr(f"({threshold_e2} * sz + 99) div 100") + 1
         )
-        .select(id_col, "shingle")
+        .select(id_col, "key")
     )
-    a = ranked.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = ranked.select(F.col(id_col).alias("doc_b"), "shingle")
+    a = ranked.select(F.col(id_col).alias("doc_a"), "key")
+    b = ranked.select(F.col(id_col).alias("doc_b"), "key")
     cand = (
-        a.join(b, "shingle")
+        a.join(b, "key")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    pa = post.select(F.col(id_col).alias("doc_a"), F.col("shingle").alias("_sa"))
-    pb = post.select(F.col(id_col).alias("doc_b"), F.col("shingle").alias("_sb"))
-    inter = (
-        cand.join(pa, "doc_a")
-        .join(pb, "doc_b")
-        .filter(F.col("_sa") == F.col("_sb"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    pa = post.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("key").alias("_ka"),
+        F.col("sz").alias("size_a"),
+    )
+    pb = post.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("key").alias("_kb"),
+        F.col("sz").alias("size_b"),
     )
     return (
-        inter.join(
-            sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("size_a")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("size_b")),
-            "doc_b",
-        )
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .filter(F.col("_ka") == F.col("_kb"))
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
@@ -768,7 +815,7 @@ def near_dedup_against(
         .join(c_buckets, ["band", "bucket"])
         .select("b_id", "c_id")
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     # exact verify on candidates only: posting lists restricted to the
     # candidate documents. When the caller ships stored postings, a
@@ -859,13 +906,13 @@ def connected_components(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -886,7 +933,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=False)
+            .transform(lazy_checkpoint)
         )
         changed = stepped.filter(F.col("label") != F.col("old_label")).count()
         labels = stepped.select("node", "label")
@@ -934,7 +981,7 @@ def connected_components_star(
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
 
     def _large_star(e: DataFrame) -> DataFrame:
@@ -964,7 +1011,7 @@ def connected_components_star(
 
     n_old = edges.count()  # materializes the initial lazy checkpoint
     for _ in range(max_iter):
-        stepped = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        stepped = _small_star(_large_star(edges)).transform(lazy_checkpoint)
         # fixpoint test: both sets are distinct downward edges, so
         # equality ⇔ same count AND no row of the new set outside the
         # old (the count action also materializes the checkpoint)
@@ -1351,7 +1398,7 @@ def bloom_dedup_against(
     corpus_fp = (
         corpus.select(fingerprint(text_col).alias("fp"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     pos = corpus_fp.select(
         F.explode(

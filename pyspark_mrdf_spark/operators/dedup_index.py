@@ -140,9 +140,20 @@ def write_dedup_index(
     )
     _write_dedup_params(path, params)
     fps.write.mode("overwrite").parquet(os.path.join(path, "fps"))
-    buckets.write.mode("overwrite").partitionBy("band").parquet(
-        os.path.join(path, "buckets")
-    )
+    # r15 (guide §6 file sizing): the bucket rows come out of the
+    # minhash kernel's partitioning — writing them partitionBy("band")
+    # from T upstream tasks lands T×bands files (measured at sf0.1:
+    # 128 files for 0.86 MB — q123's stats scan and every serve paid
+    # ~0.3 s of open/list overhead). REBALANCE by band lets AQE size
+    # the write partitions (coalesce locally, split at scale), and
+    # clustering by band is exactly the layout band-sliced probes
+    # want. Buckets are metadata-sized (bands rows/doc, ~50 B/row), so
+    # the extra shuffle is cheap at any scale — postings (token-sized)
+    # deliberately do NOT get this: shuffling them would move corpus-
+    # scale bytes to fix a local file-count nit.
+    buckets.hint("rebalance", "band").write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(os.path.join(path, "buckets"))
     postings.write.mode("overwrite").parquet(os.path.join(path, "postings"))
 
 
@@ -262,9 +273,12 @@ def append_dedup_index(
         new_docs, p["num_hashes"], p["bands"], p["rows_per_band"], p["n"], id_col, text_col
     )
     fps.write.mode("append").parquet(os.path.join(path, "fps"))
-    buckets.write.mode("append").partitionBy("band").parquet(
-        os.path.join(path, "buckets")
-    )
+    # rebalance before the append for the same §6 reason as the build:
+    # appends are batch-sized, and without it every daily append adds
+    # tasks×bands more tiny bucket files to the serving scan.
+    buckets.hint("rebalance", "band").write.mode("append").partitionBy(
+        "band"
+    ).parquet(os.path.join(path, "buckets"))
     postings.write.mode("append").parquet(os.path.join(path, "postings"))
 
 

@@ -156,13 +156,35 @@ def _sub_block_keys(name: Column, max_dist: int, is_dirty: bool) -> Column:
     return F.array_distinct(F.concat(out, variants))
 
 
+# r15 (verdict item 6): the auto-cap resolution is a PURE function of
+# the clean side's keyed block table, but q153-shaped callers run two+
+# linkages against the SAME clean side per query (and the bench's warm
+# rerun doubles that) — each paying the keyed-stats collect. Memoize
+# the resolved cap per (application, canonicalized plan): recomputable
+# derived state in the session registry, the same discipline as
+# cache.memoized_df (applicationId scoping drops entries from dead
+# sessions; semanticHash + schema keys the PLAN, so two different
+# clean feeds never collide).
+_AUTO_CACHE: dict[tuple, int | None] = {}
+
+
 def _resolve_auto_block(ck: DataFrame) -> int | None:
     """Resolve ``max_block="auto"`` against the clean side's keyed
     block-size distribution (``ck``: one row per (key, distinct
     name)): cap = max(AUTO_BLOCK_FLOOR, AUTO_BLOCK_MULT · median block
     size), and ``None`` — the uncapped plan, byte-identical — when no
     block exceeds the cap. One driver aggregate over the (small)
-    per-key count table; this is the operator's only eager step."""
+    per-key count table, memoized per session+plan; this is the
+    operator's only eager step."""
+    key = (
+        ck.sparkSession.sparkContext.applicationId,
+        ck.semanticHash(),
+        ck.schema.json(),
+        AUTO_BLOCK_FLOOR,
+        AUTO_BLOCK_MULT,
+    )
+    if key in _AUTO_CACHE:
+        return _AUTO_CACHE[key]
     stats = (
         ck.groupBy("_k")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -173,7 +195,13 @@ def _resolve_auto_block(ck: DataFrame) -> int | None:
         .collect()[0]
     )
     cap = max(AUTO_BLOCK_FLOOR, AUTO_BLOCK_MULT * int(stats["_med"] or 0))
-    return cap if (stats["_mx"] or 0) > cap else None
+    resolved = cap if (stats["_mx"] or 0) > cap else None
+    _AUTO_CACHE[key] = resolved
+    if len(_AUTO_CACHE) > 256:  # dead-session entries; keys are app-scoped
+        app = key[0]
+        for k in [k for k in _AUTO_CACHE if k[0] != app]:
+            del _AUTO_CACHE[k]
+    return resolved
 
 
 def blocked_levenshtein_link(

@@ -1213,15 +1213,15 @@ def q120_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan, the regexp being the dominant expression cost). _spread
     # first: an under-partitioned scan would run the whole tokenize in
     # one task (no-op when the scan already has cluster parallelism).
-    from pyspark_mrdf_spark.operators.dedup import _spread
+    from pyspark_mrdf_spark.operators.util import lazy_checkpoint, spread
 
     d = (
-        _spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+        spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
         .select(
             "doc_id",
             F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("toks"),
         )
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     qterms = (
         d.filter(F.col("doc_id").isin(qids))
@@ -1241,7 +1241,7 @@ def q120_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(terms_union), "term")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .localCheckpoint(eager=False)
+        .transform(lazy_checkpoint)
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     term_score = F.expr(
