@@ -135,8 +135,20 @@ def knn_graph_append(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
     ).localCheckpoint(eager=False)
     # the counts drive auto-routing and materialize the checkpoints;
-    # graph mode still needs m to size the in-batch exact step
-    n_old, m_new = old_c.count(), new_c.count()
+    # graph mode still needs m to size the in-batch exact step.
+    # r15 (verdict item 4, per-query driver latency): ONE tagged-union
+    # aggregate instead of two sequential count() actions — the single
+    # job still materializes BOTH checkpoints, and a chained caller
+    # (q162 runs two appends, the streaming twin one per micro-batch)
+    # saves a driver round-trip per append.
+    counts = dict(
+        old_c.select(F.lit(0).alias("_t"))
+        .unionByName(new_c.select(F.lit(1).alias("_t")))
+        .groupBy("_t")
+        .count()
+        .collect()
+    )
+    n_old, m_new = int(counts.get(0, 0)), int(counts.get(1, 0))
     if mode == "auto":
         mode = "exact" if n_old * m_new <= EXACT_AUTO_MAX_CROSS else "graph"
 

@@ -85,14 +85,14 @@ def pagerank(
     else:
         node_df = nodes.select(F.col(nodes.columns[0]).alias("node"))
     node_df = node_df.localCheckpoint(eager=False)
-    n = node_df.count()
-    if n == 0:
-        raise ValueError("pagerank: empty node set")
     if not 0 <= damping_e2 <= 100:
         raise ValueError(f"pagerank: damping_e2={damping_e2} outside [0, 100]")
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     e_deg = e.join(deg, "src").localCheckpoint(eager=False)
     if seeds is None:
+        n = node_df.count()
+        if n == 0:
+            raise ValueError("pagerank: empty node set")
         base_col = F.lit((scale * (100 - damping_e2)) // (100 * n)).cast("long")
         init_col = F.lit(scale // n).cast("long")
         node_df = node_df.withColumn("_base", base_col)
@@ -115,7 +115,16 @@ def pagerank(
             .select("node", F.coalesce("_seed", F.lit(False)).alias("_seed"))
             .localCheckpoint(eager=False)
         )
-        n_seeds = node_df.filter(F.col("_seed")).count()
+        # r15 (verdict item 4): one aggregate returns n AND n_seeds —
+        # the former sequential count() pair cost an extra driver
+        # round-trip per personalized-pagerank call (q145).
+        stats = node_df.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.count_if(F.col("_seed")).alias("_ns"),
+        ).collect()[0]
+        n, n_seeds = int(stats["_n"]), int(stats["_ns"])
+        if n == 0:
+            raise ValueError("pagerank: empty node set")
         if n_seeds == 0:
             raise ValueError("pagerank: no seed is present in the node set")
         node_df = node_df.select(
