@@ -63,7 +63,13 @@ def fingerprint(col: str | Column = "text") -> Column:
 
 def shingles(col: str | Column = "text", n: int = 3) -> Column:
     """Word n-gram shingle set (distinct), as an array of
-    space-joined strings: the MinHash/Jaccard unit."""
+    space-joined strings: the MinHash/Jaccard unit.
+
+    CHANGE-LOCKSTEP: ``operators.dedup._py_shingles`` is this
+    expression's hand-maintained Python kernel twin — any edit here
+    must be mirrored there, and ``tests/test_dedup_kernels.py`` pins
+    the bit-equivalence (the DuckDB oracles replay shingle-derived
+    md5 values through every dedup consumer)."""
     toks = tokens(col)
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.array_distinct(

@@ -787,7 +787,19 @@ def near_dedup_against(
     built with the SAME (num_hashes, bands, rows_per_band, n) to model
     that; omitted, both derive from ``corpus`` inside this plan.
     ``corpus`` may be None only when BOTH stored sides are supplied
-    (the fully index-served path — ``operators/dedup_index.py``)."""
+    (the fully index-served path — ``operators/dedup_index.py``).
+
+    BATCH-SIZE CONTRACT (r14 broadcasts, advisor note): every
+    batch-derived frame here — the batch bucket table, both candidate
+    id lists, the candidate-pair table, the final dup-id set — is an
+    explicit ``F.broadcast`` side, which is what keeps the CORPUS-sized
+    bucket/posting tables from ever being shuffled by a serve. That
+    design assumes ``new_docs`` is an ingest batch, not a corpus:
+    beyond roughly 10^8 candidate rows per batch the broadcasts hit
+    Spark's 8 GB / 512M-row relation cap (or driver memory first).
+    Chunk oversized batches and call this per chunk — the daily-ingest
+    model this operator documents — rather than relying on a graceful
+    sort-merge degradation this plan deliberately no longer has."""
     if corpus is None and (corpus_buckets is None or corpus_postings is None):
         raise ValueError(
             "near_dedup_against: corpus=None requires both corpus_buckets "
